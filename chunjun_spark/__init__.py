@@ -1,0 +1,21 @@
+"""chunjun_spark — a PySpark-native CDC / incremental-ingest engine.
+
+A from-scratch reimplementation of the sync semantics of rovo98/chunjun
+(FlinkX 1.7) on Spark DataFrames + Structured Streaming:
+
+- simulated binlog/WAL change stream (sources/binlog.py; reference analog:
+  flinkx-binlog/.../BinlogEventSink.java + flinkx-stream mock)
+- per-key dedup/ordering over (op_ts, seq) (operators/dedup.py; analog of
+  the Snowflake-ts total order, BinlogEventSink.java:114)
+- idempotent MERGE upsert into a snapshot-versioned parquet lake table with
+  bucket partition pruning, schema evolution and per-partition offset
+  lineage (plans/lake.py; analog of JdbcOutputFormat write modes +
+  FormatState restore semantics)
+- Structured Streaming micro-batch pipeline with foreachBatch +
+  checkpoint resume (streaming/pipeline.py; analog of
+  DtInputFormatSourceFunction / DtOutputFormatSinkFunction)
+
+Design stance: declarative DataFrame plans end-to-end; no per-row Python.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,83 @@
+"""Per-primary-key keep-last ordering over (op_ts, seq).
+
+Reference analog: ChunJun relies on the Snowflake ``ts`` being a total
+order over one source's events (flinkx-binlog/.../BinlogEventSink.java:114,
+docs/realTime/reader/binlogreader.md:200-208) and applies events in that
+order. We replay out-of-order batches, so the engine must reduce each key
+to its LAST event by (op_ts, seq) — duplicates (same seq, re-delivered)
+collapse for free.
+
+Two physical strategies, same semantics:
+
+1. ``keep_last`` (default, the 10^10-scale path): ``groupBy(pk).agg(max(
+   struct(op_ts, seq, payload...)))``. Struct comparison is lexicographic,
+   so max == last event. Spark executes this as a hash aggregate with
+   MAP-SIDE PARTIAL AGGREGATION: each input partition reduces to at most
+   |distinct keys in partition| rows before the shuffle, so duplicate-heavy
+   CDC streams shrink before touching the network. No global sort.
+
+2. ``keep_last_window``: row_number() over a window — the textbook form,
+   kept for cross-checking; it sorts every partition, strictly worse at
+   scale.
+
+For pathological key skew (a single hot key re-written millions of times),
+``keep_last_salted`` does a two-phase reduce: phase 1 groups on
+(pk, salt-of-seq) so the hot key's events spread over N reducers, phase 2
+reduces the N survivors. (With hash partial aggregation this is rarely
+needed — partial agg already bounds reducer input — but window/sort-based
+plans and `spark.sql.aggregate` fallbacks do need it; kept as an explicit
+operator per the north rule.)
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _ordered_struct(df: DataFrame, order: tuple[str, ...]) -> F.Column:
+    rest = [c for c in df.columns if c not in order]
+    return F.struct(*[F.col(c) for c in order], *[F.col(c) for c in rest])
+
+
+def keep_last(
+    df: DataFrame,
+    pk: list[str],
+    order: tuple[str, ...] = ("op_ts", "seq"),
+) -> DataFrame:
+    """Reduce to one row per pk — the max by lexicographic (order...) —
+    via hash aggregation (partial agg map-side, single shuffle on pk)."""
+    packed = _ordered_struct(df, order)
+    out_cols = [c for c in df.columns if c not in pk]
+    agg = df.groupBy(*pk).agg(F.max(packed).alias("_last"))
+    return agg.select(*pk, *[F.col(f"_last.{c}").alias(c) for c in out_cols])
+
+
+def keep_last_window(
+    df: DataFrame,
+    pk: list[str],
+    order: tuple[str, ...] = ("op_ts", "seq"),
+) -> DataFrame:
+    """row_number()==1 over desc (order...) — reference formulation."""
+    w = Window.partitionBy(*pk).orderBy(*[F.col(c).desc() for c in order])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def keep_last_salted(
+    df: DataFrame,
+    pk: list[str],
+    order: tuple[str, ...] = ("op_ts", "seq"),
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase keep-last: salt on a hash of the ORDER columns (never the
+    pk — salting must split one key's events, not merge keys)."""
+    packed = _ordered_struct(df, order)
+    out_cols = [c for c in df.columns if c not in pk]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in order]), F.lit(n_salts)).alias("_salt")
+    phase1 = df.groupBy(*pk, salt).agg(F.max(packed).alias("_last"))
+    phase2 = phase1.groupBy(*pk).agg(F.max(F.col("_last")).alias("_last"))
+    return phase2.select(*pk, *[F.col(f"_last.{c}").alias(c) for c in out_cols])

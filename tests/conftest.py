@@ -1,0 +1,63 @@
+import hashlib
+import shutil
+import tempfile
+
+import pytest
+
+from chunjun_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("chunjun_spark-tests", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()
+
+
+@pytest.fixture()
+def tmp_root():
+    d = tempfile.mkdtemp(prefix="cjspark_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def fold_oracle(event_rows, pk=("repo", "path")):
+    """Reference model: apply events one-by-one in (op_ts, seq) order.
+
+    Mirrors ChunJun restore-mode expected output (docs/restore.md §3.2):
+    last write wins per key; DELETE removes. Duplicate deliveries (same
+    seq) are idempotent.
+    """
+    state = {}
+    seen = set()
+    for r in sorted(event_rows, key=lambda r: (r["op_ts"], r["seq"])):
+        if r["seq"] in seen:
+            continue
+        seen.add(r["seq"])
+        img = r["before"] if r["op"] == "DELETE" else r["after"]
+        key = tuple(img[c] for c in pk)
+        if r["op"] == "DELETE":
+            state.pop(key, None)
+        else:
+            state[key] = dict(r["after"].asDict() if hasattr(r["after"], "asDict") else r["after"])
+    return state
+
+
+def sha256_state(state):
+    """Canonical digest of a {pk: payload} state for equality checks."""
+    items = []
+    for key in sorted(state):
+        payload = state[key]
+        content = payload.get("content") or ""
+        items.append((key, hashlib.sha256(content.encode()).hexdigest(),
+                      tuple(sorted((k, v) for k, v in payload.items() if k != "content"))))
+    return hashlib.sha256(repr(items).encode()).hexdigest()
+
+
+def df_state(df, pk=("repo", "path")):
+    """Collect a lake-table DataFrame into the oracle's state shape."""
+    out = {}
+    for r in df.collect():
+        d = r.asDict()
+        out[tuple(d[c] for c in pk)] = {k: v for k, v in d.items()}
+    return out
