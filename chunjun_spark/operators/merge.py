@@ -24,7 +24,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from chunjun_spark.operators.dedup import keep_last
-from chunjun_spark.plans.lake import OP_COL, LakeTable
+from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL, LakeTable
 
 
 def to_changes(events: DataFrame, payload_fields: list[str] | None = None) -> DataFrame:
@@ -42,7 +42,8 @@ def to_changes(events: DataFrame, payload_fields: list[str] | None = None) -> Da
     return events.select(
         *cols,
         F.when(is_del, F.lit("DELETE")).otherwise(F.lit("UPSERT")).alias(OP_COL),
-        F.col("seq").alias("_seq"),
+        F.col("op_ts").alias(VTS_COL),
+        F.col("seq").alias(VSEQ_COL),
     )
 
 

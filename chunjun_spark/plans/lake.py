@@ -60,6 +60,18 @@ from chunjun_spark.operators.dedup import keep_last
 _BUCKET_COL = "_bucket"
 OP_COL = "_op"  # change-row op marker inside merge inputs: UPSERT | DELETE
 
+# hidden per-row version guard, stored with every base/delta row:
+#   _vts/_vseq = (op_ts, seq) of the event that produced the row.
+# A change is applied only if its (op_ts, seq) is strictly newer than the
+# stored pair — so a stale duplicate re-delivered in a LATER micro-batch
+# cannot regress a key (the cross-batch analog of the reference's
+# Snowflake-ts total order, BinlogEventSink.java:114). Deletes persist as
+# tombstones (_deleted=true) so the guard survives the delete itself.
+VTS_COL = "_vts"
+VSEQ_COL = "_vseq"
+DELETED_COL = "_deleted"
+_HIDDEN = [VTS_COL, VSEQ_COL, DELETED_COL]
+
 
 class ConcurrentCommitError(RuntimeError):
     pass
@@ -224,7 +236,7 @@ class LakeTable:
                 cols.append(F.lit(None).cast(_parse_type(f["type"])).alias(f["name"]))
             else:
                 cols.append(F.col(o["name"]).cast(_parse_type(f["type"])).alias(f["name"]))
-        extra = [c for c in (_BUCKET_COL, OP_COL, "_seq") if c in df.columns]
+        extra = [c for c in (_BUCKET_COL, OP_COL, *_HIDDEN) if c in df.columns]
         return df.select(*cols, *extra)
 
     def _read_base(self, buckets: list[int] | None = None) -> DataFrame:
@@ -254,41 +266,45 @@ class LakeTable:
 
     def _struct_with_bucket(self) -> T.StructType:
         st = self.schema.to_struct()
-        return T.StructType(list(st.fields) + [T.StructField(_BUCKET_COL, T.IntegerType())])
+        return T.StructType(
+            list(st.fields)
+            + [
+                T.StructField(VTS_COL, T.TimestampType()),
+                T.StructField(VSEQ_COL, T.LongType()),
+                T.StructField(DELETED_COL, T.BooleanType()),
+                T.StructField(_BUCKET_COL, T.IntegerType()),
+            ]
+        )
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
-        """Current logical state: base ⊕ deltas (keep-last per pk, deletes
-        applied), bucket-pruned when requested."""
+    def _resolve(self, buckets: list[int] | None = None) -> DataFrame:
+        """base ⊕ deltas reduced to one row per pk by the (op_ts, seq)
+        version order; tombstones retained (callers filter)."""
         base = self._read_base(buckets)
-        deltas = [d for d in self.manifest["deltas"]]
+        deltas = self.manifest["deltas"]
         if not deltas:
-            return base.drop(_BUCKET_COL)
+            return base
         delta_parts = []
-        for i, d in enumerate(deltas):
+        for d in deltas:
             df = self.spark.read.parquet(os.path.join(self.root, d["path"]))
             if buckets is not None:
                 df = df.filter(F.col(_BUCKET_COL).isin([int(b) for b in buckets]))
-            # delta ordering: manifest order, then intra-batch _seq
-            df = self._align(df, d["schema_version"]).withColumn(
-                "_delta_rank", F.lit(i + 1).cast("long")
-            )
-            delta_parts.append(df)
+            delta_parts.append(self._align(df, d["schema_version"]).drop(OP_COL))
         delta = delta_parts[0]
         for p in delta_parts[1:]:
             delta = delta.unionByName(p)
-        base = (
-            base.withColumn("_delta_rank", F.lit(0).cast("long"))
-            .withColumn(OP_COL, F.lit("UPSERT"))
-            .withColumn("_seq", F.lit(-1).cast("long"))
+        return keep_last(
+            base.unionByName(delta), pk=self.pk, order=(VTS_COL, VSEQ_COL)
         )
-        merged = keep_last(
-            base.unionByName(delta),
-            pk=self.pk,
-            order=("_delta_rank", "_seq"),
-        )
-        return merged.filter(F.col(OP_COL) != "DELETE").drop(
-            "_delta_rank", OP_COL, "_seq", _BUCKET_COL
-        )
+
+    def read(
+        self, buckets: list[int] | None = None, with_internal: bool = False
+    ) -> DataFrame:
+        """Current logical state: version-resolved, tombstones dropped,
+        bucket-pruned when requested."""
+        out = self._resolve(buckets).filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        if with_internal:
+            return out
+        return out.drop(*_HIDDEN, _BUCKET_COL)
 
     # ------------------------------------------------------------ write
     def _write_manifest(self, manifest: dict, expected_parent: int | None) -> None:
@@ -315,11 +331,16 @@ class LakeTable:
         return m
 
     def _prep_changes(self, changes: DataFrame) -> DataFrame:
-        """Normalize a change DataFrame: ensure _op, align columns, bucket."""
+        """Normalize a change DataFrame: ensure _op + version pair
+        (_vts, _vseq), align columns to current schema, add bucket."""
         if OP_COL not in changes.columns:
             changes = changes.withColumn(OP_COL, F.lit("UPSERT"))
-        if "_seq" not in changes.columns:
-            changes = changes.withColumn("_seq", F.monotonically_increasing_id())
+        if VSEQ_COL not in changes.columns:
+            changes = changes.withColumn(VSEQ_COL, F.monotonically_increasing_id())
+        if VTS_COL not in changes.columns:
+            changes = changes.withColumn(
+                VTS_COL, F.lit("1970-01-01 00:00:00").cast("timestamp")
+            )
         missing = [c for c in self.pk if c not in changes.columns]
         if missing:
             raise ValueError(f"changes missing pk columns {missing}")
@@ -329,7 +350,13 @@ class LakeTable:
                 cols.append(F.col(f["name"]).cast(_parse_type(f["type"])).alias(f["name"]))
             else:
                 cols.append(F.lit(None).cast(_parse_type(f["type"])).alias(f["name"]))
-        out = changes.select(*cols, F.col(OP_COL), F.col("_seq"))
+        out = changes.select(
+            *cols,
+            F.col(OP_COL),
+            F.col(VTS_COL).cast("timestamp").alias(VTS_COL),
+            F.col(VSEQ_COL).cast("long").alias(VSEQ_COL),
+            (F.col(OP_COL) == "DELETE").alias(DELETED_COL),
+        )
         return out.withColumn(_BUCKET_COL, self._bucket_expr(out))
 
     def merge(
@@ -346,9 +373,12 @@ class LakeTable:
         here).
 
         Physical plan per bucket set B = buckets(changes):
-          kept    = base[B]  LEFT ANTI JOIN  changes  ON pk   (broadcastable)
-          upserts = changes where _op != DELETE
-          new base[B] = kept ∪ upserts   (written partitioned by bucket)
+          eff     = changes LEFT JOIN base[B] version-pairs ON pk,
+                    keeping only strictly-newer changes (the stale-dup
+                    guard; broadcastable join)
+          kept    = base[B]  LEFT ANTI JOIN  eff  ON pk
+          new base[B] = kept ∪ eff   (deletes stay as tombstone rows,
+                    written partitioned by bucket)
         Buckets outside B are carried forward by reference — zero IO.
         """
         if batch_id is not None and batch_id in self.committed_batches():
@@ -356,17 +386,44 @@ class LakeTable:
 
         ch = self._prep_changes(changes)
         if not assume_unique_keys:
-            ch = keep_last(ch, pk=self.pk, order=("_seq",))
+            ch = keep_last(ch, pk=self.pk, order=(VTS_COL, VSEQ_COL))
         ch = ch.cache()
         try:
             n_changes = ch.count()
+            small = n_changes < 1_000_000
             touched = [r[0] for r in ch.select(_BUCKET_COL).distinct().collect()]
             base = self._read_base(touched)
-            keys = ch.select(*self.pk)
-            kept = base.join(F.broadcast(keys) if n_changes < 1_000_000 else keys,
+
+            # version guard: find change keys NOT strictly newer than the
+            # stored row and drop them. All joins keep the micro-batch on
+            # the broadcast (right/build) side, so the bucketed base never
+            # shuffles.
+            ch_vers = ch.select(
+                *self.pk,
+                F.col(VTS_COL).alias("_c_vts"),
+                F.col(VSEQ_COL).alias("_c_vseq"),
+            )
+            stale_keys = (
+                base.select(*self.pk, VTS_COL, VSEQ_COL)
+                .join(F.broadcast(ch_vers) if small else ch_vers, on=self.pk)
+                .filter(
+                    F.struct(F.col("_c_vts"), F.col("_c_vseq"))
+                    <= F.struct(F.col(VTS_COL), F.col(VSEQ_COL))
+                )
+                .select(*self.pk)
+            )
+            eff = ch.join(
+                F.broadcast(stale_keys) if small else stale_keys,
+                on=self.pk,
+                how="left_anti",
+            )
+            keys = eff.select(*self.pk)
+            kept = base.join(F.broadcast(keys) if small else keys,
                              on=self.pk, how="left_anti")
-            ups = ch.filter(F.col(OP_COL) != "DELETE").drop(OP_COL, "_seq")
-            new_data = kept.select(*self.schema.names(), _BUCKET_COL).unionByName(ups.select(*self.schema.names(), _BUCKET_COL))
+            data_cols = [*self.schema.names(), *_HIDDEN, _BUCKET_COL]
+            new_data = kept.select(*data_cols).unionByName(
+                eff.select(*data_cols)
+            )
 
             m = self._next_manifest()
             rel = os.path.join("data", f"v{m['version']}")
@@ -418,13 +475,22 @@ class LakeTable:
         self._write_manifest(m, expected_parent=m["parent"])
         return {"skipped": False, "batch_id": batch_id, "n_changes": n, "version": m["version"]}
 
-    def compact(self) -> dict:
-        """Fold all deltas into the base; afterwards read() is a pure scan."""
-        resolved = self.read()
+    def compact(self, purge_tombstones: bool = False) -> dict:
+        """Fold all deltas into the base; afterwards read() is a pure scan.
+
+        Tombstones are retained by default — they carry the version guard
+        for deleted keys. Purge only when no stale re-delivery can still
+        arrive (e.g. replay finished and lineage covers all offsets).
+        """
+        resolved = self._resolve()
+        if purge_tombstones:
+            resolved = resolved.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         m = self._next_manifest()
         rel = os.path.join("data", f"v{m['version']}")
         out_dir = os.path.join(self.root, rel)
-        with_bucket = resolved.withColumn(_BUCKET_COL, self._bucket_expr(resolved))
+        with_bucket = resolved.select(*self.schema.names(), *_HIDDEN).withColumn(
+            _BUCKET_COL, self._bucket_expr(resolved)
+        )
         with_bucket.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out_dir)
         m["buckets"] = {
             str(b): {
