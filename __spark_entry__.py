@@ -1,38 +1,543 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises a real operator of the chunjun_spark
+engine (SURVEY.md §2) or a training-data-curation function, against the
+driver's parquet tables; ``oracle_sql()`` holds the DuckDB-equivalent SQL.
+Non-SQL-expressible ops (MinHash/SimHash via xxhash64, RP-LSH) are
+rows-only entries, cross-verified in tests/ against exact counterparts.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
+from chunjun_spark.functions import ann as ANN
+from chunjun_spark.functions import dedup_docs as DD
+from chunjun_spark.functions import text as TX
+from chunjun_spark.operators.dedup import keep_last, keep_last_salted
+from chunjun_spark.operators.dirty import classify_expr
+from chunjun_spark.operators.merge import events_with_pk, replay, to_changes
+from chunjun_spark.plans.lake import LakeTable
+from chunjun_spark.sources.changelog import events_changelog
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- CDC core
+
+def _q_cdc_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    last = keep_last(ev, pk=["user_id"], order=("ts", "event_id"))
+    return last.select(
+        "user_id", "event_id", "ts", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+def _q_cdc_keep_last_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    last = keep_last_salted(ev, pk=["user_id"], order=("ts", "event_id"), n_salts=8)
+    return last.select(
+        "user_id", "event_id", "ts", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+_KEEP_LAST_SQL = """
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id, ts, event_type, round(value, 6) AS value
+FROM r WHERE rn = 1
+"""
+
+
+def _q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ch = events_changelog(ev)
+    keyed = events_with_pk(ch, ["user_id"])
+    last = keep_last(keyed, pk=["user_id"], order=("op_ts", "seq"))
+    changes = to_changes(last)
+    return changes.filter(F.col("_op") != "DELETE").select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 6).alias("last_value"),
+        F.col("_vseq").alias("last_seq"),
+    )
+
+
+_FINAL_STATE_SQL = """
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_event_type,
+       round(value, 6) AS last_value, event_id AS last_seq
+FROM r WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def _replay_lake(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ch = events_changelog(ev)
+    root = tempfile.mkdtemp(prefix=f"cj_entry_{mode}_")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table = LakeTable.create(spark, root, schema, pk=["user_id"], n_buckets=8)
+    replay(ch, table, batch_id=f"entry-{mode}", mode=mode)
+    return table.refresh().read().select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 6).alias("last_value"),
+    )
+
+
+def _q_cdc_replay_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _replay_lake(spark, sf_dir, "cow")
+
+
+def _q_cdc_replay_lake_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _replay_lake(spark, sf_dir, "mor")
+
+
+_REPLAY_LAKE_SQL = """
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_event_type, round(value, 6) AS last_value
+FROM r WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def _q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # restore/increment filter: col > startLocation (JdbcInputFormat.java:640-757)
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp")).select(
+        "event_id", "user_id", "ts", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+_INCREMENTAL_SQL = """
+SELECT event_id, user_id, ts, event_type, round(value, 6) AS value
+FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+"""
+
+
+def _q_mod_split_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mod-split channel partitioning (QuerySqlBuilder.java:113-115)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("channel", F.pmod(F.col("event_id"), F.lit(8)))
+        .groupBy("channel")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+_MOD_SPLIT_SQL = """
+SELECT event_id % 8 AS channel, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def _q_end_location_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # useMaxFunc end-location pinning (JdbcInputFormat.java:367-514)
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.max("event_id").alias("max_offset"),
+        F.max("ts").alias("max_ts"),
+        F.count("*").alias("n"),
+    )
+
+
+_END_LOCATION_SQL = """
+SELECT max(event_id) AS max_offset, max(ts) AS max_ts, count(*) AS n FROM events
+"""
+
+
+def _q_snowflake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Snowflake-id encode/decode (BinlogEventSink.java:114; binlogreader.md:200-208)
+    ev = _t(spark, sf_dir, "events")
+    sf = F.shiftleft(F.unix_millis(F.col("ts").cast("timestamp")), 22) + F.pmod(
+        F.col("event_id"), F.lit(4096)
+    )
+    return ev.select(
+        "event_id",
+        sf.alias("snowflake_ts"),
+        F.shiftright(sf, 22).alias("decoded_ms"),
+    )
+
+
+_SNOWFLAKE_SQL = """
+SELECT event_id,
+       (epoch_ms(ts) << 22) + (event_id % 4096) AS snowflake_ts,
+       ((epoch_ms(ts) << 22) + (event_id % 4096)) >> 22 AS decoded_ms
+FROM events
+"""
+
+
+def _q_dirty_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DirtyDataManager error classes (DirtyDataManager.java:109-120)
+    ev = _t(spark, sf_dir, "events")
+    cls = classify_expr(
+        [
+            (F.col("value").isNull() | F.col("user_id").isNull(), "nullErrors"),
+            (F.col("value") >= 450.0, "conversionErrors"),
+        ]
+    )
+    return ev.withColumn("error_class", cls).groupBy("error_class").agg(
+        F.count("*").alias("n")
+    )
+
+
+_DIRTY_SQL = """
+SELECT CASE WHEN value IS NULL OR user_id IS NULL THEN 'nullErrors'
+            WHEN value >= 450.0 THEN 'conversionErrors'
+            ELSE 'ok' END AS error_class,
+       count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def _q_offset_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FormatState per-partition offsets (FormatState.java:31-47)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("partition_id", F.pmod(F.col("user_id"), F.lit(4)))
+        .groupBy("partition_id")
+        .agg(F.max("event_id").alias("max_offset"), F.count("*").alias("n"))
+    )
+
+
+_OFFSET_LINEAGE_SQL = """
+SELECT user_id % 4 AS partition_id, max(event_id) AS max_offset, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def _q_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SELECT-list projection + WHERE pushdown (QuerySqlBuilder.java:101-122)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    ).select(
+        "l_orderkey",
+        "l_partkey",
+        "l_quantity",
+        F.round("l_extendedprice", 4).alias("price"),
+    )
+
+
+_PROJECTION_SQL = """
+SELECT l_orderkey, l_partkey, l_quantity, round(l_extendedprice, 4) AS price
+FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+"""
+
+
+# ------------------------------------------------- text / dedup curation
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def _q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs).select("doc_id", "lang", "source")
+
+
+_EXACT_DEDUP_SQL = f"""
+WITH fp AS (SELECT doc_id, lang, source, md5({_NORM_SQL}) AS f FROM documents),
+keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f)
+SELECT d.doc_id, d.lang, d.source FROM documents d
+JOIN keep k ON d.doc_id = k.doc_id
+"""
+
+
+def _q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.char_count(F.col("text")).alias("n_chars_calc"),
+    )
+
+
+_TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       length(text) AS n_chars_calc
+FROM documents
+"""
+
+
+def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(TX.avg_token_len(F.col("text")), 6).alias("avg_token_len"),
+        F.round(TX.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(TX.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        F.round(TX.quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+_QUALITY_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+         len(regexp_extract_all(text, '\b(the|and|of|to|is|a)\b')) AS nstop
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) AS alen,
+         CASE WHEN nc > 0 THEN np::DOUBLE / nc ELSE 0.0 END AS pratio,
+         CASE WHEN len(toks) > 0 THEN nstop::DOUBLE / len(toks) ELSE 0.0 END AS sratio
+  FROM base
+)
+SELECT doc_id,
+       round(alen, 6) AS avg_token_len,
+       round(pratio, 6) AS punct_ratio,
+       round(sratio, 6) AS stopword_ratio,
+       round(
+         (CASE WHEN alen >= 2.0 AND alen <= 12.0 THEN 0.5 ELSE 0.0 END)
+         + least(sratio * 2.0, 0.3)
+         + (0.2 - least(pratio * 2.0, 0.2)), 6) AS quality
+FROM m
+"""
+
+
+def _q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred"))
+
+
+_LANG_ID_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\b(der|die|das|und|ein|ist)\b')) AS s_de,
+         len(regexp_extract_all(text, '\b(the|and|of|to|is|a)\b')) AS s_en,
+         len(regexp_extract_all(text, '\b(el|la|de|que|los|una)\b')) AS s_es,
+         len(regexp_extract_all(text, '\b(le|la|les|des|une|est)\b')) AS s_fr
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM s
+"""
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
+"""
+
+
+def _q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.jaccard_pairs(docs, n=3, threshold=0.5)
+    return pairs.select("id_a", "id_b", "common", F.round("sim", 6).alias("sim"))
+
+
+_JACCARD_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        for i in generate_series(1, len(toks) - 2)]) AS sh
+  FROM t
+), e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS tok FROM s)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common,
+       round(count(*)::DOUBLE
+             / (any_value(a.n) + any_value(b.n) - count(*)), 6) AS sim
+FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.5
+"""
+
+
+def _q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: xxhash64 signatures have no DuckDB equivalent; verified
+    # against exact jaccard in tests/test_curation.py
+    docs = _t(spark, sf_dir, "documents")
+    sigs = DD.minhash_signatures(docs, n=3, k=64)
+    cand = DD.lsh_candidates(sigs, bands=16, rows_per_band=4)
+    return cand.orderBy("id_a", "id_b")
+
+
+def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: same reason as minhash
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_near_dups(docs, max_hamming=3)
+
+
+def _q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal plumbing: opaque binary payload + typed metadata columns
+    docs = _t(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        F.md5(blob).alias("content_md5"),
+    )
+
+
+_BINARY_META_SQL = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS content_md5
+FROM documents
+"""
+
+
+# ------------------------------------------------------------ embeddings
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = _t(spark, sf_dir, "embeddings")
+    return list(emb.filter(F.col("vec_id") == 0).head()["embedding"])
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    top = ANN.brute_force_topk(emb, qv, k=10)
+    return top.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+_ANN_TOPK_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS sim
+FROM embeddings e, q
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
+LIMIT 10
+"""
+
+
+def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", F.round(ANN.norm(F.col("embedding")), 6).alias("l2")
+    )
+
+
+_EMB_NORMS_SQL = """
+SELECT vec_id, label,
+       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) AS l2
+FROM embeddings
+"""
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = ANN.pairwise_above(emb, threshold=0.30)
+    return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+
+
+_EMB_NEAR_DUP_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.30
+"""
+
+
+def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: RP-LSH bucket pruning (recall measured in tests)
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    top = ANN.ann_topk_lsh(emb, qv, k=10, n_planes=6, multiprobe=1)
+    return top.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
+# ----------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC replay of the sf0.001 events changelog through
+    the lake table (dedup → idempotent bucketed MERGE → snapshot read)."""
+    return _q_cdc_replay_lake(spark, SF001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_keep_last": _q_cdc_keep_last,
+        "cdc_keep_last_salted": _q_cdc_keep_last_salted,
+        "cdc_final_state": _q_cdc_final_state,
+        "cdc_replay_lake": _q_cdc_replay_lake,
+        "cdc_replay_lake_mor": _q_cdc_replay_lake_mor,
+        "incremental_read": _q_incremental_read,
+        "mod_split_channels": _q_mod_split_channels,
+        "end_location_max": _q_end_location_max,
+        "snowflake_roundtrip": _q_snowflake_roundtrip,
+        "dirty_classify": _q_dirty_classify,
+        "offset_lineage": _q_offset_lineage,
+        "projection_filter": _q_projection_filter,
+        "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_token_count": _q_doc_token_count,
+        "doc_quality": _q_doc_quality,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "doc_jaccard_pairs": _q_doc_jaccard_pairs,
+        "minhash_lsh_dups": _q_minhash_lsh_dups,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "binary_meta": _q_binary_meta,
+        "ann_topk": _q_ann_topk,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+        "embedding_norms": _q_embedding_norms,
+        "embedding_near_dup": _q_embedding_near_dup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_keep_last": _KEEP_LAST_SQL,
+        "cdc_keep_last_salted": _KEEP_LAST_SQL,
+        "cdc_final_state": _FINAL_STATE_SQL,
+        "cdc_replay_lake": _REPLAY_LAKE_SQL,
+        "cdc_replay_lake_mor": _REPLAY_LAKE_SQL,
+        "incremental_read": _INCREMENTAL_SQL,
+        "mod_split_channels": _MOD_SPLIT_SQL,
+        "end_location_max": _END_LOCATION_SQL,
+        "snowflake_roundtrip": _SNOWFLAKE_SQL,
+        "dirty_classify": _DIRTY_SQL,
+        "offset_lineage": _OFFSET_LINEAGE_SQL,
+        "projection_filter": _PROJECTION_SQL,
+        "doc_exact_dedup": _EXACT_DEDUP_SQL,
+        "doc_token_count": _TOKEN_COUNT_SQL,
+        "doc_quality": _QUALITY_SQL,
+        "doc_lang_id": _LANG_ID_SQL,
+        "doc_fingerprint": _FINGERPRINT_SQL,
+        "doc_jaccard_pairs": _JACCARD_SQL,
+        "binary_meta": _BINARY_META_SQL,
+        "ann_topk": _ANN_TOPK_SQL,
+        "embedding_norms": _EMB_NORMS_SQL,
+        "embedding_near_dup": _EMB_NEAR_DUP_SQL,
+        # minhash_lsh_dups / simhash_near_dups / ann_topk_lsh: rows-only
+    }

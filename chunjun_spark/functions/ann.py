@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine(a, b)``: native dot/norm via ``zip_with`` + ``aggregate`` in
+  double precision — JVM codegen, no Python.
+- ``brute_force_topk``: exact top-k against one query vector. The query is
+  a literal array baked into the plan (broadcast by construction); the scan
+  is map-only + one small top-k sort — the correctness baseline.
+- ``pairwise_above``: all pairs with cosine ≥ threshold (embedding
+  near-dup). Quadratic — bound it with LSH buckets below at scale.
+- ``rp_lsh_buckets`` / ``ann_topk_lsh``: random-hyperplane LSH. Each vector
+  hashes to a sign-bit bucket; neighbors collide with high probability.
+  Top-k searches only the query's bucket (multi-probe = flip bits) — the
+  scale path: shuffle is a groupBy on bucket id, never a cross-join.
+
+Deterministic: hyperplanes are seeded via xxhash64-derived pseudo-random
+components, so plans are reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k for one query. Map-side score + global top-k
+    (Spark's sort-limit is a per-partition top-k then a k-row merge on the
+    driver side of the exchange — O(n) scan, O(k) shuffle)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col), cosine(F.col(vec_col), q).alias("sim")
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def pairwise_above(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All (a,b) pairs with cosine ≥ threshold, a < b. Exact but quadratic:
+    use on bounded partitions or post-LSH candidates."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def _splitmix64(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane component list.
+
+    Box-Muller over splitmix64 integer mixing — stable across interpreter
+    runs (never Python's randomized ``hash``), no numpy in the plan."""
+    comps = []
+    for d in range(dim):
+        base = seed * 1_000_003 + plane * 1009 + d
+        u = (( _splitmix64(base) >> 11) + 0.5) / 2**53
+        v = (( _splitmix64(base + 0x5DEECE66D) >> 11) + 0.5) / 2**53
+        comps.append(math.sqrt(-2.0 * math.log(u)) * math.cos(2 * math.pi * v))
+    return comps
+
+
+def rp_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 11,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a ``bucket`` column: sign-bit code of n_planes random
+    hyperplane projections. Map-only; the bucket then partitions any
+    downstream search/groupBy."""
+    planes = [_hyperplane(dim, p, seed) for p in range(n_planes)]
+    code = F.lit(0)
+    for i, plane in enumerate(planes):
+        proj = _dot(F.col(vec_col), F.array(*[F.lit(c) for c in plane]))
+        code = code + F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return df.withColumn("bucket", code.cast("int"))
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    dim: int | None = None,
+    n_planes: int = 8,
+    multiprobe: int = 1,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose bucket is within
+    ``multiprobe`` bit-flips of the query's bucket.
+
+    At scale the bucketed table is written partitioned by ``bucket``, so
+    this is a partition-pruned scan of ~n/2^planes rows instead of n.
+    """
+    dim = dim or len(query_vec)
+    planes = [_hyperplane(dim, p, seed) for p in range(n_planes)]
+    qcode = 0
+    for i, plane in enumerate(planes):
+        if sum(c * float(x) for c, x in zip(plane, query_vec)) >= 0:
+            qcode |= 1 << i
+    probes = {qcode}
+    if multiprobe >= 1:
+        for i in range(n_planes):
+            probes.add(qcode ^ (1 << i))
+    bucketed = rp_lsh_buckets(df, dim, n_planes, seed, vec_col)
+    cand = bucketed.filter(F.col("bucket").isin(list(probes)))
+    return brute_force_topk(cand, query_vec, k=k, vec_col=vec_col, id_col=id_col)

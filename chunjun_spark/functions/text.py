@@ -1,0 +1,147 @@
+"""Text analysis operators: tokenization stats, quality, language-ID,
+fingerprints.
+
+Everything here is a pure column expression over ``pyspark.sql.functions``
+— no Python in the row path, so these run inside whole-stage codegen and
+scale linearly with input splits (no shuffle at all: map-only).
+
+Reference analog: the reference has no text operators (ChunJun moves rows,
+it does not analyze them) — these extend the engine to the data-curation
+workload its CDC tables feed, per the training-data-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# token = maximal run of non-whitespace; applied to trimmed text
+_WS = r"\s+"
+
+# simple per-language stopword regexes for the heuristic language scorer;
+# word boundaries keep partial matches out (RE2/Java-regex compatible)
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is|a)\b",
+    "es": r"\b(el|la|de|que|los|una)\b",
+    "fr": r"\b(le|la|les|des|une|est)\b",
+    "de": r"\b(der|die|das|und|ein|ist)\b",
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text (empty text → empty array)."""
+    t = F.trim(col)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, _WS)
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def avg_token_len(col: Column) -> Column:
+    """Mean token length, NULL for empty text."""
+    toks = tokens(col)
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(n > 0, total.cast("double") / n.cast("double"))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    n_punct = F.length(F.regexp_replace(col, r"[^.,;:!?]", ""))
+    return F.when(
+        F.length(col) > 0, n_punct.cast("double") / F.length(col).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def uppercase_ratio(col: Column) -> Column:
+    n_upper = F.length(F.regexp_replace(col, r"[^A-Z]", ""))
+    return F.when(
+        F.length(col) > 0, n_upper.cast("double") / F.length(col).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column, marker_regex: str | None = None) -> Column:
+    """Fraction of tokens that are (English, by default) stopwords."""
+    pat = marker_regex or LANG_MARKERS["en"]
+    n_stop = F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+    n_tok = token_count(col)
+    return F.when(n_tok > 0, n_stop.cast("double") / n_tok.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards normal-length tokens and
+    some stopword mass, penalizes punctuation soup. Deterministic and
+    expressible in ANSI SQL for oracle checks."""
+    alen = F.coalesce(avg_token_len(col), F.lit(0.0))
+    len_ok = F.when((alen >= 2.0) & (alen <= 12.0), F.lit(0.5)).otherwise(F.lit(0.0))
+    stop_ok = F.least(stopword_ratio(col) * 2.0, F.lit(0.3))
+    punct_pen = F.least(punct_ratio(col) * 2.0, F.lit(0.2))
+    return len_ok + stop_ok + (F.lit(0.2) - punct_pen)
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Marker-hit count per candidate language."""
+    return {
+        lang: F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+        for lang, pat in LANG_MARKERS.items()
+    }
+
+
+def lang_id(col: Column, default: str = "und") -> Column:
+    """Argmax language by marker hits; deterministic tie-break by language
+    code order; ``und`` when no marker fires."""
+    scores = lang_scores(col)
+    pairs = F.array(
+        *[
+            F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+            for lang, s in sorted(scores.items())
+        ]
+    )
+    # max by (score, reversed-lang) so ties pick the alphabetically first
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1).alias("score"), F.lit("").alias("lang")),
+        lambda acc, x: F.when(x["score"] > acc["score"], x).otherwise(acc),
+    )
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit(default))
+
+
+def normalized(col: Column) -> Column:
+    """Canonical text form for fingerprinting: lowercase, strip all
+    non-[a-z0-9 ] chars, collapse whitespace, trim."""
+    x = F.lower(col)
+    x = F.regexp_replace(x, r"[^a-z0-9 ]", " ")
+    x = F.regexp_replace(x, r" +", " ")
+    return F.trim(x)
+
+
+def fingerprint(col: Column) -> Column:
+    """128-bit content fingerprint of the normalized text (md5 hex).
+    Near-identical documents (case/punctuation/whitespace variants)
+    collapse to one fingerprint — the cheap first dedup pass."""
+    return F.md5(normalized(col))
+
+
+def rolling_fingerprints(col: Column, window_tokens: int = 8) -> Column:
+    """Array of window fingerprints: hash of each ``window_tokens``-token
+    sliding window over the normalized text (winnowing-style document
+    fingerprinting). Native exprs: transform over a sequence of offsets."""
+    toks = F.split(normalized(col), " ")
+    n = F.size(toks)
+    n_windows = F.greatest(n - F.lit(window_tokens - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), n_windows)
+    return F.when(n_windows > 0, F.transform(
+        idx,
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", F.slice(toks, i, window_tokens))
+        ),
+    )).otherwise(F.array().cast("array<bigint>"))

@@ -1,0 +1,84 @@
+"""Dirty-data capture + error limiting — the reference's error plane.
+
+Reference analog: DirtyDataManager classifies failed rows into error
+classes and writes them as JSON lines to a side location
+(flinkx-core/.../writer/DirtyDataManager.java:86-120 — classes
+ERR_NULL_POINTER / ERR_PRIMARY_CONFLICT / ERR_FORMAT_TRANSFORM / other),
+while ErrorLimiter kills the job when the global error count or ratio
+crosses a threshold (flinkx-core/.../writer/ErrorLimiter.java:62-97).
+
+Spark translation: instead of catching per-row write exceptions (Spark
+writes are vectorized — rows don't fail individually), validity is a
+*declarative mask*: a rule set compiles to one CASE expression, the frame
+splits into clean/dirty by filter on that mask (both sides of the split
+share the scan), dirty rows append to a side parquet table with the error
+class and context, and the limiter check is a tiny aggregate on the dirty
+side. All JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# reference error-class names (DirtyDataManager.java:109-120)
+ERR_NULL = "nullErrors"
+ERR_PK_CONFLICT = "duplicateErrors"
+ERR_CONVERSION = "conversionErrors"
+ERR_OTHER = "otherErrors"
+OK = "ok"
+
+
+def classify_expr(rules: list[tuple[Column, str]]) -> Column:
+    """First-match-wins classification: [(predicate, error_class), ...] →
+    one CASE column; rows matching no rule are ``ok``."""
+    expr = F.lit(OK)
+    for pred, cls in reversed(rules):
+        expr = F.when(pred, F.lit(cls)).otherwise(expr)
+    return expr
+
+
+def null_pk_rule(pk: list[str]) -> tuple[Column, str]:
+    """NULL in any primary-key column → nullErrors (ERR_NULL_POINTER)."""
+    pred = F.lit(False)
+    for c in pk:
+        pred = pred | F.col(c).isNull()
+    return (pred, ERR_NULL)
+
+
+def split_dirty(
+    df: DataFrame, rules: list[tuple[Column, str]]
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, dirty) split by the compiled rule mask; ``dirty`` carries
+    the error class + capture timestamp, JSON-encoded row content — the
+    DirtyDataManager line format."""
+    tagged = df.withColumn("_err_class", classify_expr(rules))
+    clean = tagged.filter(F.col("_err_class") == OK).drop("_err_class")
+    dirty = tagged.filter(F.col("_err_class") != OK).select(
+        F.col("_err_class").alias("error_class"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("content"),
+        F.lit(time.strftime("%Y-%m-%d %H:%M:%S")).alias("captured_at"),
+    )
+    return clean, dirty
+
+
+class ErrorLimitExceeded(RuntimeError):
+    pass
+
+
+def check_error_limit(
+    n_dirty: int,
+    n_total: int,
+    max_errors: int | None = None,
+    max_ratio: float | None = None,
+) -> None:
+    """Fail the job when the error count/ratio budget is blown
+    (ErrorLimiter.java:62-97 semantics: either bound, when configured)."""
+    if max_errors is not None and n_dirty > max_errors:
+        raise ErrorLimitExceeded(f"{n_dirty} dirty rows > limit {max_errors}")
+    if max_ratio is not None and n_total > 0 and n_dirty / n_total > max_ratio:
+        raise ErrorLimitExceeded(
+            f"dirty ratio {n_dirty / n_total:.4f} > limit {max_ratio}"
+        )

@@ -1,0 +1,84 @@
+"""Adapt an arbitrary keyed event table into the canonical change-event shape.
+
+Reference analog: ChunJun's CDC readers all normalize source-specific change
+records into one uniform event map ``{type, schema, table, ts, before_*/
+after_*}`` (flinkx-binlog/.../BinlogEventSink.java:102-142,
+flinkx-pgwal/.../PgWalListener.java:115-140,
+flinkx-sqlservercdc/.../SqlServerCdcListener.java:211-233). This module is
+the same normalization step for a generic append-log table: given a mapping
+of (op column expr, ordering columns, payload columns, primary key), it
+emits rows in the engine's EVENT_SCHEMA shape so the downstream
+dedup → merge pipeline is source-agnostic.
+
+Everything is native column expressions — a single narrow projection, no
+shuffle, no Python row path — so the adapter disappears into the scan stage
+under whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def to_changelog(
+    df: DataFrame,
+    op: Column,
+    op_ts: Column,
+    seq: Column,
+    payload: dict[str, Column],
+    pk: list[str],
+    partition_id: Column | None = None,
+    schema_name: str = "lake",
+    table_name: str = "events",
+) -> DataFrame:
+    """Project a generic event table into the canonical changelog schema.
+
+    ``op`` must evaluate to INSERT | UPDATE | DELETE. DELETE rows carry the
+    key in ``before`` (after = NULL), everything else carries the full
+    ``after`` image — mirroring the pavingData before_*/after_* convention
+    (BinlogEventSink.java:116-126).
+    """
+    img = F.struct(*[c.alias(name) for name, c in payload.items()])
+    is_del = op == "DELETE"
+    part = partition_id if partition_id is not None else F.lit(0)
+    return df.select(
+        op.alias("op"),
+        F.lit(schema_name).alias("schema_name"),
+        F.lit(table_name).alias("table_name"),
+        op_ts.alias("op_ts"),
+        seq.cast("long").alias("seq"),
+        part.cast("int").alias("partition_id"),
+        seq.cast("long").alias("offset"),
+        F.when(is_del, img).alias("before"),
+        F.when(~is_del, img).alias("after"),
+    )
+
+
+def events_changelog(events: DataFrame) -> DataFrame:
+    """The driver's ``events`` table (event_id, ts, user_id, event_type,
+    value, props) viewed as a CDC changelog keyed by user_id.
+
+    Deterministic op mapping: ``signup`` → INSERT, ``error`` → DELETE,
+    everything else → UPDATE; ordering is (ts, event_id) — the explicit
+    (op_ts, seq) split of the reference's Snowflake ts total order
+    (BinlogEventSink.java:114).
+    """
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("INSERT"))
+        .when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+    )
+    return to_changelog(
+        events,
+        op=op,
+        op_ts=F.col("ts"),
+        seq=F.col("event_id"),
+        payload={
+            "user_id": F.col("user_id"),
+            "event_type": F.col("event_type"),
+            "value": F.col("value"),
+        },
+        pk=["user_id"],
+        partition_id=F.pmod(F.col("user_id"), F.lit(4)),
+    )

@@ -1,0 +1,114 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry against sf0.01 on Spark and its
+``oracle_sql()`` on DuckDB, then compares row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+from chunjun_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(val) -> str:
+    if val is None:
+        return "NULL"
+    if isinstance(val, float):
+        if val != val:
+            return "NaN"
+        return repr(round(val, 9))
+    if isinstance(val, bool):
+        return str(int(val))
+    return str(val)
+
+
+def table_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x01".join(canon(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (rows-only check)")
+            if len(srows) == 0 and name != "simhash_near_dups":
+                print(f"  WARN {name}: zero rows")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            ocols = rel.columns
+            orows = rel.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error {e}")
+            continue
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"count {len(srows)} != {len(orows)}")
+        if not problems:
+            sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
+            if sh != oh:
+                problems.append("value-hash mismatch")
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                sset = {tuple(canon(r[i]) for i in order_s) for r in srows}
+                oset = {tuple(canon(r[i]) for i in order_o) for r in orows}
+                for d in list(sset - oset)[:3]:
+                    print(f"  spark-only: {d}")
+                for d in list(oset - sset)[:3]:
+                    print(f"  duck-only : {d}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            print(f"ok    {name}: {len(srows)} rows")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
