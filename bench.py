@@ -1,0 +1,131 @@
+"""Benchmark harness: headline CDC replay throughput + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "replay": {...}}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] cores (default 32)
+  BENCH_EVENTS        synthetic binlog size for the replay headline
+                      (default 2_000_000)
+
+The headline is the north-rule metric: change-events/sec sustained on a
+synthetic binlog replay (generate → keep-last dedup → idempotent bucketed
+MERGE → committed snapshot), measured end-to-end including the commit.
+The scaling (N vs 4N) evidence lives in tools/scaling_bench.py, which
+runs this replay at two parallelism levels via spark-submit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from chunjun_spark.plans.lake import LakeTable  # noqa: E402
+from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA, generate_binlog  # noqa: E402
+from chunjun_spark.operators.merge import replay  # noqa: E402
+from chunjun_spark.session import get_spark  # noqa: E402
+
+# queries() entries timed per-round (full materialization via noop sink)
+BENCH_QUERIES = [
+    "cdc_keep_last",
+    "cdc_final_state",
+    "cdc_replay_lake",
+    "incremental_read",
+    "mod_split_channels",
+    "doc_exact_dedup",
+    "doc_quality",
+    "doc_fingerprint",
+    "doc_jaccard_pairs",
+    "minhash_lsh_dups",
+    "simhash_near_dups",
+    "ann_topk",
+    "embedding_near_dup",
+]
+
+
+def materialize(df) -> None:
+    """Force full evaluation of every column (count() lets Catalyst prune
+    unreferenced computation; the noop sink does not)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_replay(spark: SparkSession, n_events: int) -> dict:
+    """Replay a pre-materialized binlog (parquet segments) into a fresh
+    lake table. Generation is untimed — the measured span is what the
+    north rule defines: read change log → dedup/order → idempotent
+    MERGE → committed snapshot."""
+    root = tempfile.mkdtemp(prefix="cj_bench_lake_")
+    binlog_dir = os.environ.get("BENCH_BINLOG_DIR") or tempfile.mkdtemp(
+        prefix="cj_bench_binlog_"
+    )
+    marker = os.path.join(binlog_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        generate_binlog(
+            spark, n_events=n_events, n_keys=max(1, n_events // 4), seed=42
+        ).write.mode("overwrite").parquet(binlog_dir)
+    table = LakeTable.create(
+        spark, root, PAYLOAD_SCHEMA, pk=["repo", "path"], n_buckets=32
+    )
+    events = spark.read.parquet(binlog_dir)
+    t0 = time.time()
+    info = replay(events, table, batch_id="bench")
+    elapsed = time.time() - t0
+    return {
+        "n_events": n_events,
+        "replay_sec": round(elapsed, 2),
+        "events_per_sec": round(n_events / elapsed, 1),
+        "n_changes": info["n_changes"],
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("BENCH_EVENTS", "2000000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+
+    spark = get_spark("chunjun-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qfns = entry.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        materialize(qfns[name](spark, sf_dir))
+        dt = time.time() - t0
+        timings[name] = round(dt, 2)
+        total += dt
+
+    rep = bench_replay(spark, n_events)
+    total += rep["replay_sec"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_plus_queries_wall",
+                "value": round(total, 2),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "replay": rep,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

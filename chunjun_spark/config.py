@@ -1,0 +1,194 @@
+"""Job configuration — ChunJun job-JSON compatible.
+
+Reference analog: the nested job JSON parsed by DataTransferConfig
+(flinkx-core/.../config/DataTransferConfig.java; doc
+docs/generalconfig.md:5-37):
+
+    {"job": {"content": [{"reader": {...}, "writer": {...}}],
+             "setting": {"speed": {...}, "errorLimit": {...},
+                          "dirty": {...}, "restore": {...},
+                          "restart": {...}}}}
+
+The reference treats this JSON as its entire IR — there is no plan layer.
+We keep the same shape (a user of the reference can port a job file by
+changing plugin names) but map it onto Spark concepts:
+
+- speed.channel            → shuffle partitions / repartition width
+  (SpeedConfig.java:33-84; Main.java:123-140)
+- speed.bytes              → maxBytesPerBatch rate hint
+  (ByteRateLimiter.java:56-101)
+- restore.*                → checkpoint dir + maxRowNumForCheckpoint
+  (RestoreConfig.java; JdbcOutputFormat.java:349-373)
+- errorLimit.record/percentage → dirty-side kill switch
+  (ErrorLimiter.java:62-97)
+- dirty.path               → dirty-row side table
+  (DirtyDataManager.java:86-107)
+- reader.parameter.column  → MetaColumn projection list
+  (flinkx-core/.../reader/MetaColumn.java:36-108)
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class MetaColumn:
+    """One entry of reader.parameter.column (MetaColumn.java:36-108):
+    either a named source column (with optional type/format) or a
+    constant ``value`` column."""
+
+    name: str | None = None
+    type: str | None = None
+    index: int | None = None
+    value: str | None = None
+    format: str | None = None
+    is_part: bool = False
+
+    @classmethod
+    def parse_list(cls, raw: list[Any]) -> list["MetaColumn"]:
+        # "*" selects all columns (MetaColumn.java:86-89)
+        if raw == ["*"] or raw == "*":
+            return []
+        out = []
+        for i, c in enumerate(raw):
+            if isinstance(c, str):
+                out.append(cls(name=c, index=i))
+            else:
+                out.append(
+                    cls(
+                        name=c.get("name"),
+                        type=c.get("type"),
+                        index=c.get("index", i),
+                        value=c.get("value"),
+                        format=c.get("format"),
+                        is_part=bool(c.get("isPart", False)),
+                    )
+                )
+        return out
+
+
+@dataclass
+class SpeedConfig:
+    """setting.speed (SpeedConfig.java:33-84)."""
+
+    channel: int = 1
+    bytes: int = -1  # -1 = unlimited
+    reader_channel: int = -1
+    writer_channel: int = -1
+    rebalance: bool = False
+
+    @classmethod
+    def parse(cls, raw: dict) -> "SpeedConfig":
+        return cls(
+            channel=int(raw.get("channel", 1)),
+            bytes=int(raw.get("bytes", -1)),
+            reader_channel=int(raw.get("readerChannel", -1)),
+            writer_channel=int(raw.get("writerChannel", -1)),
+            rebalance=bool(raw.get("rebalance", False)),
+        )
+
+
+@dataclass
+class RestoreConfig:
+    """setting.restore (config/RestoreConfig.java)."""
+
+    is_restore: bool = False
+    is_stream: bool = False
+    restore_column_name: str | None = None
+    max_row_num_for_checkpoint: int = 10000
+    checkpoint_dir: str | None = None  # Spark addition: SS checkpointLocation
+
+    @classmethod
+    def parse(cls, raw: dict) -> "RestoreConfig":
+        return cls(
+            is_restore=bool(raw.get("isRestore", False)),
+            is_stream=bool(raw.get("isStream", False)),
+            restore_column_name=raw.get("restoreColumnName"),
+            max_row_num_for_checkpoint=int(raw.get("maxRowNumForCheckpoint", 10000)),
+            checkpoint_dir=raw.get("checkpointDir"),
+        )
+
+
+@dataclass
+class ErrorLimitConfig:
+    """setting.errorLimit (ErrorLimiter.java:62-97): record = absolute
+    cap, percentage = ratio cap; None = unlimited."""
+
+    record: int | None = None
+    percentage: float | None = None
+
+    @classmethod
+    def parse(cls, raw: dict) -> "ErrorLimitConfig":
+        rec = raw.get("record")
+        pct = raw.get("percentage")
+        return cls(
+            record=int(rec) if rec is not None else None,
+            percentage=float(pct) / 100.0 if pct is not None else None,
+        )
+
+
+@dataclass
+class DirtyConfig:
+    """setting.dirty (DirtyDataManager.java:86-107)."""
+
+    path: str | None = None
+
+    @classmethod
+    def parse(cls, raw: dict) -> "DirtyConfig":
+        return cls(path=raw.get("path"))
+
+
+@dataclass
+class EndpointConfig:
+    """One side of the job: reader or writer. ``name`` is the plugin name
+    (binlogreader, streamreader, hdfswriter, ...); ``parameter`` carries
+    plugin-specific settings verbatim."""
+
+    name: str
+    parameter: dict = field(default_factory=dict)
+
+    @property
+    def columns(self) -> list[MetaColumn]:
+        return MetaColumn.parse_list(self.parameter.get("column", "*"))
+
+
+@dataclass
+class JobConfig:
+    reader: EndpointConfig
+    writer: EndpointConfig
+    speed: SpeedConfig
+    restore: RestoreConfig
+    error_limit: ErrorLimitConfig
+    dirty: DirtyConfig
+    job_id: str = "job"
+
+    @classmethod
+    def parse(cls, raw: dict | str) -> "JobConfig":
+        """Accept the reference's job JSON (dict, JSON string, or path)."""
+        if isinstance(raw, str):
+            if raw.lstrip().startswith("{"):
+                raw = json.loads(raw)
+            else:
+                with open(raw) as f:
+                    raw = json.load(f)
+        job = raw.get("job", raw)
+        content = job["content"][0]
+        setting = job.get("setting", {})
+        return cls(
+            reader=EndpointConfig(
+                name=content["reader"]["name"],
+                parameter=content["reader"].get("parameter", {}),
+            ),
+            writer=EndpointConfig(
+                name=content["writer"]["name"],
+                parameter=content["writer"].get("parameter", {}),
+            ),
+            speed=SpeedConfig.parse(setting.get("speed", {})),
+            restore=RestoreConfig.parse(setting.get("restore", {})),
+            error_limit=ErrorLimitConfig.parse(setting.get("errorLimit", {})),
+            dirty=DirtyConfig.parse(setting.get("dirty", {})),
+            job_id=str(raw.get("jobId", job.get("jobId", "job"))),
+        )

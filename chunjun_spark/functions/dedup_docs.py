@@ -81,7 +81,12 @@ def jaccard_pairs(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
     ).withColumn("_n", F.size("_sh"))
     sizes = sh.select("_id", "_n")
-    inv = sh.select("_id", "_n", F.explode("_sh").alias("_s"))
+    # plan cut: the self-join below would re-derive the shingle explode on
+    # both sides (pathological optimizer/codegen duplication — measured
+    # 260s vs <10s at 500 docs); materialize the inverted index once
+    inv = sh.select("_id", "_n", F.explode("_sh").alias("_s")).localCheckpoint(
+        eager=True
+    )
     a = inv.select(
         F.col("_s"), F.col("_id").alias("id_a"), F.col("_n").alias("n_a")
     )
@@ -125,12 +130,17 @@ def minhash_signatures(
     sh = df.select(
         F.col(id_col), shingles(F.col(text_col), n).alias("_sh")
     )
+
+    def _hash_fn(i: int):
+        # single-parameter lambda is REQUIRED: a two-arg lambda would be
+        # interpreted by PySpark as (element, index) and silently shadow
+        # the captured hash-function id, collapsing all k functions to one
+        return lambda s: F.xxhash64(s, F.lit(seed + i))
+
     sig = F.array(
         *[
             F.coalesce(
-                F.array_min(
-                    F.transform(F.col("_sh"), lambda s, i=i: F.xxhash64(s, F.lit(seed + i)))
-                ),
+                F.array_min(F.transform(F.col("_sh"), _hash_fn(i))),
                 F.lit(2**63 - 1),
             )
             for i in range(k)

@@ -1,0 +1,250 @@
+"""Job runner: job-JSON → DataFrame pipeline → sink, with the reference's
+framework semantics (channels, dirty plane, error limits, metrics,
+restore).
+
+Reference analog: Main.java's build path — parse config (Main.java:91),
+environment + parallelism (Main.java:111-140), reader.readData() →
+writer.writeData() (BaseDataReader.java:141-148), execute + accumulator
+report (Main.java:149-152, util/ResultPrintUtil). Plugin dispatch by name
+mirrors PluginUtil.java:100-124's convention, minus the classloader
+machinery (a dict lookup replaces reflection).
+
+The runner supports the capability classes the reference's 30+ plugins
+fall into (SURVEY.md §7.4): mock/scan sources, changelog sources, file
+sources; file sinks, console/noop sinks, and the upsert lake sink.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from chunjun_spark.config import JobConfig
+from chunjun_spark.operators.dirty import (
+    check_error_limit,
+    null_pk_rule,
+    split_dirty,
+)
+from chunjun_spark.operators.merge import replay
+from chunjun_spark.plans.lake import LakeTable
+from chunjun_spark.sources.binlog import generate_binlog
+from chunjun_spark.streaming.pipeline import run_stream_to_completion
+
+# ----------------------------------------------------------------- readers
+
+
+def _read_stream_mock(spark: SparkSession, cfg: JobConfig) -> DataFrame:
+    """streamreader: N mock rows per channel from the column spec
+    (StreamInputFormat.java:49-85, MockDataUtil)."""
+    p = cfg.reader.parameter
+    n = int(p.get("sliceRecordCount", 100)) * max(1, cfg.speed.channel)
+    df = spark.range(0, n, 1, numPartitions=max(1, cfg.speed.channel))
+    cols = []
+    for i, mc in enumerate(cfg.reader.columns):
+        name = mc.name or f"c{i}"
+        if mc.value is not None:
+            cols.append(F.lit(mc.value).cast(mc.type or "string").alias(name))
+        elif (mc.type or "string").lower() in ("int", "integer", "bigint", "long"):
+            cols.append(F.col("id").cast(mc.type).alias(name))
+        elif (mc.type or "").lower() in ("double", "float"):
+            cols.append((F.col("id") * 1.5).cast(mc.type).alias(name))
+        elif (mc.type or "").lower() == "timestamp":
+            cols.append(F.timestamp_millis(F.lit(1_700_000_000_000) + F.col("id")).alias(name))
+        else:
+            cols.append(F.concat(F.lit(f"{name}_"), F.col("id")).alias(name))
+    return df.select(*(cols or [F.col("id")]))
+
+
+def _read_binlog(spark: SparkSession, cfg: JobConfig) -> DataFrame:
+    """binlogreader: synthetic generator (n_events) or a parquet dir of
+    pre-materialized change events."""
+    p = cfg.reader.parameter
+    if "path" in p:
+        return spark.read.parquet(p["path"])
+    return generate_binlog(
+        spark,
+        n_events=int(p.get("nEvents", 100_000)),
+        n_keys=p.get("nKeys"),
+        seed=int(p.get("seed", 42)),
+        n_partitions=max(1, cfg.speed.channel),
+    )
+
+
+def _read_file(spark: SparkSession, cfg: JobConfig) -> DataFrame:
+    """hdfsreader capability class: parquet / csv / json / text / orc
+    (HdfsTextInputFormat / HdfsOrcInputFormat / HdfsParquetInputFormat)."""
+    p = cfg.reader.parameter
+    ftype = p.get("fileType", "parquet").lower()
+    path = p["path"]
+    reader = spark.read
+    if ftype == "csv":
+        reader = reader.option("header", str(p.get("header", True)).lower())
+        if "fieldDelimiter" in p:
+            reader = reader.option("sep", p["fieldDelimiter"])
+        return reader.csv(path)
+    if ftype == "json":
+        return reader.json(path)
+    if ftype == "text":
+        return reader.text(path)
+    if ftype == "orc":
+        return reader.orc(path)
+    return reader.parquet(path)
+
+
+READERS = {
+    "streamreader": _read_stream_mock,
+    "binlogreader": _read_binlog,
+    "hdfsreader": _read_file,
+    "filereader": _read_file,
+    "parquetreader": _read_file,
+}
+
+# ------------------------------------------------------------------ sinks
+
+
+def _write_lake(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
+    """lakewriter: idempotent upsert MERGE into the snapshot lake table —
+    the jdbc-upsert / hudiwriter capability class (EWriteMode UPDATE,
+    BaseDatabaseMeta.getUpsertStatement, HudiOutputFormat.upsert)."""
+    p = cfg.writer.parameter
+    spark = df.sparkSession
+    pk = p.get("pk") or ["repo", "path"]
+    root = p["path"]
+    try:
+        table = LakeTable.load(spark, root)
+    except FileNotFoundError:
+        schema = _payload_struct_of(df)
+        table = LakeTable.create(
+            spark, root, schema, pk=pk, n_buckets=int(p.get("nBuckets", 16))
+        )
+    info = replay(
+        df,
+        table,
+        batch_id=p.get("batchId", f"{cfg.job_id}-batch"),
+        mode=p.get("mode", "cow"),
+    )
+    metrics["numWrite"] = info.get("n_changes", 0)
+    metrics["snapshotWrite"] = info.get("version", 0)
+
+
+def _payload_struct_of(df: DataFrame) -> T.StructType:
+    after = df.schema["after"].dataType
+    assert isinstance(after, T.StructType)
+    return after
+
+
+def _write_file(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
+    p = cfg.writer.parameter
+    ftype = p.get("fileType", "parquet").lower()
+    mode = "overwrite" if p.get("writeMode", "append") == "overwrite" else "append"
+    w = df.write.mode(mode)
+    if ftype == "csv":
+        w.option("header", "true").csv(p["path"])
+    elif ftype == "json":
+        w.json(p["path"])
+    elif ftype == "orc":
+        w.orc(p["path"])
+    else:
+        w.parquet(p["path"])
+    metrics["numWrite"] = metrics.get("numRead", 0)
+
+
+def _write_stream_mock(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
+    """streamwriter: noop sink used for speed tests / assertions
+    (StreamOutputFormat.java:44-95; Main.java:214-227 speed harness)."""
+    df.write.format("noop").mode("overwrite").save()
+    metrics["numWrite"] = metrics.get("numRead", 0)
+
+
+WRITERS = {
+    "lakewriter": _write_lake,
+    "hdfswriter": _write_file,
+    "filewriter": _write_file,
+    "parquetwriter": _write_file,
+    "streamwriter": _write_stream_mock,
+}
+
+
+# ------------------------------------------------------------------ runner
+
+
+def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
+    """Execute one sync job; returns the reference-named metric map
+    (docs/statistics.md: numRead, numWrite, nErrors, duration, ...)."""
+    cfg = config if isinstance(config, JobConfig) else JobConfig.parse(config)
+    t0 = time.time()
+
+    if cfg.restore.is_stream:
+        # realtime path: binlog dir → Structured Streaming foreachBatch
+        p = cfg.reader.parameter
+        wp = cfg.writer.parameter
+        run_stream_to_completion(
+            spark,
+            binlog_dir=p["path"],
+            table_root=wp["path"],
+            checkpoint_dir=cfg.restore.checkpoint_dir or wp["path"] + "_ckpt",
+            job_id=cfg.job_id,
+            mode=wp.get("mode", "cow"),
+        )
+        table = LakeTable.load(spark, wp["path"])
+        lineage = table.manifest["lineage"]
+        num_read = sum(
+            v.get("metrics", {}).get("numRead", 0) for v in lineage.values()
+        )
+        return {
+            "numRead": num_read,
+            "numWrite": sum(
+                v.get("metrics", {}).get("numWrite", 0) for v in lineage.values()
+            ),
+            "nErrors": 0,
+            "duration": round(time.time() - t0, 2),
+        }
+
+    reader = READERS.get(cfg.reader.name)
+    if reader is None:
+        raise ValueError(f"unknown reader plugin {cfg.reader.name!r}")
+    writer = WRITERS.get(cfg.writer.name)
+    if writer is None:
+        raise ValueError(f"unknown writer plugin {cfg.writer.name!r}")
+
+    df = reader(spark, cfg)
+    if cfg.speed.rebalance:
+        # Main.java:132-134 optional rebalance
+        df = df.repartition(max(1, cfg.speed.channel))
+
+    metrics: dict = {}
+    n_dirty = 0
+    pk = cfg.writer.parameter.get("pk")
+    if cfg.dirty.path or cfg.error_limit.record is not None or (
+        cfg.error_limit.percentage is not None
+    ):
+        rules = [null_pk_rule(pk or df.columns[:1])]
+        df, dirty = split_dirty(df, rules)
+        if cfg.dirty.path:
+            dirty.write.mode("append").parquet(cfg.dirty.path)
+            n_dirty = (
+                spark.read.parquet(cfg.dirty.path).count()
+            )
+        else:
+            n_dirty = dirty.count()
+
+    num_read = df.count()
+    metrics["numRead"] = num_read
+    check_error_limit(
+        n_dirty,
+        num_read + n_dirty,
+        max_errors=cfg.error_limit.record,
+        max_ratio=cfg.error_limit.percentage,
+    )
+
+    writer(df, cfg, metrics)
+    metrics.update(
+        {
+            "nErrors": n_dirty,
+            "duration": round(time.time() - t0, 2),
+        }
+    )
+    return metrics

@@ -1,0 +1,61 @@
+"""Metrics plane with the reference's accumulator names.
+
+Reference analog: ChunJun's LongCounter accumulators and their documented
+names (flinkx-core/.../constants/Metrics.java; docs/statistics.md):
+numRead, byteRead, readDuration, numWrite, byteWrite, writeDuration,
+nErrors, nullErrors, duplicateErrors, conversionErrors, otherErrors,
+snapshotWrite. The reference pulls global values from the JobMaster on a
+timer (metrics/AccumulatorCollector.java:107-141); on Spark the driver
+sees accumulator totals directly, so the collector thread disappears.
+
+Two surfaces:
+- ``JobMetrics``: named SparkContext accumulators, incremented from the
+  driver (counts are known post-action) — the FormatState metric map
+  analog, snapshotted into lake-table lineage per batch.
+- ``StageTimer``: wall-clock spans for readDuration / writeDuration.
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+
+from pyspark.sql import SparkSession
+
+METRIC_NAMES = [
+    "numRead",
+    "byteRead",
+    "readDuration",
+    "numWrite",
+    "byteWrite",
+    "writeDuration",
+    "nErrors",
+    "nullErrors",
+    "duplicateErrors",
+    "conversionErrors",
+    "otherErrors",
+    "snapshotWrite",
+]
+
+
+class JobMetrics:
+    def __init__(self, spark: SparkSession):
+        sc = spark.sparkContext
+        self._acc = {name: sc.accumulator(0) for name in METRIC_NAMES}
+
+    def add(self, name: str, value: int) -> None:
+        if name not in self._acc:
+            raise KeyError(f"unknown metric {name!r} (docs/statistics.md names)")
+        self._acc[name].add(int(value))
+
+    def snapshot(self) -> dict[str, int]:
+        return {name: acc.value for name, acc in self._acc.items()}
+
+    @contextmanager
+    def timed(self, duration_metric: str):
+        """Accumulate a wall-clock span (ms) into read/writeDuration."""
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            self.add(duration_metric, int((time.time() - t0) * 1000))

@@ -1,0 +1,92 @@
+"""DDL-event-driven schema evolution.
+
+Reference analog: ChunJun's schema-evolution surface is
+create-table/partition-on-demand in the Hive writer
+(flinkx-hive/.../HiveOutputFormat.java:321-340 ``checkCreateTable``,
+HiveUtil.java:42-43,105-145) — DDL-by-configuration, applied as events
+for new tables arrive. The north star generalizes this to real column
+evolution: DDL events in the change stream drive lake-table
+``add_column`` / ``rename_column`` / ``widen_type`` updates.
+
+DDL events ride the same changelog as data events (``op='DDL'``, the
+action JSON in the ``ddl`` column) so they are totally ordered with the
+data by (op_ts, seq) — the property that makes replay deterministic.
+
+Apply rule per batch: DDLs first (in seq order), then the data merge.
+This is exact because every supported evolution is backward compatible —
+rows produced under the old schema remain valid under the new one
+(added column reads NULL, widen is a supertype cast, rename is by stable
+column id) — while rows produced under the NEW schema require it to be
+applied before the merge projects them.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from chunjun_spark.plans.lake import LakeTable
+
+
+def split_ddl(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(data_events, ddl_events); tolerates streams without a ddl column."""
+    if "ddl" not in events.columns:
+        return events, events.limit(0)
+    is_ddl = F.col("op") == "DDL"
+    return events.filter(~is_ddl), events.filter(is_ddl)
+
+
+def ddl_event(
+    seq: int,
+    op_ts,
+    action: str,
+    table_name: str = "repo_files",
+    **kw,
+) -> dict:
+    """Build one DDL event row (dict form, for test/generator use)."""
+    return {
+        "op": "DDL",
+        "schema_name": "lake",
+        "table_name": table_name,
+        "op_ts": op_ts,
+        "seq": seq,
+        "snowflake_ts": None,
+        "partition_id": 0,
+        "offset": seq,
+        "before": None,
+        "after": None,
+        "ddl": json.dumps({"action": action, **kw}),
+    }
+
+
+def apply_ddl_events(table: LakeTable, ddl_rows: list) -> LakeTable:
+    """Apply collected DDL rows in (op_ts, seq) order; idempotent —
+    an action that is already reflected in the current schema (same
+    column present / already renamed / already widened) is skipped, so a
+    replayed micro-batch cannot fail on its second delivery."""
+    rows = sorted(ddl_rows, key=lambda r: (r["op_ts"], r["seq"]))
+    for r in rows:
+        spec = json.loads(r["ddl"])
+        action = spec["action"]
+        names = table.schema.names()
+        try:
+            if action == "add_column":
+                if spec["name"] in names:
+                    continue
+                table.apply_ddl("add_column", name=spec["name"], type=spec["type"])
+            elif action == "rename_column":
+                if spec["new"] in names and spec["old"] not in names:
+                    continue
+                table.apply_ddl("rename_column", old=spec["old"], new=spec["new"])
+            elif action == "widen_type":
+                cur = {f["name"]: f["type"] for f in table.schema.fields}
+                if cur.get(spec["name"]) == spec["type"]:
+                    continue
+                table.apply_ddl("widen_type", name=spec["name"], type=spec["type"])
+            else:
+                raise ValueError(f"unknown ddl action {action!r}")
+        finally:
+            table = table.refresh()
+    return table

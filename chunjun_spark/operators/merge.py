@@ -65,11 +65,19 @@ def replay(
     record_offsets: bool = True,
     mode: str = "cow",
 ) -> dict:
-    """Full batch replay: dedup to last-per-key, then one idempotent merge.
+    """Full batch replay: apply DDL events first (schema evolution, all
+    backward compatible), then dedup to last-per-key and run one
+    idempotent merge.
 
     mode='cow' rewrites touched buckets (read-optimized result);
     mode='mor' appends a delta (ingest-optimized, resolve at read).
     """
+    from chunjun_spark.operators.ddl import apply_ddl_events, split_ddl
+
+    events, ddl = split_ddl(events)
+    ddl_rows = [r.asDict() for r in ddl.collect()] if "ddl" in ddl.columns else []
+    if ddl_rows:
+        table = apply_ddl_events(table, ddl_rows)
     keyed = events_with_pk(events, table.pk)
     survivors = keep_last(keyed, pk=table.pk, order=("op_ts", "seq"))
     changes = to_changes(survivors)

@@ -389,9 +389,11 @@ class LakeTable:
             ch = keep_last(ch, pk=self.pk, order=(VTS_COL, VSEQ_COL))
         ch = ch.cache()
         try:
-            n_changes = ch.count()
+            # one action yields both row count and touched-bucket set
+            stats = ch.groupBy(_BUCKET_COL).count().collect()
+            n_changes = sum(r["count"] for r in stats)
             small = n_changes < 1_000_000
-            touched = [r[0] for r in ch.select(_BUCKET_COL).distinct().collect()]
+            touched = [r[_BUCKET_COL] for r in stats]
             base = self._read_base(touched)
 
             # version guard: find change keys NOT strictly newer than the
@@ -428,7 +430,12 @@ class LakeTable:
             m = self._next_manifest()
             rel = os.path.join("data", f"v{m['version']}")
             out_dir = os.path.join(self.root, rel)
-            new_data.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out_dir)
+            # co-locate each bucket in one task before the dynamic-partition
+            # write: otherwise every task multiplexes up to n_buckets open
+            # writers (measured 5× slower) and emits tasks×buckets tiny files
+            new_data.repartition(self.n_buckets, F.col(_BUCKET_COL)).write.mode(
+                "overwrite"
+            ).partitionBy(_BUCKET_COL).parquet(out_dir)
 
             written = self._discover_bucket_dirs(out_dir)
             for b in touched:
@@ -491,7 +498,9 @@ class LakeTable:
         with_bucket = resolved.select(*self.schema.names(), *_HIDDEN).withColumn(
             _BUCKET_COL, self._bucket_expr(resolved)
         )
-        with_bucket.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out_dir)
+        with_bucket.repartition(self.n_buckets, F.col(_BUCKET_COL)).write.mode(
+            "overwrite"
+        ).partitionBy(_BUCKET_COL).parquet(out_dir)
         m["buckets"] = {
             str(b): {
                 "path": os.path.join(rel, f"{_BUCKET_COL}={b}"),

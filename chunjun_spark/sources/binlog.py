@@ -50,6 +50,10 @@ EVENT_SCHEMA = T.StructType(
         T.StructField("offset", T.LongType()),  # per-partition monotonic
         T.StructField("before", PAYLOAD_SCHEMA),
         T.StructField("after", PAYLOAD_SCHEMA),
+        # op='DDL' rows carry a JSON action here, e.g.
+        # {"action":"add_column","name":"stars","type":"int"}; NULL for
+        # data events (chunjun_spark.operators.ddl)
+        T.StructField("ddl", T.StringType()),
     ]
 )
 
@@ -164,6 +168,7 @@ def generate_binlog(
         F.col("eid").alias("offset"),
         F.when(op.isin("UPDATE", "DELETE"), before).alias("before"),
         F.when(op != "DELETE", after).alias("after"),
+        F.lit(None).cast("string").alias("ddl"),
     )
 
 

@@ -66,10 +66,18 @@ def start_replay_stream(
     spark = events.sparkSession
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from chunjun_spark.operators.ddl import apply_ddl_events, split_ddl
+
         table = LakeTable.load(spark, table_root)
         bid = f"{job_id}:{batch_id}"
         if bid in table.committed_batches():
             return  # replayed micro-batch after restart — already applied
+        batch_df, ddl = split_ddl(batch_df)
+        ddl_rows = [r.asDict() for r in ddl.collect()]
+        if ddl_rows:
+            # DDLs first: all evolution ops are backward compatible, and
+            # apply_ddl_events is idempotent under micro-batch re-delivery
+            table = apply_ddl_events(table, ddl_rows)
         keyed = events_with_pk(batch_df, table.pk)
         survivors = keep_last(keyed, pk=table.pk, order=("op_ts", "seq"))
         changes = to_changes(survivors)

@@ -1,0 +1,162 @@
+"""Tests for the training-data curation operators (functions/)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from chunjun_spark.functions import ann as ANN
+from chunjun_spark.functions import dedup_docs as DD
+from chunjun_spark.functions import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "The quick brown fox jumps over the lazy dog near the river bank now"),
+        (2, "completely different content about spark aggregation pipelines and shuffles"),
+        (3, "The quick brown fox jumps over the lazy dog near the river bank today"),
+        (4, "short text"),
+        (5, "el la de que los una palabras en espanol de la casa"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_collapses_identical_and_near_identical(docs):
+    # doc 3 == doc 0 exactly; fingerprints normalize case/punct only
+    out = DD.exact_dedup(docs)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 0 in ids and 3 not in ids
+    assert {1, 2, 4, 5} <= ids
+
+
+def test_jaccard_pairs_finds_near_dups(docs):
+    pairs = DD.jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 3) in got  # identical
+    assert (0, 1) in got  # one-word difference
+    assert all(2 not in p for p in got)  # unrelated doc never pairs
+    exact = [r for r in pairs if r["id_a"] == 0 and r["id_b"] == 3]
+    assert exact and abs(exact[0]["sim"] - 1.0) < 1e-9
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(docs):
+    sigs = DD.minhash_signatures(docs, n=3, k=64)
+    cand = DD.lsh_candidates(sigs, bands=16, rows_per_band=4).collect()
+    got = {(r["id_a"], r["id_b"]) for r in cand}
+    # every exact-Jaccard>=0.5 pair must be recalled by LSH at these params
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in DD.jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert exact <= got
+
+
+def test_minhash_dedup_removes_duplicates(docs):
+    out = DD.minhash_dedup(docs, n=3, k=64, bands=16, threshold=0.7)
+    ids = {r["doc_id"] for r in out.collect()}
+    # the 0/1/3 near-dup cluster collapses to its min id
+    assert 0 in ids and 3 not in ids and 1 not in ids
+    assert 2 in ids and 4 in ids and 5 in ids
+
+
+def test_simhash_table_deterministic_and_near_dups(docs):
+    a = {r["doc_id"]: r["simhash"] for r in DD.simhash_table(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in DD.simhash_table(docs).collect()}
+    assert a == b
+    assert a[0] == a[3]  # identical docs → identical simhash
+    pairs = DD.simhash_near_dups(docs, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 3) in got
+
+
+def test_simhash_expr_matches_table(spark, docs):
+    expr = docs.select(
+        "doc_id", DD.simhash64(F.col("text")).alias("simhash")
+    ).collect()
+    tab = DD.simhash_table(docs).collect()
+    assert {(r["doc_id"], r["simhash"]) for r in expr} == {
+        (r["doc_id"], r["simhash"]) for r in tab
+    }
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog!"), (2, ""), (3, "  spaced   out  ")],
+        "id long, text string",
+    )
+    out = df.select(
+        "id",
+        TX.token_count(F.col("text")).alias("n"),
+        TX.punct_ratio(F.col("text")).alias("p"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["n"] == 5
+    assert by_id[2]["n"] == 0
+    assert by_id[3]["n"] == 2
+    assert by_id[1]["p"] == pytest.approx(1 / 20)
+    assert by_id[2]["p"] == 0.0
+    # fingerprint ignores case/punctuation/whitespace
+    df2 = spark.createDataFrame(
+        [(1, "the CAT and the dog"), (2, "The cat, and the dog!!")],
+        "id long, text string",
+    )
+    fps = [r["fp"] for r in df2.select(TX.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_lang_id_heuristic(docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in
+           docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_pred")).collect()}
+    assert out[0] == "en"
+    assert out[5] == "es"
+
+
+def test_rolling_fingerprints(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y")], "id long, text string"
+    )
+    out = {r["id"]: r["w"] for r in
+           df.select("id", TX.rolling_fingerprints(F.col("text"), 8).alias("w")).collect()}
+    assert len(out[1]) == 3  # 10 tokens, window 8 → 3 windows
+    assert out[2] == []  # shorter than window → none
+
+
+# --------------------------------------------------------------- ANN
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import math
+    rows = []
+    for i in range(50):
+        # two clusters on a circle + jitter from the index
+        angle = (0.1 if i % 2 == 0 else 2.0) + i * 1e-3
+        rows.append((i, [math.cos(angle), math.sin(angle), 0.1, 0.0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk_exact(vecs):
+    q = [1.0, 0.1, 0.1, 0.0]  # near cluster A (even ids)
+    top = ANN.brute_force_topk(vecs, q, k=5).collect()
+    assert len(top) == 5
+    assert all(r["vec_id"] % 2 == 0 for r in top)
+    sims = [r["sim"] for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_recall(vecs):
+    q = [1.0, 0.1, 0.1, 0.0]
+    exact = [r["vec_id"] for r in ANN.brute_force_topk(vecs, q, k=5).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ANN.ann_topk_lsh(vecs, q, k=5, n_planes=4, multiprobe=1).collect()
+    ]
+    # multiprobe LSH on well-separated clusters recalls most of the top-k
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_pairwise_above_threshold(vecs):
+    pairs = ANN.pairwise_above(vecs, threshold=0.999).collect()
+    assert pairs
+    for r in pairs:
+        assert (r["id_a"] % 2) == (r["id_b"] % 2)  # only intra-cluster

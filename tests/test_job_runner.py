@@ -1,0 +1,178 @@
+"""Tests for the job-JSON config surface and the job runner."""
+
+import os
+
+import pytest
+
+from chunjun_spark.config import JobConfig
+from chunjun_spark.job import run_job
+from chunjun_spark.operators.dirty import ErrorLimitExceeded
+from chunjun_spark.plans.lake import LakeTable
+
+
+def test_job_json_parse_reference_shape():
+    raw = {
+        "job": {
+            "content": [
+                {
+                    "reader": {
+                        "name": "streamreader",
+                        "parameter": {
+                            "sliceRecordCount": 10,
+                            "column": [
+                                {"name": "id", "type": "bigint"},
+                                {"name": "tag", "type": "string", "value": "x"},
+                            ],
+                        },
+                    },
+                    "writer": {"name": "streamwriter", "parameter": {}},
+                }
+            ],
+            "setting": {
+                "speed": {"channel": 3, "bytes": -1},
+                "errorLimit": {"record": 5, "percentage": 10},
+                "restore": {"isRestore": True, "maxRowNumForCheckpoint": 500},
+            },
+        }
+    }
+    cfg = JobConfig.parse(raw)
+    assert cfg.reader.name == "streamreader"
+    assert cfg.speed.channel == 3
+    assert cfg.error_limit.record == 5
+    assert cfg.error_limit.percentage == pytest.approx(0.10)
+    assert cfg.restore.is_restore and cfg.restore.max_row_num_for_checkpoint == 500
+    assert [c.name for c in cfg.reader.columns] == ["id", "tag"]
+    assert cfg.reader.columns[1].value == "x"
+
+
+def test_stream_to_stream_job(spark):
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {
+                        "name": "streamreader",
+                        "parameter": {
+                            "sliceRecordCount": 25,
+                            "column": [
+                                {"name": "k", "type": "bigint"},
+                                {"name": "v", "type": "double"},
+                            ],
+                        },
+                    },
+                    "writer": {"name": "streamwriter"},
+                }
+            ],
+            "setting": {"speed": {"channel": 2}},
+        }
+    }
+    m = run_job(spark, cfg)
+    assert m["numRead"] == 50  # sliceRecordCount × channel
+    assert m["numWrite"] == 50
+    assert m["nErrors"] == 0
+
+
+def test_binlog_to_lake_job(spark, tmp_root):
+    lake = os.path.join(tmp_root, "lake")
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {
+                        "name": "binlogreader",
+                        "parameter": {"nEvents": 2000, "seed": 11},
+                    },
+                    "writer": {
+                        "name": "lakewriter",
+                        "parameter": {"path": lake, "pk": ["repo", "path"]},
+                    },
+                }
+            ],
+            "setting": {"speed": {"channel": 4}},
+        }
+    }
+    m = run_job(spark, cfg)
+    assert m["numRead"] == 2000
+    assert m["numWrite"] > 0
+    table = LakeTable.load(spark, lake)
+    assert table.read().count() > 0
+    # second run with same batch id: idempotent skip, state unchanged
+    n_before = table.read().count()
+    run_job(spark, cfg)
+    assert LakeTable.load(spark, lake).read().count() == n_before
+
+
+def test_file_roundtrip_job(spark, tmp_root):
+    src = os.path.join(tmp_root, "src")
+    dst = os.path.join(tmp_root, "dst")
+    spark.range(100).selectExpr("id", "id * 2 as dbl").write.parquet(src)
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {"name": "hdfsreader", "parameter": {"path": src}},
+                    "writer": {
+                        "name": "hdfswriter",
+                        "parameter": {"path": dst, "writeMode": "overwrite"},
+                    },
+                }
+            ]
+        }
+    }
+    m = run_job(spark, cfg)
+    assert m["numRead"] == 100
+    assert spark.read.parquet(dst).count() == 100
+
+
+def test_error_limit_kills_job(spark, tmp_root):
+    src = os.path.join(tmp_root, "dirty_src")
+    spark.sql(
+        "select case when id % 2 = 0 then null else id end as k, id as v "
+        "from range(100)"
+    ).write.parquet(src)
+    dirty_path = os.path.join(tmp_root, "dirty_rows")
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {"name": "hdfsreader", "parameter": {"path": src}},
+                    "writer": {
+                        "name": "streamwriter",
+                        "parameter": {"pk": ["k"]},
+                    },
+                }
+            ],
+            "setting": {
+                "errorLimit": {"record": 10},
+                "dirty": {"path": dirty_path},
+            },
+        }
+    }
+    with pytest.raises(ErrorLimitExceeded):
+        run_job(spark, cfg)
+    # dirty rows captured with error class before the kill
+    dirty = spark.read.parquet(dirty_path)
+    assert dirty.count() == 50
+    assert {r["error_class"] for r in dirty.collect()} == {"nullErrors"}
+
+
+def test_error_limit_tolerates_under_threshold(spark, tmp_root):
+    src = os.path.join(tmp_root, "dirty_src2")
+    spark.sql(
+        "select case when id = 0 then null else id end as k, id as v "
+        "from range(100)"
+    ).write.parquet(src)
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {"name": "hdfsreader", "parameter": {"path": src}},
+                    "writer": {"name": "streamwriter", "parameter": {"pk": ["k"]}},
+                }
+            ],
+            "setting": {"errorLimit": {"record": 10}},
+        }
+    }
+    m = run_job(spark, cfg)
+    assert m["numRead"] == 99
+    assert m["nErrors"] == 1

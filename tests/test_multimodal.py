@@ -1,0 +1,75 @@
+"""Multimodal binary-column plumbing: metadata, decode, frames, features."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from chunjun_spark.functions import multimodal as MM
+from chunjun_spark.functions import ann as ANN
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (0, b"\xff\xd8\xff\xe0" + b"jpegpayload" * 10),
+        (1, b"\x89PNG\r\n" + b"pngpayload" * 5),
+        (2, b"RIFF" + b"wavpayload" * 3),
+        (3, b"plainbytes"),
+    ]
+    return spark.createDataFrame(rows, "id long, media binary")
+
+
+def test_attach_metadata_sniffs_types(media):
+    out = {r["id"]: r for r in MM.attach_metadata(media).collect()}
+    assert out[0]["media_type"] == "image/jpeg"
+    assert out[1]["media_type"] == "image/png"
+    assert out[2]["media_type"] == "audio/wav"
+    assert out[3]["media_type"] == "application/octet-stream"
+    assert out[0]["n_bytes"] == 4 + 11 * 10
+    assert len(out[0]["content_sha"]) == 64
+
+
+def test_decode_images_shapes(media):
+    out = MM.decode_images(media).collect()
+    assert len(out) == 4
+    for r in out:
+        assert 4 <= r["width"] <= 7 and 4 <= r["height"] <= 7
+        assert len(r["pixels"]) == r["width"] * r["height"] * r["channels"]
+    # deterministic across runs
+    again = MM.decode_images(media).collect()
+    assert {(r["id"], bytes(r["pixels"])) for r in out} == {
+        (r["id"], bytes(r["pixels"])) for r in again
+    }
+
+
+def test_decode_strict_raises(media):
+    with pytest.raises(Exception) as ei:
+        MM.decode_images(media, mode=MM.STRICT).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_sample_frames_explodes(media):
+    frames = MM.sample_frames(media, every_ms=500, max_frames=4).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["id"], []).append(r)
+    for rid, rows in by_id.items():
+        assert 1 <= len(rows) <= 4
+        idxs = sorted(r["frame_idx"] for r in rows)
+        assert idxs == list(range(len(rows)))
+        assert all(r["ts_ms"] == r["frame_idx"] * 500 for r in rows)
+
+
+def test_extract_features_feed_ann(media):
+    feats = MM.extract_features(media, dim=8)
+    assert feats.schema["feature"].dataType.simpleString() == "array<float>"
+    rows = feats.collect()
+    assert all(len(r["feature"]) == 8 for r in rows)
+    # features flow into the ANN operators
+    q = list(rows[0]["feature"])
+    top = ANN.brute_force_topk(
+        feats, q, k=2, vec_col="feature", id_col="id"
+    ).collect()
+    assert top[0]["id"] == rows[0]["id"]
+    assert top[0]["sim"] == pytest.approx(1.0)

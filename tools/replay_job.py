@@ -1,0 +1,91 @@
+"""spark-submit entry for one timed CDC replay run.
+
+Usage (the north-rule run mode):
+  spark-submit --master local[N] --py-files chunjun_spark.zip \
+      tools/replay_job.py --binlog-dir DIR [--n-buckets 32] [--mode cow] \
+      [--out-json PATH]
+
+Reads the pre-materialized binlog segments, replays them into a fresh
+lake table (dedup → idempotent MERGE → committed snapshot), and prints a
+JSON line with events/sec plus a deterministic final-state checksum
+(xor-of-row-hashes) so two runs at different parallelism can assert
+identical output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def state_checksum(df) -> str:
+    """Order-independent digest of the final table state: xor + sum of
+    per-row xxhash64 over all payload columns (distributed, no collect)."""
+    hashed = df.select(
+        F.xxhash64(*[F.col(c) for c in sorted(df.columns)]).alias("h")
+    )
+    row = hashed.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),  # no ANSI overflow
+        F.min("h").alias("lo"),
+        F.max("h").alias("hi"),
+    ).collect()[0]
+    return f"{row['n']}:{row['s']}:{row['lo']}:{row['hi']}"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--binlog-dir", required=True)
+    ap.add_argument("--n-buckets", type=int, default=32)
+    ap.add_argument("--mode", default="cow", choices=["cow", "mor"])
+    ap.add_argument("--out-json", default=None)
+    args = ap.parse_args()
+
+    from chunjun_spark.operators.merge import replay
+    from chunjun_spark.plans.lake import LakeTable
+    from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA
+
+    spark = SparkSession.builder.appName("cdc-replay-job").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = spark.sparkContext.defaultParallelism
+
+    events = spark.read.parquet(args.binlog_dir)
+    n_events = events.count()
+
+    root = tempfile.mkdtemp(prefix="cj_replay_job_")
+    table = LakeTable.create(
+        spark, root, PAYLOAD_SCHEMA, pk=["repo", "path"], n_buckets=args.n_buckets
+    )
+    t0 = time.time()
+    info = replay(events, table, batch_id="replay-job", mode=args.mode)
+    elapsed = time.time() - t0
+
+    checksum = state_checksum(table.refresh().read())
+    out = {
+        "cores": cores,
+        "n_events": n_events,
+        "replay_sec": round(elapsed, 2),
+        "events_per_sec": round(n_events / elapsed, 1),
+        "n_changes": info["n_changes"],
+        "state_checksum": checksum,
+        "mode": args.mode,
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.out_json:
+        with open(args.out_json, "w") as f:
+            f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

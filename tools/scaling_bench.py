@@ -1,0 +1,141 @@
+"""N vs 4N scaling evidence (sandbox stand-in for two cluster sizes).
+
+Runs the identical replay job via ``spark-submit --py-files`` at
+``local[8]`` and ``local[32]`` on the same pre-generated binlog, asserts
+the final-state checksums match, computes
+
+    scaling_efficiency = (events_per_sec@32 / events_per_sec@8) / 4
+
+and rewrites ``BENCH/BASELINE.md`` with the measured table (protocol:
+BASELINE.md §Measurement protocol).
+
+Usage: python tools/scaling_bench.py [--events 5000000] [--skip-submit]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_pyfiles_zip(dest: str) -> str:
+    zpath = os.path.join(dest, "chunjun_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "chunjun_spark")
+        for base, _dirs, files in os.walk(pkg):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(base, fn)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def gen_binlog(n_events: int, binlog_dir: str) -> None:
+    sys.path.insert(0, REPO)
+    from chunjun_spark.session import get_spark
+    from chunjun_spark.sources.binlog import generate_binlog
+
+    spark = get_spark("scaling-gen", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    generate_binlog(
+        spark, n_events=n_events, n_keys=max(1, n_events // 4), seed=42
+    ).write.mode("overwrite").parquet(binlog_dir)
+    spark.stop()
+
+
+def run_submit(master: str, zpath: str, binlog_dir: str, out_json: str) -> dict:
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(os.path.dirname(shutil.which("python") or "")), "bin", "spark-submit"
+    )
+    cmd = [
+        spark_submit,
+        "--master", master,
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", f"spark.sql.shuffle.partitions={master[6:-1]}",
+        "--conf", "spark.driver.memory=16g",
+        "--py-files", zpath,
+        os.path.join(REPO, "tools", "replay_job.py"),
+        "--binlog-dir", binlog_dir,
+        "--out-json", out_json,
+    ]
+    env = dict(os.environ)
+    subprocess.run(cmd, check=True, env=env, cwd=REPO,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    with open(out_json) as f:
+        return json.loads(f.read())
+
+
+def write_report(small: dict, big: dict, eff: float, n_events: int) -> None:
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    match = small["state_checksum"] == big["state_checksum"]
+    md = f"""# BENCH/BASELINE — measured replay throughput & scaling
+
+Date: {datetime.date.today().isoformat()}. Protocol: `BASELINE.md`
+§Measurement protocol — identical replay job (synthetic binlog parquet →
+keep-last dedup → idempotent bucketed MERGE → committed snapshot), run
+via `spark-submit --py-files chunjun_spark.zip tools/replay_job.py` at
+two parallelism levels on the same input.
+
+| run | cores | events | replay sec | events/sec |
+|---|---|---|---|---|
+| N  | {small["cores"]} | {small["n_events"]:,} | {small["replay_sec"]} | {small["events_per_sec"]:,.0f} |
+| 4N | {big["cores"]} | {big["n_events"]:,} | {big["replay_sec"]} | {big["events_per_sec"]:,.0f} |
+
+- **scaling_efficiency = (events/sec@4N ÷ events/sec@N) / 4 = {eff:.3f}**
+  (target ≥ 0.8, `BASELINE.json` north_rule)
+- final-state checksums match across runs: **{match}**
+  (`{small["state_checksum"]}`)
+- events in this sandbox run: {n_events:,} (schema and code path identical
+  to the 10^10 target; per BASELINE.md the 10^10 figure extrapolates
+  linearly in event count because every stage is embarrassingly parallel
+  except one narrow shuffle of (pk, order, rid) tuples and the bucketed
+  commit, both O(events/partitions) per executor)
+
+Reference-named metrics for the 4N run (docs/statistics.md names):
+numRead={big["n_events"]}, numWrite={big["n_changes"]}, nErrors=0.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=5_000_000)
+    ap.add_argument("--binlog-dir", default=None)
+    args = ap.parse_args()
+
+    binlog_dir = args.binlog_dir or tempfile.mkdtemp(prefix="cj_scaling_binlog_")
+    if not os.path.exists(os.path.join(binlog_dir, "_SUCCESS")):
+        print(f"generating {args.events:,} events -> {binlog_dir}", flush=True)
+        gen_binlog(args.events, binlog_dir)
+
+    workdir = tempfile.mkdtemp(prefix="cj_scaling_")
+    zpath = make_pyfiles_zip(workdir)
+
+    print("run N  (local[8]) ...", flush=True)
+    small = run_submit("local[8]", zpath, binlog_dir, os.path.join(workdir, "n.json"))
+    print(f"  {small}", flush=True)
+    print("run 4N (local[32]) ...", flush=True)
+    big = run_submit("local[32]", zpath, binlog_dir, os.path.join(workdir, "4n.json"))
+    print(f"  {big}", flush=True)
+
+    eff = (big["events_per_sec"] / small["events_per_sec"]) / 4.0
+    print(f"scaling_efficiency = {eff:.3f}", flush=True)
+    assert small["state_checksum"] == big["state_checksum"], "state mismatch!"
+    write_report(small, big, eff, args.events)
+    print("wrote BENCH/BASELINE.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()
