@@ -75,7 +75,11 @@ def _read_binlog(spark: SparkSession, cfg: JobConfig) -> DataFrame:
 
 def _read_file(spark: SparkSession, cfg: JobConfig) -> DataFrame:
     """hdfsreader capability class: parquet / csv / json / text / orc
-    (HdfsTextInputFormat / HdfsOrcInputFormat / HdfsParquetInputFormat)."""
+    (HdfsTextInputFormat / HdfsOrcInputFormat / HdfsParquetInputFormat),
+    with MetaColumn projection (named / typed / constant columns) and the
+    user ``where`` filter — both expressed declaratively so Catalyst
+    pushes them into the scan (the QuerySqlBuilder analog: projection
+    QuerySqlBuilder.java:101-108, filter :117-122)."""
     p = cfg.reader.parameter
     ftype = p.get("fileType", "parquet").lower()
     path = p["path"]
@@ -84,14 +88,29 @@ def _read_file(spark: SparkSession, cfg: JobConfig) -> DataFrame:
         reader = reader.option("header", str(p.get("header", True)).lower())
         if "fieldDelimiter" in p:
             reader = reader.option("sep", p["fieldDelimiter"])
-        return reader.csv(path)
-    if ftype == "json":
-        return reader.json(path)
-    if ftype == "text":
-        return reader.text(path)
-    if ftype == "orc":
-        return reader.orc(path)
-    return reader.parquet(path)
+        df = reader.csv(path)
+    elif ftype == "json":
+        df = reader.json(path)
+    elif ftype == "text":
+        df = reader.text(path)
+    elif ftype == "orc":
+        df = reader.orc(path)
+    else:
+        df = reader.parquet(path)
+    if p.get("where"):
+        df = df.filter(p["where"])
+    cols = cfg.reader.columns
+    if cols:
+        exprs = []
+        for mc in cols:
+            if mc.value is not None:  # constant column (MetaColumn.value)
+                exprs.append(F.lit(mc.value).cast(mc.type or "string").alias(mc.name))
+            elif mc.type:
+                exprs.append(F.col(mc.name).cast(mc.type).alias(mc.name))
+            else:
+                exprs.append(F.col(mc.name))
+        df = df.select(*exprs)
+    return df
 
 
 READERS = {

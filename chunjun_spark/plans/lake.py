@@ -387,7 +387,12 @@ class LakeTable:
         ch = self._prep_changes(changes)
         if not assume_unique_keys:
             ch = keep_last(ch, pk=self.pk, order=(VTS_COL, VSEQ_COL))
-        ch = ch.cache()
+        # materialize ONCE as plain rows (localCheckpoint), never .cache():
+        # the columnar cache builder re-encodes the multi-KB payload
+        # strings and dominates the whole merge when the heap is large
+        # enough to hold it (measured 5x: 188s @16g heap vs 38s @8g where
+        # eviction skipped it); checkpointed row partitions spill cleanly
+        ch = ch.localCheckpoint(eager=True)
         try:
             # one action yields both row count and touched-bucket set
             stats = ch.groupBy(_BUCKET_COL).count().collect()
@@ -457,7 +462,7 @@ class LakeTable:
                 "version": m["version"],
             }
         finally:
-            ch.unpersist()
+            ch.unpersist()  # drops the checkpointed blocks
 
     def append_delta(
         self,

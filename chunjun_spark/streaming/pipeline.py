@@ -25,6 +25,8 @@ totally-ordered Snowflake ts within one source.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
@@ -49,6 +51,19 @@ def read_binlog_stream(
     )
 
 
+def files_per_trigger_for_rate(
+    bytes_per_sec: int, avg_file_bytes: int, trigger_sec: float
+) -> int:
+    """Translate the reference's global byte-rate budget into the file
+    source's rate knob: ``speed.bytes`` (-1 = unlimited) drove a Guava
+    RateLimiter adjusted from observed bytes/row each second
+    (ByteRateLimiter.java:56-101); with size-bounded segment files the
+    equivalent is files-per-trigger ≈ budget × trigger ÷ file size."""
+    if bytes_per_sec <= 0:
+        return 1_000_000  # unlimited
+    return max(1, int(bytes_per_sec * trigger_sec / max(1, avg_file_bytes)))
+
+
 def start_replay_stream(
     events: DataFrame,
     table_root: str,
@@ -68,6 +83,7 @@ def start_replay_stream(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         from chunjun_spark.operators.ddl import apply_ddl_events, split_ddl
 
+        raise_on_poison(batch_df)
         table = LakeTable.load(spark, table_root)
         bid = f"{job_id}:{batch_id}"
         if bid in table.committed_batches():
@@ -98,6 +114,119 @@ def start_replay_stream(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def start_multi_table_stream(
+    events: DataFrame,
+    lake_root: str,
+    checkpoint_dir: str,
+    job_id: str = "cdc-multi",
+    mode: str = "cow",
+    table_factory=None,
+) -> StreamingQuery:
+    """Route CDC events to per-table lake tables by ``table_name`` —
+    the HiveOutputFormat fan-out (flinkx-hive/.../HiveOutputFormat.java:
+    277-340: per-(table, partition) child formats + create-on-demand).
+
+    Each micro-batch: distinct table_names (tiny driver list) → per table
+    filter + dedup + idempotent merge into ``{lake_root}/{table_name}``.
+    Tables are created on first sight via ``table_factory(spark, root,
+    table_name)`` (default: input_hint payload schema, pk (repo, path)).
+    Batch ids carry the table name so a crash between two tables' merges
+    replays only the missing one.
+    """
+    from chunjun_spark.operators.ddl import apply_ddl_events, split_ddl
+    from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA
+
+    spark = events.sparkSession
+
+    def default_factory(spark, root, table_name):
+        return LakeTable.create(
+            spark, root, PAYLOAD_SCHEMA, pk=["repo", "path"], n_buckets=16
+        )
+
+    factory = table_factory or default_factory
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        raise_on_poison(batch_df)
+        batch_df, ddl = split_ddl(batch_df)
+        ddl_rows = [r.asDict() for r in ddl.collect()]
+        names = [r[0] for r in batch_df.select("table_name").distinct().collect()]
+        for name in sorted(names):
+            root = os.path.join(lake_root, name)
+            try:
+                table = LakeTable.load(spark, root)
+            except FileNotFoundError:
+                table = factory(spark, root, name)  # create-on-demand
+            table_ddl = [r for r in ddl_rows if r["table_name"] == name]
+            if table_ddl:
+                table = apply_ddl_events(table, table_ddl)
+            bid = f"{job_id}:{name}:{batch_id}"
+            if bid in table.committed_batches():
+                continue
+            sub = batch_df.filter(F.col("table_name") == name)
+            keyed = events_with_pk(sub, table.pk)
+            survivors = keep_last(keyed, pk=table.pk, order=("op_ts", "seq"))
+            changes = to_changes(survivors)
+            offsets = partition_offsets(sub)
+            if mode == "cow":
+                table.merge(changes, batch_id=bid, offsets=offsets,
+                            assume_unique_keys=True)
+            else:
+                table.append_delta(changes, batch_id=bid, offsets=offsets)
+
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+class InBandFailure(RuntimeError):
+    """Reference: the heartbeat controller injects an ``{"e": msg}`` event
+    in-band and the reader throws on receipt (HeartBeatController.java:
+    51-61, BinlogEventSink.java:162-166)."""
+
+
+def raise_on_poison(batch_df: DataFrame) -> None:
+    if "op" not in batch_df.columns:
+        return
+    poison = batch_df.filter(F.col("op") == "ERROR").limit(1).collect()
+    if poison:
+        r = poison[0]
+        msg = r["ddl"] if "ddl" in batch_df.columns and r["ddl"] else "source error"
+        raise InBandFailure(f"in-band source failure event: {msg}")
+
+
+def run_stream_with_restart(
+    start_query,
+    max_attempts: int = 3,
+    delay_sec: float = 2.0,
+    timeout_sec: int = 600,
+) -> None:
+    """Fixed-delay restart loop — the stream-job restart strategy
+    (Main.java:155-208, config/RestartConfig.java). ``start_query`` is a
+    zero-arg callable returning a fresh StreamingQuery against the SAME
+    checkpoint dir; restarts resume from it, and the idempotent merge
+    makes replayed micro-batches no-ops, so a crash between commit and
+    checkpoint cannot double-apply."""
+    import time as _time
+
+    last = None
+    for _attempt in range(max_attempts):
+        q = start_query()
+        try:
+            if not q.awaitTermination(timeout_sec):
+                q.stop()
+                raise TimeoutError("stream did not drain in time")
+            return
+        except TimeoutError:
+            raise
+        except Exception as e:  # noqa: BLE001 — restart any query failure
+            last = e
+            _time.sleep(delay_sec)
+    raise RuntimeError(f"stream failed after {max_attempts} attempts") from last
 
 
 def run_stream_to_completion(

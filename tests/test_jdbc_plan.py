@@ -1,0 +1,92 @@
+"""JDBC scan-planning builders (no database needed — pure SQL text)."""
+
+import pytest
+
+from chunjun_spark.sources.jdbc import (
+    UpsertTemplate,
+    build_select,
+    incremental_clause,
+    jdbc_reader_options,
+    mod_split_predicates,
+    range_split_predicates,
+    render_literal,
+)
+
+
+def test_mod_split():
+    preds = mod_split_predicates("id", 4)
+    assert preds == [
+        "mod(id, 4) = 0",
+        "mod(id, 4) = 1",
+        "mod(id, 4) = 2",
+        "mod(id, 4) = 3",
+    ]
+
+
+def test_range_split_covers_everything():
+    preds = range_split_predicates("id", 0, 99, 4)
+    assert len(preds) == 4
+    assert preds[0].startswith("id <=")  # open-ended low
+    assert preds[-1].startswith("id >=")  # open-ended high
+    # every value 0..99 matches exactly one predicate
+    def matches(v, p):
+        clauses = p.split(" AND ")
+        ok = True
+        for c in clauses:
+            col, op, lit = c.split(" ", 2)
+            lit = int(lit)
+            ok &= (v <= lit) if op == "<=" else (v >= lit)
+        return ok
+    for v in range(100):
+        assert sum(matches(v, p) for p in preds) == 1
+
+
+def test_render_literal_types():
+    assert render_literal(5, "bigint") == "5"
+    assert render_literal(1.5, "double") == "1.5"
+    assert render_literal("o'neil", "varchar") == "'o''neil'"
+    assert render_literal("2024-01-01 00:00:00", "timestamp") == (
+        "TIMESTAMP '2024-01-01 00:00:00'"
+    )
+
+
+def test_incremental_clause():
+    assert incremental_clause("seq", "bigint", 100) == "seq > 100"
+    assert incremental_clause("seq", "bigint", 100, end=200) == (
+        "seq > 100 AND seq < 200"
+    )
+    assert incremental_clause("ts", "timestamp", "2024-01-01 00:00:00",
+                              inclusive_start=True).startswith("ts >= TIMESTAMP")
+
+
+def test_build_select():
+    sql = build_select("t", ["a", "b"], where="a > 0", constants={"src": "x"})
+    assert sql == "SELECT a, b, 'x' AS src FROM t WHERE 1=1 AND (a > 0)"
+    assert build_select("t") == "SELECT * FROM t WHERE 1=1"
+
+
+def test_upsert_templates():
+    ansi = UpsertTemplate("ansi").upsert("t", ["k", "v"], pk=["k"])
+    assert "MERGE INTO t t USING" in ansi
+    assert "WHEN MATCHED THEN UPDATE SET t.v = s.v" in ansi
+    assert "WHEN NOT MATCHED THEN INSERT (k, v)" in ansi
+    my = UpsertTemplate("mysql").upsert("t", ["k", "v"], pk=["k"])
+    assert my.startswith("INSERT INTO t (k, v) VALUES (?, ?)")
+    assert "ON DUPLICATE KEY UPDATE v = VALUES(v)" in my
+    assert "REPLACE INTO t" in UpsertTemplate("mysql").replace("t", ["k", "v"])
+    with pytest.raises(ValueError):
+        UpsertTemplate("ansi").replace("t", ["k"])
+
+
+def test_jdbc_reader_options_strategies():
+    bounded = jdbc_reader_options(
+        "jdbc:x", "t", split_column="id", n_channels=4, lower=0, upper=1000
+    )
+    assert bounded["options"]["partitionColumn"] == "id"
+    assert bounded["predicates"] is None
+    unbounded = jdbc_reader_options(
+        "jdbc:x", "t", split_column="id", n_channels=4, where="v > 0"
+    )
+    assert unbounded["predicates"] is not None
+    assert len(unbounded["predicates"]) == 4
+    assert all("(v > 0)" in p for p in unbounded["predicates"])

@@ -1,0 +1,118 @@
+"""Multi-table routing, poison-pill failure, restart loop, rate knob."""
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from chunjun_spark.plans.lake import LakeTable
+from chunjun_spark.streaming import pipeline as pl
+
+TS = datetime.datetime(2024, 1, 1)
+
+PAYLOAD = T.StructType(
+    [T.StructField("repo", T.StringType()), T.StructField("path", T.StringType()),
+     T.StructField("commit", T.StringType()), T.StructField("lang", T.StringType()),
+     T.StructField("content", T.StringType())]
+)
+SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("schema_name", T.StringType()),
+        T.StructField("table_name", T.StringType()),
+        T.StructField("op_ts", T.TimestampType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("before", PAYLOAD),
+        T.StructField("after", PAYLOAD),
+        T.StructField("ddl", T.StringType()),
+    ]
+)
+
+
+def _ev(op, seq, table, repo, content, ddl=None):
+    img = (repo, f"p{seq}.py", f"c{seq}", "py", content)
+    return (op, "lake", table, TS + datetime.timedelta(seconds=seq), seq, 0, seq,
+            img if op == "DELETE" else None,
+            img if op != "DELETE" else None, ddl)
+
+
+def test_multi_table_routing(spark, tmp_root):
+    binlog = os.path.join(tmp_root, "binlog")
+    lake = os.path.join(tmp_root, "lake")
+    ckpt = os.path.join(tmp_root, "ckpt")
+    rows = [
+        _ev("INSERT", 1, "alpha", "r1", "a1"),
+        _ev("INSERT", 2, "beta", "r2", "b1"),
+        _ev("INSERT", 3, "alpha", "r3", "a2"),
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(binlog)
+
+    events = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(binlog)
+    )
+    q = pl.start_multi_table_stream(events, lake, ckpt, job_id="mt")
+    assert q.awaitTermination(120)
+
+    alpha = LakeTable.load(spark, os.path.join(lake, "alpha"))
+    beta = LakeTable.load(spark, os.path.join(lake, "beta"))
+    assert alpha.read().count() == 2
+    assert beta.read().count() == 1
+    # per-table batch ids recorded → per-table idempotence
+    assert any(b.startswith("mt:alpha:") for b in alpha.committed_batches())
+
+
+def test_poison_pill_fails_stream(spark, tmp_root):
+    binlog = os.path.join(tmp_root, "pbinlog")
+    lake = os.path.join(tmp_root, "plake")
+    ckpt = os.path.join(tmp_root, "pckpt")
+    LakeTable.create(spark, lake, PAYLOAD, pk=["repo", "path"], n_buckets=4)
+    rows = [
+        _ev("INSERT", 1, "t", "r1", "x"),
+        _ev("ERROR", 2, "t", None, None, ddl="heartbeat lost"),
+    ]
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(binlog)
+    events = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 4).parquet(binlog)
+    )
+    q = pl.start_replay_stream(events, lake, ckpt, job_id="poison")
+    with pytest.raises(Exception) as ei:
+        q.awaitTermination(120)
+    assert "in-band source failure" in str(ei.value)
+
+
+def test_restart_loop_retries_then_succeeds(spark, tmp_root):
+    calls = {"n": 0}
+
+    class FakeQuery:
+        def __init__(self, fail):
+            self.fail = fail
+
+        def awaitTermination(self, _timeout):
+            if self.fail:
+                raise RuntimeError("transient")
+            return True
+
+        def stop(self):
+            pass
+
+    def start():
+        calls["n"] += 1
+        return FakeQuery(fail=calls["n"] < 3)
+
+    pl.run_stream_with_restart(start, max_attempts=5, delay_sec=0.01)
+    assert calls["n"] == 3
+
+    def always_fail():
+        return FakeQuery(fail=True)
+
+    with pytest.raises(RuntimeError, match="after 2 attempts"):
+        pl.run_stream_with_restart(always_fail, max_attempts=2, delay_sec=0.01)
+
+
+def test_files_per_trigger_for_rate():
+    assert pl.files_per_trigger_for_rate(-1, 1000, 1.0) == 1_000_000
+    assert pl.files_per_trigger_for_rate(10_000_000, 1_000_000, 1.0) == 10
+    assert pl.files_per_trigger_for_rate(100, 1_000_000, 1.0) == 1

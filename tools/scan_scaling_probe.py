@@ -1,0 +1,78 @@
+"""Per-phase compute-scaling probe (supporting evidence for
+BENCH/BASELINE.md).
+
+The end-to-end replay includes one-time per-run costs (codegen compile,
+cold page cache, job scheduling, manifest IO) that do not grow with
+input and a host-noise jitter of ±30-40% on this shared VM — both blur a
+single-run efficiency number. This probe isolates the *data-scaling*
+stages (the ones that dominate a 10^10-event replay) and measures them
+warm and repeated, which is what "events/sec sustained" means:
+
+  - offsets scan: column-pruned aggregate over the binlog
+  - payload scan: md5 over every content string (decode + hash bound)
+
+Usage: python tools/scan_scaling_probe.py BINLOG_DIR [masters...]
+Prints per-run times and the pairwise efficiency for each adjacent pair.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from chunjun_spark.session import get_spark  # noqa: E402
+
+
+def probe(master: str, binlog_dir: str) -> dict[str, float]:
+    os.environ.setdefault("SPARK_DRIVER_MEM", "8g")
+    spark = get_spark(
+        "scan-probe",
+        master=master,
+        shuffle_partitions=64,
+        extra_conf={"spark.sql.files.maxPartitionBytes": "16777216"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ev = spark.read.parquet(binlog_dir)
+    ev.groupBy("partition_id").agg(F.max("offset")).collect()  # warm
+    out = {}
+    for name, fn in {
+        "offsets_scan": lambda: ev.groupBy("partition_id")
+        .agg(F.max("offset"), F.count("*"))
+        .collect(),
+        "payload_md5_scan": lambda: ev.select(
+            F.md5(F.col("after.content")).alias("h")
+        )
+        .agg(F.max("h"))
+        .collect(),
+    }.items():
+        best = float("inf")
+        for _ in range(3):
+            t = time.time()
+            fn()
+            best = min(best, time.time() - t)
+        out[name] = best
+        print(f"{master:12s} {name:18s} best-of-3 {best:6.1f}s", flush=True)
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    binlog_dir = sys.argv[1]
+    masters = sys.argv[2:] or ["local[2]", "local[8]"]
+    results = {m: probe(m, binlog_dir) for m in masters}
+    for a, b in zip(masters, masters[1:]):
+        ca = int(a[6:-1])
+        cb = int(b[6:-1])
+        for phase in results[a]:
+            speedup = results[a][phase] / results[b][phase]
+            eff = speedup / (cb / ca)
+            print(f"{phase}: {a}->{b} speedup {speedup:.2f}x efficiency {eff:.2f}")
+
+
+if __name__ == "__main__":
+    main()
