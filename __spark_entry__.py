@@ -416,6 +416,91 @@ FROM documents
 """
 
 
+def _q_content_sha256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the input_hint per-row invariant: content sha256 equality
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.sha2(F.col("text"), 256).alias("content_sha"))
+
+
+_CONTENT_SHA_SQL = """
+SELECT doc_id, sha256(text) AS content_sha FROM documents
+"""
+
+
+def _q_keep_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the row_number() formulation (reference row_number-split analog,
+    # QuerySqlBuilder.java:187-203) — cross-checks the agg-based path
+    from chunjun_spark.operators.dedup import keep_last_window
+
+    ev = _t(spark, sf_dir, "events")
+    last = keep_last_window(ev, pk=["user_id"], order=("ts", "event_id"))
+    return last.select(
+        "user_id", "event_id", "ts", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+def _q_skew_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # salted two-phase aggregation must equal the plain aggregate
+    from chunjun_spark.operators.skew import two_phase_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = two_phase_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n": (F.count("*"), F.sum("n")),
+            "sum_value": (F.sum("value"), F.sum("sum_value")),
+        },
+        n_salts=8,
+    )
+    return out.select("event_type", "n", F.round("sum_value", 4).alias("sum_value"))
+
+
+_SKEW_AGG_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def _q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # curation pipeline: drop low-quality documents
+    docs = _t(spark, sf_dir, "documents")
+    return docs.withColumn("q", TX.quality_score(F.col("text"))).filter(
+        F.col("q") >= 0.6
+    ).select("doc_id", "lang", "source")
+
+
+_QUALITY_FILTER_SQL = r"""
+WITH base AS (
+  SELECT doc_id, lang, source,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+         len(regexp_extract_all(text, '\b(the|and|of|to|is|a)\b')) AS nstop
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, source,
+         list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) AS alen,
+         CASE WHEN nc > 0 THEN np::DOUBLE / nc ELSE 0.0 END AS pratio,
+         CASE WHEN len(toks) > 0 THEN nstop::DOUBLE / len(toks) ELSE 0.0 END AS sratio
+  FROM base
+)
+SELECT doc_id, lang, source FROM m
+WHERE (CASE WHEN alen >= 2.0 AND alen <= 12.0 THEN 0.5 ELSE 0.0 END)
+      + least(sratio * 2.0, 0.3)
+      + (0.2 - least(pratio * 2.0, 0.2)) >= 0.6
+"""
+
+
+def _q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: winnowing-style rolling window fingerprints (xxhash64)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(TX.rolling_fingerprints(F.col("text"), 8)).alias("window_fp"),
+    )
+
+
 # ------------------------------------------------------------ embeddings
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -508,6 +593,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dups": _q_minhash_lsh_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "binary_meta": _q_binary_meta,
+        "content_sha256": _q_content_sha256,
+        "cdc_keep_last_window": _q_keep_last_window,
+        "skew_two_phase_agg": _q_skew_two_phase_agg,
+        "doc_quality_filter": _q_doc_quality_filter,
+        "doc_winnow_fingerprints": _q_doc_winnow_fingerprints,
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "embedding_norms": _q_embedding_norms,
@@ -536,6 +626,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _FINGERPRINT_SQL,
         "doc_jaccard_pairs": _JACCARD_SQL,
         "binary_meta": _BINARY_META_SQL,
+        "content_sha256": _CONTENT_SHA_SQL,
+        "cdc_keep_last_window": _KEEP_LAST_SQL,
+        "skew_two_phase_agg": _SKEW_AGG_SQL,
+        "doc_quality_filter": _QUALITY_FILTER_SQL,
         "ann_topk": _ANN_TOPK_SQL,
         "embedding_norms": _EMB_NORMS_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
