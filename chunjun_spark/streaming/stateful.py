@@ -1,0 +1,99 @@
+"""Stateful cross-batch dedup: applyInPandasWithState version guard.
+
+Reference analog: ChunJun trusts the Snowflake ``ts`` total order within
+one source and applies events in arrival order (BinlogEventSink.java:114);
+re-deliveries after restore are filtered by the FormatState offset
+(DtInputFormatSourceFunction.java:252-283). In Spark the lake-side MERGE
+already guards per-row versions (plans/lake.py), but that costs a base
+lookup per batch. This operator moves the guard INTO the stream: per-key
+(op_ts, seq) high-water marks live in the Structured Streaming state
+store (RocksDB-backed on a cluster), so a stale event re-delivered in a
+LATER micro-batch is dropped before the sink ever sees it — and the sink
+can then run pure append (MOR) with no version lookup at all.
+
+The UDF is Arrow-batched (one pandas DataFrame per key group per batch,
+vectorized sort/filter inside) — no per-row Python in the hot path.
+
+Scale notes: state is 16 bytes + key per live key, partitioned by the
+shuffle on pk; processing-time timeout (``state_ttl_ms``) evicts keys
+idle longer than the source's re-delivery horizon, bounding state for
+10^10-key streams.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# state: (op_ts micros, seq) high-water mark per key
+_STATE_SCHEMA = "vts_micros long, vseq long"
+
+
+def _make_dedup_fn(state_ttl_ms: int | None):
+    def dedup_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # idle key beyond the re-delivery horizon
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        order = pd.DataFrame(
+            {
+                "t": batch["op_ts"].astype("int64"),
+                "s": batch["seq"].astype("int64"),
+            }
+        )
+        idx = order.sort_values(["t", "s"]).index[-1]
+        best = (int(order.loc[idx, "t"]), int(order.loc[idx, "s"]))
+        if state.exists and best <= tuple(state.get):
+            return  # whole group stale (cross-batch re-delivery)
+        state.update(best)
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield batch.loc[[idx]]
+
+    return dedup_fn
+
+
+def stateful_keep_last(
+    events: DataFrame,
+    pk: list[str],
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming keep-last per key with a persistent cross-batch guard.
+
+    Input: the canonical changelog stream with top-level pk columns
+    (``events_with_pk`` output). Output: at most one row per key per
+    micro-batch — the newest event — and only when it advances the key's
+    stored (op_ts, seq) high-water mark. Downstream ``foreachBatch`` can
+    apply it with a guard-free append/merge.
+
+    ``state_ttl_ms``: optional idle-key eviction for continuous
+    production streams (bounds state at 10^10 keys when the source has a
+    bounded re-delivery horizon). Leave None for drain-and-stop replays:
+    a ProcessingTimeTimeout keeps scheduling timeout-check batches, so
+    ``Trigger.availableNow`` would never terminate with a TTL set.
+    """
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if state_ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return events.groupBy(*pk).applyInPandasWithState(
+        _make_dedup_fn(state_ttl_ms),
+        outputStructType=events.schema,
+        stateStructType=_STATE_SCHEMA,
+        # "append": each emitted row is FINAL (never revised in a later
+        # batch) — true here, since a row is only emitted when it advances
+        # the high-water mark, and later batches emit new rows instead of
+        # updating old ones. Append also composes with file sinks.
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -1,0 +1,97 @@
+"""Cross-batch stateful dedup (applyInPandasWithState version guard)."""
+
+import datetime
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import types as T
+
+from chunjun_spark.streaming.stateful import stateful_keep_last
+
+TS = datetime.datetime(2024, 1, 1)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("op_ts", T.TimestampType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _ev(uid, op, seq, value):
+    return (uid, op, TS + datetime.timedelta(seconds=seq), seq, value)
+
+
+def test_stateful_dedup_drops_cross_batch_stale(spark, tmp_root):
+    src = os.path.join(tmp_root, "src")
+    out_dir = os.path.join(tmp_root, "sink")
+    ckpt = os.path.join(tmp_root, "ckpt")
+    os.makedirs(src)
+
+    # batch 1: fresh events for keys 1 and 2
+    b1 = [_ev(1, "INSERT", 10, 1.0), _ev(1, "UPDATE", 11, 1.1), _ev(2, "INSERT", 20, 2.0)]
+    # batch 2 (arrives later): a STALE re-delivery of key 1's seq 11 and
+    # an older seq 9, plus a genuinely newer event for key 2
+    b2 = [_ev(1, "UPDATE", 11, 1.1), _ev(1, "UPDATE", 9, 0.9), _ev(2, "UPDATE", 21, 2.1)]
+    spark.createDataFrame(b1, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    survivors = stateful_keep_last(stream, pk=["user_id"])
+    q = (
+        survivors.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+
+    rows = sorted(
+        [tuple(r) for r in spark.read.parquet(out_dir).select("user_id", "seq").collect()]
+    )
+    # batch1 emits (1, seq 11) and (2, seq 20); batch2's key-1 events are
+    # all <= the stored high-water mark and emit NOTHING; key 2 advances.
+    assert rows == [(1, 11), (2, 20), (2, 21)]
+
+
+def test_stateful_dedup_survives_restart(spark, tmp_root):
+    src = os.path.join(tmp_root, "src2")
+    out_dir = os.path.join(tmp_root, "sink2")
+    ckpt = os.path.join(tmp_root, "ckpt2")
+    os.makedirs(src)
+
+    spark.createDataFrame([_ev(7, "INSERT", 5, 1.0)], SCHEMA).coalesce(1)\
+        .write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            stateful_keep_last(stream, pk=["user_id"])
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+
+    run_once()
+    # restart with new input: stale re-delivery of seq 5 + fresh seq 6 —
+    # the state store must recall the high-water mark across restarts
+    spark.createDataFrame(
+        [_ev(7, "UPDATE", 5, 1.0), _ev(7, "UPDATE", 6, 2.0)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    seqs = sorted(r["seq"] for r in spark.read.parquet(out_dir).collect())
+    assert seqs == [5, 6]
