@@ -1,0 +1,85 @@
+"""Extreme-skew replay correctness (SURVEY §7.3: zipfian monorepos)."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from chunjun_spark.operators.dedup import keep_last
+from chunjun_spark.operators.merge import events_with_pk, replay
+from chunjun_spark.operators.skew import detect_hot_keys, two_phase_agg
+from chunjun_spark.plans.lake import LakeTable
+from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA, generate_binlog
+from tests.conftest import df_state, fold_oracle, sha256_state
+
+
+def test_hot_key_replay_matches_oracle(spark, tmp_root):
+    # 40k events over only 40 keys: every key rewritten ~1000 times.
+    # Partial aggregation must collapse map-side; result == fold oracle.
+    ev = generate_binlog(spark, n_events=40_000, n_keys=40, seed=13)
+    root = os.path.join(tmp_root, "hotkey")
+    table = LakeTable.create(spark, root, PAYLOAD_SCHEMA, pk=["repo", "path"], n_buckets=8)
+    replay(ev, table, batch_id="hot")
+    got = df_state(LakeTable.load(spark, root).read())
+    want = fold_oracle(ev.collect())
+    assert sha256_state(got) == sha256_state(want)
+
+
+def test_monorepo_bucket_skew_replay(spark, tmp_root):
+    # skew=8 concentrates almost all paths in a handful of repos → a few
+    # hot buckets; correctness must hold and all buckets stay readable
+    ev = generate_binlog(spark, n_events=30_000, n_keys=10_000, n_repos=5,
+                         skew=8.0, seed=17)
+    keyed = events_with_pk(ev, ["repo", "path"])
+    top = (
+        keyed.groupBy("repo").count().orderBy(F.col("count").desc()).head()
+    )
+    assert top["count"] > 30_000 * 0.25  # genuinely skewed input
+    root = os.path.join(tmp_root, "mono")
+    table = LakeTable.create(spark, root, PAYLOAD_SCHEMA, pk=["repo", "path"], n_buckets=8)
+    replay(ev, table, batch_id="mono")
+    got = df_state(LakeTable.load(spark, root).read())
+    want = fold_oracle(ev.collect())
+    assert sha256_state(got) == sha256_state(want)
+
+
+def test_detect_hot_keys_finds_monorepo(spark):
+    ev = generate_binlog(spark, n_events=20_000, n_keys=8_000, n_repos=5,
+                         skew=8.0, seed=17)
+    keyed = events_with_pk(ev, ["repo", "path"])
+    hot = detect_hot_keys(keyed, ["repo"], sample_fraction=0.2, min_share=0.2)
+    rows = hot.collect()
+    assert rows, "expected at least one heavy hitter"
+    truth = keyed.groupBy("repo").count().orderBy(F.col("count").desc()).head()
+    assert truth["repo"] in {r["repo"] for r in rows}
+
+
+def test_two_phase_agg_equals_plain_on_skew(spark):
+    ev = generate_binlog(spark, n_events=20_000, n_keys=5_000, n_repos=3,
+                         skew=8.0, seed=19)
+    keyed = events_with_pk(ev, ["repo", "path"])
+    plain = {
+        r["repo"]: (r["n"], round(r["s"], 6))
+        for r in keyed.groupBy("repo")
+        .agg(F.count("*").alias("n"), F.sum("seq").alias("s"))
+        .collect()
+    }
+    salted = {
+        r["repo"]: (r["n"], round(r["s"], 6))
+        for r in two_phase_agg(
+            keyed,
+            keys=["repo"],
+            aggs={"n": (F.count("*"), F.sum("n")), "s": (F.sum("seq"), F.sum("s"))},
+            n_salts=16,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_keep_last_hot_key_single_survivor(spark):
+    # one key updated 10_000 times in one batch → exactly one survivor,
+    # the max (op_ts, seq)
+    ev = generate_binlog(spark, n_events=10_000, n_keys=1, seed=23)
+    keyed = events_with_pk(ev, ["repo", "path"])
+    out = keep_last(keyed, pk=["repo", "path"], order=("op_ts", "seq")).collect()
+    assert len(out) == 1
+    assert out[0]["seq"] == keyed.agg(F.max("seq")).collect()[0][0]
