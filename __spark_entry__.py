@@ -541,7 +541,7 @@ FROM embeddings
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = ANN.pairwise_above(emb, threshold=0.30)
+    pairs = ANN.pairwise_above_blocked(emb, threshold=0.30)
     return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 

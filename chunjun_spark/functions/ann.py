@@ -83,6 +83,59 @@ def _splitmix64(x: int) -> int:
     return x ^ (x >> 31)
 
 
+def pairwise_above_blocked(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All (a,b) cosine pairs ≥ threshold via blocked matrix multiply.
+
+    The whole (normalized) matrix broadcasts to every worker; each task
+    multiplies its block of rows against the matrix with one BLAS gemm —
+    ~100× the expression-tree cross-join for dense vectors. Semantics
+    identical to ``pairwise_above`` (a < b, double precision).
+
+    Scale path: fits while n_vectors × dim × 8B broadcasts (~1 GB = 2M
+    ×64d); beyond that, LSH-bucket first (``rp_lsh_buckets``) and run
+    this within buckets.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    matn = mat / norms[:, None]
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(matn)
+
+    def gen(batches):
+        all_ids = b_ids.value
+        m = b_mat.value
+        for pdf in batches:
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0.0] = 1.0
+            sims = (q / qn[:, None]) @ m.T  # one gemm per Arrow batch
+            out_a, out_b, out_s = [], [], []
+            for i in range(sims.shape[0]):
+                mask = (sims[i] >= threshold) & (all_ids > q_ids[i])
+                hits = np.nonzero(mask)[0]
+                out_a.extend([q_ids[i]] * len(hits))
+                out_b.extend(all_ids[hits])
+                out_s.extend(sims[i][hits])
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, "id_a long, id_b long, sim double"
+    )
+
+
 def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-ish hyperplane component list.
 
