@@ -1,0 +1,42 @@
+"""spark-submit / python -m entry: run one sync job from a job JSON.
+
+Reference analog: ``bin/flinkx -mode local -job job.json`` →
+Launcher → Main (flinkx-launcher/.../Launcher.java:96-111,
+flinkx-core/.../Main.java:85-152). Usage:
+
+    spark-submit --py-files chunjun_spark.zip -m chunjun_spark job.json
+    python -m chunjun_spark examples/binlog_to_lake.json [--master local[8]]
+
+Prints the reference-named metric map (numRead/numWrite/nErrors/...) as
+one JSON line on success — the ResultPrintUtil analog.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from chunjun_spark.job import run_job
+from chunjun_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="chunjun_spark")
+    ap.add_argument("job", help="path to the job JSON (reference shape)")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(
+        "chunjun-spark-job",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    metrics = run_job(spark, args.job)
+    print(json.dumps(metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
