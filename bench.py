@@ -59,11 +59,10 @@ def materialize(df) -> None:
 
 
 def bench_replay(spark: SparkSession, n_events: int) -> dict:
-    """Replay a pre-materialized binlog (parquet segments) into a fresh
-    lake table. Generation is untimed — the measured span is what the
-    north rule defines: read change log → dedup/order → idempotent
-    MERGE → committed snapshot."""
-    root = tempfile.mkdtemp(prefix="cj_bench_lake_")
+    """Replay a pre-materialized binlog (parquet segments) into fresh
+    lake tables in both write modes. Generation is untimed — the
+    measured span is what the north rule defines: read change log →
+    dedup/order → idempotent MERGE → committed snapshot."""
     binlog_dir = os.environ.get("BENCH_BINLOG_DIR") or tempfile.mkdtemp(
         prefix="cj_bench_binlog_"
     )
@@ -72,19 +71,22 @@ def bench_replay(spark: SparkSession, n_events: int) -> dict:
         generate_binlog(
             spark, n_events=n_events, n_keys=max(1, n_events // 4), seed=42
         ).write.mode("overwrite").parquet(binlog_dir)
-    table = LakeTable.create(
-        spark, root, PAYLOAD_SCHEMA, pk=["repo", "path"], n_buckets=32
-    )
     events = spark.read.parquet(binlog_dir)
-    t0 = time.time()
-    info = replay(events, table, batch_id="bench")
-    elapsed = time.time() - t0
-    return {
-        "n_events": n_events,
-        "replay_sec": round(elapsed, 2),
-        "events_per_sec": round(n_events / elapsed, 1),
-        "n_changes": info["n_changes"],
-    }
+    out = {"n_events": n_events}
+    for mode in ("cow", "mor"):
+        root = tempfile.mkdtemp(prefix=f"cj_bench_lake_{mode}_")
+        table = LakeTable.create(
+            spark, root, PAYLOAD_SCHEMA, pk=["repo", "path"], n_buckets=32
+        )
+        t0 = time.time()
+        info = replay(events, table, batch_id="bench", mode=mode)
+        elapsed = time.time() - t0
+        out[f"replay_{mode}_sec"] = round(elapsed, 2)
+        out[f"events_per_sec_{mode}"] = round(n_events / elapsed, 1)
+        out["n_changes"] = info["n_changes"]
+    out["replay_sec"] = out["replay_cow_sec"]
+    out["events_per_sec"] = out["events_per_sec_cow"]
+    return out
 
 
 def main() -> None:
