@@ -186,11 +186,23 @@ class LakeTable:
         return t
 
     @classmethod
-    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
-        v = cls._current_version(root)
+    def load(
+        cls, spark: SparkSession, root: str, version: int | None = None
+    ) -> "LakeTable":
+        """Load the current snapshot, or time-travel to ``version``.
+
+        Every commit keeps its manifest (``_manifests/v{N}.json``), so any
+        historical snapshot remains readable until garbage-collected —
+        the Iceberg snapshot-id read analog. Writes against a historical
+        snapshot are rejected by the optimistic ``_write_manifest`` check.
+        """
+        v = cls._current_version(root) if version is None else version
         if v is None:
             raise FileNotFoundError(f"no lake table at {root}")
-        with open(os.path.join(root, "_manifests", f"v{v}.json")) as f:
+        path = os.path.join(root, "_manifests", f"v{v}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"no snapshot v{v} at {root}")
+        with open(path) as f:
             return cls(spark, root, json.load(f))
 
     @staticmethod

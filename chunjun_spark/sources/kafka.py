@@ -1,0 +1,84 @@
+"""Kafka-shaped changelog transport: JSON codec + stream option builders.
+
+Reference analog: kafkareader/kafkawriter — a consumer thread decodes
+JSON messages into the uniform event map (flinkx-kafka/.../
+KafkaBaseInputFormat.java:94-145, decoder/JsonDecoder.java:38-50) and the
+writer re-encodes rows to JSON per topic (KafkaOutputFormat). On Spark
+the transport is ``readStream/writeStream.format("kafka")``; everything
+testable without a broker lives here:
+
+- ``encode_events`` / ``decode_events``: changelog rows ⇄ Kafka
+  key/value JSON. The key is the primary key tuple (so topic partitions
+  preserve per-key ordering, the property the dedup stage relies on);
+  the value is the full event JSON.
+- ``reader_options`` / ``writer_options``: the option dicts a
+  credentialed deployment feeds to ``format("kafka")``, mapping the
+  reference's consumer settings (topic, groupId, mode=earliest/latest/
+  timestamp, ``maxOffsetsPerTrigger`` rate limit).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def encode_events(events: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """Changelog → (key, value) Kafka payload. Key = JSON of the pk tuple
+    extracted from the event images (DELETEs key from ``before``), so all
+    versions of one key land in one partition — per-key order preserved."""
+    key_cols = key_cols or ["repo", "path"]
+    is_del = F.col("op") == "DELETE"
+    key_fields = [
+        F.when(is_del, F.col(f"before.{c}")).otherwise(F.col(f"after.{c}")).alias(c)
+        for c in key_cols
+    ]
+    return events.select(
+        F.to_json(F.struct(*key_fields)).cast("binary").alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in events.columns])).cast("binary").alias(
+            "value"
+        ),
+    )
+
+
+def decode_events(kafka_df: DataFrame, event_schema: T.StructType) -> DataFrame:
+    """Kafka (key, value, ...) → typed changelog rows (JsonDecoder analog;
+    malformed messages surface as NULL columns → dirty-data rules)."""
+    return kafka_df.select(
+        F.from_json(F.col("value").cast("string"), event_schema).alias("_e")
+    ).select("_e.*")
+
+
+def reader_options(
+    brokers: str,
+    topic: str,
+    group_id: str = "chunjun-spark",
+    mode: str = "earliest",
+    timestamp_ms: int | None = None,
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """``spark.readStream.format("kafka").options(**...)`` — the
+    kafkareader parameter mapping (mode ∈ earliest/latest/timestamp,
+    KafkaBaseInputFormat offset seeding; rate limit = ByteRateLimiter
+    analog in offsets)."""
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "kafka.group.id": group_id,
+    }
+    if mode == "timestamp" and timestamp_ms is not None:
+        opts["startingTimestamp"] = str(timestamp_ms)
+    else:
+        opts["startingOffsets"] = "earliest" if mode == "earliest" else "latest"
+    if max_offsets_per_trigger:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def writer_options(brokers: str, topic: str, checkpoint_dir: str) -> dict[str, str]:
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+    }

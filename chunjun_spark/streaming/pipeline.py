@@ -72,11 +72,17 @@ def start_replay_stream(
     mode: str = "cow",
     trigger_available_now: bool = True,
     processing_time: str | None = None,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Start the micro-batch apply loop.
 
     ``trigger_available_now`` drains the current backlog then stops —
     the batch-replay-with-checkpoints mode used by the resume tests.
+    ``compact_every``: in MOR mode, fold deltas back into the base once
+    the delta count reaches this bound — keeps read amplification O(1)
+    under continuous ingest (the reference's file-sink block rollover
+    analog, BaseFileOutputFormat fileIndex). Compaction is a pure
+    rewrite, so a crash between compact and checkpoint replays safely.
     """
     spark = events.sparkSession
 
@@ -105,6 +111,10 @@ def start_replay_stream(
         else:
             table.append_delta(changes, batch_id=bid, offsets=offsets,
                                extra_metrics=metrics)
+            if compact_every is not None:
+                t2 = table.refresh()
+                if len(t2.manifest["deltas"]) >= compact_every:
+                    t2.compact()
 
     writer = events.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir
