@@ -282,7 +282,8 @@ def _q_doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKEN_COUNT_SQL = r"""
 SELECT doc_id,
-       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
        length(text) AS n_chars_calc
 FROM documents
 """
@@ -302,7 +303,8 @@ def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUALITY_SQL = r"""
 WITH base AS (
   SELECT doc_id,
-         regexp_split_to_array(trim(text), '\s+') AS toks,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
          length(text) AS nc,
          length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
          len(regexp_extract_all(text, '\b(the|and|of|to|is|a)\b')) AS nstop
@@ -473,7 +475,8 @@ def _q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QUALITY_FILTER_SQL = r"""
 WITH base AS (
   SELECT doc_id, lang, source,
-         regexp_split_to_array(trim(text), '\s+') AS toks,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
          length(text) AS nc,
          length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
          len(regexp_extract_all(text, '\b(the|and|of|to|is|a)\b')) AS nstop

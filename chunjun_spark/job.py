@@ -19,7 +19,7 @@ from __future__ import annotations
 import time
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import types as T
 
 from chunjun_spark.config import JobConfig
@@ -168,14 +168,14 @@ def _write_file(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
         w.orc(p["path"])
     else:
         w.parquet(p["path"])
-    metrics["numWrite"] = metrics.get("numRead", 0)
+    # numWrite defaults to the observed numRead in run_job (pass-through sink)
 
 
 def _write_stream_mock(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
     """streamwriter: noop sink used for speed tests / assertions
     (StreamOutputFormat.java:44-95; Main.java:214-227 speed harness)."""
     df.write.format("noop").mode("overwrite").save()
-    metrics["numWrite"] = metrics.get("numRead", 0)
+    # numWrite defaults to the observed numRead in run_job (pass-through sink)
 
 
 WRITERS = {
@@ -200,6 +200,22 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
         # realtime path: binlog dir → Structured Streaming foreachBatch
         p = cfg.reader.parameter
         wp = cfg.writer.parameter
+        # create the sink table on demand (the batch path's _write_lake
+        # does this; the stream's apply_batch only load()s) so a fresh
+        # machine can run examples/binlog_stream_to_lake.json directly,
+        # honoring the writer's pk/nBuckets
+        try:
+            LakeTable.load(spark, wp["path"])
+        except FileNotFoundError:
+            from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA
+
+            LakeTable.create(
+                spark,
+                wp["path"],
+                PAYLOAD_SCHEMA,
+                pk=wp.get("pk") or ["repo", "path"],
+                n_buckets=int(wp.get("nBuckets", 16)),
+            )
         run_stream_to_completion(
             spark,
             binlog_dir=p["path"],
@@ -243,23 +259,33 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
         rules = [null_pk_rule(pk or df.columns[:1])]
         df, dirty = split_dirty(df, rules)
         if cfg.dirty.path:
+            # count THIS run's dirty rows via an observation on the append
+            # action — never by re-reading the (cumulative, shared) dirty
+            # directory, which would inherit prior jobs' error counts
+            obs_dirty = Observation()
+            dirty = dirty.observe(obs_dirty, F.count(F.lit(1)).alias("n"))
             dirty.write.mode("append").parquet(cfg.dirty.path)
-            n_dirty = (
-                spark.read.parquet(cfg.dirty.path).count()
-            )
+            n_dirty = int(obs_dirty.get["n"])
         else:
             n_dirty = dirty.count()
+        # absolute record limit is checkable before the main write — kill
+        # early like the reference's mid-run ErrorLimiter
+        check_error_limit(n_dirty, 0, max_errors=cfg.error_limit.record)
 
-    num_read = df.count()
+    # numRead rides the writer's action as an observed metric — the source
+    # is scanned exactly once (a prior df.count() here doubled job cost)
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("numRead"))
+    writer(df, cfg, metrics)
+    num_read = int(obs.get["numRead"])
     metrics["numRead"] = num_read
+    metrics.setdefault("numWrite", num_read)
     check_error_limit(
         n_dirty,
         num_read + n_dirty,
         max_errors=cfg.error_limit.record,
         max_ratio=cfg.error_limit.percentage,
     )
-
-    writer(df, cfg, metrics)
     metrics.update(
         {
             "nErrors": n_dirty,

@@ -45,6 +45,7 @@ def keep_last(
     pk: list[str],
     order: tuple[str, ...] = ("op_ts", "seq"),
     broadcast_winner_rows: int = 20_000_000,
+    checkpoint_input: bool = False,
 ) -> DataFrame:
     """Reduce to one row per pk — the max by lexicographic (order...).
 
@@ -61,12 +62,22 @@ def keep_last(
        id tiebreak also collapses exact duplicate re-deliveries (same
        (op_ts, seq) delivered twice) to exactly one physical row.
 
-    Requires a deterministic input (parquet/file scan, range, replayed
-    offsets): the tag must be identical across the two traversals of
-    ``df`` inside one action — true for all engine sources.
+    DETERMINISM CONTRACT: the input plan is traversed twice (the winner
+    aggregation action, then the semi-join inside the caller's action) and
+    the row tag must be identical across both. That holds for every
+    deterministic plan — parquet/file scans, ``range``, replayed offsets,
+    i.e. all engine sources — but is silently WRONG for non-deterministic
+    inputs (``rand()``/``sample()``, round-robin ``repartition()``,
+    speculatively re-executed flaky sources): a winner id absent from the
+    second traversal drops that key entirely. Callers that accept
+    arbitrary user frames must pass ``checkpoint_input=True``, which
+    materializes the tagged rows once (``localCheckpoint``) so both
+    traversals read the same physical rows. ``LakeTable.merge`` does.
     """
     rid = "_cj_rid"
     tagged = df.withColumn(rid, F.monotonically_increasing_id())
+    if checkpoint_input:
+        tagged = tagged.localCheckpoint(eager=True)
     packed = F.struct(*[F.col(c) for c in order], F.col(rid))
     wins = (
         tagged.groupBy(*pk)

@@ -52,7 +52,7 @@ import time
 import uuid
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import types as T
 
 from chunjun_spark.operators.dedup import keep_last
@@ -398,7 +398,13 @@ class LakeTable:
 
         ch = self._prep_changes(changes)
         if not assume_unique_keys:
-            ch = keep_last(ch, pk=self.pk, order=(VTS_COL, VSEQ_COL))
+            # checkpoint_input: merge accepts arbitrary caller frames, and
+            # keep_last's two-traversal row tag silently drops keys on a
+            # non-deterministic input plan (rand/sample/round-robin); the
+            # materialization pins one physical row set for both traversals
+            ch = keep_last(
+                ch, pk=self.pk, order=(VTS_COL, VSEQ_COL), checkpoint_input=True
+            )
         # materialize ONCE as plain rows (localCheckpoint), never .cache():
         # the columnar cache builder re-encodes the multi-KB payload
         # strings and dominates the whole merge when the heap is large
@@ -490,8 +496,13 @@ class LakeTable:
         ch = self._prep_changes(changes)
         m = self._next_manifest()
         rel = os.path.join("data", f"v{m['version']}-delta")
+        # row count rides the write action as an observed metric — a prior
+        # re-read of the just-written delta cost one extra delta-sized scan
+        # per micro-batch
+        obs = Observation()
+        ch = ch.observe(obs, F.count(F.lit(1)).alias("n"))
         ch.write.mode("overwrite").parquet(os.path.join(self.root, rel))
-        n = self.spark.read.parquet(os.path.join(self.root, rel)).count()
+        n = int(obs.get["n"])
         m["deltas"].append(
             {"path": rel, "schema_version": m["schema_version"], "batch_id": batch_id}
         )

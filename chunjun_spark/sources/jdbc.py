@@ -101,7 +101,9 @@ def build_select(
     cols = ", ".join(columns) if columns else "*"
     if constants:
         const_cols = ", ".join(f"'{v}' AS {k}" for k, v in constants.items())
-        cols = f"{cols}, {const_cols}" if cols != "*" else const_cols
+        # '*' keeps the base projection — constants are ADDED columns
+        # (MetaColumn.value augments, never replaces, the source schema)
+        cols = f"{cols}, {const_cols}"
     sql = f"SELECT {cols} FROM {table} WHERE 1=1"
     if where:
         sql += f" AND ({where})"

@@ -90,3 +90,9 @@ def test_jdbc_reader_options_strategies():
     assert unbounded["predicates"] is not None
     assert len(unbounded["predicates"]) == 4
     assert all("(v > 0)" in p for p in unbounded["predicates"])
+
+
+def test_build_select_star_keeps_base_projection():
+    # '*' + constants must keep the base projection (ADVICE r1)
+    sql = build_select("t", None, constants={"src": "x"})
+    assert sql == "SELECT *, 'x' AS src FROM t WHERE 1=1"

@@ -176,3 +176,114 @@ def test_error_limit_tolerates_under_threshold(spark, tmp_root):
     m = run_job(spark, cfg)
     assert m["numRead"] == 99
     assert m["nErrors"] == 1
+
+
+def test_dirty_count_is_per_run(spark, tmp_root):
+    """nErrors must count THIS job's dirty rows only, even when several
+    jobs append to one shared dirty path (VERDICT r1 defect #1)."""
+    dirty_path = os.path.join(tmp_root, "shared_dirty")
+
+    def job_cfg(src):
+        return {
+            "job": {
+                "content": [
+                    {
+                        "reader": {"name": "hdfsreader", "parameter": {"path": src}},
+                        "writer": {"name": "streamwriter", "parameter": {"pk": ["k"]}},
+                    }
+                ],
+                "setting": {
+                    "errorLimit": {"record": 50},
+                    "dirty": {"path": dirty_path},
+                },
+            }
+        }
+
+    src1 = os.path.join(tmp_root, "s1")
+    spark.sql(
+        "select case when id < 40 then null else id end as k, id as v from range(100)"
+    ).write.parquet(src1)
+    m1 = run_job(spark, job_cfg(src1))
+    assert m1["nErrors"] == 40
+
+    src2 = os.path.join(tmp_root, "s2")
+    spark.sql(
+        "select case when id < 3 then null else id end as k, id as v from range(100)"
+    ).write.parquet(src2)
+    m2 = run_job(spark, job_cfg(src2))
+    # before the fix this was 43 (directory count) and, worse, 40+40 would
+    # trip the record limit spuriously
+    assert m2["nErrors"] == 3
+    # the side table still accumulates across runs (reference behavior)
+    assert spark.read.parquet(dirty_path).count() == 43
+
+
+def test_job_reads_source_exactly_once(spark, tmp_root):
+    """numRead rides the write action via observe — no second full scan
+    (VERDICT r1 defect #2)."""
+    src = os.path.join(tmp_root, "once_src")
+    dst = os.path.join(tmp_root, "once_dst")
+    spark.range(1000).selectExpr("id as k", "id * 2 as v").write.parquet(src)
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {"name": "hdfsreader", "parameter": {"path": src}},
+                    "writer": {
+                        "name": "parquetwriter",
+                        "parameter": {"path": dst, "writeMode": "overwrite"},
+                    },
+                }
+            ]
+        }
+    }
+    sc = spark.sparkContext
+    sc.setJobGroup("once-test", "single-scan assertion")
+    try:
+        m = run_job(spark, cfg)
+    finally:
+        sc.setJobGroup(None, None)
+    assert m["numRead"] == 1000 and m["numWrite"] == 1000
+    jobs = sc.statusTracker().getJobIdsForGroup("once-test")
+    # one Spark job = the write action (plus at most a listing job);
+    # the pre-fix runner launched a separate count() job as well
+    assert len(jobs) <= 2, f"expected a single-action job, saw {len(jobs)} jobs"
+
+
+def test_stream_job_creates_fresh_sink(spark, tmp_root):
+    """The streaming branch must create the lake table on demand with the
+    writer's pk/nBuckets (ADVICE r1: fresh machine ran into
+    FileNotFoundError on the first micro-batch)."""
+    from chunjun_spark.sources.binlog import generate_binlog
+
+    binlog_dir = os.path.join(tmp_root, "segments")
+    lake = os.path.join(tmp_root, "stream_lake")
+    generate_binlog(spark, n_events=500, seed=3, n_partitions=2).write.parquet(
+        binlog_dir
+    )
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {"name": "binlogreader", "parameter": {"path": binlog_dir}},
+                    "writer": {
+                        "name": "lakewriter",
+                        "parameter": {"path": lake, "pk": ["repo", "path"],
+                                      "nBuckets": 4, "mode": "cow"},
+                    },
+                }
+            ],
+            "setting": {
+                "restore": {
+                    "isStream": True,
+                    "isRestore": True,
+                    "checkpointDir": os.path.join(tmp_root, "ckpt"),
+                }
+            },
+        }
+    }
+    m = run_job(spark, cfg)
+    assert m["numRead"] == 500
+    table = LakeTable.load(spark, lake)
+    assert table.n_buckets == 4
+    assert table.read().count() > 0

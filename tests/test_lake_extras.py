@@ -101,3 +101,38 @@ def test_streaming_auto_compact(spark, tmp_root):
     a = {tuple(r) for r in t.read().collect()}
     b = {tuple(r) for r in LakeTable.load(spark, root2).read().collect()}
     assert a == b
+
+
+def test_merge_nondeterministic_input_drops_no_keys(spark, tmp_root):
+    """keep_last's two-traversal row tag is fenced by checkpoint_input in
+    merge: a non-deterministic input plan (orderBy(rand()) reshuffles
+    differently per traversal) must not silently drop keys (ADVICE r1)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    from chunjun_spark.plans.lake import LakeTable
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(tmp_root, "nd_lake"), schema, pk=["k"], n_buckets=4
+    )
+    changes = (
+        spark.range(0, 2000)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+            F.lit("UPSERT").alias("_op"),
+            F.timestamp_millis(F.lit(1_700_000_000_000) + F.col("id")).alias("_vts"),
+            F.col("id").alias("_vseq"),
+        )
+        # unseeded rand: a genuinely non-deterministic plan — each
+        # traversal materializes a different row order / partitioning
+        .orderBy(F.rand())
+        .repartition(8)
+    )
+    table.merge(changes, batch_id="nd-1")
+    got = table.refresh().read()
+    assert got.count() == 2000
+    assert got.filter(F.col("v").isNull()).count() == 0
