@@ -172,3 +172,67 @@ def test_pairwise_blocked_matches_expression(vecs):
         for r in ANN.pairwise_above_blocked(vecs, threshold=0.9).collect()
     }
     assert exact == blocked
+
+
+def test_pairwise_blockpairs_matches_expression(vecs):
+    """The distributed block-pair gemm (no collect, no broadcast) is EXACT:
+    identical pair set + 9-decimal sims vs the expression cross-join."""
+    exact = {
+        (r["id_a"], r["id_b"], round(r["sim"], 9))
+        for r in ANN.pairwise_above(vecs, threshold=0.9).collect()
+    }
+    bp = {
+        (r["id_a"], r["id_b"], round(r["sim"], 9))
+        for r in ANN.pairwise_above_blockpairs(
+            vecs, threshold=0.9, n_blocks=4
+        ).collect()
+    }
+    assert exact == bp
+    # degenerate single-block case too
+    bp1 = {
+        (r["id_a"], r["id_b"], round(r["sim"], 9))
+        for r in ANN.pairwise_above_blockpairs(
+            vecs, threshold=0.9, n_blocks=1
+        ).collect()
+    }
+    assert exact == bp1
+
+
+def test_pairwise_bucketed_recall_and_precision(vecs):
+    """LSH-bucketed near-dup: every reported pair is a true pair with the
+    exact sim (precision 1 — sims come from real gemms), and recall on
+    well-separated clusters is high."""
+    exact = {
+        (r["id_a"], r["id_b"], round(r["sim"], 9))
+        for r in ANN.pairwise_above(vecs, threshold=0.9).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"], round(r["sim"], 9))
+        for r in ANN.pairwise_above_bucketed(
+            vecs, threshold=0.9, dim=4, n_planes=4, multiprobe=1
+        ).collect()
+    }
+    assert got <= exact  # no false pairs, sims exact
+    assert len(got) >= 0.8 * len(exact)  # recall bound
+
+
+def test_ann_pruned_store_matches_query_time_lsh(vecs, tmp_root):
+    """The partitioned store probe returns exactly the query-time LSH
+    result (same planes/seed ⇒ same candidate set), and the probe scan
+    partition-prunes (PartitionFilters carries bucket IN)."""
+    import os
+
+    q = [1.0, 0.1, 0.1, 0.0]
+    store = os.path.join(tmp_root, "annstore")
+    ANN.write_bucketed_embeddings(vecs, store, dim=4, n_planes=4)
+    spark = vecs.sparkSession
+    pruned = ANN.ann_topk_pruned(spark, store, q, k=5, dim=4, n_planes=4,
+                                 multiprobe=1)
+    qtime = ANN.ann_topk_lsh(vecs, q, k=5, n_planes=4, multiprobe=1)
+    got = [(r["vec_id"], round(r["sim"], 9)) for r in pruned.collect()]
+    want = [(r["vec_id"], round(r["sim"], 9)) for r in qtime.collect()]
+    assert got == want
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [bucket" in plan and " IN (" in plan
