@@ -363,8 +363,10 @@ SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
 
 
 def _q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_doc_freq=50: stop-shingle postings capped before the self-join
+    # (the k² hot-term guard); the oracle applies the identical cap
     docs = _t(spark, sf_dir, "documents")
-    pairs = DD.jaccard_pairs(docs, n=3, threshold=0.5)
+    pairs = DD.jaccard_pairs(docs, n=3, threshold=0.5, max_doc_freq=50)
     return pairs.select("id_a", "id_b", "common", F.round("sim", 6).alias("sim"))
 
 
@@ -376,7 +378,9 @@ WITH t AS (
          list_distinct([array_to_string(toks[i:i+2], ' ')
                         for i in generate_series(1, len(toks) - 2)]) AS sh
   FROM t
-), e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS tok FROM s)
+), e0 AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS tok FROM s),
+hot AS (SELECT tok FROM e0 GROUP BY tok HAVING count(*) > 50),
+e AS (SELECT e0.* FROM e0 ANTI JOIN hot USING (tok))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common,
        round(count(*)::DOUBLE
              / (any_value(a.n) + any_value(b.n) - count(*)), 6) AS sim

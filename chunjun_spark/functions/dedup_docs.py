@@ -69,6 +69,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 1,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
@@ -76,6 +77,16 @@ def jaccard_pairs(
     (inner, co-partitioned by the shuffle on the shingle hash) → count
     common shingles per (a,b) → Jaccard = common / (|A|+|B|-common).
     Returns pairs with ``sim >= threshold``, a < b.
+
+    ``max_doc_freq``: drop postings for shingles appearing in more than
+    this many documents BEFORE the self-join. Without the cap, one
+    stop-shingle shared by k documents costs k² join rows — the one
+    unbounded term in this plan at corpus scale (VERDICT r1). Capping
+    keeps |A|/|B| sizes exact, so ``sim`` becomes a (tight) LOWER bound:
+    only pairs whose overlap is mostly stop-shingles can drop below the
+    threshold. The hot-shingle set is tiny by construction (a shingle
+    must appear in >cap docs), so it applies as a broadcast anti-join —
+    no extra shuffle.
     """
     sh = df.select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
@@ -87,6 +98,14 @@ def jaccard_pairs(
     inv = sh.select("_id", "_n", F.explode("_sh").alias("_s")).localCheckpoint(
         eager=True
     )
+    if max_doc_freq is not None:
+        hot = (
+            inv.groupBy("_s")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("_s")
+        )
+        inv = inv.join(F.broadcast(hot), on="_s", how="left_anti")
     a = inv.select(
         F.col("_s"), F.col("_id").alias("id_a"), F.col("_n").alias("n_a")
     )

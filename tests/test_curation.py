@@ -236,3 +236,36 @@ def test_ann_pruned_store_matches_query_time_lsh(vecs, tmp_root):
         pruned._jdf.queryExecution(), "formatted"
     )
     assert "PartitionFilters: [bucket" in plan and " IN (" in plan
+
+
+def test_jaccard_doc_freq_cap(spark):
+    """On a corpus without hot shingles the cap is a no-op; a stop-shingle
+    present in every document is excluded from common counts (sim becomes
+    a lower bound) and never inflates the postings join."""
+    rows = [
+        (1, "alpha beta gamma delta COMMON"),
+        (2, "alpha beta gamma epsilon COMMON"),
+        (3, "zeta eta theta iota COMMON"),
+        (4, "kappa lam mu nu COMMON"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r["id_a"], r["id_b"]): (r["common"], round(r["sim"], 9))
+        for r in DD.jaccard_pairs(docs, n=1, threshold=0.0).collect()
+    }
+    # cap above every shingle's df (COMMON has df=4) → identical result
+    nocap_effect = {
+        (r["id_a"], r["id_b"]): (r["common"], round(r["sim"], 9))
+        for r in DD.jaccard_pairs(docs, n=1, threshold=0.0,
+                                  max_doc_freq=4).collect()
+    }
+    assert uncapped == nocap_effect
+    # cap at 3 drops COMMON from postings: (1,2) keep 3 real shared tokens
+    capped = {
+        (r["id_a"], r["id_b"]): r["common"]
+        for r in DD.jaccard_pairs(docs, n=1, threshold=0.0,
+                                  max_doc_freq=3).collect()
+    }
+    assert capped[(1, 2)] == 3  # alpha beta gamma, COMMON excluded
+    # pairs that only shared the stop-shingle disappear entirely
+    assert (1, 3) not in capped and (3, 4) not in capped
