@@ -250,6 +250,103 @@ FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
 """
 
 
+def _q_cdc_paved_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's default flattened wire format: before_*/after_*
+    top-level columns (pavingData=true, BinlogEventSink.java:116-131)."""
+    from chunjun_spark.sources.changelog import pave
+
+    ev = _t(spark, sf_dir, "events")
+    paved = pave(events_changelog(ev))
+    return paved.select(
+        "op",
+        "seq",
+        "before_user_id",
+        "after_user_id",
+        "after_event_type",
+        F.round("after_value", 6).alias("after_value"),
+    )
+
+
+_PAVED_SQL = """
+SELECT CASE WHEN event_type = 'signup' THEN 'INSERT'
+            WHEN event_type = 'error' THEN 'DELETE'
+            ELSE 'UPDATE' END AS op,
+       event_id AS seq,
+       CASE WHEN event_type = 'error' THEN user_id END AS before_user_id,
+       CASE WHEN event_type <> 'error' THEN user_id END AS after_user_id,
+       CASE WHEN event_type <> 'error' THEN event_type END AS after_event_type,
+       CASE WHEN event_type <> 'error' THEN round(value, 6) END AS after_value
+FROM events
+"""
+
+
+def _q_incremental_poll_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval polling end-to-end (JdbcInputFormat.java:181-227,842-960):
+    half the events land in a live Derby table, the poller drains them in
+    a pinned (start, end] window, MORE rows arrive between polls, the
+    poller catches up — the union of all polled windows must equal the
+    full table (the DuckDB oracle reads events directly)."""
+    import uuid
+
+    from chunjun_spark.sources.jdbc_live import (
+        DERBY_DRIVER,
+        execute_sql,
+        poll_incremental,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("EVENT_ID"),
+        F.col("user_id").alias("USER_ID"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("TS_MS"),
+        F.col("event_type").alias("EVENT_TYPE"),
+        F.col("value").alias("VALUE"),
+    )
+    mid = ev.agg(F.expr("percentile_approx(EVENT_ID, 0.5)")).head()[0]
+    url = f"jdbc:derby:memory:poll{uuid.uuid4().hex[:12]};create=true"
+    execute_sql(
+        spark, url,
+        ["CREATE TABLE src (event_id BIGINT PRIMARY KEY, user_id BIGINT, "
+         "ts_ms BIGINT, event_type VARCHAR(64), value DOUBLE)"],
+        driver=DERBY_DRIVER,
+    )
+    props = {"driver": DERBY_DRIVER, "batchsize": "5000"}
+    ev.filter(F.col("EVENT_ID") <= mid).write.jdbc(
+        url, "src", mode="append", properties=props
+    )
+    windows: list[DataFrame] = []
+
+    def apply_batch(df: DataFrame, state: dict) -> None:
+        windows.append(df)
+        if len(windows) == 1:  # late rows arrive between polls
+            ev.filter(F.col("EVENT_ID") > mid).write.jdbc(
+                url, "src", mode="append", properties=props
+            )
+
+    poll_incremental(
+        spark, url, "src", inc_column="event_id", inc_type="bigint",
+        start_location=-1, apply_batch=apply_batch, driver=DERBY_DRIVER,
+        poll_interval_sec=0.05, max_empty_polls=1, n_channels=4,
+        split_column="event_id",
+    )
+    out = windows[0]
+    for w in windows[1:]:
+        out = out.unionByName(w)
+    return out.select(
+        F.col("EVENT_ID").alias("event_id"),
+        F.col("USER_ID").alias("user_id"),
+        F.col("TS_MS").alias("ts_ms"),
+        F.col("EVENT_TYPE").alias("event_type"),
+        F.round("VALUE", 6).alias("value"),
+    )
+
+
+_POLL_CATCHUP_SQL = """
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, event_type,
+       round(value, 6) AS value
+FROM events
+"""
+
+
 # ------------------------------------------------- text / dedup curation
 
 _NORM_SQL = (
@@ -620,6 +717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dirty_classify": _q_dirty_classify,
         "offset_lineage": _q_offset_lineage,
         "projection_filter": _q_projection_filter,
+        "incremental_poll_catchup": _q_incremental_poll_catchup,
+        "cdc_paved_events": _q_cdc_paved_events,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,
         "doc_quality": _q_doc_quality,
@@ -657,6 +756,8 @@ def oracle_sql() -> dict[str, str]:
         "dirty_classify": _DIRTY_SQL,
         "offset_lineage": _OFFSET_LINEAGE_SQL,
         "projection_filter": _PROJECTION_SQL,
+        "incremental_poll_catchup": _POLL_CATCHUP_SQL,
+        "cdc_paved_events": _PAVED_SQL,
         "doc_exact_dedup": _EXACT_DEDUP_SQL,
         "doc_token_count": _TOKEN_COUNT_SQL,
         "doc_quality": _QUALITY_SQL,

@@ -113,12 +113,98 @@ def _read_file(spark: SparkSession, cfg: JobConfig) -> DataFrame:
     return df
 
 
+def _jdbc_conn_params(p: dict) -> dict:
+    """Accept both the flat shape ({url, table}) and the reference's
+    nested one ({connection: [{jdbcUrl: [...], table: [...]}]},
+    ReaderConfig/PluginUtil convention)."""
+    if "connection" in p:
+        c = p["connection"][0]
+        url = c["jdbcUrl"][0] if isinstance(c["jdbcUrl"], list) else c["jdbcUrl"]
+        table = c["table"][0] if isinstance(c["table"], list) else c["table"]
+    else:
+        url, table = p["url"], p["table"]
+    return {
+        "url": url,
+        "table": table,
+        "driver": p.get("driver"),
+        "user": p.get("username"),
+        "password": p.get("password"),
+    }
+
+
+def _read_jdbc(spark: SparkSession, cfg: JobConfig) -> DataFrame:
+    """jdbcreader: live ``spark.read.jdbc`` with the reference's split /
+    incremental plan (JdbcInputFormat.java:230-295; splits spliced like
+    QuerySqlBuilder). Column projection comes from the MetaColumn list;
+    increColumn/startLocation pin an end location before the scan."""
+    from chunjun_spark.sources.jdbc_live import read_jdbc
+
+    p = cfg.reader.parameter
+    conn = _jdbc_conn_params(p)
+    cols = [mc.name for mc in cfg.reader.columns if mc.value is None] or None
+    df, state = read_jdbc(
+        spark,
+        conn["url"],
+        conn["table"],
+        driver=conn["driver"],
+        user=conn["user"],
+        password=conn["password"],
+        columns=cols,
+        where=p.get("where"),
+        split_column=p.get("splitPk"),
+        n_channels=max(1, cfg.speed.channel),
+        fetch_size=int(p.get("fetchSize", 1000)),
+        inc_column=p.get("increColumn"),
+        inc_type=p.get("increColumnType", "bigint"),
+        start_location=p.get("startLocation"),
+        use_max_func=bool(p.get("useMaxFunc", True)),
+    )
+    cfg.reader.parameter["_state"] = state  # endLocation for lineage
+    return df
+
+
+def _write_jdbc(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
+    """jdbcwriter: insert → distributed append; upsert/replace → staged
+    bulk load + set-based driver upsert (JdbcOutputFormat.java:290-334).
+    preSql/postSql run once around the write — the driver is the
+    reference's all-channels latch (BaseRichOutputFormat.java:648-660)."""
+    from chunjun_spark.sources.jdbc_live import execute_sql, write_jdbc
+
+    p = cfg.writer.parameter
+    conn = _jdbc_conn_params(p)
+    common = {
+        "driver": conn["driver"],
+        "user": conn["user"],
+        "password": conn["password"],
+    }
+    if p.get("preSql"):
+        execute_sql(df.sparkSession, conn["url"], list(p["preSql"]), **common)
+    write_jdbc(
+        df,
+        conn["url"],
+        conn["table"],
+        mode=p.get("writeMode", "insert"),
+        pk=p.get("updateKey") or p.get("pk"),
+        batch_size=int(p.get("batchSize", 1000)),
+        staging_table=p.get("stagingTable"),
+        **common,
+    )
+    if p.get("postSql"):
+        execute_sql(df.sparkSession, conn["url"], list(p["postSql"]), **common)
+
+
 READERS = {
     "streamreader": _read_stream_mock,
     "binlogreader": _read_binlog,
     "hdfsreader": _read_file,
     "filereader": _read_file,
     "parquetreader": _read_file,
+    # live JDBC family — one capability class, many reference plugin names
+    "jdbcreader": _read_jdbc,
+    "mysqlreader": _read_jdbc,
+    "postgresqlreader": _read_jdbc,
+    "oraclereader": _read_jdbc,
+    "sqlserverreader": _read_jdbc,
 }
 
 # ------------------------------------------------------------------ sinks
@@ -184,6 +270,11 @@ WRITERS = {
     "filewriter": _write_file,
     "parquetwriter": _write_file,
     "streamwriter": _write_stream_mock,
+    "jdbcwriter": _write_jdbc,
+    "mysqlwriter": _write_jdbc,
+    "postgresqlwriter": _write_jdbc,
+    "oraclewriter": _write_jdbc,
+    "sqlserverwriter": _write_jdbc,
 }
 
 
@@ -286,6 +377,10 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
         max_errors=cfg.error_limit.record,
         max_ratio=cfg.error_limit.percentage,
     )
+    state = cfg.reader.parameter.get("_state") or {}
+    if "endLocation" in state:
+        # incremental offset for the next run (restore/startLocation)
+        metrics["endLocation"] = state["endLocation"]
     metrics.update(
         {
             "nErrors": n_dirty,

@@ -55,6 +55,54 @@ def to_changelog(
     )
 
 
+def pave(df: DataFrame, payload_fields: list[str] | None = None) -> DataFrame:
+    """Flatten nested ``before``/``after`` structs into top-level
+    ``before_x``/``after_x`` columns — the reference's DEFAULT wire format
+    (pavingData=true, BinlogEventSink.java:116-131; the nested form this
+    engine carries internally is its pavingData=false shape).
+
+    Pure projection: codegen-only, zero shuffle; parquet column pruning
+    still works because struct-field access prunes to the member.
+    """
+    fields = payload_fields or [
+        f.name for f in df.schema["after"].dataType.fields
+    ]
+    others = [c for c in df.columns if c not in ("before", "after")]
+    return df.select(
+        *others,
+        *[F.col(f"before.{f}").alias(f"before_{f}") for f in fields],
+        *[F.col(f"after.{f}").alias(f"after_{f}") for f in fields],
+    )
+
+
+def unpave(df: DataFrame, payload_fields: list[str] | None = None) -> DataFrame:
+    """Inverse of ``pave``: rebuild the nested ``before``/``after``
+    structs. A side whose members are all NULL collapses to a NULL struct
+    (matching ``to_changelog``: DELETE carries only ``before``, data
+    events only ``after``)."""
+    fields = payload_fields or [
+        c[len("before_"):] for c in df.columns if c.startswith("before_")
+    ]  # column order preserved so pave→unpave is schema-identical
+    others = [
+        c
+        for c in df.columns
+        if not (c.startswith("before_") or c.startswith("after_"))
+    ]
+
+    def _side(prefix: str) -> Column:
+        struct = F.struct(
+            *[F.col(f"{prefix}_{f}").alias(f) for f in fields]
+        )
+        any_set = F.lit(False)
+        for f in fields:
+            any_set = any_set | F.col(f"{prefix}_{f}").isNotNull()
+        return F.when(any_set, struct)
+
+    return df.select(
+        *others, _side("before").alias("before"), _side("after").alias("after")
+    )
+
+
 def events_changelog(events: DataFrame) -> DataFrame:
     """The driver's ``events`` table (event_id, ts, user_id, event_type,
     value, props) viewed as a CDC changelog keyed by user_id.

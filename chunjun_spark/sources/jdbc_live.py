@@ -1,0 +1,363 @@
+"""Live JDBC execution path: real reads via ``spark.read.jdbc`` and real
+set-based writes (staged bulk load + driver-side upsert SQL).
+
+Reference analog: the reader opens a connection, splices the split /
+incremental / restore predicates into the query and streams rows
+(flinkx-rdb/flinkx-rdb-reader/.../JdbcInputFormat.java:230-295); the
+writer batches rows and executes per-mode INSERT/REPLACE/UPDATE
+statements (JdbcOutputFormat.java:145-215,290-334); preSql/postSql run
+once around the whole job behind an all-channels latch
+(BaseRichOutputFormat.java:648-660, flinkx-core/.../latch/LocalLatch.java).
+
+Spark translation — set-based, not row-at-a-time:
+- READ: ``spark.read.jdbc`` with the option/predicate plan from
+  ``jdbc_reader_options`` (mod predicates or native partitionColumn
+  ranges); each predicate is one partition/task, so "channels" are scan
+  partitions. Incremental bounds are pinned BEFORE the read by a scalar
+  ``SELECT MAX(col)`` (useMaxFunc, JdbcInputFormat.java:367-514) so rows
+  arriving mid-scan can't tear the window.
+- WRITE insert: ``df.write.jdbc(mode=append)`` — distributed, batched
+  (the executors hold the connections, like the reference's channels).
+- WRITE upsert/replace: bulk-load a staging table distributed, then ONE
+  set-based driver-side upsert (UPDATE..WHERE EXISTS + INSERT..WHERE NOT
+  EXISTS — portable ANSI; a MERGE variant for dialects whose MERGE is
+  sound). This is what the reference's per-row "ON DUPLICATE KEY" loop
+  becomes in a set-based engine: same final state, one round-trip.
+- preSql/postSql: Spark's driver IS the reference's latch barrier — they
+  execute exactly once before the first / after the last write task.
+
+Tested end-to-end against the embedded Apache Derby that ships in
+pyspark's jars (same JVM as the executors, so ``jdbc:derby:memory:`` is
+visible to every task). NOTE: Derby's own MERGE statement corrupts reads
+of Spark-written pages (measured: ERROR XSDA7), hence the portable
+two-statement upsert as the default strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from chunjun_spark.sources.jdbc import (
+    incremental_clause,
+    jdbc_reader_options,
+    render_literal,
+)
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+# ----------------------------------------------------------- driver-side SQL
+
+def _connection(spark: SparkSession, url: str, driver: str | None = None,
+                user: str | None = None, password: str | None = None):
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    if user is not None:
+        return jvm.java.sql.DriverManager.getConnection(url, user, password or "")
+    return jvm.java.sql.DriverManager.getConnection(url)
+
+
+def execute_sql(
+    spark: SparkSession,
+    url: str,
+    statements: list[str],
+    driver: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+) -> list[int]:
+    """Run statements once on the driver (preSql/postSql, DDL, upserts) —
+    the all-writers latch analog (BaseRichOutputFormat.java:648-660).
+    Returns each statement's update count (-1 for non-DML)."""
+    conn = _connection(spark, url, driver, user, password)
+    counts = []
+    try:
+        st = conn.createStatement()
+        for sql in statements:
+            try:
+                counts.append(st.executeUpdate(sql))
+            except Exception:
+                # some drivers refuse executeUpdate for DDL/queries
+                st.execute(sql)
+                counts.append(-1)
+        conn.commit()
+    finally:
+        conn.close()
+    return counts
+
+
+def query_scalar(
+    spark: SparkSession,
+    url: str,
+    sql: str,
+    driver: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+):
+    """One-row-one-column query on the driver — end-location pinning
+    (``SELECT MAX(inc_col)``, JdbcInputFormat.java:367-514)."""
+    conn = _connection(spark, url, driver, user, password)
+    try:
+        rs = conn.createStatement().executeQuery(sql)
+        return rs.getObject(1) if rs.next() else None
+    finally:
+        conn.close()
+
+
+# ------------------------------------------------------------------- read
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    columns: list[str] | None = None,
+    where: str | None = None,
+    split_column: str | None = None,
+    n_channels: int = 1,
+    fetch_size: int = 1000,
+    lower: int | None = None,
+    upper: int | None = None,
+    inc_column: str | None = None,
+    inc_type: str = "bigint",
+    start_location=None,
+    use_max_func: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Execute the read plan from ``jdbc_reader_options`` and return
+    (DataFrame, state) where state carries the pinned ``endLocation`` for
+    offset lineage / the next incremental run.
+
+    The WHERE pieces (user filter, incremental window, split predicate)
+    are spliced into the JDBC-side query exactly like QuerySqlBuilder —
+    they run IN the database, not as a post-scan Spark filter.
+    """
+    state: dict = {}
+    clauses = []
+    if where:
+        clauses.append(f"({where})")
+    if inc_column is not None and start_location is not None:
+        end = None
+        if use_max_func:
+            end_raw = query_scalar(
+                spark, url, f"SELECT MAX({inc_column}) FROM {table}",
+                driver, user, password,
+            )
+            if end_raw is not None:
+                # window is (start, end]: pin end BEFORE the scan so rows
+                # arriving mid-read can't tear it
+                state["endLocation"] = end_raw
+                clauses.append(
+                    "(" + incremental_clause(inc_column, inc_type, start_location)
+                    + f" AND {inc_column} <= {render_literal(end_raw, inc_type)})"
+                )
+                end = end_raw
+        if end is None:
+            clauses.append(
+                "(" + incremental_clause(inc_column, inc_type, start_location) + ")"
+            )
+    full_where = " AND ".join(clauses) if clauses else None
+
+    plan = jdbc_reader_options(
+        url, table, split_column=split_column, n_channels=n_channels,
+        fetch_size=fetch_size, where=full_where, lower=lower, upper=upper,
+    )
+    props = {"fetchsize": str(fetch_size)}
+    if driver:
+        props["driver"] = driver
+    if user is not None:
+        props["user"] = user
+        props["password"] = password or ""
+    if plan["predicates"] is not None:
+        df = spark.read.jdbc(url, table, predicates=plan["predicates"],
+                             properties=props)
+    else:
+        opts = dict(plan["options"])
+        opts.pop("url", None)
+        opts.pop("dbtable", None)
+        reader = spark.read.format("jdbc").option("url", url).option(
+            "dbtable", table
+        )
+        for k, v in {**opts, **props}.items():
+            reader = reader.option(k, v)
+        df = reader.load()
+        if full_where and "partitionColumn" in plan["options"]:
+            # native range split can't carry a custom WHERE — apply it as
+            # a pushed filter (Catalyst pushes simple predicates to JDBC)
+            df = df.filter(full_where)
+    if columns:
+        df = df.select(*columns)
+    if full_where and plan["predicates"] is None and "partitionColumn" not in plan["options"]:
+        df = df.filter(full_where)
+    return df, state
+
+
+# ------------------------------------------------------------------ write
+
+def _staging_types(df: DataFrame, varchar_len: int = 4000) -> str | None:
+    """createTableColumnTypes mapping string columns to VARCHAR — some
+    embedded dialects (Derby) default strings to CLOB, which their own
+    set-based SQL then chokes on."""
+    parts = [
+        f"{f.name} VARCHAR({varchar_len})"
+        for f in df.schema.fields
+        if f.dataType.simpleString() == "string"
+    ]
+    return ", ".join(parts) if parts else None
+
+
+def staged_upsert_statements(
+    table: str, staging: str, columns: list[str], pk: list[str]
+) -> list[str]:
+    """Portable set-based upsert from a staged table: UPDATE matching
+    rows, INSERT the rest. Equivalent final state to the reference's
+    per-row ON-DUPLICATE/MERGE loop (EWriteMode UPDATE), in two
+    statements total."""
+    non_pk = [c for c in columns if c not in pk]
+    on = " AND ".join(f"s.{c} = t.{c}" for c in pk)
+    sets = ", ".join(
+        f"{c} = (SELECT s.{c} FROM {staging} s WHERE "
+        + " AND ".join(f"s.{k} = {table}.{k}" for k in pk)
+        + ")"
+        for c in non_pk
+    )
+    stmts = []
+    if non_pk:
+        stmts.append(
+            f"UPDATE {table} SET {sets} WHERE EXISTS "
+            f"(SELECT 1 FROM {staging} s WHERE "
+            + " AND ".join(f"s.{k} = {table}.{k}" for k in pk)
+            + ")"
+        )
+    cols = ", ".join(columns)
+    sel = ", ".join(f"s.{c}" for c in columns)
+    stmts.append(
+        f"INSERT INTO {table} ({cols}) SELECT {sel} FROM {staging} s "
+        f"WHERE NOT EXISTS (SELECT 1 FROM {table} t WHERE {on})"
+    )
+    return stmts
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "insert",
+    pk: list[str] | None = None,
+    driver: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    batch_size: int = 1000,
+    staging_table: str | None = None,
+) -> None:
+    """insert → distributed append; upsert/replace → distributed staging
+    load + one driver-side set-based upsert (same final state as the
+    reference's REPLACE/ON-DUPLICATE row loop, JdbcOutputFormat.java:
+    290-334). Deletes the staging table afterwards."""
+    props = {"batchsize": str(batch_size)}
+    if driver:
+        props["driver"] = driver
+    if user is not None:
+        props["user"] = user
+        props["password"] = password or ""
+
+    if mode == "insert":
+        df.write.jdbc(url, table, mode="append", properties=props)
+        return
+    if mode not in ("upsert", "replace", "update"):
+        raise ValueError(f"unknown jdbc writeMode {mode!r}")
+    if not pk:
+        raise ValueError("upsert/replace needs a pk (updateKey)")
+    # Derby folds unquoted identifiers to UPPER; Spark quotes the exact
+    # case it's given — uppercase the staging frame so the driver-side
+    # unquoted SQL resolves against it on any fold-to-upper dialect
+    staging = staging_table or f"{table}_cj_stage"
+    up = df.toDF(*[c.upper() for c in df.columns])
+    w = up.write.format("jdbc").option("url", url).option("dbtable", staging)
+    types = _staging_types(up)
+    if types:
+        w = w.option("createTableColumnTypes", types)
+    for k, v in props.items():
+        w = w.option(k, v)
+    w.mode("overwrite").save()
+    try:
+        execute_sql(
+            spark=df.sparkSession,
+            url=url,
+            statements=staged_upsert_statements(
+                table, staging, [c.upper() for c in df.columns],
+                [c.upper() for c in pk],
+            ),
+            driver=driver, user=user, password=password,
+        )
+    finally:
+        try:
+            execute_sql(df.sparkSession, url, [f"DROP TABLE {staging}"],
+                        driver, user, password)
+        except Exception:
+            pass  # stage left behind is harmless; next run overwrites it
+
+
+# --------------------------------------------------------------- polling
+
+def poll_incremental(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    inc_column: str,
+    start_location,
+    apply_batch,
+    inc_type: str = "bigint",
+    driver: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    poll_interval_sec: float = 1.0,
+    max_polls: int | None = None,
+    max_empty_polls: int | None = None,
+    columns: list[str] | None = None,
+    where: str | None = None,
+    split_column: str | None = None,
+    n_channels: int = 1,
+) -> dict:
+    """Interval polling: the continuous-ingest mode for non-CDC databases
+    (JdbcInputFormat.java:181-227,842-960 — drained incremental source
+    sleeps pollingInterval, re-issues ``col > last_max``).
+
+    Each poll pins ``end = MAX(inc_column)``, reads the (start, end]
+    window with the full split plan, hands the batch to ``apply_batch
+    (df, poll_state)`` and advances the offset — per-partition lineage is
+    the (start, end] window itself, so a crash resumes from the last
+    APPLIED offset (apply_batch commits it transactionally downstream,
+    e.g. LakeTable batch ids).
+
+    Stops after ``max_polls`` total or ``max_empty_polls`` consecutive
+    empty windows (None = run forever, the reference default).
+    """
+    import time as _time
+
+    offset = start_location
+    polls = empty = applied = 0
+    while True:
+        if max_polls is not None and polls >= max_polls:
+            break
+        polls += 1
+        df, state = read_jdbc(
+            spark, url, table, driver=driver, user=user, password=password,
+            columns=columns, where=where, split_column=split_column,
+            n_channels=n_channels, inc_column=inc_column, inc_type=inc_type,
+            start_location=offset, use_max_func=True,
+        )
+        end = state.get("endLocation")
+        if end is None or str(end) == str(offset):
+            empty += 1
+            if max_empty_polls is not None and empty >= max_empty_polls:
+                break
+            _time.sleep(poll_interval_sec)
+            continue
+        empty = 0
+        apply_batch(df, {"startLocation": offset, "endLocation": end,
+                         "poll": polls})
+        offset = end
+        applied += 1
+    return {"polls": polls, "applied_windows": applied, "endLocation": offset}

@@ -1,0 +1,226 @@
+"""Live JDBC execution path against the embedded Derby that ships in
+pyspark's jars — real reads (split predicates, incremental windows),
+real writes (append + staged set-based upsert), preSql/postSql hooks,
+and interval polling. Same-JVM ``jdbc:derby:memory:`` databases are
+visible to driver AND executor threads in local mode."""
+
+import os
+
+import pytest
+
+from chunjun_spark.job import run_job
+from chunjun_spark.sources.jdbc_live import (
+    DERBY_DRIVER,
+    execute_sql,
+    poll_incremental,
+    query_scalar,
+    read_jdbc,
+    write_jdbc,
+)
+
+
+def _db(name: str) -> str:
+    return f"jdbc:derby:memory:{name};create=true"
+
+
+def _seed(spark, url: str, table: str, n: int = 50, start: int = 0):
+    execute_sql(
+        spark,
+        url,
+        [
+            f"CREATE TABLE {table} "
+            "(id INT PRIMARY KEY, name VARCHAR(64), val DOUBLE)"
+        ],
+        driver=DERBY_DRIVER,
+    )
+    execute_sql(
+        spark,
+        url,
+        [
+            f"INSERT INTO {table} VALUES ({i}, 'n{i}', {i * 1.5})"
+            for i in range(start, start + n)
+        ],
+        driver=DERBY_DRIVER,
+    )
+
+
+def test_read_with_mod_split_predicates(spark):
+    url = _db("readdb")
+    _seed(spark, url, "src", n=40)
+    df, state = read_jdbc(
+        spark, url, "src", driver=DERBY_DRIVER,
+        split_column="id", n_channels=4,
+    )
+    assert df.rdd.getNumPartitions() == 4  # one partition per channel
+    assert df.count() == 40
+    assert state == {}
+
+
+def test_read_incremental_pins_end_location(spark):
+    url = _db("incdb")
+    _seed(spark, url, "src", n=30)
+    df, state = read_jdbc(
+        spark, url, "src", driver=DERBY_DRIVER,
+        inc_column="id", inc_type="int", start_location=9,
+    )
+    # (9, 29] — strictly greater than start, inclusive pinned end
+    assert state["endLocation"] == 29
+    ids = sorted(r["ID"] for r in df.collect())
+    assert ids == list(range(10, 30))
+
+
+def test_write_insert_roundtrip(spark):
+    url = _db("insdb")
+    execute_sql(
+        spark, url,
+        ["CREATE TABLE tgt (id INT, name VARCHAR(64), val DOUBLE)"],
+        driver=DERBY_DRIVER,
+    )
+    out = spark.range(25).selectExpr(
+        "cast(id as int) as ID", "concat('w', id) as NAME", "id * 2.0 as VAL"
+    )
+    write_jdbc(out, url, "tgt", mode="insert", driver=DERBY_DRIVER)
+    n = query_scalar(spark, url, "SELECT COUNT(*) FROM tgt", driver=DERBY_DRIVER)
+    assert int(n) == 25
+
+
+def test_write_upsert_updates_and_inserts(spark):
+    url = _db("upsdb")
+    _seed(spark, url, "tgt", n=20)  # ids 0..19, names n*
+    out = spark.range(10, 30).selectExpr(
+        "cast(id as int) as id", "concat('u', id) as name", "id * 10.0 as val"
+    )
+    write_jdbc(out, url, "tgt", mode="upsert", pk=["id"], driver=DERBY_DRIVER)
+    total = query_scalar(spark, url, "SELECT COUNT(*) FROM tgt", driver=DERBY_DRIVER)
+    assert int(total) == 30  # 0..29
+    updated = query_scalar(
+        spark, url, "SELECT COUNT(*) FROM tgt WHERE name LIKE 'u%'",
+        driver=DERBY_DRIVER,
+    )
+    assert int(updated) == 20  # ids 10..29 overwritten/inserted
+    untouched = query_scalar(
+        spark, url, "SELECT COUNT(*) FROM tgt WHERE name LIKE 'n%'",
+        driver=DERBY_DRIVER,
+    )
+    assert int(untouched) == 10  # ids 0..9 untouched
+    # staging table dropped
+    with pytest.raises(Exception):
+        query_scalar(spark, url, "SELECT COUNT(*) FROM tgt_cj_stage",
+                     driver=DERBY_DRIVER)
+
+
+def test_jdbc_job_end_to_end_with_pre_post_sql(spark, tmp_root):
+    """Reference bread-and-butter job: jdbcreader → jdbcwriter with
+    preSql truncate + postSql audit row, via a job JSON."""
+    url = _db("jobdb")
+    _seed(spark, url, "src", n=40)
+    execute_sql(
+        spark, url,
+        [
+            "CREATE TABLE tgt (id INT PRIMARY KEY, name VARCHAR(64), val DOUBLE)",
+            "INSERT INTO tgt VALUES (999, 'stale', 0.0)",
+            "CREATE TABLE audit (note VARCHAR(32))",
+        ],
+        driver=DERBY_DRIVER,
+    )
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {
+                        "name": "mysqlreader",  # same capability class
+                        "parameter": {
+                            "connection": [{"jdbcUrl": [url], "table": ["src"]}],
+                            "driver": DERBY_DRIVER,
+                            "splitPk": "id",
+                            "where": "id < 35",
+                        },
+                    },
+                    "writer": {
+                        "name": "jdbcwriter",
+                        "parameter": {
+                            "url": url,
+                            "table": "tgt",
+                            "driver": DERBY_DRIVER,
+                            "writeMode": "upsert",
+                            "updateKey": ["ID"],
+                            "preSql": ["DELETE FROM tgt"],
+                            "postSql": ["INSERT INTO audit VALUES ('done')"],
+                        },
+                    },
+                }
+            ],
+            "setting": {"speed": {"channel": 3}},
+        }
+    }
+    m = run_job(spark, cfg)
+    assert m["numRead"] == 35
+    assert int(query_scalar(spark, url, "SELECT COUNT(*) FROM tgt",
+                            driver=DERBY_DRIVER)) == 35  # stale row truncated
+    assert query_scalar(spark, url, "SELECT note FROM audit",
+                        driver=DERBY_DRIVER) == "done"
+
+
+def test_jdbc_incremental_job_reports_end_location(spark, tmp_root):
+    url = _db("incjobdb")
+    _seed(spark, url, "src", n=50)
+    dst = os.path.join(tmp_root, "out")
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {
+                        "name": "jdbcreader",
+                        "parameter": {
+                            "url": url,
+                            "table": "src",
+                            "driver": DERBY_DRIVER,
+                            "increColumn": "id",
+                            "increColumnType": "int",
+                            "startLocation": 19,
+                        },
+                    },
+                    "writer": {
+                        "name": "parquetwriter",
+                        "parameter": {"path": dst, "writeMode": "overwrite"},
+                    },
+                }
+            ]
+        }
+    }
+    m = run_job(spark, cfg)
+    assert m["numRead"] == 30  # ids 20..49
+    assert m["endLocation"] == 49
+    assert spark.read.parquet(dst).count() == 30
+
+
+def test_poll_incremental_catches_up_and_resumes(spark):
+    """Interval polling drains in windows; new rows appearing between
+    polls are picked up; offsets advance only on applied batches."""
+    url = _db("polldb")
+    _seed(spark, url, "src", n=30)
+    seen = []
+
+    def apply_batch(df, state):
+        rows = sorted(r["ID"] for r in df.collect())
+        seen.append((state["startLocation"], state["endLocation"], rows))
+        if len(seen) == 1:
+            # rows arrive while we were applying the first window
+            _seed_more()
+
+    def _seed_more():
+        execute_sql(
+            spark, url,
+            [f"INSERT INTO src VALUES ({i}, 'late{i}', 0.0)" for i in range(30, 35)],
+            driver=DERBY_DRIVER,
+        )
+
+    out = poll_incremental(
+        spark, url, "src", inc_column="id", inc_type="int",
+        start_location=-1, apply_batch=apply_batch, driver=DERBY_DRIVER,
+        poll_interval_sec=0.05, max_empty_polls=2,
+    )
+    assert out["endLocation"] == 34
+    assert out["applied_windows"] == 2
+    all_rows = [i for (_, _, rows) in seen for i in rows]
+    assert all_rows == list(range(35))  # no gaps, no dups across windows

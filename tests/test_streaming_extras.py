@@ -116,3 +116,27 @@ def test_files_per_trigger_for_rate():
     assert pl.files_per_trigger_for_rate(-1, 1000, 1.0) == 1_000_000
     assert pl.files_per_trigger_for_rate(10_000_000, 1_000_000, 1.0) == 10
     assert pl.files_per_trigger_for_rate(100, 1_000_000, 1.0) == 1
+
+
+def test_pave_unpave_roundtrip(spark):
+    """pave → unpave is lossless on the canonical event shape, including
+    NULL-side collapse (DELETE has only before, data events only after)."""
+    from chunjun_spark.sources.binlog import generate_binlog
+    from chunjun_spark.sources.changelog import pave, unpave
+
+    ev = generate_binlog(spark, n_events=300, seed=9, n_partitions=2).drop("ddl")
+    paved = pave(ev)
+    assert "before_repo" in paved.columns and "after_content" in paved.columns
+    assert "before" not in paved.columns
+    back = unpave(paved)
+    # identical names + types (nullability relaxes through the rebuild —
+    # generated literals are non-nullable, struct members come back nullable)
+    assert back.schema.simpleString() == ev.schema.simpleString()
+    a = sorted(ev.collect(), key=lambda r: r["seq"])
+    b = sorted(back.collect(), key=lambda r: r["seq"])
+    assert a == b
+    # DELETE rows keep only the before image after the roundtrip
+    dels = back.filter("op = 'DELETE'")
+    if dels.count() > 0:
+        assert dels.filter("after IS NOT NULL").count() == 0
+        assert dels.filter("before IS NULL").count() == 0
