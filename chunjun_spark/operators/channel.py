@@ -1,0 +1,40 @@
+"""Channel tagging and channel-affinity partitioning.
+
+Reference analog: every record leaves the reader wrapped as
+``(channel_index, row)`` and the writer strips the tag after routing
+(flinkx-core/.../BaseRichInputFormat.java:318-326 appends
+``indexOfSubtask``; DtOutputFormatSinkFunction unwraps). The dormant
+``CustomPartitioner.java:34-42`` routes by the tag. On Spark the
+"channel" IS the partition, so the tag is ``spark_partition_id()`` and
+affinity routing is a keyed ``repartition`` — these helpers exist for
+job configs that explicitly ask for the tagged form.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+CHANNEL_COL = "_channel"
+
+
+def tag_channel(df: DataFrame, col: str = CHANNEL_COL) -> DataFrame:
+    """Append the producing channel (= scan partition) index to each row.
+    Map-only; the tag survives repartitioning as a plain column, exactly
+    like the reference's wrapped pair survives the network."""
+    return df.withColumn(col, F.spark_partition_id())
+
+
+def strip_channel(df: DataFrame, col: str = CHANNEL_COL) -> DataFrame:
+    """Writer-side unwrap (DtOutputFormatSinkFunction analog)."""
+    return df.drop(col)
+
+
+def partition_by_channel(
+    df: DataFrame, n_channels: int, col: str = CHANNEL_COL
+) -> DataFrame:
+    """Channel-affinity repartition (CustomPartitioner.java:34-42): one
+    hash exchange on the tag, so all rows carrying the same channel land
+    in the same downstream partition (Spark's hash partitioner decides
+    WHICH one — the affinity contract, not a fixed index mapping)."""
+    return df.repartition(n_channels, F.pmod(F.col(col), F.lit(n_channels)))

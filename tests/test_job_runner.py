@@ -287,3 +287,34 @@ def test_stream_job_creates_fresh_sink(spark, tmp_root):
     table = LakeTable.load(spark, lake)
     assert table.n_buckets == 4
     assert table.read().count() > 0
+
+
+def test_channel_tag_strip_and_affinity(spark):
+    """Channel tag rides as a column (BaseRichInputFormat.java:318-326),
+    affinity repartition keeps one channel's rows together, strip
+    removes the tag before the sink."""
+    import pyspark.sql.functions as F
+
+    from chunjun_spark.operators.channel import (
+        partition_by_channel,
+        strip_channel,
+        tag_channel,
+    )
+
+    df = spark.range(0, 400, 1, numPartitions=4)
+    tagged = tag_channel(df)
+    assert set(
+        r["_channel"] for r in tagged.select("_channel").distinct().collect()
+    ) == {0, 1, 2, 3}
+    routed = partition_by_channel(tagged, 2)
+    # affinity contract: every channel's rows land in exactly ONE
+    # downstream partition (which one is the hash partitioner's choice)
+    per_channel = (
+        routed.withColumn("pid", F.spark_partition_id())
+        .groupBy("_channel")
+        .agg(F.countDistinct("pid").alias("n_pids"))
+        .collect()
+    )
+    for r in per_channel:
+        assert r["n_pids"] == 1
+    assert "_channel" not in strip_channel(routed).columns
