@@ -85,6 +85,11 @@ def main() -> None:
         with open(args.out_json, "w") as f:
             f.write(line + "\n")
     spark.stop()
+    # large-input runs would otherwise accumulate one full table state per
+    # attempt in /tmp (10^8 events ≈ several GB each)
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
