@@ -386,6 +386,28 @@ FROM documents
 """
 
 
+def _q_doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-pretokenizer token counting (LLM tokenizer-cost proxy) — pure
+    codegen regexp_count, map-only; same lookahead-free pattern runs in
+    DuckDB's RE2 for the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+# the same pattern as text.BPE_PRETOKEN_RE with the leading ' doubled for
+# the SQL literal
+_BPE_TOKEN_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'
+       )) AS n_bpe_tokens
+FROM documents
+"""
+
+
 def _q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -695,6 +717,45 @@ def _q_ann_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("sim", 6).alias("sim"))
 
 
+def _q_events_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window rollup (the batch face of
+    streaming/windows.py — the same builder runs under a watermark in
+    append-mode streams; late-data semantics tested in
+    tests/test_streaming_extras.py). window_start is epoch seconds:
+    integer output sidesteps NTZ-vs-zone hashing between engines."""
+    from chunjun_spark.streaming.windows import windowed_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_counts(
+        ev, ts_col="ts", keys=("event_type",), window="1 hour",
+        value_col="value",
+    )
+
+
+_WINDOW_COUNTS_SQL = """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: IVF (inverted-file) ANN — spherical-k-means centroids on a
+    # bounded deterministic sample, store written partitionBy(ivf_list),
+    # probe scans only the top-nprobe list partitions (PartitionFilters;
+    # recall + full-probe==exact parity in tests/test_curation.py)
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    cents = ANN.train_ivf_centroids(emb, n_lists=8, iters=6)
+    store = tempfile.mkdtemp(prefix="cj_ivfstore_")
+    ANN.write_ivf_embeddings(emb, store, cents)
+    top = ANN.ann_topk_ivf(spark, store, cents, qv, k=10, nprobe=3)
+    return top.select("vec_id", F.round("sim", 6).alias("sim"))
+
+
 # ----------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -721,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_paved_events": _q_cdc_paved_events,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,
+        "doc_bpe_token_count": _q_doc_bpe_token_count,
         "doc_quality": _q_doc_quality,
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -736,6 +798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_pruned": _q_ann_topk_pruned,
+        "ann_topk_ivf": _q_ann_topk_ivf,
+        "events_window_counts": _q_events_window_counts,
         "embedding_norms": _q_embedding_norms,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -760,6 +824,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_paved_events": _PAVED_SQL,
         "doc_exact_dedup": _EXACT_DEDUP_SQL,
         "doc_token_count": _TOKEN_COUNT_SQL,
+        "doc_bpe_token_count": _BPE_TOKEN_SQL,
+        "events_window_counts": _WINDOW_COUNTS_SQL,
         "doc_quality": _QUALITY_SQL,
         "doc_lang_id": _LANG_ID_SQL,
         "doc_fingerprint": _FINGERPRINT_SQL,

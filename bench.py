@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "simhash_near_dups",
     "ann_topk",
     "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "doc_bpe_token_count",
 ]
 
 

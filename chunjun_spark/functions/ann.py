@@ -307,6 +307,134 @@ def pairwise_above_bucketed(
     return cand.groupBy("id_a", "id_b").agg(F.max("sim").alias("sim"))
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 65_536,
+    iters: int = 8,
+    seed: int = 11,
+) -> list[list[float]]:
+    """Train IVF coarse-quantizer centroids with spherical k-means on a
+    BOUNDED deterministic sample (driver-side numpy; the sample is capped
+    at ``sample_rows × dim × 8 B`` and the model is ``n_lists × dim`` —
+    both tiny, so this is the one place driver compute is legitimate).
+
+    Sampling is a hash-order top-k (`TakeOrdered`): O(n) scan, O(sample)
+    driver transfer, deterministic across runs and cluster sizes — never
+    ``rand()``-based (re-executed tasks would resample). Centroids are
+    L2-normalized so argmax-dot == argmax-cosine at assignment time.
+    """
+    import numpy as np
+
+    sample = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id"), F.lit(seed)))
+        .limit(sample_rows)
+        .collect()
+    )
+    mat = np.array([np.asarray(r["_v"], dtype=np.float64) for r in sample])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    matn = mat / norms[:, None]
+    k = min(n_lists, len(matn))
+    cent = matn[:k].copy()  # deterministic init: first k hash-ordered rows
+    for _ in range(iters):
+        assign = np.argmax(matn @ cent.T, axis=1)
+        for c in range(k):
+            members = matn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return [[float(x) for x in row] for row in cent]
+
+
+def assign_ivf_list(
+    centroids: list[list[float]], vec_col: str = "embedding"
+) -> Column:
+    """``ivf_list`` assignment column: argmax dot-product against the
+    trained (L2-normalized) centroids — argmax dot == argmax cosine since
+    |v| is constant across centroids. Pure native expression (the
+    centroid matrix is a few KB of literals, the same pattern as
+    ``rp_lsh_buckets``): runs in whole-stage codegen, no Python in the
+    row path. Ties resolve to the lowest list id (strict > in the fold),
+    matching numpy argmax."""
+    pairs = F.array(
+        *[
+            F.struct(
+                _dot(F.col(vec_col), F.array(*[F.lit(float(c)) for c in cent])).alias(
+                    "score"
+                ),
+                F.lit(i).alias("idx"),
+            )
+            for i, cent in enumerate(centroids)
+        ]
+    )
+    best = F.aggregate(
+        pairs,
+        F.struct(
+            F.lit(float("-inf")).alias("score"), F.lit(0).alias("idx")
+        ),
+        lambda acc, x: F.when(x["score"] > acc["score"], x).otherwise(acc),
+    )
+    return best["idx"].cast("int")
+
+
+def write_ivf_embeddings(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the embedding table PARTITIONED BY IVF list id — the
+    inverted-file layout: probing ``nprobe`` of ``n_lists`` partitions
+    reads only that fraction of the files (same pruning contract as
+    ``write_bucketed_embeddings``, with data-adaptive cells instead of
+    data-oblivious hyperplane buckets)."""
+    n_lists = len(centroids)
+    tagged = df.withColumn("ivf_list", assign_ivf_list(centroids, vec_col))
+    tagged.repartition(n_lists, F.col("ivf_list")).write.mode(
+        "overwrite"
+    ).partitionBy("ivf_list").parquet(path)
+
+
+def _query_probe_lists(
+    centroids: list[list[float]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    import numpy as np
+
+    cent = np.array(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    order = np.argsort(-(cent @ q), kind="stable")
+    return [int(x) for x in order[: max(1, nprobe)]]
+
+
+def ann_topk_ivf(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF top-k over a ``write_ivf_embeddings`` store: rank centroids by
+    query cosine on the driver (n_lists-sized math), scan only the top
+    ``nprobe`` list partitions (Catalyst PartitionFilters prune the rest
+    at planning time), exact re-rank within. ``nprobe == n_lists``
+    degrades gracefully to exact ``brute_force_topk``."""
+    lists = _query_probe_lists(centroids, query_vec, nprobe)
+    cand = spark.read.parquet(path).filter(F.col("ivf_list").isin(lists))
+    return brute_force_topk(cand, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
 def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-ish hyperplane component list.
 

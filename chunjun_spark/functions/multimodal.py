@@ -148,6 +148,45 @@ def sample_frames(
     return df.select(id_col, media_col).mapInPandas(gen, FRAME_SCHEMA)
 
 
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    id_col: str = "id",
+) -> DataFrame:
+    """Nearest-neighbor resize of decoded pixel rows (``decode_images``
+    output shape) to ``target_w × target_h``. Fully real — resampling is
+    pure array indexing on the raw pixel buffer, no codec involved: one
+    vectorized gather per row inside an Arrow-batched mapInPandas.
+    Map-only (no shuffle); output rows are fixed-size, which is what a
+    training-data loader wants downstream."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"id": [], "width": [], "height": [], "channels": [], "pixels": []}
+            for rid, w, h, c, px in zip(
+                pdf[id_col], pdf["width"], pdf["height"], pdf["channels"], pdf["pixels"]
+            ):
+                img = np.frombuffer(bytes(px), dtype=np.uint8).reshape(
+                    int(h), int(w), int(c)
+                )
+                yi = (np.arange(target_h) * int(h)) // target_h
+                xi = (np.arange(target_w) * int(w)) // target_w
+                resized = img[yi][:, xi]
+                out["id"].append(rid)
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+                out["channels"].append(int(c))
+                out["pixels"].append(resized.tobytes())
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "width", "height", "channels", "pixels").mapInPandas(
+        gen, DECODED_IMAGE_SCHEMA
+    )
+
+
 def extract_features(
     df: DataFrame,
     dim: int = 16,

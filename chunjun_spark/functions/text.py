@@ -18,6 +18,12 @@ from pyspark.sql import Column
 # token = maximal run of non-whitespace; applied to trimmed text
 _WS = r"\s+"
 
+# BPE-style pre-tokenizer (GPT-2 family, ASCII simplification, no
+# lookaheads so the same pattern runs in Java regex AND RE2/DuckDB):
+# contractions | space?+letters | space?+digits | space?+punct-run.
+# Whitespace itself is not a token.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
 # simple per-language stopword regexes for the heuristic language scorer;
 # word boundaries keep partial matches out (RE2/Java-regex compatible)
 LANG_MARKERS: dict[str, str] = {
@@ -38,6 +44,14 @@ def tokens(col: Column) -> Column:
 
 def token_count(col: Column) -> Column:
     return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """LLM-ish token count: number of BPE pre-tokenizer matches. A cheap,
+    deterministic proxy for tokenizer cost (real BPE merges only split
+    these pre-tokens further by a bounded factor). Pure codegen regex —
+    no Python, no shuffle."""
+    return F.regexp_count(col, F.lit(BPE_PRETOKEN_RE))
 
 
 def char_count(col: Column) -> Column:

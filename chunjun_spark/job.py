@@ -314,6 +314,9 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
             checkpoint_dir=cfg.restore.checkpoint_dir or wp["path"] + "_ckpt",
             job_id=cfg.job_id,
             mode=wp.get("mode", "cow"),
+            # setting.speed.bytes → feedback byte-rate throttle
+            # (ByteRateLimiter.java analog; -1 = unlimited)
+            byte_rate_limit=cfg.speed.bytes,
         )
         table = LakeTable.load(spark, wp["path"])
         lineage = table.manifest["lineage"]

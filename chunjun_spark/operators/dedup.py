@@ -44,43 +44,56 @@ def keep_last(
     df: DataFrame,
     pk: list[str],
     order: tuple[str, ...] = ("op_ts", "seq"),
-    broadcast_winner_rows: int = 64_000_000,
+    broadcast_winner_rows: int = 8_000_000,
     checkpoint_input: bool = False,
 ) -> DataFrame:
     """Reduce to one row per pk — the max by lexicographic (order...).
 
-    Physical strategy (the 10^10-event path): payload bytes NEVER shuffle.
+    Two physical strategies, chosen by the measured winner count:
 
+    FAST PATH (winners ≤ ``broadcast_winner_rows``): payload bytes NEVER
+    shuffle.
     1. Tag each row with a per-computation unique id.
     2. Aggregate only the narrow projection (pk, order..., id) —
        ``max(struct(order..., id))`` per key. Spark falls back to
        SortAggregate for struct buffers, but sorting ~80-byte rows is
        cheap; the naive ``max(full-row struct)`` sort-aggregates the
        multi-KB payloads (measured 10× slower at 2M events).
-    3. Semi-join the winning ids back — broadcast when the winner set is
-       small (one id per key; 8 bytes each), shuffle-hash otherwise. The
-       id tiebreak also collapses exact duplicate re-deliveries (same
-       (op_ts, seq) delivered twice) to exactly one physical row.
+    3. BROADCAST-semi-join the winning ids back. The id tiebreak also
+       collapses exact duplicate re-deliveries (same (op_ts, seq)
+       delivered twice) to exactly one physical row.
 
-    The broadcast threshold is the load-bearing choice: falling off it
-    makes the semi-join SHUFFLE THE FULL PAYLOAD on rid — measured 7×
-    slower end-to-end at 10^8 events (25M winners × 8 B = 200 MB
-    broadcast vs ~100 GB payload shuffle). 64M rows ≈ 512 MB broadcast,
-    affordable per executor; beyond that (10^9+ distinct keys per batch)
-    one payload shuffle is the only general plan, and on a real cluster
-    that shuffle scales with per-executor disks/NICs.
+    The threshold is sized by the broadcast BUILD cost, not the raw id
+    bytes: a LongHashedRelation spends ~40-64 B/row (key + UnsafeRow +
+    map slack), so 8M winners ≈ 0.3-0.5 GB — safe inside an 8 GB
+    executor/driver heap with room for execution memory. 64M rows was
+    measured to abort with "Not enough memory to build and broadcast"
+    at 25M winners on an 8 GB heap; do not raise this without also
+    raising executor memory.
 
-    DETERMINISM CONTRACT: the input plan is traversed twice (the winner
-    aggregation action, then the semi-join inside the caller's action) and
-    the row tag must be identical across both. That holds for every
-    deterministic plan — parquet/file scans, ``range``, replayed offsets,
-    i.e. all engine sources — but is silently WRONG for non-deterministic
-    inputs (``rand()``/``sample()``, round-robin ``repartition()``,
-    speculatively re-executed flaky sources): a winner id absent from the
-    second traversal drops that key entirely. Callers that accept
-    arbitrary user frames must pass ``checkpoint_input=True``, which
-    materializes the tagged rows once (``localCheckpoint``) so both
+    FALLBACK (winners above the threshold, e.g. 25M+ distinct keys in
+    one batch): ``keep_last_window`` — a single row_number pass that
+    shuffles the payload ONCE, partitioned by pk. One payload shuffle is
+    the correct general plan at 10^8+ keys/batch: it is skew-bounded by
+    per-pk duplicate counts (use ``keep_last_salted`` for pathological
+    hot keys) and scales with per-executor disks/NICs on a real cluster,
+    whereas an over-threshold broadcast fails outright. The winner
+    aggregation already paid for one narrow pass by the time the count
+    is known; that pass is discarded (~10-20 % of the fallback job) —
+    the price of choosing the plan from data instead of a config guess.
+
+    DETERMINISM CONTRACT (fast path only): the input plan is traversed
+    twice (the winner aggregation action, then the semi-join inside the
+    caller's action) and the row tag must be identical across both. That
+    holds for every deterministic plan — parquet/file scans, ``range``,
+    replayed offsets, i.e. all engine sources — but is silently WRONG
+    for non-deterministic inputs (``rand()``/``sample()``, round-robin
+    ``repartition()``, speculatively re-executed flaky sources): a winner
+    id absent from the second traversal drops that key entirely. Callers
+    that accept arbitrary user frames must pass ``checkpoint_input=True``,
+    which materializes the tagged rows once (``localCheckpoint``) so both
     traversals read the same physical rows. ``LakeTable.merge`` does.
+    The window fallback is a single traversal and has no such contract.
     """
     rid = "_cj_rid"
     tagged = df.withColumn(rid, F.monotonically_increasing_id())
@@ -93,12 +106,13 @@ def keep_last(
         .select(F.col(f"_w.{rid}").alias(rid))
         .localCheckpoint(eager=True)
     )
-    small = wins.count() <= broadcast_winner_rows
-    surv = tagged.join(
-        F.broadcast(wins) if small else wins.hint("shuffle_hash"),
-        on=rid,
-        how="left_semi",
-    ).drop(rid)
+    if wins.count() > broadcast_winner_rows:
+        # tagged is already materialized when checkpoint_input was set;
+        # the window pass is single-traversal so plain df is fine otherwise
+        src = tagged.drop(rid) if checkpoint_input else df
+        out_cols = [c for c in df.columns if c not in pk]
+        return keep_last_window(src, pk=pk, order=order).select(*pk, *out_cols)
+    surv = tagged.join(F.broadcast(wins), on=rid, how="left_semi").drop(rid)
     out_cols = [c for c in df.columns if c not in pk]
     return surv.select(*pk, *out_cols)
 

@@ -64,6 +64,66 @@ def files_per_trigger_for_rate(
     return max(1, int(bytes_per_sec * trigger_sec / max(1, avg_file_bytes)))
 
 
+class ByteRateLimiter:
+    """Feedback byte-rate throttle — the reference's ByteRateLimiter
+    (flinkx-core/.../reader/ByteRateLimiter.java:56-101): a Guava
+    RateLimiter whose permit size is re-estimated each second from
+    observed bytes/row. Spark translation: micro-batches are the natural
+    feedback quantum, so this is a wall-clock token bucket applied in
+    ``foreachBatch`` — after each batch, sleep until cumulative bytes ÷
+    elapsed ≤ ``bytes_per_sec``. Bytes/row is measured from the data
+    (``estimate_row_bytes``), not configured, which is the feedback part:
+    wider rows automatically slow the file-trigger cadence.
+
+    Driver-side sleep is the correct throttle point in Spark: the next
+    micro-batch cannot be scheduled while ``foreachBatch`` blocks, so the
+    source admission rate (files/trigger × trigger cadence) follows the
+    budget without touching executors.
+    """
+
+    def __init__(self, bytes_per_sec: int):
+        import time as _time
+
+        self.bytes_per_sec = bytes_per_sec
+        self.total_bytes = 0
+        self.t0 = _time.monotonic()
+        self.bytes_per_row: float | None = None
+        self.sleeps = 0.0
+
+    def observe_rows(self, n_rows: int, batch_df: DataFrame | None = None) -> None:
+        """Account one micro-batch and block until the cumulative byte
+        rate is back under budget. Row width is sampled from the first
+        batch (bounded 256-row sample), then reused."""
+        if self.bytes_per_row is None and batch_df is not None:
+            self.bytes_per_row = estimate_row_bytes(batch_df)
+        self.throttle(int(n_rows * (self.bytes_per_row or 0.0)))
+
+    def throttle(self, n_bytes: int) -> None:
+        import time as _time
+
+        if self.bytes_per_sec <= 0:
+            return
+        self.total_bytes += n_bytes
+        elapsed = _time.monotonic() - self.t0
+        need = self.total_bytes / self.bytes_per_sec
+        if need > elapsed:
+            self.sleeps += need - elapsed
+            _time.sleep(need - elapsed)
+
+
+def estimate_row_bytes(df: DataFrame, sample_rows: int = 256) -> float:
+    """Mean serialized row width from a bounded sample — the analog of the
+    reference sampling ``getSize(row)`` on the first 100 rows
+    (ByteRateLimiter.java samples via BigDecimal bytes/record)."""
+    rows = (
+        df.select(F.length(F.to_json(F.struct(*df.columns))).alias("_b"))
+        .limit(sample_rows)
+        .agg(F.avg("_b").alias("avg"))
+        .collect()
+    )
+    return float(rows[0]["avg"] or 0.0)
+
+
 def start_replay_stream(
     events: DataFrame,
     table_root: str,
@@ -73,6 +133,7 @@ def start_replay_stream(
     trigger_available_now: bool = True,
     processing_time: str | None = None,
     compact_every: int | None = None,
+    rate_limiter: ByteRateLimiter | None = None,
 ) -> StreamingQuery:
     """Start the micro-batch apply loop.
 
@@ -115,6 +176,8 @@ def start_replay_stream(
                 t2 = table.refresh()
                 if len(t2.manifest["deltas"]) >= compact_every:
                     t2.compact()
+        if rate_limiter is not None:
+            rate_limiter.observe_rows(metrics["numRead"], batch_df)
 
     writer = events.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -248,11 +311,13 @@ def run_stream_to_completion(
     mode: str = "cow",
     max_files_per_trigger: int = 4,
     timeout_sec: int = 600,
+    byte_rate_limit: int = -1,
 ) -> None:
     events = read_binlog_stream(spark, binlog_dir, max_files_per_trigger)
+    limiter = ByteRateLimiter(byte_rate_limit) if byte_rate_limit > 0 else None
     q = start_replay_stream(
         events, table_root, checkpoint_dir, job_id=job_id, mode=mode,
-        trigger_available_now=True,
+        trigger_available_now=True, rate_limiter=limiter,
     )
     if not q.awaitTermination(timeout_sec):
         q.stop()

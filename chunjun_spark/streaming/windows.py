@@ -1,0 +1,63 @@
+"""Event-time windowed aggregation with late-data watermarks.
+
+Reference analog: none — ChunJun moves rows and never aggregates event
+time (its only time logic is the incremental-column filter,
+JdbcInputFormat.java:181-227). This module extends the engine with the
+Structured Streaming late-data semantics a CDC/ingest pipeline needs for
+rollup sinks: tumbling event-time windows, a watermark bounding how late
+an event may arrive, and append-mode emission (each window emitted
+exactly once, when the watermark passes its end).
+
+Scale shape: groupBy(window, keys) is one shuffle keyed by (window,
+key) — partial aggregation collapses per-partition duplicates map-side,
+and streaming state is bounded by (windows in flight × keys), which the
+watermark caps; without it state grows forever (the reason watermark is
+mandatory for append-mode aggregation).
+
+The same builder works on a batch DataFrame (watermark is a stream-only
+concept and is skipped) so one definition serves the oracle-checked
+batch query and the streaming rollup.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Tumbling-window count (+ optional value sum) per key.
+
+    Returns ``window_start`` as epoch SECONDS (bigint): windows are
+    epoch-aligned on both Spark and DuckDB (``time_bucket``), and an
+    integer avoids every timestamp-zone hashing trap between engines.
+    """
+    # watermarks require TIMESTAMP (not NTZ); the session runs UTC so the
+    # cast is a stable epoch interpretation on both engines
+    evt = "_cj_evt"
+    x = df.withColumn(evt, F.col(ts_col).cast("timestamp"))
+    ts_col = evt
+    if x.isStreaming:
+        x = x.withWatermark(ts_col, watermark)
+    agg = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        agg.append(F.round(F.sum(value_col), 4).alias("sum_value"))
+    return (
+        x.groupBy(F.window(F.col(ts_col), window).alias("w"), *keys)
+        .agg(*agg)
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            *keys,
+            *[
+                c
+                for c in (["n_events"] + (["sum_value"] if value_col else []))
+            ],
+        )
+    )

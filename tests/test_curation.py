@@ -238,6 +238,99 @@ def test_ann_pruned_store_matches_query_time_lsh(vecs, tmp_root):
     assert "PartitionFilters: [bucket" in plan and " IN (" in plan
 
 
+def test_ivf_full_probe_matches_exact(vecs, tmp_root):
+    """nprobe == n_lists degrades IVF to exact brute force — same ids,
+    same sims to 9 decimals."""
+    import os
+
+    q = [1.0, 0.1, 0.1, 0.0]
+    cents = ANN.train_ivf_centroids(vecs, n_lists=4, iters=4)
+    store = os.path.join(tmp_root, "ivfstore")
+    ANN.write_ivf_embeddings(vecs, store, cents)
+    spark = vecs.sparkSession
+    got = ANN.ann_topk_ivf(spark, store, cents, q, k=5, nprobe=len(cents))
+    want = ANN.brute_force_topk(vecs, q, k=5)
+    g = [(r["vec_id"], round(r["sim"], 9)) for r in got.collect()]
+    w = [(r["vec_id"], round(r["sim"], 9)) for r in want.collect()]
+    assert g == w
+
+
+def test_ivf_probe_recall_and_partition_pruning(vecs, tmp_root):
+    """A 1-of-4-list probe on two-cluster data still recovers most of the
+    exact top-k (the query's cluster maps to one cell), and the probe
+    scan carries PartitionFilters on ivf_list (real pruning, not a
+    post-scan filter)."""
+    import os
+
+    q = [1.0, 0.1, 0.1, 0.0]
+    cents = ANN.train_ivf_centroids(vecs, n_lists=4, iters=4)
+    store = os.path.join(tmp_root, "ivfstore2")
+    ANN.write_ivf_embeddings(vecs, store, cents)
+    spark = vecs.sparkSession
+    # store is physically partitioned by list id
+    parts = [d for d in os.listdir(store) if d.startswith("ivf_list=")]
+    assert len(parts) >= 2
+    top = ANN.ann_topk_ivf(spark, store, cents, q, k=5, nprobe=1)
+    exact = {r["vec_id"] for r in ANN.brute_force_topk(vecs, q, k=5).collect()}
+    got = {r["vec_id"] for r in top.collect()}
+    assert len(got & exact) >= 3  # recall ≥ 0.6 at nprobe=1
+    plan = top._sc._jvm.PythonSQLUtils.explainString(
+        top._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    # nprobe=1 folds isin([x]) to an equality predicate — accept any
+    # partition filter over ivf_list
+    assert re.search(r"PartitionFilters: \[[^\]]*ivf_list", plan), plan
+
+
+def test_ivf_training_deterministic(vecs):
+    a = ANN.train_ivf_centroids(vecs, n_lists=4, iters=4)
+    b = ANN.train_ivf_centroids(vecs, n_lists=4, iters=4)
+    assert a == b
+
+
+def test_bpe_token_count_known_values(spark):
+    rows = [
+        (0, "don't stop"),          # don | 't | ' stop' → 3
+        (1, "hello, world 42"),     # hello | , | ' world' | ' 42' → 4
+        (2, ""),                    # → 0
+        (3, "   "),                 # whitespace only → 0
+        (4, "a2b"),                 # a | 2 | b → 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", TX.bpe_token_count(F.col("text")).alias("n")).collect()}
+    assert got == {0: 3, 1: 4, 2: 0, 3: 0, 4: 3}
+
+
+def test_bpe_pretoken_regex_matches_duckdb(spark):
+    """The same lookahead-free pattern must count identically in Java
+    regex (Spark) and RE2 (DuckDB) — guards the oracle of
+    doc_bpe_token_count against engine drift."""
+    import duckdb
+
+    texts = [
+        "don't stop believing, it's 2024!",
+        "foo_bar baz-qux 3.14 ... '''",
+        "CamelCase and UPPER and micro123soft",
+        "", "   ", "a",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    spark_counts = [r["n"] for r in df.select(
+        "doc_id", TX.bpe_token_count(F.col("text")).alias("n")
+    ).orderBy("doc_id").collect()]
+    con = duckdb.connect()
+    duck_counts = [
+        con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [t, TX.BPE_PRETOKEN_RE]
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert spark_counts == duck_counts
+
+
 def test_jaccard_doc_freq_cap(spark):
     """On a corpus without hot shingles the cap is a no-op; a stop-shingle
     present in every document is excluded from common counts (sim becomes

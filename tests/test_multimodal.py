@@ -73,3 +73,34 @@ def test_extract_features_feed_ann(media):
     ).collect()
     assert top[0]["id"] == rows[0]["id"]
     assert top[0]["sim"] == pytest.approx(1.0)
+
+
+def test_resize_images_nearest_neighbor(media):
+    """Real resampling math: output buffer is target_w×target_h×c and the
+    corner pixels come from the nearest source pixels."""
+    import numpy as np
+
+    decoded = MM.decode_images(media, mode=MM.FAKE)
+    resized = MM.resize_images(decoded, target_w=2, target_h=2)
+    src = {r["id"]: r for r in decoded.collect()}
+    out = {r["id"]: r for r in resized.collect()}
+    assert set(out) == set(src)
+    for rid, r in out.items():
+        assert (r["width"], r["height"]) == (2, 2)
+        assert len(r["pixels"]) == 2 * 2 * r["channels"]
+        s = src[rid]
+        img = np.frombuffer(bytes(s["pixels"]), dtype=np.uint8).reshape(
+            s["height"], s["width"], s["channels"]
+        )
+        got = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(2, 2, 3)
+        # top-left output pixel == top-left source pixel (nearest neighbor)
+        assert (got[0, 0] == img[0, 0]).all()
+
+
+def test_resize_identity_preserves_pixels(media):
+    decoded = MM.decode_images(media, mode=MM.FAKE)
+    first = decoded.orderBy("id").limit(1)
+    r = first.collect()[0]
+    same = MM.resize_images(first, target_w=r["width"], target_h=r["height"])
+    r2 = same.collect()[0]
+    assert bytes(r2["pixels"]) == bytes(r["pixels"])

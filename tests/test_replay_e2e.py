@@ -60,6 +60,23 @@ def test_keep_last_variants_agree(spark, dedup_fn):
         assert got[k] == (op, seq), k
 
 
+def test_keep_last_window_fallback_over_threshold(spark):
+    """Above the winner-broadcast threshold keep_last must switch to the
+    single-shuffle window plan (the 25M-keys-at-8g case that aborts the
+    broadcast build) and still return the identical winner set, with the
+    same column order as the fast path."""
+    ev = events_with_pk(generate_binlog(spark, 20_000, n_keys=500), PK)
+    fast = keep_last(ev, pk=PK, order=("op_ts", "seq"))
+    fallen = keep_last(
+        ev, pk=PK, order=("op_ts", "seq"), broadcast_winner_rows=10
+    )
+    assert fallen.columns == fast.columns
+    key = lambda r: (r["repo"], r["path"])  # noqa: E731
+    got = {key(r): (r["op"], r["seq"]) for r in fallen.collect()}
+    want = {key(r): (r["op"], r["seq"]) for r in fast.collect()}
+    assert got == want
+
+
 @pytest.mark.parametrize("mode", ["cow", "mor"])
 def test_replay_matches_fold_oracle(spark, tmp_root, mode):
     table = _empty_table(spark, tmp_root)

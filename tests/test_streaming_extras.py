@@ -118,6 +118,162 @@ def test_files_per_trigger_for_rate():
     assert pl.files_per_trigger_for_rate(100, 1_000_000, 1.0) == 1
 
 
+def test_byte_rate_limiter_throttles_to_budget():
+    """Token-bucket feedback: pushing 2× the per-second budget in under a
+    second must block until the cumulative rate is back at the budget."""
+    import time
+
+    lim = pl.ByteRateLimiter(bytes_per_sec=100_000)
+    t0 = time.monotonic()
+    lim.throttle(100_000)
+    lim.throttle(100_000)  # 200 KB into a 100 KB/s budget → ~2 s floor
+    elapsed = time.monotonic() - t0
+    assert elapsed >= 1.5
+    assert lim.sleeps > 0
+
+    unlimited = pl.ByteRateLimiter(bytes_per_sec=-1)
+    t0 = time.monotonic()
+    unlimited.throttle(10**12)
+    assert time.monotonic() - t0 < 0.1
+
+
+def test_byte_rate_limiter_feedback_in_stream(spark, tmp_root):
+    """End-to-end: the limiter samples real row width from the first
+    micro-batch (feedback, not config) and stretches a multi-batch drain
+    to the byte budget."""
+    import time
+
+    from chunjun_spark.sources.binlog import generate_binlog
+
+    binlog = os.path.join(tmp_root, "binlog")
+    lake = os.path.join(tmp_root, "lake")
+    ckpt = os.path.join(tmp_root, "ckpt")
+    generate_binlog(spark, n_events=400, seed=3, n_partitions=4).write.parquet(binlog)
+    LakeTable.create(spark, lake, PAYLOAD, pk=["repo", "path"], n_buckets=4)
+
+    events = pl.read_binlog_stream(spark, binlog, max_files_per_trigger=2)
+    # width is measured from the stream itself; budget = ~half the total
+    # bytes per second so the drain must sleep at least ~1 s
+    lim = pl.ByteRateLimiter(bytes_per_sec=60_000)
+    t0 = time.monotonic()
+    q = pl.start_replay_stream(events, lake, ckpt, job_id="rate",
+                               rate_limiter=lim)
+    assert q.awaitTermination(120)
+    elapsed = time.monotonic() - t0
+    assert lim.bytes_per_row and lim.bytes_per_row > 50  # sampled, not guessed
+    assert lim.total_bytes > 0
+    floor = lim.total_bytes / lim.bytes_per_sec
+    assert elapsed >= min(floor, 1.0)
+    table = LakeTable.load(spark, lake)
+    assert table.read().count() > 0
+
+
+def test_windowed_counts_watermark_drops_late_events(spark, tmp_root):
+    """Append-mode event-time windows under a 2h watermark: a row arriving
+    3h+ late (its window end already below the watermark) is dropped; each
+    closed window emits exactly once."""
+    import time
+
+    from chunjun_spark.streaming.windows import windowed_counts
+
+    src = os.path.join(tmp_root, "ev")
+    os.makedirs(src)
+    base = datetime.datetime(2024, 1, 1)
+
+    def _rows(hours):
+        return [(base + datetime.timedelta(hours=h), "click", 1.0) for h in hours]
+
+    schema = "ts timestamp_ntz, event_type string, value double"
+    # batch 1: two events in hour-0, one in hour-1, one at hour-10
+    # (advances the watermark to 8h once processed)
+    spark.createDataFrame(_rows([0.1, 0.5, 1.2, 10.0]), schema).coalesce(
+        1
+    ).write.parquet(os.path.join(src, "f1"))
+    time.sleep(1.1)  # distinct mtime → file source preserves batch order
+    # batch 2: on-time event at hour-11. Spark's two-watermark design
+    # (SPARK-24634) lags the LATE-EVENT filter one batch behind the
+    # EVICTION watermark, so the drop only applies from the batch after
+    # the advance propagates.
+    spark.createDataFrame(_rows([11.0]), schema).coalesce(1).write.parquet(
+        os.path.join(src, "f2")
+    )
+    time.sleep(1.1)
+    # batch 3: a 10h-late event for hour-0 (window end 1h is far below
+    # the 8-9h late-event watermark by now → dropped) and hour-12
+    spark.createDataFrame(_rows([0.7, 12.0]), schema).coalesce(1).write.parquet(
+        os.path.join(src, "f3")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = windowed_counts(stream, ts_col="ts", keys=("event_type",),
+                          window="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmp_root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM win_counts").collect()
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in rows
+    }
+    # each closed window emitted exactly once (no duplicate appends from
+    # a late re-opened window)
+    assert len(rows) == len(got)
+    h = 3600
+    t0 = int(base.replace(tzinfo=datetime.timezone.utc).timestamp())
+    # hour-0 window: 2 on-time events, late arrival dropped
+    assert got[(t0, "click")] == 2
+    # hour-1 window emitted once the watermark passed it
+    assert got[(t0 + h, "click")] == 1
+    # hour-10+ windows never close before the stream drains — append
+    # mode holds them in state, not in the sink
+    assert (t0 + 10 * h, "click") not in got
+    # the drop is observable in the state-operator metrics
+    dropped = sum(
+        (p["stateOperators"][0]["numRowsDroppedByWatermark"]
+         if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert dropped >= 1
+
+
+def test_windowed_counts_batch_matches_naive_groupby(spark):
+    """The same builder on a batch frame == a hand-rolled epoch-floor
+    group-by (the shape the DuckDB oracle checks at sf0.01)."""
+    import pyspark.sql.functions as F
+
+    from chunjun_spark.streaming.windows import windowed_counts
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (base + datetime.timedelta(minutes=m), "a" if m % 2 else "b", float(m))
+        for m in range(0, 200, 7)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp_ntz, event_type string, value double")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in windowed_counts(df).collect()
+    }
+    want = {
+        (r["ws"], r["event_type"]): (r["n"], r["s"])
+        for r in df.groupBy(
+            (F.floor(F.unix_timestamp("ts") / 3600) * 3600).alias("ws"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_pave_unpave_roundtrip(spark):
     """pave → unpave is lossless on the canonical event shape, including
     NULL-side collapse (DELETE has only before, data events only after)."""
