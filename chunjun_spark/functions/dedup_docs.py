@@ -47,15 +47,48 @@ def exact_dedup(
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Ensure the input has at least default-parallelism partitions before
+    per-document heavy expression work (normalize + shingle HOFs cost
+    ~ms/doc). A small corpus arrives as ONE parquet split and would
+    otherwise run the whole shingling stage on a single core — measured
+    14 s single-task vs ~1 s wide at sf0.1. At real scale the input
+    already has ≥ cores partitions and this is a no-op (no shuffle)."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def shingles(col: Column, n: int = 3) -> Column:
-    """Array of n-token shingles over the normalized text (distinct)."""
+    """Array of n-token shingles over the normalized text (distinct).
+
+    Expression-shape note (measured, 5000 docs / sf0.1): HOF lambda
+    bodies that reference an OUTER subtree re-evaluate that subtree per
+    array element in the interpreted paths (Generate, non-codegen
+    Project). The naive ``transform(sequence(1, n_sh), i ->
+    concat_ws(slice(toks, i, n)))`` re-ran normalize+split per shingle
+    position — 10.9 s to explode this corpus. This form (a) builds
+    n-grams with ``zip_with`` over shifted slices so every lambda touches
+    only its element arguments, and (b) wraps the token array in a
+    1-element array and does all slicing inside one ``transform`` lambda,
+    so normalize+split evaluates exactly once per document even with the
+    projection collapsed into a Generate: 2.0 s, identical output.
+    """
     toks = F.split(normalized(col), " ")
-    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), n_sh)
-    arr = F.when(n_sh > 0, F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
-    )).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(arr)
+    if n == 1:
+        return F.array_distinct(toks)
+
+    def _build(t: Column) -> Column:
+        w = F.greatest(F.size(t) - F.lit(n - 1), F.lit(0))
+        out = F.slice(t, 1, w)
+        for j in range(1, n):
+            out = F.zip_with(
+                out, F.slice(t, 1 + j, w), lambda a, b: F.concat_ws(" ", a, b)
+            )
+        return F.array_distinct(out)
+
+    return F.element_at(F.transform(F.array(toks), _build), 1)
 
 
 def token_set(col: Column) -> Column:
@@ -88,7 +121,7 @@ def jaccard_pairs(
     must appear in >cap docs), so it applies as a broadcast anti-join —
     no extra shuffle.
     """
-    sh = df.select(
+    sh = _widen(df).select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), n).alias("_sh")
     ).withColumn("_n", F.size("_sh"))
     sizes = sh.select("_id", "_n")
@@ -141,31 +174,41 @@ def minhash_signatures(
 ) -> DataFrame:
     """K-permutation MinHash signature per document, all native exprs.
 
-    h_i(s) = xxhash64(shingle, seed+i); sig[i] = min over shingles.
-    One pass over the shingle array per hash function — vectorized
-    transform/array_min in codegen, zero Python, zero shuffle (map-only).
-    Empty documents get a sentinel signature of +inf values.
+    base(s) = xxhash64(shingle, seed) — each STRING shingle is hashed
+    exactly once; the k permutations are h_i = xxhash64(base, seed+1+i),
+    a fixed-width 8-byte hash per lane. sig[i] = min over shingles.
+
+    Physical shape (same reasoning as ``simhash_table``): explode the
+    shingle set → k native lane-hash columns → ``groupBy(id)`` with k
+    ``min`` aggregates. Every operator is whole-stage-codegen'd and the
+    k mins PARTIAL-aggregate map-side, so the one shuffle carries ~one
+    row per (doc, map partition). The earlier array_min(transform(...))
+    formulation was map-only but ran k×|shingles| INTERPRETED
+    higher-order lambdas per doc — measured ~3× slower at sf0.1 than
+    this exploded codegen plan, which is also the shape that scales
+    (partial agg bounds reducer input regardless of document size).
+    Empty documents get a sentinel signature of +inf values
+    (explode_outer keeps them as a NULL-shingle row).
     """
-    sh = df.select(
-        F.col(id_col), shingles(F.col(text_col), n).alias("_sh")
+    sent = 2**63 - 1
+    ex = (
+        _widen(df).select(
+            F.col(id_col).alias("_id"),
+            F.explode_outer(shingles(F.col(text_col), n)).alias("_s"),
+        )
+        .withColumn("_bh", F.xxhash64(F.col("_s"), F.lit(seed)))
     )
-
-    def _hash_fn(i: int):
-        # single-parameter lambda is REQUIRED: a two-arg lambda would be
-        # interpreted by PySpark as (element, index) and silently shadow
-        # the captured hash-function id, collapsing all k functions to one
-        return lambda s: F.xxhash64(s, F.lit(seed + i))
-
-    sig = F.array(
-        *[
-            F.coalesce(
-                F.array_min(F.transform(F.col("_sh"), _hash_fn(i))),
-                F.lit(2**63 - 1),
+    lanes = [
+        F.min(
+            F.when(F.col("_s").isNull(), F.lit(sent)).otherwise(
+                F.xxhash64(F.col("_bh"), F.lit(seed + 1 + i))
             )
-            for i in range(k)
-        ]
-    )
-    return sh.select(F.col(id_col), sig.alias("signature"))
+        ).alias(f"_m{i}")
+        for i in range(k)
+    ]
+    agg = ex.groupBy("_id").agg(*lanes)
+    sig = F.array(*[F.col(f"_m{i}") for i in range(k)])
+    return agg.select(F.col("_id").alias(id_col), sig.alias("signature"))
 
 
 def lsh_candidates(
@@ -315,7 +358,7 @@ def simhash_table(
     and bit projections are map-side, the 64 sums partial-aggregate before
     the single shuffle on id — the shape that survives 100 TB.
     """
-    tok = df.select(
+    tok = _widen(df).select(
         F.col(id_col).alias("_id"), F.explode(token_set(F.col(text_col))).alias("_t")
     ).withColumn("_h", F.xxhash64("_t"))
     # pack 4 bit-counters per bigint (16-bit lanes): lane i of group g
