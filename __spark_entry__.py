@@ -627,6 +627,264 @@ def _q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- repetition / redaction / paras
+#
+# The synthetic corpus is flat word-soup (no newlines, no punctuation), so
+# these entries derive document STRUCTURE deterministically — plain string
+# replaces that Spark and DuckDB evaluate identically — and, for redaction,
+# inject synthetic secrets keyed on doc_id on both sides.
+
+def _structured_text() -> F.Column:
+    """Inject line (' table ' → \\n) and paragraph (' query ' → \\n\\n)
+    breaks; plain non-regex replace, leftmost non-overlapping on both
+    engines."""
+    return F.replace(
+        F.replace(F.col("text"), F.lit(" table "), F.lit("\n")),
+        F.lit(" query "),
+        F.lit("\n\n"),
+    )
+
+
+_STRUCT_SQL = (
+    "replace(replace(text, ' table ', chr(10)), ' query ', chr(10) || chr(10))"
+)
+
+
+def _norm_sql(col: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9 ]', ' ',"
+        " 'g'), ' +', ' ', 'g'))"
+    )
+
+
+def _q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition stats: duplicate line / paragraph / token
+    fractions. Pure per-row expressions (array_distinct on split arrays)
+    — map-only, zero shuffles at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    st = _structured_text()
+    return docs.select(
+        "doc_id",
+        F.size(TX.split_lines(st)).alias("n_lines"),
+        F.round(TX.dup_line_frac(st), 6).alias("dup_line_frac"),
+        F.round(TX.dup_para_frac(st), 6).alias("dup_para_frac"),
+        F.round(TX.dup_token_frac(F.col("text")), 6).alias("dup_token_frac"),
+    )
+
+
+_REPETITION_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, {_STRUCT_SQL} AS st, text FROM documents
+), a AS (
+  SELECT doc_id,
+         string_split(st, chr(10)) AS ls,
+         string_split(st, chr(10) || chr(10)) AS ps,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM d
+)
+SELECT doc_id,
+       len(ls) AS n_lines,
+       round(CASE WHEN len(ls) > 0
+             THEN (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls)
+             ELSE 0.0 END, 6) AS dup_line_frac,
+       round(CASE WHEN len(ps) > 0
+             THEN (len(ps) - len(list_distinct(ps)))::DOUBLE / len(ps)
+             ELSE 0.0 END, 6) AS dup_para_frac,
+       round(CASE WHEN len(toks) > 0
+             THEN (len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks)
+             ELSE 0.0 END, 6) AS dup_token_frac
+FROM a
+"""
+
+
+def _secreted_text() -> F.Column:
+    """Deterministically append synthetic secrets (AWS key, email, IP,
+    hex token, credential assignment) to every 7th document."""
+    inj = F.concat(
+        F.col("text"),
+        F.lit(" key=AKIA"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 16, "0"),
+        F.lit(" mail bob@example.com ip 10.0.0."),
+        (F.col("doc_id") % 255).cast("string"),
+        F.lit(" hex "),
+        F.expr("repeat('ab', 16 + cast(doc_id % 3 as int))"),
+        F.lit(" token:tok"),
+        F.col("doc_id").cast("string"),
+    )
+    return F.when(F.col("doc_id") % 7 == 0, inj).otherwise(F.col("text"))
+
+
+_SECRETED_SQL = """
+CASE WHEN doc_id % 7 = 0 THEN text
+       || ' key=AKIA' || lpad((doc_id % 10000)::VARCHAR, 16, '0')
+       || ' mail bob@example.com ip 10.0.0.' || (doc_id % 255)::VARCHAR
+       || ' hex ' || repeat('ab', 16 + (doc_id % 3)::INT)
+       || ' token:tok' || doc_id::VARCHAR
+     ELSE text END
+"""
+
+# ordered exactly as chunjun_spark.functions.text.SECRET_PATTERNS;
+# DuckDB needs the 'g' flag and \1 group refs (Spark: implicit-all, $1)
+_REDACT_CHAIN_SQL = (
+    r"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    r"regexp_replace({col}, "
+    r"'AKIA[0-9A-Z]{{16}}', '<AWS_KEY>', 'g'), "
+    r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'), "
+    r"'\b[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\.[0-9]{{1,3}}\b', "
+    r"'<IP>', 'g'), "
+    r"'\b[0-9a-fA-F]{{32,}}\b', '<HEX>', 'g'), "
+    r"'(?i)(api_?key|secret|token|passwd|password)\s*[=:]\s*[^\s<]+', "
+    r"'\1=<SECRET>', 'g')"
+)
+
+
+def _q_doc_redact_secrets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secret/PII scrubbing for a code-ish corpus: chained codegen
+    regexp_replace, marker count from the redacted text. Map-only."""
+    docs = _t(spark, sf_dir, "documents")
+    sec = _secreted_text()
+    return docs.select(
+        "doc_id",
+        TX.redact_secrets(sec).alias("redacted"),
+        TX.secret_count(sec).alias("n_secrets"),
+    )
+
+
+_REDACT_SQL = rf"""
+WITH d AS (SELECT doc_id, {_SECRETED_SQL} AS sec FROM documents),
+r AS (SELECT doc_id, {_REDACT_CHAIN_SQL.format(col='sec')} AS redacted FROM d)
+SELECT doc_id, redacted,
+       len(regexp_extract_all(redacted,
+           '<(AWS_KEY|EMAIL|IP|HEX|SECRET)>')) AS n_secrets
+FROM r
+"""
+
+
+def _docs_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", _structured_text().alias("text")
+    )
+
+
+def _q_para_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity duplicate census: one shuffle on the 128-bit
+    paragraph fingerprint with map-side partial aggregation."""
+    docs = _docs_structured(spark, sf_dir)
+    return DD.paragraph_dup_groups(docs)
+
+
+_PARA_GROUPS_SQL = rf"""
+WITH d AS (SELECT doc_id, {_STRUCT_SQL} AS st FROM documents),
+p AS (SELECT doc_id,
+             unnest(string_split(st, chr(10) || chr(10))) AS para FROM d),
+n AS (SELECT doc_id, {_norm_sql('para')} AS nn FROM p),
+f AS (SELECT doc_id, md5(nn) AS para_fp FROM n WHERE nn != '')
+SELECT para_fp,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS first_doc
+FROM f GROUP BY 1
+"""
+
+
+def _q_para_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents rebuilt with globally-duplicate paragraphs removed (first
+    occurrence by (doc_id, position) wins). keep_last-shaped plan: narrow
+    winner aggregate, payload shuffles once."""
+    docs = _docs_structured(spark, sf_dir)
+    return DD.paragraph_dedup(docs)
+
+
+_PARA_RECON_SQL = rf"""
+WITH d AS (SELECT doc_id, {_STRUCT_SQL} AS st FROM documents),
+p AS (SELECT doc_id,
+             unnest(string_split(st, chr(10) || chr(10))) AS para,
+             generate_subscripts(string_split(st, chr(10) || chr(10)), 1)
+               AS idx
+      FROM d),
+f AS (SELECT doc_id, idx, para, md5({_norm_sql('para')}) AS fp
+      FROM p WHERE {_norm_sql('para')} != ''),
+w AS (SELECT doc_id, idx, para FROM f
+      QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id, idx) = 1)
+SELECT doc_id,
+       string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text_deduped
+FROM w GROUP BY doc_id
+"""
+
+
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pass a training-data pipeline runs end-to-end:
+    exact dedup → quality gate → repetition gate → redaction → corpus
+    stats per source. Every stage is native-expr; the only shuffles are
+    the dedup fingerprint agg/semi-join and the final small groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    deduped = DD.exact_dedup(docs)
+    scored = deduped.select(
+        "doc_id",
+        "source",
+        "text",
+        TX.quality_score(F.col("text")).alias("q"),
+        TX.dup_token_frac(F.col("text")).alias("dtf"),
+    ).filter((F.col("q") >= 0.6) & (F.col("dtf") <= 0.8))
+    clean = scored.select(
+        "doc_id",
+        "source",
+        F.col("q"),
+        TX.token_count(TX.redact_secrets(F.col("text"))).alias("n_tokens"),
+    )
+    return clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+    )
+
+
+_CURATION_SQL = rf"""
+WITH fp AS (SELECT doc_id, md5({_NORM_SQL}) AS f FROM documents),
+keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+dd AS (SELECT d.* FROM documents d JOIN keep k ON d.doc_id = k.doc_id),
+base AS (
+  SELECT doc_id, source, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+         len(regexp_extract_all(text, '\b(the|and|of|to|is|a)\b')) AS nstop
+  FROM dd
+), m AS (
+  SELECT doc_id, source, text, toks,
+         list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+           / len(toks) AS alen,
+         CASE WHEN nc > 0 THEN np::DOUBLE / nc ELSE 0.0 END AS pratio,
+         CASE WHEN len(toks) > 0 THEN nstop::DOUBLE / len(toks)
+              ELSE 0.0 END AS sratio,
+         CASE WHEN len(toks) > 0
+              THEN (len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks)
+              ELSE 0.0 END AS dtf
+  FROM base
+), sc AS (
+  SELECT doc_id, source, text, dtf,
+         (CASE WHEN alen >= 2.0 AND alen <= 12.0 THEN 0.5 ELSE 0.0 END)
+         + least(sratio * 2.0, 0.3)
+         + (0.2 - least(pratio * 2.0, 0.2)) AS q
+  FROM m
+), flt AS (
+  SELECT doc_id, source, q,
+         {_REDACT_CHAIN_SQL.format(col='text')} AS red
+  FROM sc WHERE q >= 0.6 AND dtf <= 0.8
+), tok AS (
+  SELECT doc_id, source, q,
+         CASE WHEN trim(red) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(red), '\s+')) END AS n_tokens
+  FROM flt
+)
+SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       round(avg(q), 6) AS avg_quality
+FROM tok GROUP BY source
+"""
+
+
 # ------------------------------------------------------------ embeddings
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -795,6 +1053,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_two_phase_agg": _q_skew_two_phase_agg,
         "doc_quality_filter": _q_doc_quality_filter,
         "doc_winnow_fingerprints": _q_doc_winnow_fingerprints,
+        "doc_repetition": _q_doc_repetition,
+        "doc_redact_secrets": _q_doc_redact_secrets,
+        "para_dedup_groups": _q_para_dedup_groups,
+        "para_dedup_reconstruct": _q_para_dedup_reconstruct,
+        "curation_pipeline": _q_curation_pipeline,
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_pruned": _q_ann_topk_pruned,
@@ -838,5 +1101,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ANN_TOPK_SQL,
         "embedding_norms": _EMB_NORMS_SQL,
         "embedding_near_dup": _EMB_NEAR_DUP_SQL,
+        "doc_repetition": _REPETITION_SQL,
+        "doc_redact_secrets": _REDACT_SQL,
+        "para_dedup_groups": _PARA_GROUPS_SQL,
+        "para_dedup_reconstruct": _PARA_RECON_SQL,
+        "curation_pipeline": _CURATION_SQL,
         # minhash_lsh_dups / simhash_near_dups / ann_topk_lsh: rows-only
     }

@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "embedding_near_dup_lsh",
     "doc_bpe_token_count",
+    "doc_repetition",
+    "doc_redact_secrets",
+    "para_dedup_reconstruct",
+    "curation_pipeline",
 ]
 
 

@@ -47,6 +47,105 @@ def exact_dedup(
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def paragraph_explode(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per (document, paragraph): ``id, para_idx, para, _fp``.
+
+    Paragraph = ``\\n\\n``-delimited block; ``_fp`` is the md5 of the
+    normalized paragraph text. Blank/empty paragraphs are dropped (their
+    normalized form is ''). Map-only: posexplode is codegen'd Generate,
+    no shuffle."""
+    from chunjun_spark.functions.text import split_paragraphs
+
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(split_paragraphs(F.col(text_col))).alias(
+            "para_idx", "para"
+        ),
+    ).withColumn("_norm", normalized(F.col("para")))
+    return (
+        paras.filter(F.col("_norm") != "")
+        .withColumn("_fp", F.md5(F.col("_norm")))
+        .drop("_norm")
+    )
+
+
+def paragraph_dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per distinct paragraph fingerprint: occurrence count, distinct-doc
+    count, and the first (lowest-id) document containing it.
+
+    Single shuffle on the uniform 128-bit fingerprint with map-side
+    partial aggregation — the 100 TB shape (paragraph payload never
+    shuffles; only the narrow (fp, id) pairs do)."""
+    paras = paragraph_explode(df, text_col, id_col).select("_fp", id_col)
+    return paras.groupBy("_fp").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct(id_col).alias("n_docs"),
+        F.min(id_col).alias("first_doc"),
+    ).withColumnRenamed("_fp", "para_fp")
+
+
+def paragraph_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rebuild each document with globally-duplicate paragraphs removed:
+    only the FIRST occurrence of a paragraph (ordered by ``(id,
+    para_idx)``) survives, later repeats — within or across documents —
+    are dropped (the common pre-training paragraph-dedup pass).
+
+    Scale shape mirrors ``keep_last``: the winner per fingerprint is
+    decided on a NARROW (fp, packed id·idx) projection — the (id, idx)
+    pair is packed into one bigint so the aggregate stays a partial-agg
+    HashAggregate (``min(struct(...))`` would force SortAggregate) —
+    then winners semi-join back against the exploded paragraphs and one
+    final shuffle by document id reassembles the text. The paragraph
+    payload crosses the network at most twice (winner filter +
+    reassembly), once when AQE broadcasts the winner set.
+
+    Packing contract: ``para_idx < 2^21`` (a >2M-paragraph document
+    would tie-break to an arbitrary in-document copy — harmless for
+    dedup semantics, but out of the deterministic contract) and
+    ``id < 2^42``; both hold for any realistic corpus keyed by a
+    Snowflake-style or dense id.
+
+    Documents whose every paragraph was a repeat disappear from the
+    output (there is nothing left to emit).
+    """
+    _PACK = 1 << 21
+    paras = paragraph_explode(df, text_col, id_col)
+    winners = (
+        paras.select(
+            "_fp",
+            (F.col(id_col) * _PACK + F.col("para_idx")).alias("_packed"),
+        )
+        .groupBy("_fp")
+        .agg(F.min("_packed").alias("_w"))
+        .select(
+            F.col("_fp"),
+            F.floor(F.col("_w") / _PACK).alias(id_col),
+            (F.col("_w") % _PACK).cast("int").alias("para_idx"),
+        )
+    )
+    kept = paras.join(winners, on=["_fp", id_col, "para_idx"], how="left_semi")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("para_idx", "para"))
+            ).alias("_ps")
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                "\n\n", F.transform(F.col("_ps"), lambda s: s["para"])
+            ).alias("text_deduped"),
+        )
+    )
+
+
 def _widen(df: DataFrame) -> DataFrame:
     """Ensure the input has at least default-parallelism partitions before
     per-document heavy expression work (normalize + shingle HOFs cost

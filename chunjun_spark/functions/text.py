@@ -145,6 +145,86 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalized(col))
 
 
+# ---------------------------------------------------------------- repetition
+
+def split_lines(col: Column) -> Column:
+    """Split text into lines on ``\\n`` (empty lines kept, like Gopher's
+    line accounting). Map-only native expr."""
+    return F.split(col, r"\n")
+
+
+def split_paragraphs(col: Column) -> Column:
+    """Split text into paragraphs on blank-line boundaries (``\\n\\n``)."""
+    return F.split(col, r"\n\n")
+
+
+def _dup_frac(arr: Column) -> Column:
+    """Fraction of array elements that are repeats of an earlier element:
+    ``(n - n_distinct) / n``, 0.0 for empty arrays. Per-row expression —
+    no shuffle, no explode."""
+    n = F.size(arr)
+    return F.when(
+        n > 0,
+        (n - F.size(F.array_distinct(arr))).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_line_frac(col: Column) -> Column:
+    """Gopher-style duplicate-line fraction of a document."""
+    return _dup_frac(split_lines(col))
+
+
+def dup_para_frac(col: Column) -> Column:
+    """Gopher-style duplicate-paragraph fraction of a document."""
+    return _dup_frac(split_paragraphs(col))
+
+
+def dup_token_frac(col: Column) -> Column:
+    """Fraction of tokens that are repeats — high values flag boilerplate
+    / keyword-stuffed documents (Gopher repetition filter family)."""
+    return _dup_frac(tokens(col))
+
+
+# ---------------------------------------------------------------- redaction
+
+# Ordered (pattern, replacement) pairs for code/doc secret + PII scrubbing.
+# RE2/Java-regex compatible (no lookaround, no backrefs); applied in order,
+# so earlier (more specific) patterns win over the generic catch-all.
+# Reference analog: ChunJun has no redaction — this serves the
+# training-data-curation mandate (secrets must not reach the corpus).
+SECRET_PATTERNS: list[tuple[str, str]] = [
+    # AWS access key id
+    (r"AKIA[0-9A-Z]{16}", "<AWS_KEY>"),
+    # email address
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # IPv4 literal
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    # long hex blob (api tokens, sha-like secrets pasted in code)
+    (r"\b[0-9a-fA-F]{32,}\b", "<HEX>"),
+    # generic key=value style assignment of a credential-named variable
+    (r"(?i)(api_?key|secret|token|passwd|password)\s*[=:]\s*[^\s<]+",
+     "$1=<SECRET>"),
+]
+
+_MARKER_RE = r"<(AWS_KEY|EMAIL|IP|HEX|SECRET)>"
+
+
+def redact_secrets(col: Column) -> Column:
+    """Replace secrets/PII with typed markers. Chained native
+    ``regexp_replace`` — whole-stage codegen, no Python in the row path."""
+    out = col
+    for pat, rep in SECRET_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def secret_count(col: Column) -> Column:
+    """Number of redaction markers that ``redact_secrets`` inserted
+    (counted on the redacted text so overlapping patterns aren't
+    double-counted)."""
+    return F.regexp_count(redact_secrets(col), F.lit(_MARKER_RE))
+
+
 def rolling_fingerprints(col: Column, window_tokens: int = 8) -> Column:
     """Array of window fingerprints: hash of each ``window_tokens``-token
     sliding window over the normalized text (winnowing-style document
