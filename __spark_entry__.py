@@ -885,6 +885,133 @@ FROM tok GROUP BY source
 """
 
 
+# -------------------------------------------------- temporal / decontam
+
+def _q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF join (Spark has none natively): every error event picks up
+    the most recent preceding-or-equal purchase of the same user via
+    the union + ignore-nulls window sweep — one shuffle on user_id, no
+    range join."""
+    from chunjun_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    j = asof_join(
+        errors,
+        purchases,
+        by=["user_id"],
+        ts="ts",
+        value_cols=["value", "event_id"],
+        seq="event_id",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.round("value_asof", 6).alias("purchase_value"),
+        F.col("event_id_asof").alias("purchase_event_id"),
+    )
+
+
+_ASOF_SQL = """
+WITH l AS (
+  SELECT event_id, user_id, ts, 1 AS is_left,
+         NULL::DOUBLE AS v_r, NULL::BIGINT AS id_r
+  FROM events WHERE event_type = 'error'
+), r AS (
+  SELECT event_id, user_id, ts, 0 AS is_left,
+         value AS v_r, event_id AS id_r
+  FROM events WHERE event_type = 'purchase'
+), u AS (
+  SELECT * FROM l UNION ALL SELECT * FROM r
+), f AS (
+  SELECT *,
+         last_value(v_r IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_left, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv,
+         last_value(id_r IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_left, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fid
+  FROM u
+)
+SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+       round(fv, 6) AS purchase_value, fid AS purchase_event_id
+FROM f WHERE is_left = 1
+"""
+
+
+_SESSION_GAP_S = 21_600  # 6 h
+
+
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag → boundary → running sum → agg);
+    single shuffle on user_id shared by both window passes and the
+    final groupBy."""
+    from chunjun_spark.operators.temporal import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(
+        ev, by=["user_id"], ts="ts", gap_seconds=_SESSION_GAP_S,
+        seq="event_id", value_col="value",
+    )
+
+
+_SESSIONIZE_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_id, value, ts, epoch_ms(ts) AS ms,
+         lag(epoch_ms(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS pms
+  FROM events
+), b AS (
+  SELECT *, CASE WHEN pms IS NULL OR ms - pms > {_SESSION_GAP_S * 1000}
+                 THEN 1 ELSE 0 END AS nb
+  FROM o
+), s AS (
+  SELECT *, sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM b
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ms) AS start_ms, max(ms) AS end_ms,
+       max(ms) - min(ms) AS duration_ms,
+       round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, session_seq
+"""
+
+
+def _q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 8-token
+    shingle with the 'src0' benchmark slice, with overlap counts.
+    Narrow (id, hash) join; benchmark side broadcast by AQE."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return DD.decontaminate_flags(corpus, bench, n=8)
+
+
+_DECONTAM_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, source,
+         string_split({_norm_sql('text')}, ' ') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 7, 0) + 1),
+           i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))
+         ))) AS sh
+  FROM d
+), bench AS (
+  SELECT DISTINCT sh FROM s WHERE source = 'src0'
+)
+SELECT doc_id, count(DISTINCT sh) AS n_overlap
+FROM s JOIN bench USING (sh)
+WHERE source <> 'src0'
+GROUP BY doc_id
+"""
+
+
 # ------------------------------------------------------------ embeddings
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -1058,6 +1185,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_dedup_groups": _q_para_dedup_groups,
         "para_dedup_reconstruct": _q_para_dedup_reconstruct,
         "curation_pipeline": _q_curation_pipeline,
+        "events_asof_join": _q_events_asof_join,
+        "events_sessionize": _q_events_sessionize,
+        "doc_decontaminate": _q_doc_decontaminate,
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_pruned": _q_ann_topk_pruned,
@@ -1106,5 +1236,8 @@ def oracle_sql() -> dict[str, str]:
         "para_dedup_groups": _PARA_GROUPS_SQL,
         "para_dedup_reconstruct": _PARA_RECON_SQL,
         "curation_pipeline": _CURATION_SQL,
+        "events_asof_join": _ASOF_SQL,
+        "events_sessionize": _SESSIONIZE_SQL,
+        "doc_decontaminate": _DECONTAM_SQL,
         # minhash_lsh_dups / simhash_near_dups / ann_topk_lsh: rows-only
     }

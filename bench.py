@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "doc_redact_secrets",
     "para_dedup_reconstruct",
     "curation_pipeline",
+    "events_asof_join",
+    "events_sessionize",
+    "doc_decontaminate",
 ]
 
 

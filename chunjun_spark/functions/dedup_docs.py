@@ -146,6 +146,45 @@ def paragraph_dedup(
     )
 
 
+def decontaminate_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination detection: for every corpus document that
+    shares at least one n-token shingle (over normalized text) with any
+    benchmark document, return ``(id, n_overlap)`` — the count of
+    distinct contaminated shingles. The standard pre-training
+    decontamination pass (flag, then drop or scrub).
+
+    Scale shape: both sides explode to (id, shingle-md5); the benchmark
+    side is reduced to DISTINCT shingles first. Benchmark sets are
+    small relative to the corpus, so Spark broadcasts them (AQE decides
+    from runtime stats — not forced, so a huge benchmark degrades to a
+    shuffled hash join instead of an OOM). The corpus payload never
+    moves: only (id, 128-bit hash) pairs reach the join, and the final
+    count aggregates with map-side partials on the id.
+
+    md5 of the shingle STRING (not xxhash64) so a DuckDB oracle can
+    reproduce the exact values.
+    """
+    def _sh(df: DataFrame, cols: list[str]) -> DataFrame:
+        return df.select(
+            *cols,
+            F.explode(shingles(F.col(text_col), n=n)).alias("_s"),
+        ).withColumn("_sh", F.md5(F.col("_s"))).drop("_s")
+
+    bench_sh = _sh(benchmark, []).distinct()
+    corpus_sh = _sh(corpus, [id_col])
+    return (
+        corpus_sh.join(bench_sh, on="_sh")
+        .groupBy(id_col)
+        .agg(F.countDistinct("_sh").alias("n_overlap"))
+    )
+
+
 def _widen(df: DataFrame) -> DataFrame:
     """Ensure the input has at least default-parallelism partitions before
     per-document heavy expression work (normalize + shingle HOFs cost

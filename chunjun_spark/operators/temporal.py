@@ -1,0 +1,140 @@
+"""Temporal operators over change/event streams: as-of join and
+gap-based sessionization.
+
+Spark has no native ASOF JOIN (DuckDB/Pandas do) and its
+``session_window`` is aimed at streaming aggregation, so both operators
+are built as compositions of DataFrame window functions with a single
+shuffle on the entity key — the shape that survives a 100× scale-up
+(no range cross-join, no per-key collect).
+
+Reference analog: ChunJun itself carries no temporal operators (it moves
+rows); these serve the CDC-table consumers — e.g. joining every error
+event to the purchase state that preceded it, or splitting a user's
+change history into activity sessions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    ts: str,
+    value_cols: list[str],
+    seq: str | None = None,
+    suffix: str = "_asof",
+    strict: bool = False,
+) -> DataFrame:
+    """For every left row, attach ``value_cols`` from the most recent
+    right row with ``right.ts <= left.ts`` (strictly ``<`` when
+    ``strict``) sharing the ``by`` keys; NULLs when no such row exists.
+
+    Plan shape: tag both sides, union the NARROW projection (by + ts +
+    seq + right values), and sweep one window per partition key with
+    ``last(value, ignorenulls=True)`` over unbounded-preceding rows —
+    ONE shuffle on ``by``, linear work, no range join whose matched-pair
+    count can explode. The left payload rides the union (right rows pad
+    it with NULLs), so it crosses the network exactly once. Pass ``seq``
+    (present on both sides) for a deterministic tie-break when (by, ts)
+    can repeat.
+    """
+    sort_side = 0 if strict else 1  # right rows sort before equal-ts left
+    lseq = [seq] if seq else []
+    l_tag = left.select(
+        *by, ts, *lseq,
+        *[c for c in left.columns if c not in set(by + [ts] + lseq)],
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+          for c in value_cols],
+    )
+    r_tag = right.select(
+        *by, ts, *lseq,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in set(by + [ts] + lseq)],
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
+    u = l_tag.unionByName(r_tag)
+    order = [F.col(ts).asc()]
+    # at equal ts: non-strict → right first (visible), strict → left first
+    order.append(
+        F.col("_is_left").asc() if sort_side == 1 else F.col("_is_left").desc()
+    )
+    if seq:
+        order.append(F.col(seq).asc())
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in value_cols
+        ],
+    )
+    out_cols = [c for c in left.columns] + [
+        F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in value_cols
+    ]
+    return filled.filter(F.col("_is_left") == 1).select(*out_cols)
+
+
+def sessionize(
+    df: DataFrame,
+    by: list[str],
+    ts: str,
+    gap_seconds: int,
+    seq: str | None = None,
+) -> DataFrame:
+    """Assign gap-based session numbers: a new session starts whenever
+    the time since the previous event of the same entity exceeds
+    ``gap_seconds``. Returns the input plus ``session_seq`` (1-based,
+    per entity, in time order).
+
+    Classic lag → boundary flag → running sum; one shuffle on ``by``
+    (both window passes share the partitioning, Catalyst plans a single
+    Exchange + Sort).
+    """
+    order = [F.col(ts).asc()] + ([F.col(seq).asc()] if seq else [])
+    w = Window.partitionBy(*by).orderBy(*order)
+    ms = F.unix_millis(F.col(ts).cast("timestamp"))
+    prev_ms = F.lag(ms).over(w)
+    boundary = F.when(
+        prev_ms.isNull() | (ms - prev_ms > gap_seconds * 1000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_seq",
+        F.sum(boundary).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    by: list[str],
+    ts: str,
+    gap_seconds: int,
+    seq: str | None = None,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Per-session aggregates over :func:`sessionize` output: event
+    count, start/end epoch-millis, duration, and (optionally) the summed
+    value column. The groupBy reuses the window's hash partitioning on
+    ``by`` — no second payload shuffle."""
+    s = sessionize(df, by, ts, gap_seconds, seq=seq)
+    ms = F.unix_millis(F.col(ts).cast("timestamp"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ms).alias("start_ms"),
+        F.max(ms).alias("end_ms"),
+        (F.max(ms) - F.min(ms)).alias("duration_ms"),
+    ]
+    if value_col:
+        aggs.append(F.round(F.sum(value_col), 6).alias("sum_value"))
+    return s.groupBy(*by, "session_seq").agg(*aggs)

@@ -1,0 +1,133 @@
+"""Tests for temporal operators (as-of join, sessionization) and
+benchmark decontamination."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from chunjun_spark.functions import dedup_docs as DD
+from chunjun_spark.operators.temporal import asof_join, session_stats, sessionize
+
+
+def _ts(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    # right side: quotes; left side: trades
+    quotes = spark.createDataFrame(
+        [
+            (1, _ts(0), 100.0, 10),
+            (1, _ts(10), 101.0, 11),
+            (1, _ts(10), 102.0, 12),   # same-ts tie: higher seq wins
+            (2, _ts(5), 50.0, 13),
+        ],
+        "user_id long, ts timestamp, px double, event_id long",
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, _ts(5), 20),    # after quote@0 -> 100.0
+            (1, _ts(10), 21),   # equal ts -> non-strict sees 102.0 (seq tie-break)
+            (1, _ts(99), 22),   # -> 102.0
+            (2, _ts(1), 23),    # before any quote -> NULL
+            (3, _ts(50), 24),   # user with no quotes -> NULL
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    return quotes, trades
+
+
+def test_asof_join_basic(quotes_trades):
+    quotes, trades = quotes_trades
+    out = {
+        r["event_id"]: r["px_asof"]
+        for r in asof_join(
+            trades, quotes, by=["user_id"], ts="ts",
+            value_cols=["px"], seq="event_id",
+        ).collect()
+    }
+    assert out[20] == 100.0
+    assert out[21] == 102.0   # equal-ts quote visible, highest seq wins
+    assert out[22] == 102.0
+    assert out[23] is None
+    assert out[24] is None
+
+
+def test_asof_join_strict(quotes_trades):
+    quotes, trades = quotes_trades
+    out = {
+        r["event_id"]: r["px_asof"]
+        for r in asof_join(
+            trades, quotes, by=["user_id"], ts="ts",
+            value_cols=["px"], seq="event_id", strict=True,
+        ).collect()
+    }
+    # equal-ts quotes invisible under strict <
+    assert out[21] == 100.0
+    assert out[20] == 100.0 and out[22] == 102.0
+
+
+def test_asof_join_keeps_all_left_rows(quotes_trades):
+    quotes, trades = quotes_trades
+    n = asof_join(
+        trades, quotes, by=["user_id"], ts="ts",
+        value_cols=["px"], seq="event_id",
+    ).count()
+    assert n == trades.count()
+
+
+def test_sessionize_boundaries(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0), 1),
+            (1, _ts(100), 2),     # gap 100s <= 300 -> same session
+            (1, _ts(500), 3),     # gap 400s > 300 -> new session
+            (1, _ts(700), 4),
+            (2, _ts(0), 5),       # separate entity
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    s = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(
+            ev, by=["user_id"], ts="ts", gap_seconds=300, seq="event_id"
+        ).collect()
+    }
+    assert s[1] == 1 and s[2] == 1
+    assert s[3] == 2 and s[4] == 2
+    assert s[5] == 1
+
+    stats = {
+        (r["user_id"], r["session_seq"]): r
+        for r in session_stats(
+            ev, by=["user_id"], ts="ts", gap_seconds=300, seq="event_id"
+        ).collect()
+    }
+    assert stats[(1, 1)]["n_events"] == 2
+    assert stats[(1, 2)]["duration_ms"] == 200_000
+    assert stats[(2, 1)]["n_events"] == 1
+
+
+def test_decontaminate_flags(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the full benchmark 4-gram "alpha beta gamma delta"
+            (0, "prefix words alpha beta gamma delta trailing stuff"),
+            # shares only a 2-gram -> clean at n=4
+            (1, "alpha beta something entirely different here now"),
+            (2, "no overlap whatsoever with that benchmark text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_overlap"]
+        for r in DD.decontaminate_flags(corpus, bench, n=4).collect()
+    }
+    assert 0 in got and got[0] >= 1
+    assert 1 not in got and 2 not in got
