@@ -885,6 +885,78 @@ FROM tok GROUP BY source
 """
 
 
+# --------------------------------------------------- change-data-feed
+
+def _q_cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental downstream consumption: replay events in two windows,
+    then read the net row-level changes between the two snapshots via
+    LakeTable.read_changes (Iceberg incremental-read / Delta CDF
+    analog; MOR fast path prunes the diff to delta-touched buckets)."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    root = tempfile.mkdtemp(prefix="cj_entry_cdf_")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table = LakeTable.create(spark, root, schema, pk=["user_id"], n_buckets=8)
+    replay(
+        events_changelog(ev.filter(F.col("ts") <= cut)),
+        table, batch_id="w1", mode="mor",
+    )
+    table = table.refresh()
+    v1 = table.manifest["version"]
+    replay(
+        events_changelog(ev.filter(F.col("ts") > cut)),
+        table, batch_id="w2", mode="mor",
+    )
+    table = table.refresh()
+    return table.read_changes(since_version=v1).select(
+        "user_id",
+        F.col("_change_type").alias("change_type"),
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
+_CHANGES_FEED_SQL = """
+WITH s1 AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         (event_type = 'error') AS del
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00')
+  WHERE rn = 1
+), s2 AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         (event_type = 'error') AS del
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+  WHERE rn = 1
+)
+SELECT s2.user_id,
+       CASE WHEN NOT s2.del AND (s1.user_id IS NULL OR s1.del)
+              THEN 'insert'
+            WHEN NOT s2.del AND NOT s1.del THEN 'update_postimage'
+            WHEN s2.del AND s1.user_id IS NOT NULL AND NOT s1.del
+              THEN 'delete'
+       END AS change_type,
+       s2.event_type, round(s2.value, 6) AS value
+FROM s2 LEFT JOIN s1 USING (user_id)
+WHERE (s1.user_id IS NULL OR s1.ts <> s2.ts OR s1.event_id <> s2.event_id)
+  AND (CASE WHEN NOT s2.del AND (s1.user_id IS NULL OR s1.del)
+              THEN 'insert'
+            WHEN NOT s2.del AND NOT s1.del THEN 'update_postimage'
+            WHEN s2.del AND s1.user_id IS NOT NULL AND NOT s1.del
+              THEN 'delete'
+       END) IS NOT NULL
+"""
+
+
 # -------------------------------------------------- temporal / decontam
 
 def _q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1185,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_dedup_groups": _q_para_dedup_groups,
         "para_dedup_reconstruct": _q_para_dedup_reconstruct,
         "curation_pipeline": _q_curation_pipeline,
+        "cdc_changes_feed": _q_cdc_changes_feed,
         "events_asof_join": _q_events_asof_join,
         "events_sessionize": _q_events_sessionize,
         "doc_decontaminate": _q_doc_decontaminate,
@@ -1236,6 +1309,7 @@ def oracle_sql() -> dict[str, str]:
         "para_dedup_groups": _PARA_GROUPS_SQL,
         "para_dedup_reconstruct": _PARA_RECON_SQL,
         "curation_pipeline": _CURATION_SQL,
+        "cdc_changes_feed": _CHANGES_FEED_SQL,
         "events_asof_join": _ASOF_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
         "doc_decontaminate": _DECONTAM_SQL,

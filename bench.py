@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "doc_redact_secrets",
     "para_dedup_reconstruct",
     "curation_pipeline",
+    "cdc_changes_feed",
     "events_asof_join",
     "events_sessionize",
     "doc_decontaminate",

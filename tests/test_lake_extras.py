@@ -136,3 +136,92 @@ def test_merge_nondeterministic_input_drops_no_keys(spark, tmp_root):
     got = table.refresh().read()
     assert got.count() == 2000
     assert got.filter(F.col("v").isNull()).count() == 0
+
+
+# --------------------------------------------------- change-data-feed
+
+def _mk_changes(spark, rows):
+    """rows: (user_id, v, op, ts_s, seq)"""
+    from chunjun_spark.plans.lake import OP_COL, VTS_COL, VSEQ_COL
+    return spark.createDataFrame(
+        [(u, v, op, f"2024-01-01 00:00:{s:02d}", q)
+         for (u, v, op, s, q) in rows],
+        f"user_id long, v double, {OP_COL} string, _ts string, {VSEQ_COL} long",
+    ).select(
+        "user_id", "v", OP_COL,
+        F.col("_ts").cast("timestamp").alias(VTS_COL), VSEQ_COL,
+    )
+
+
+def _cdf_table(spark, tmp_root, name):
+    from pyspark.sql import types as T
+    root = os.path.join(tmp_root, name)
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    return LakeTable.create(spark, root, schema, pk=["user_id"], n_buckets=4)
+
+
+def test_read_changes_classifies(spark, tmp_root):
+    t = _cdf_table(spark, tmp_root, "cdf1")
+    t.merge(_mk_changes(spark, [
+        (1, 10.0, "UPSERT", 1, 1),
+        (2, 20.0, "UPSERT", 2, 2),
+        (3, 30.0, "UPSERT", 3, 3),
+    ]), batch_id="b1")
+    t = t.refresh()
+    v1 = t.manifest["version"]
+    t.merge(_mk_changes(spark, [
+        (2, 21.0, "UPSERT", 10, 10),   # update
+        (3, None, "DELETE", 11, 11),   # delete
+        (4, 40.0, "UPSERT", 12, 12),   # insert
+    ]), batch_id="b2")
+    t = t.refresh()
+    got = {r["user_id"]: r for r in t.read_changes(since_version=v1).collect()}
+    assert set(got) == {2, 3, 4}
+    assert got[2]["_change_type"] == "update_postimage" and got[2]["v"] == 21.0
+    assert got[3]["_change_type"] == "delete"
+    assert got[4]["_change_type"] == "insert" and got[4]["v"] == 40.0
+    # unchanged key 1 is absent; the empty window yields nothing
+    assert t.read_changes(since_version=t.manifest["version"]).count() == 0
+
+
+def test_read_changes_mor_fast_path_and_tombstone_reinsert(spark, tmp_root):
+    t = _cdf_table(spark, tmp_root, "cdf2")
+    t.merge(_mk_changes(spark, [(1, 1.0, "UPSERT", 1, 1),
+                                (2, 2.0, "UPSERT", 2, 2)]), batch_id="b1")
+    t = t.refresh()
+    t.append_delta(_mk_changes(spark, [(1, None, "DELETE", 3, 3)]),
+                   batch_id="b2")
+    t = t.refresh()
+    v_del = t.manifest["version"]
+    # fast path applies: only deltas appended since v_del's parent chain
+    from chunjun_spark.plans.lake import LakeTable as LT
+    old_m = LT.load(spark, t.root, version=v_del - 1).manifest
+    assert t._cdf_new_deltas(old_m, t.manifest) is not None
+    # re-insert over the tombstone -> classified insert
+    t.append_delta(_mk_changes(spark, [(1, 9.0, "UPSERT", 4, 4)]),
+                   batch_id="b3")
+    t = t.refresh()
+    got = {r["user_id"]: r for r in t.read_changes(since_version=v_del).collect()}
+    assert got[1]["_change_type"] == "insert" and got[1]["v"] == 9.0
+    assert 2 not in got
+    # spanning both windows: delete(1)+reinsert(1) nets to update vs v1
+    got2 = {r["user_id"]: r
+            for r in t.read_changes(since_version=v_del - 1).collect()}
+    assert got2[1]["_change_type"] == "update_postimage"
+
+
+def test_read_changes_purged_key_emits_delete(spark, tmp_root):
+    t = _cdf_table(spark, tmp_root, "cdf3")
+    t.merge(_mk_changes(spark, [(1, 1.0, "UPSERT", 1, 1)]), batch_id="b1")
+    t = t.refresh()
+    v1 = t.manifest["version"]
+    t.merge(_mk_changes(spark, [(1, None, "DELETE", 2, 2)]), batch_id="b2")
+    t = t.refresh()
+    t.compact(purge_tombstones=True)
+    t = t.refresh()
+    got = t.read_changes(since_version=v1).collect()
+    assert len(got) == 1
+    assert got[0]["user_id"] == 1 and got[0]["_change_type"] == "delete"
