@@ -193,8 +193,54 @@ def _write_jdbc(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
         execute_sql(df.sparkSession, conn["url"], list(p["postSql"]), **common)
 
 
+def _read_lake(spark: SparkSession, cfg: JobConfig) -> DataFrame:
+    """lakereader: consume a lake table as a source.
+
+    Two modes:
+    - snapshot (default): current state, or time travel via ``version``
+      — pairs with plain-frame sinks (file/jdbc/stream).
+    - incremental (``sinceVersion`` set, optional ``untilVersion``):
+      ``LakeTable.read_changes`` re-emitted in the canonical changelog
+      EVENT_SCHEMA shape, so the result feeds ``lakewriter`` directly —
+      lake → lake incremental sync, the reference's
+      reader-feeds-next-writer chaining served from committed snapshots
+      instead of the source DB (interval-polling analog,
+      JdbcInputFormat.java:181-227, but offset = snapshot version).
+    """
+    from chunjun_spark.plans.lake import DELETED_COL, VSEQ_COL, VTS_COL, _BUCKET_COL
+    from chunjun_spark.sources.changelog import to_changelog
+
+    p = cfg.reader.parameter
+    table = LakeTable.load(spark, p["path"], version=p.get("version"))
+    if "sinceVersion" not in p:
+        return table.read()
+    ch = table.read_changes(
+        int(p["sinceVersion"]),
+        until_version=p.get("untilVersion"),
+        with_internal=True,
+    )
+    internal = {"_change_type", VTS_COL, VSEQ_COL, DELETED_COL, _BUCKET_COL}
+    payload_fields = [c for c in ch.columns if c not in internal]
+    op = (
+        F.when(F.col("_change_type") == "insert", F.lit("INSERT"))
+        .when(F.col("_change_type") == "delete", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+    )
+    return to_changelog(
+        ch,
+        op=op,
+        op_ts=F.col(VTS_COL),
+        seq=F.col(VSEQ_COL),
+        payload={f: F.col(f) for f in payload_fields},
+        pk=table.pk,
+        schema_name="lake",
+        table_name=p.get("table", "lake_table"),
+    )
+
+
 READERS = {
     "streamreader": _read_stream_mock,
+    "lakereader": _read_lake,
     "binlogreader": _read_binlog,
     "hdfsreader": _read_file,
     "filereader": _read_file,

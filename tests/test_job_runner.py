@@ -318,3 +318,66 @@ def test_channel_tag_strip_and_affinity(spark):
     for r in per_channel:
         assert r["n_pids"] == 1
     assert "_channel" not in strip_channel(routed).columns
+
+
+def test_lake_to_lake_incremental_sync(spark, tmp_root):
+    """lakereader(sinceVersion) -> lakewriter: bootstrap + incremental
+    catch-up of a downstream lake from the upstream's change-data-feed."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+    from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(u, v, op, f"2024-01-01 00:00:{s:02d}", q)
+             for (u, v, op, s, q) in rows],
+            f"user_id long, v double, {OP_COL} string, _t string, {VSEQ_COL} long",
+        ).select("user_id", "v", OP_COL,
+                 F.col("_t").cast("timestamp").alias(VTS_COL), VSEQ_COL)
+
+    root_a = os.path.join(tmp_root, "lake_a")
+    root_b = os.path.join(tmp_root, "lake_b")
+    schema = T.StructType([T.StructField("user_id", T.LongType()),
+                           T.StructField("v", T.DoubleType())])
+    a = LakeTable.create(spark, root_a, schema, pk=["user_id"], n_buckets=4)
+    v0 = a.manifest["version"]
+    a.merge(mk([(1, 1.0, "UPSERT", 1, 1), (2, 2.0, "UPSERT", 2, 2),
+                (3, 3.0, "UPSERT", 3, 3)]), batch_id="a1")
+    a = a.refresh()
+    v1 = a.manifest["version"]
+    a.merge(mk([(2, 22.0, "UPSERT", 10, 10), (3, None, "DELETE", 11, 11),
+                (4, 4.0, "UPSERT", 12, 12)]), batch_id="a2")
+    a = a.refresh()
+
+    def sync(since, until, batch):
+        return run_job(spark, {"job": {"content": [{
+            "reader": {"name": "lakereader",
+                       "parameter": {"path": root_a, "sinceVersion": since,
+                                     "untilVersion": until}},
+            "writer": {"name": "lakewriter",
+                       "parameter": {"path": root_b, "pk": ["user_id"],
+                                     "batchId": batch}},
+        }], "setting": {"speed": {"channel": 2}}}})
+
+    m = sync(v0, v1, "sync1")      # bootstrap window: everything = insert
+    assert m["numRead"] == 3
+    b_state = {r["user_id"]: r["v"]
+               for r in LakeTable.load(spark, root_b).read().collect()}
+    assert b_state == {1: 1.0, 2: 2.0, 3: 3.0}
+
+    m = sync(v1, None, "sync2")    # incremental window
+    assert m["numRead"] == 3       # update(2) + delete(3) + insert(4)
+    b_state = {r["user_id"]: r["v"]
+               for r in LakeTable.load(spark, root_b).read().collect()}
+    a_state = {r["user_id"]: r["v"] for r in a.read().collect()}
+    assert b_state == a_state == {1: 1.0, 2: 22.0, 4: 4.0}
+
+    # snapshot mode reads plain rows (no changelog wrapping)
+    df = run_job  # noqa: F841  (keep namespace tidy)
+    from chunjun_spark.job import _read_lake
+    from chunjun_spark.config import JobConfig
+    snap = _read_lake(spark, JobConfig.parse({"job": {"content": [{
+        "reader": {"name": "lakereader", "parameter": {"path": root_a}},
+        "writer": {"name": "streamwriter", "parameter": {}},
+    }]}}))
+    assert {r["user_id"] for r in snap.collect()} == {1, 2, 4}
