@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -680,6 +681,86 @@ class LakeTable:
             "ts": time.time(),
         }
 
+    # ----------------------------------------------------- history / GC
+    def history(self) -> list[dict]:
+        """Commit log, oldest→newest (DESCRIBE HISTORY analog): one row
+        per retained snapshot with the batch ids it added and their
+        lineage metrics. Driver-side manifest walk — O(#snapshots) tiny
+        JSON reads, no Spark job."""
+        mdir = os.path.join(self.root, "_manifests")
+        versions = sorted(
+            int(n[1:-5]) for n in os.listdir(mdir)
+            if n.startswith("v") and n.endswith(".json")
+        )
+        out: list[dict] = []
+        prev_batches: set[str] = set()
+        for v in versions:
+            with open(os.path.join(mdir, f"v{v}.json")) as f:
+                m = json.load(f)
+            new_batches = sorted(set(m["lineage"]) - prev_batches)
+            out.append(
+                {
+                    "version": v,
+                    "parent": m["parent"],
+                    "schema_version": m["schema_version"],
+                    "n_buckets_live": len(m["buckets"]),
+                    "n_deltas": len(m["deltas"]),
+                    "batch_ids": new_batches,
+                    "ts": max(
+                        (m["lineage"][b]["ts"] for b in new_batches),
+                        default=None,
+                    ),
+                }
+            )
+            prev_batches = set(m["lineage"])
+        return out
+
+    def vacuum(self, keep_last: int = 10) -> dict:
+        """Retention GC (VACUUM analog): drop all but the newest
+        ``keep_last`` snapshot manifests, then delete every
+        ``data/<dir>`` no retained manifest references. Time travel
+        stays valid within the retention window; older versions raise
+        FileNotFoundError afterwards. Driver-side file ops only — a
+        crashed vacuum leaves extra (still unreferenced) garbage, never
+        a broken snapshot, because manifests are removed before data."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        cur = self._current_version(self.root)
+        if cur is None:
+            raise FileNotFoundError(f"no _current pointer at {self.root}")
+        cutoff = cur - keep_last + 1
+        mdir = os.path.join(self.root, "_manifests")
+        keep_paths: set[str] = set()
+        removed_manifests = 0
+        for name in sorted(os.listdir(mdir)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            v = int(name[1:-5])
+            path = os.path.join(mdir, name)
+            if v < cutoff:
+                os.remove(path)
+                removed_manifests += 1
+                continue
+            with open(path) as f:
+                m = json.load(f)
+            for e in m["buckets"].values():
+                keep_paths.add(e["path"].split(os.sep)[1])  # data/<dir>/...
+            for d in m["deltas"]:
+                keep_paths.add(d["path"].split(os.sep)[1])
+        ddir = os.path.join(self.root, "data")
+        removed_dirs = 0
+        for name in sorted(os.listdir(ddir)):
+            if name not in keep_paths:
+                shutil.rmtree(os.path.join(ddir, name))
+                removed_dirs += 1
+        return {
+            "manifests_removed": removed_manifests,
+            "data_dirs_removed": removed_dirs,
+            "retained_from": max(
+                cutoff, min((h["version"] for h in self.history()), default=cutoff)
+            ),
+        }
+
     # -------------------------------------------------------------- DDL
     def apply_ddl(self, ddl_op: str, **kw) -> dict:
         """add_column(name, type) | rename_column(old, new) |
@@ -709,20 +790,3 @@ class LakeTable:
             rows, "batch_id string, offsets string, metrics string, committed_at double"
         )
 
-    def history(self) -> list[dict]:
-        out = []
-        mdir = os.path.join(self.root, "_manifests")
-        for name in sorted(os.listdir(mdir)):
-            if name.startswith("v") and name.endswith(".json"):
-                with open(os.path.join(mdir, name)) as f:
-                    m = json.load(f)
-                out.append(
-                    {
-                        "version": m["version"],
-                        "schema_version": m["schema_version"],
-                        "n_buckets": len(m["buckets"]),
-                        "n_deltas": len(m["deltas"]),
-                        "n_batches": len(m["lineage"]),
-                    }
-                )
-        return out
