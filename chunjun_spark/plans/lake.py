@@ -74,6 +74,51 @@ DELETED_COL = "_deleted"
 _HIDDEN = [VTS_COL, VSEQ_COL, DELETED_COL]
 
 
+def follow_changes(
+    spark: SparkSession,
+    root: str,
+    start_version: int,
+    apply_batch,
+    poll_interval_sec: float = 1.0,
+    max_polls: int | None = None,
+    max_empty_polls: int | None = None,
+) -> dict:
+    """Continuous downstream consumption of a lake table's change-data-feed:
+    poll the ``_current`` pointer, and whenever it has advanced past the
+    offset version hand ``read_changes(offset, current)`` to
+    ``apply_batch(df, window)`` and advance. The offset IS the snapshot
+    version — crash-resume by persisting the last applied version
+    downstream (e.g. encode it in the lakewriter batch id, the same
+    transactional-offset pattern as the JDBC polling source).
+
+    The interval-polling analog (JdbcInputFormat.java:181-227) pointed at
+    the SINK's committed snapshots instead of a source database; combined
+    with the ``lakereader`` job plugin this gives continuous lake → lake
+    replication. Stops after ``max_polls`` total or ``max_empty_polls``
+    consecutive no-new-snapshot polls (None = run forever).
+    """
+    offset = start_version
+    polls = empty = applied = 0
+    while True:
+        if max_polls is not None and polls >= max_polls:
+            break
+        polls += 1
+        cur = LakeTable._current_version(root)
+        if cur is None or cur <= offset:
+            empty += 1
+            if max_empty_polls is not None and empty >= max_empty_polls:
+                break
+            time.sleep(poll_interval_sec)
+            continue
+        empty = 0
+        table = LakeTable.load(spark, root, version=cur)
+        ch = table.read_changes(offset, until_version=cur)
+        apply_batch(ch, {"fromVersion": offset, "toVersion": cur, "poll": polls})
+        offset = cur
+        applied += 1
+    return {"polls": polls, "applied_windows": applied, "endVersion": offset}
+
+
 class ConcurrentCommitError(RuntimeError):
     pass
 

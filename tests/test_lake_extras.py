@@ -271,3 +271,41 @@ def test_history_and_vacuum(spark, tmp_root):
 
     with pytest.raises(ValueError):
         t.vacuum(keep_last=0)
+
+
+def test_follow_changes_polls_windows(spark, tmp_root):
+    from chunjun_spark.plans.lake import follow_changes
+
+    t = _cdf_table(spark, tmp_root, "follow1")
+    v0 = t.manifest["version"]
+    t.merge(_mk_changes(spark, [(1, 1.0, "UPSERT", 1, 1)]), batch_id="f1")
+    t = t.refresh()
+    t.merge(_mk_changes(spark, [(2, 2.0, "UPSERT", 2, 2)]), batch_id="f2")
+    t = t.refresh()
+
+    seen: list[tuple[dict, set]] = []
+
+    def apply_batch(df, window):
+        seen.append((window, {(r["user_id"], r["_change_type"])
+                              for r in df.collect()}))
+
+    info = follow_changes(
+        spark, t.root, start_version=v0, apply_batch=apply_batch,
+        poll_interval_sec=0.01, max_polls=3, max_empty_polls=1,
+    )
+    # one applied window covering both commits, then an empty poll stops it
+    assert info["applied_windows"] == 1
+    assert info["endVersion"] == t.manifest["version"]
+    assert seen[0][1] == {(1, "insert"), (2, "insert")}
+
+    # new commits after the follower stopped: resume from endVersion
+    t.merge(_mk_changes(spark, [(1, None, "DELETE", 3, 3)]), batch_id="f3")
+    t = t.refresh()
+    seen.clear()
+    info2 = follow_changes(
+        spark, t.root, start_version=info["endVersion"],
+        apply_batch=apply_batch, poll_interval_sec=0.01,
+        max_polls=2, max_empty_polls=1,
+    )
+    assert info2["applied_windows"] == 1
+    assert seen[0][1] == {(1, "delete")}

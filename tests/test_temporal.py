@@ -131,3 +131,38 @@ def test_decontaminate_flags(spark):
     }
     assert 0 in got and got[0] >= 1
     assert 1 not in got and 2 not in got
+
+
+def test_asof_join_matches_bruteforce_on_random_input(spark):
+    """Randomized cross-check: the union+window asof plan vs a plain
+    O(n^2) python reference over a seeded random workload with heavy
+    ts collisions."""
+    import random
+
+    rng = random.Random(1234)
+    n_users, n_left, n_right = 7, 120, 90
+    rights = [
+        (rng.randrange(n_users), _ts(rng.randrange(40)), float(i), 1000 + i)
+        for i in range(n_right)
+    ]
+    lefts = [
+        (rng.randrange(n_users), _ts(rng.randrange(40)), 2000 + i)
+        for i in range(n_left)
+    ]
+    rdf = spark.createDataFrame(
+        rights, "user_id long, ts timestamp, px double, event_id long"
+    )
+    ldf = spark.createDataFrame(lefts, "user_id long, ts timestamp, event_id long")
+    got = {
+        r["event_id"]: r["px_asof"]
+        for r in asof_join(
+            ldf, rdf, by=["user_id"], ts="ts", value_cols=["px"],
+            seq="event_id",
+        ).collect()
+    }
+    assert len(got) == n_left
+    for (u, lts, lid) in lefts:
+        cand = [(rts, rid, px) for (ru, rts, px, rid) in rights
+                if ru == u and rts <= lts]
+        expect = max(cand)[2] if cand else None
+        assert got[lid] == expect, (lid, got[lid], expect)
