@@ -1084,6 +1084,42 @@ GROUP BY doc_id
 """
 
 
+def _q_doc_topk_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics: top-50 trigrams by document frequency (shingles
+    are per-doc distinct, so count == doc frequency). The global top-k
+    runs as TakeOrderedAndProject over the partial-aggregated counts —
+    per-partition heaps merged on the driver, never a full sort shuffle.
+    Total order (df_docs DESC, ngram ASC) makes the k-row set unique, so
+    the entry is hash-stable."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = DD._widen(docs).select(
+        F.explode(DD.shingles(F.col("text"), n=3)).alias("ngram")
+    )
+    return (
+        sh.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+        .orderBy(F.col("df_docs").desc(), F.col("ngram"))
+        .limit(50)
+    )
+
+
+_TOPK_NGRAMS_SQL = rf"""
+WITH d AS (
+  SELECT string_split({_norm_sql('text')}, ' ') AS toks FROM documents
+), s AS (
+  SELECT unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+         ))) AS ngram
+  FROM d
+)
+SELECT ngram, count(*) AS df_docs
+FROM s GROUP BY 1
+ORDER BY df_docs DESC, ngram
+LIMIT 50
+"""
+
+
 # ------------------------------------------------------------ embeddings
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -1261,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _q_events_asof_join,
         "events_sessionize": _q_events_sessionize,
         "doc_decontaminate": _q_doc_decontaminate,
+        "doc_topk_ngrams": _q_doc_topk_ngrams,
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_pruned": _q_ann_topk_pruned,
@@ -1313,5 +1350,6 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": _ASOF_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
         "doc_decontaminate": _DECONTAM_SQL,
+        "doc_topk_ngrams": _TOPK_NGRAMS_SQL,
         # minhash_lsh_dups / simhash_near_dups / ann_topk_lsh: rows-only
     }

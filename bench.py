@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "events_asof_join",
     "events_sessionize",
     "doc_decontaminate",
+    "doc_topk_ngrams",
 ]
 
 

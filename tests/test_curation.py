@@ -451,3 +451,21 @@ def test_paragraph_dedup_reconstruct(para_docs):
     assert got[1] == "unique one"                    # cross-doc repeat dropped
     assert got[2] == "totally fresh\n\nanother block"  # empty para dropped
     assert 3 not in got                              # nothing left to emit
+
+
+def test_topk_ngrams_doc_frequency(spark):
+    rows = [
+        (0, "a b c d"),        # trigrams: "a b c", "b c d"
+        (1, "a b c x"),        # "a b c", "b c x"
+        (2, "a b c d"),        # duplicate doc: "a b c", "b c d"
+        (3, "a b c a b c q"),  # "a b c" twice in-doc -> counted ONCE
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = df.select(F.explode(DD.shingles(F.col("text"), n=3)).alias("g"))
+    top = (
+        sh.groupBy("g").agg(F.count(F.lit(1)).alias("df_docs"))
+        .orderBy(F.col("df_docs").desc(), F.col("g")).limit(3).collect()
+    )
+    assert (top[0]["g"], top[0]["df_docs"]) == ("a b c", 4)
+    assert (top[1]["g"], top[1]["df_docs"]) == ("b c d", 2)
+    assert top[2]["df_docs"] == 1
