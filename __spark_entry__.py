@@ -509,6 +509,40 @@ HAVING count(*)::DOUBLE / (any_value(a.n) + any_value(b.n) - count(*)) >= 0.5
 """
 
 
+def _q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the exact-Jaccard pair graph: one cluster id
+    (min doc id) per connected component, plus the member count.
+    Spark side is distributed min-label propagation with pointer jumping
+    (chunjun_spark/functions/graph.py); the DuckDB oracle computes the
+    same fixpoint with a recursive CTE — feasible only at oracle scale,
+    which is exactly why the distributed version exists."""
+    from chunjun_spark.functions.graph import dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.jaccard_pairs(docs, n=3, threshold=0.5, max_doc_freq=50)
+    return dup_clusters(pairs, id_col="doc_id").orderBy("doc_id")
+
+
+_DUP_CLUSTERS_SQL = rf"""
+WITH RECURSIVE pairs AS (
+{_JACCARD_SQL}
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(node, root) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+), comp AS (
+  SELECT node, min(root) AS cluster_id FROM reach GROUP BY node
+)
+SELECT node AS doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS n_members
+FROM comp
+"""
+
+
 def _q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: xxhash64 signatures have no DuckDB equivalent; verified
     # against exact jaccard in tests/test_curation.py
@@ -1280,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_jaccard_pairs": _q_doc_jaccard_pairs,
+        "doc_dup_clusters": _q_doc_dup_clusters,
         "minhash_lsh_dups": _q_minhash_lsh_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "binary_meta": _q_binary_meta,
@@ -1333,6 +1368,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": _LANG_ID_SQL,
         "doc_fingerprint": _FINGERPRINT_SQL,
         "doc_jaccard_pairs": _JACCARD_SQL,
+        "doc_dup_clusters": _DUP_CLUSTERS_SQL,
         "binary_meta": _BINARY_META_SQL,
         "content_sha256": _CONTENT_SHA_SQL,
         "cdc_keep_last_window": _KEEP_LAST_SQL,

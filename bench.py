@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "doc_decontaminate",
     "doc_topk_ngrams",
+    "doc_dup_clusters",
 ]
 
 

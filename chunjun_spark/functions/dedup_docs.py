@@ -406,6 +406,7 @@ def minhash_dedup(
     bands: int = 16,
     threshold: float = 0.7,
     seed: int = 7,
+    transitive: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures → LSH candidates → verify with
     estimated Jaccard from the signatures (fraction of equal minhashes)
@@ -415,6 +416,13 @@ def minhash_dedup(
     the signature estimate — no second pass over text — which is the
     standard large-scale tradeoff; exact re-check is ``jaccard_pairs`` on
     the candidate set when required.
+
+    ``transitive=True`` (default) resolves the pair graph with
+    distributed connected components and keeps exactly the min-id doc per
+    cluster — A~B, B~C drops both B and C even when A~C was never
+    emitted. ``transitive=False`` is the cheaper one-pass policy (drop
+    every ``id_b``): correct for clique-shaped dup clusters, but keeps
+    chain-middle docs' non-adjacent kin.
     """
     rows_per_band = k // bands
     sigs = minhash_signatures(df, text_col, id_col, n=n, k=k, seed=seed).cache()
@@ -437,9 +445,16 @@ def minhash_dedup(
         .filter(F.col("est_sim") >= threshold)
         .select("id_a", "id_b")
     )
-    # survivor = doc that is not the larger id of any duplicate pair
-    # (transitive chains collapse to the min id in practice for dup clusters)
-    losers = est.select(F.col("id_b").alias(id_col)).distinct()
+    if transitive:
+        from chunjun_spark.functions.graph import connected_components
+
+        cc = connected_components(est, src="id_a", dst="id_b")
+        losers = cc.filter(F.col("node") != F.col("comp")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        # survivor = doc that is not the larger id of any duplicate pair
+        losers = est.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 
 

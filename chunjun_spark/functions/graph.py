@@ -1,0 +1,116 @@
+"""Distributed connected components for duplicate-cluster resolution.
+
+The dedup operators (``jaccard_pairs``, ``lsh_candidates``,
+``simhash_near_dups``) emit similarity EDGES; turning edges into a
+deduplicated corpus needs the transitive closure — one canonical document
+per connected component. The reference framework stops at pair emission
+(its transforms are row-local), so this is the Spark-side completion of
+the pipeline.
+
+Algorithm: min-label propagation with pointer jumping (path halving) —
+each round every node takes the minimum label over itself and its
+neighbors, then labels are short-circuited one hop through the label
+table (hash-to-min flavour of Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14). Convergence is O(log d) rounds for
+component diameter d; near-dup clusters from LSH banding have tiny
+diameters (a dup cluster is near-clique), so 2-4 rounds in practice.
+
+Scale shape (per round): one shuffle of the edge list keyed by dst + one
+partial-aggregated groupBy(node) over |E|+|V| rows of two longs, and one
+self-join of the narrow label table. Label/edge frames are
+``localCheckpoint``-ed every round — iterative plans otherwise grow an
+optimizer-quadratic lineage (CLAUDE.md measured rule). Nothing here is
+proportional to pair-COUNT beyond the edge list itself, which LSH
+banding already bounds.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Return ``(node, comp)`` where ``comp`` is the minimum node id in
+    the node's connected component. Only nodes that appear in ``edges``
+    are returned (singletons are their own implicit component).
+
+    ``edges`` may be directed/asymmetric and may contain duplicates; it
+    is symmetrized and deduplicated internally.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["v"] == labels["node"]).select(
+            sym["u"].alias("node"), labels["comp"].alias("comp")
+        )
+        upd = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: comp <- label(comp). Every comp value is a node id
+        # present in the label table, so the lookup is total; left+coalesce
+        # guards the first round where upd is still being built.
+        ptr = upd.select(F.col("node").alias("_pn"), F.col("comp").alias("_pc"))
+        upd = upd.join(ptr, upd["comp"] == ptr["_pn"], "left").select(
+            "node", F.coalesce("_pc", "comp").alias("comp")
+        )
+        upd = upd.localCheckpoint(eager=True)
+        changed = (
+            upd.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = upd
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Resolve similarity pairs into duplicate clusters.
+
+    Returns ``(id_col, cluster_id, n_members)`` for every document that
+    participates in at least one pair; ``cluster_id`` is the minimum doc
+    id in the cluster (the canonical survivor under keep-min policy).
+    """
+    from pyspark.sql.window import Window
+
+    cc = connected_components(pairs, src=src, dst=dst)
+    # cluster size via a window on the narrow (node, comp) frame — one
+    # shuffle keyed by comp; a broadcast of per-cluster sizes would not
+    # survive a corpus with hundreds of millions of clusters.
+    sized = cc.withColumn(
+        "n_members", F.count(F.lit(1)).over(Window.partitionBy("comp"))
+    )
+    return sized.select(
+        F.col("node").alias(id_col),
+        F.col("comp").alias("cluster_id"),
+        "n_members",
+    )

@@ -469,3 +469,53 @@ def test_topk_ngrams_doc_frequency(spark):
     assert (top[0]["g"], top[0]["df_docs"]) == ("a b c", 4)
     assert (top[1]["g"], top[1]["df_docs"]) == ("b c d", 2)
     assert top[2]["df_docs"] == 1
+
+
+# ------------------------------------------------------- connected components
+
+def test_connected_components_chain_and_islands(spark):
+    from chunjun_spark.functions.graph import connected_components
+
+    # chain 1-2-3-4, island pair 10-11, directed dup edge, self loop
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 10), (7, 7)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_path_converges(spark):
+    from chunjun_spark.functions.graph import connected_components
+
+    # a 40-node path exercises pointer jumping (plain propagation would
+    # need 40 rounds; max_iter stays under that)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    got = connected_components(edges, max_iter=12).collect()
+    assert {r["comp"] for r in got} == {0}
+    assert {r["node"] for r in got} == set(range(41))
+
+
+def test_dup_clusters_sizes(spark):
+    from chunjun_spark.functions.graph import dup_clusters
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (8, 9)], "id_a long, id_b long"
+    )
+    rows = {r["doc_id"]: (r["cluster_id"], r["n_members"])
+            for r in dup_clusters(edges).collect()}
+    assert rows == {1: (1, 3), 2: (1, 3), 3: (1, 3), 8: (8, 2), 9: (8, 2)}
+
+
+def test_minhash_dedup_transitive_chain(spark):
+    from chunjun_spark.functions.graph import connected_components
+
+    # A~B and B~C but A!~C: transitive policy must keep only the min id.
+    # Build the scenario at the CC layer (pair emission is covered by
+    # test_minhash_dedup_removes_duplicates); assert the survivor rule.
+    est = spark.createDataFrame([(1, 3), (2, 3)], "id_a long, id_b long")
+    cc = connected_components(est)
+    losers = {r["node"] for r in cc.filter(F.col("node") != F.col("comp")).collect()}
+    assert losers == {2, 3}
