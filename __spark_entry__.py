@@ -87,7 +87,7 @@ FROM r WHERE rn = 1 AND event_type <> 'error'
 """
 
 
-def _replay_lake(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+def _build_lake(spark: SparkSession, sf_dir: str, mode: str):
     ev = _t(spark, sf_dir, "events")
     ch = events_changelog(ev)
     root = tempfile.mkdtemp(prefix=f"cj_entry_{mode}_")
@@ -100,11 +100,19 @@ def _replay_lake(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
     )
     table = LakeTable.create(spark, root, schema, pk=["user_id"], n_buckets=8)
     replay(ch, table, batch_id=f"entry-{mode}", mode=mode)
-    return table.refresh().read().select(
+    return table.refresh()
+
+
+def _lake_projection(df: DataFrame) -> DataFrame:
+    return df.select(
         "user_id",
         F.col("event_type").alias("last_event_type"),
         F.round("value", 6).alias("last_value"),
     )
+
+
+def _replay_lake(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+    return _lake_projection(_build_lake(spark, sf_dir, mode).read())
 
 
 def _q_cdc_replay_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,6 +131,31 @@ WITH r AS (
 )
 SELECT user_id, event_type AS last_event_type, round(value, 6) AS last_value
 FROM r WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+_LOOKUP_IDS = [3, 17, 42, 99, 148]
+
+
+def _q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-replay point lookup through the pruned-scan path: only the
+    buckets the probe keys hash into are resolved
+    (LakeTable.point_lookup → _prune_buckets, plans/lake.py) —
+    O(table/n_buckets) IO per lookup, the Iceberg bucket-transform
+    partition-pruning analog."""
+    table = _build_lake(spark, sf_dir, "cow")
+    return _lake_projection(table.point_lookup(*_LOOKUP_IDS))
+
+
+_POINT_LOOKUP_SQL = f"""
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_event_type, round(value, 6) AS last_value
+FROM r WHERE rn = 1 AND event_type <> 'error'
+  AND user_id IN ({', '.join(str(i) for i in _LOOKUP_IDS)})
 """
 
 
@@ -1298,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": _q_cdc_final_state,
         "cdc_replay_lake": _q_cdc_replay_lake,
         "cdc_replay_lake_mor": _q_cdc_replay_lake_mor,
+        "cdc_point_lookup": _q_cdc_point_lookup,
         "incremental_read": _q_incremental_read,
         "mod_split_channels": _q_mod_split_channels,
         "end_location_max": _q_end_location_max,
@@ -1351,6 +1385,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state": _FINAL_STATE_SQL,
         "cdc_replay_lake": _REPLAY_LAKE_SQL,
         "cdc_replay_lake_mor": _REPLAY_LAKE_SQL,
+        "cdc_point_lookup": _POINT_LOOKUP_SQL,
         "incremental_read": _INCREMENTAL_SQL,
         "mod_split_channels": _MOD_SPLIT_SQL,
         "end_location_max": _END_LOCATION_SQL,

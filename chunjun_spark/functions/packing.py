@@ -1,0 +1,126 @@
+"""Pretraining-batch assembly operators: distributed prefix sums,
+concat-and-chunk sequence packing, deterministic mixture sampling.
+
+These are the steps between a curated corpus and a training run: pick a
+domain mixture, then pack documents into fixed token-budget sequences.
+The reference framework has no analog (its transforms are row-local);
+both operators here are built so the expensive part stays distributed
+and deterministic — re-running a job yields byte-identical batch
+assignments, which is what makes checkpoint-resume of a data pipeline
+sound (same property the CDC side gets from offset lineage).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Running total of ``val_col`` in global ``order_col`` order, without
+    a single-partition global window.
+
+    Two-pass distributed prefix sum:
+      1. range-partition by ``order_col`` (partitions hold disjoint,
+         ordered key ranges) and compute one subtotal per partition —
+         a partial-agg shuffle of one long per partition;
+      2. broadcast the per-partition prefix offsets (≤ #partitions rows)
+         back and add them to a WITHIN-partition running-sum window.
+
+    The only full-data movement is the range repartition itself; the
+    window never sees more than one partition of rows. This is the
+    standard scalable replacement for ``Window.orderBy(...)`` with no
+    partitionBy, which funnels the whole table through one task.
+
+    The input is pinned with ``localCheckpoint`` after partitioning so
+    both passes (subtotal collect + window) read the same physical rows.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.conf.get("spark.sql.shuffle.partitions")
+    d = (
+        df.repartitionByRange(int(n), F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    subtotals = {
+        r["_pid"]: r["_sub"]
+        for r in d.groupBy("_pid").agg(F.sum(val_col).alias("_sub")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(subtotals):
+        offsets.append((pid, acc))
+        acc += subtotals[pid]
+    off_df = spark.createDataFrame(offsets, "_pid int, _offset bigint")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(off_df), on="_pid")
+        .withColumn(out_col, (F.col("_offset") + F.sum(val_col).over(w)).cast("long"))
+        .drop("_pid", "_offset")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+    bin_col: str = "bin_id",
+    offset_col: str = "bin_offset",
+) -> DataFrame:
+    """Concat-and-chunk packing: documents are laid out in ``order_col``
+    order as one token stream and cut every ``budget`` tokens; each doc
+    is assigned the bin where its FIRST token lands, with its start
+    offset inside that bin. Docs longer than ``budget`` span bins (the
+    trainer splits them); assignment stays deterministic and
+    order-stable, so a resumed pipeline reproduces identical batches.
+    """
+    cum = global_cumsum(df, order_col, tokens_col, out_col="_cum")
+    start = F.col("_cum") - F.col(tokens_col)
+    return (
+        cum.withColumn(bin_col, F.floor(start / F.lit(budget)).cast("long"))
+        .withColumn(offset_col, (start % F.lit(budget)).cast("long"))
+        .drop("_cum")
+    )
+
+
+def sample_mixture(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    seed: int = 0,
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: keep a ``weights[domain]``
+    fraction of each domain's rows, chosen by a content-stable coin —
+    the first 8 hex chars of ``md5(key || ':' || seed)`` compared against
+    the per-domain threshold. No ``rand()``: re-running the job (or
+    re-executing a failed task) selects the exact same rows, and the
+    md5-hex comparison has a 1:1 analog in any SQL engine (the oracle
+    runs it verbatim in DuckDB).
+
+    Weights are sampling RATES in [0, 1] per domain value; unlisted
+    domains get ``default_weight``. Map-only: no shuffle, prunes at the
+    scan when the source supports predicate pushdown on ``domain_col``.
+    """
+    for dom, w in weights.items():
+        if not (0.0 <= w <= 1.0):
+            raise ValueError(f"weight for {dom!r} must be in [0,1], got {w}")
+    coin = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))), 1, 8
+    )
+    thr = F.lit(f"{int(default_weight * 0xFFFFFFFF):08x}")
+    for dom, w in sorted(weights.items()):
+        thr = F.when(F.col(domain_col) == dom, f"{int(w * 0xFFFFFFFF):08x}").otherwise(thr)
+    return df.filter(coin <= thr)

@@ -208,12 +208,16 @@ class LakeTable:
         schema: T.StructType,
         pk: list[str],
         n_buckets: int = 16,
+        stats_cols: list[str] | None = None,
     ) -> "LakeTable":
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         missing = [c for c in pk if c not in schema.fieldNames()]
         if missing:
             raise ValueError(f"pk columns not in schema: {missing}")
+        bad_stats = [c for c in (stats_cols or []) if c not in schema.fieldNames()]
+        if bad_stats:
+            raise ValueError(f"stats columns not in schema: {bad_stats}")
         manifest = {
             "version": 0,
             "schema_version": 0,
@@ -225,6 +229,9 @@ class LakeTable:
             # list of {"path": rel_dir, "schema_version": int, "batch_id": str}
             "deltas": [],
             "lineage": {},  # batch_id -> {"offsets": {...}, "metrics": {...}, "ts": epoch}
+            # columns whose per-bucket min/max are harvested from parquet
+            # footers at commit time (Iceberg file-stats analog)
+            "stats_cols": list(stats_cols or []),
             "parent": None,
         }
         t = cls(spark, root, manifest)
@@ -277,6 +284,10 @@ class LakeTable:
 
     def committed_batches(self) -> set[str]:
         return set(self.manifest["lineage"].keys())
+
+    @property
+    def stats_cols(self) -> list[str]:
+        return self.manifest.get("stats_cols", [])
 
     # ------------------------------------------------------------- read
     def _bucket_expr(self, df: DataFrame) -> F.Column:
@@ -363,6 +374,137 @@ class LakeTable:
         if with_internal:
             return out
         return out.drop(*_HIDDEN, _BUCKET_COL)
+
+    # --------------------------------------------------- pruned scans
+    def _buckets_for_key_values(self, values: list) -> list[int]:
+        """Bucket ids for literal values of the bucket key (pk[0]) — the
+        Iceberg bucket-transform partition-pruning analog. One 1-row-per-
+        value Spark job (no table IO): the hash MUST be Spark's own
+        xxhash64, so it is computed by the same expression that wrote the
+        data rather than re-implemented driver-side."""
+        typ = next(f["type"] for f in self.schema.fields if f["name"] == self.pk[0])
+        df = self.spark.createDataFrame(
+            [(v,) for v in values],
+            T.StructType([T.StructField("k", _parse_type(typ))]),
+        )
+        rows = df.select(
+            F.pmod(F.xxhash64("k"), F.lit(self.n_buckets)).cast("int").alias("b")
+        ).collect()
+        return sorted({r["b"] for r in rows})
+
+    @staticmethod
+    def _as_list(v) -> list:
+        return list(v) if isinstance(v, (list, tuple, set)) else [v]
+
+    def _prune_buckets(
+        self, eq: dict | None = None, between: dict | None = None
+    ) -> list[int] | None:
+        """Bucket ids a predicate set can possibly touch, or None when no
+        pruning applies (full scan). Sources:
+
+        - equality on the bucket key (pk[0]): hash the literals → bucket
+          set. Always sound — every version of a key (base AND delta)
+          lives in that key's bucket, so resolution inside the pruned set
+          is identical to resolution of the full table for those keys.
+        - min/max stats on ``stats_cols``: skip buckets whose harvested
+          range cannot satisfy the predicate. Sound only when the delta
+          chain is EMPTY (a delta may hold a stale version outside the
+          base bucket's range whose base winner we'd prune away), so with
+          deltas present stats pruning is skipped; the residual filter
+          keeps results correct either way.
+        """
+        eq, between = eq or {}, between or {}
+        entries = self.manifest["buckets"]
+        cand = {int(b) for b in entries}
+        pruned = False
+        if self.pk[0] in eq:
+            cand &= set(self._buckets_for_key_values(self._as_list(eq[self.pk[0]])))
+            pruned = True
+        if not self.manifest["deltas"]:
+            ranges: dict[str, tuple] = {}
+            for c, v in eq.items():
+                vs = self._as_list(v)
+                if c in self.stats_cols:
+                    ranges[c] = (min(vs), max(vs))
+            for c, (lo, hi) in between.items():
+                if c in self.stats_cols:
+                    ranges[c] = (lo, hi)
+            for c, (lo, hi) in ranges.items():
+                keep = set()
+                for b, e in entries.items():
+                    s = e.get("stats", {}).get(c)
+                    # bucket without harvested stats is never skipped
+                    if s is None or not (hi < s[0] or lo > s[1]):
+                        keep.add(int(b))
+                cand &= keep
+                pruned = True
+        return sorted(cand) if pruned else None
+
+    def scan(
+        self,
+        eq: dict | None = None,
+        between: dict | None = None,
+        with_internal: bool = False,
+    ) -> DataFrame:
+        """Predicate-pruned read. ``eq``: {col: value | [values]}
+        equality predicates; ``between``: {col: (lo, hi)} inclusive
+        ranges. Bucket pruning per ``_prune_buckets``; every predicate is
+        ALSO applied as a residual filter, so results never depend on
+        pruning decisions."""
+        out = self.read(buckets=self._prune_buckets(eq, between),
+                        with_internal=with_internal)
+        for c, v in (eq or {}).items():
+            vs = self._as_list(v)
+            out = out.filter(
+                F.col(c).isin(vs) if len(vs) > 1 else (F.col(c) == vs[0])
+            )
+        for c, (lo, hi) in (between or {}).items():
+            out = out.filter(F.col(c).between(lo, hi))
+        return out
+
+    def point_lookup(self, *key_values, with_internal: bool = False) -> DataFrame:
+        """Current rows for specific bucket-key values: scans only the
+        buckets those keys hash into — O(table/n_buckets) IO instead of a
+        full resolve."""
+        return self.scan(
+            eq={self.pk[0]: list(key_values)}, with_internal=with_internal
+        )
+
+    def _harvest_stats(self, out_dir: str, buckets: set[int]) -> dict:
+        """Per-bucket min/max of ``stats_cols`` read from parquet FOOTERS
+        (pyarrow metadata — O(#files) driver-side reads, no data scan;
+        the Iceberg manifest-stats analog). Returns {bucket: {col: [min,
+        max]}}; columns whose footer stats are missing or non-JSON
+        (binary, nested) are left out of that bucket's map."""
+        if not self.stats_cols:
+            return {}
+        import pyarrow.parquet as pq
+
+        out: dict[int, dict] = {}
+        for b in buckets:
+            bdir = os.path.join(out_dir, f"{_BUCKET_COL}={b}")
+            agg: dict[str, list] = {}
+            for name in os.listdir(bdir):
+                if not name.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(bdir, name)).metadata
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                for c in self.stats_cols:
+                    if c not in idx:
+                        continue
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx[c]).statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        mn, mx = st.min, st.max
+                        if not all(isinstance(x, (int, float, str)) for x in (mn, mx)):
+                            continue
+                        if c in agg:
+                            agg[c] = [min(agg[c][0], mn), max(agg[c][1], mx)]
+                        else:
+                            agg[c] = [mn, mx]
+            out[b] = agg
+        return out
 
     # --------------------------------------------------- change-data-feed
     @staticmethod
@@ -620,12 +762,14 @@ class LakeTable:
             ).partitionBy(_BUCKET_COL).parquet(out_dir)
 
             written = self._discover_bucket_dirs(out_dir)
+            stats = self._harvest_stats(out_dir, written & set(touched))
             for b in touched:
                 key = str(b)
                 if b in written:
                     m["buckets"][key] = {
                         "path": os.path.join(rel, f"{_BUCKET_COL}={b}"),
                         "schema_version": m["schema_version"],
+                        **({"stats": stats[b]} if stats.get(b) else {}),
                     }
                 else:
                     m["buckets"].pop(key, None)  # bucket emptied by deletes
@@ -688,12 +832,15 @@ class LakeTable:
         with_bucket.repartition(self.n_buckets, F.col(_BUCKET_COL)).write.mode(
             "overwrite"
         ).partitionBy(_BUCKET_COL).parquet(out_dir)
+        found = self._discover_bucket_dirs(out_dir)
+        stats = self._harvest_stats(out_dir, found)
         m["buckets"] = {
             str(b): {
                 "path": os.path.join(rel, f"{_BUCKET_COL}={b}"),
                 "schema_version": m["schema_version"],
+                **({"stats": stats[b]} if stats.get(b) else {}),
             }
-            for b in self._discover_bucket_dirs(out_dir)
+            for b in found
         }
         m["deltas"] = []
         self._write_manifest(m, expected_parent=m["parent"])

@@ -309,3 +309,76 @@ def test_follow_changes_polls_windows(spark, tmp_root):
     )
     assert info2["applied_windows"] == 1
     assert seen[0][1] == {(1, "delete")}
+
+
+# ----------------------------------------------------- pruned scans / stats
+
+from pyspark.sql import types as T  # noqa: E402
+
+
+def _scan_table(spark, tmp_root):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("grp", T.StringType()),
+            T.StructField("size", T.LongType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, f"{tmp_root}/scanlake", schema, pk=["k"], n_buckets=8,
+        stats_cols=["size", "grp"],
+    )
+    rows = [(i, "even" if i % 2 == 0 else "odd", i * 10) for i in range(200)]
+    ch = spark.createDataFrame(rows, schema).withColumn("_op", F.lit("UPSERT"))
+    t.merge(ch, batch_id="b1")
+    return t.refresh()
+
+
+def test_point_lookup_prunes_to_key_buckets(spark, tmp_root):
+    t = _scan_table(spark, tmp_root)
+    pruned = t._prune_buckets(eq={"k": [7, 11]})
+    assert pruned is not None
+    assert set(pruned) == set(t._buckets_for_key_values([7, 11]))
+    assert len(pruned) <= 2 < len(t.manifest["buckets"])
+    got = {r["k"]: r["size"] for r in t.point_lookup(7, 11).collect()}
+    assert got == {7: 70, 11: 110}
+
+
+def test_stats_pruning_matches_full_filter(spark, tmp_root):
+    t = _scan_table(spark, tmp_root)
+    # every live bucket carries harvested min/max for both stats columns
+    for e in t.manifest["buckets"].values():
+        assert set(e["stats"]) == {"size", "grp"}
+    full = {r["k"] for r in t.read().filter(F.col("size").between(0, 50)).collect()}
+    got = {r["k"] for r in t.scan(between={"size": (0, 50)}).collect()}
+    assert got == full == {0, 1, 2, 3, 4, 5}
+    # an impossible range prunes every bucket and returns nothing
+    assert t._prune_buckets(between={"size": (10_000, 20_000)}) == []
+    assert t.scan(between={"size": (10_000, 20_000)}).count() == 0
+
+
+def test_stats_pruning_disabled_with_deltas(spark, tmp_root):
+    t = _scan_table(spark, tmp_root)
+    up = spark.createDataFrame(
+        [(3, "odd", 99_999)],
+        "k long, grp string, size long",
+    ).withColumn("_op", F.lit("UPSERT")).withColumn(
+        "_vts", F.lit("2024-06-01 00:00:00").cast("timestamp")
+    )
+    t.append_delta(up, batch_id="b2")
+    t = t.refresh()
+    # stats ranges say no bucket holds 99_999, but the delta does: stats
+    # pruning must be skipped (eq on a non-key stats col → no pruning)
+    assert t._prune_buckets(between={"size": (99_000, 100_000)}) is None
+    got = t.scan(between={"size": (99_000, 100_000)}).collect()
+    assert [(r["k"], r["size"]) for r in got] == [(3, 99_999)]
+    # hash pruning on the bucket key stays sound with deltas present
+    got2 = t.point_lookup(3).collect()
+    assert [(r["k"], r["size"]) for r in got2] == [(3, 99_999)]
+    # after compaction the stats refresh and pruning turns back on
+    t.compact()
+    t = t.refresh()
+    pruned = t._prune_buckets(between={"size": (99_000, 100_000)})
+    assert pruned is not None and len(pruned) == 1
+    got3 = t.scan(between={"size": (99_000, 100_000)}).collect()
+    assert [(r["k"], r["size"]) for r in got3] == [(3, 99_999)]
