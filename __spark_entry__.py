@@ -1187,6 +1187,60 @@ LIMIT 50
 """
 
 
+def _q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing at token budget 512. The global
+    running total runs as a distributed two-pass prefix sum
+    (functions/packing.py) — range-partitioned subtotals + broadcast
+    offsets — never a single-partition global window."""
+    from chunjun_spark.functions.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
+    return pack_sequences(sized, "doc_id", "n_tokens", budget=512)
+
+
+_PACK_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+  FROM d
+)
+SELECT doc_id, n_tokens,
+       CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin_id,
+       CAST((cum - n_tokens) % 512 AS BIGINT) AS bin_offset
+FROM c
+"""
+
+
+_MIX_WEIGHTS = {"en": 1.0, "zh": 0.6, "es": 0.4, "de": 0.2, "fr": 0.05}
+_MIX_SEED = 7
+
+
+def _q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling by language: content-stable
+    md5 coin per doc vs per-domain rate (functions/packing.py). Map-only;
+    identical row set on re-run and on task re-execution."""
+    from chunjun_spark.functions.packing import sample_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_mixture(
+        docs, "lang", _MIX_WEIGHTS, key_col="doc_id", seed=_MIX_SEED
+    ).select("doc_id", "lang", "source")
+
+
+_MIX_SQL = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE substr(md5(concat(CAST(doc_id AS VARCHAR), ':{_MIX_SEED}')), 1, 8) <=
+  CASE lang
+    {' '.join(f"WHEN '{d}' THEN '{int(w * 0xFFFFFFFF):08x}'" for d, w in sorted(_MIX_WEIGHTS.items()))}
+    ELSE '00000000' END
+"""
+
+
 # ------------------------------------------------------------ embeddings
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -1367,6 +1421,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_topk_ngrams": _q_doc_topk_ngrams,
+        "doc_pack_sequences": _q_doc_pack_sequences,
+        "corpus_sample_mix": _q_corpus_sample_mix,
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_pruned": _q_ann_topk_pruned,
@@ -1422,5 +1478,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _SESSIONIZE_SQL,
         "doc_decontaminate": _DECONTAM_SQL,
         "doc_topk_ngrams": _TOPK_NGRAMS_SQL,
+        "doc_pack_sequences": _PACK_SQL,
+        "corpus_sample_mix": _MIX_SQL,
         # minhash_lsh_dups / simhash_near_dups / ann_topk_lsh: rows-only
     }

@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "doc_decontaminate",
     "doc_topk_ngrams",
     "doc_dup_clusters",
+    "doc_pack_sequences",
+    "corpus_sample_mix",
 ]
 
 

@@ -1,0 +1,76 @@
+"""Distributed prefix sum, sequence packing, deterministic mixture sampling."""
+
+import pyspark.sql.functions as F
+from pyspark.sql.window import Window
+
+from chunjun_spark.functions.packing import (
+    global_cumsum,
+    pack_sequences,
+    sample_mixture,
+)
+
+
+def test_global_cumsum_matches_single_partition_window(spark):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.pmod(F.col("id") * 37, F.lit(101)) + 1).alias("v")
+    )
+    got = {
+        r["k"]: r["cum"]
+        for r in global_cumsum(df, "k", "v", num_partitions=7).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {
+        r["k"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_global_cumsum_more_partitions_than_rows(spark):
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long")
+    got = {r["k"]: r["cum"] for r in global_cumsum(df, "k", "v", num_partitions=16).collect()}
+    assert got == {1: 10, 2: 30, 3: 60}
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    # token stream: 300 | 300 | 500 | 100  with budget 512
+    # starts:       0     300   600   1100 → bins 0, 0, 1, 2
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 500), (4, 100)], "doc_id long, n long"
+    )
+    rows = {
+        r["doc_id"]: (r["bin_id"], r["bin_offset"])
+        for r in pack_sequences(df, "doc_id", "n", budget=512).collect()
+    }
+    assert rows == {1: (0, 0), 2: (0, 300), 3: (1, 88), 4: (2, 76)}
+
+
+def test_sample_mixture_deterministic_and_weighted(spark):
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("dom"),
+    )
+    kept1 = sample_mixture(df, "dom", {"a": 1.0, "b": 0.25}, key_col="doc_id", seed=3)
+    kept2 = sample_mixture(df, "dom", {"a": 1.0, "b": 0.25}, key_col="doc_id", seed=3)
+    ids1 = sorted(r["doc_id"] for r in kept1.collect())
+    ids2 = sorted(r["doc_id"] for r in kept2.collect())
+    assert ids1 == ids2  # content-stable coin: identical reruns
+    by_dom = {
+        r["dom"]: r["n"]
+        for r in kept1.groupBy("dom").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_dom["a"] == 2000  # rate 1.0 keeps everything
+    assert 350 <= by_dom["b"] <= 650  # rate 0.25 of 2000 ± binomial noise
+    # different seed flips a nontrivial share of the b-domain coins
+    kept3 = sample_mixture(df, "dom", {"a": 1.0, "b": 0.25}, key_col="doc_id", seed=4)
+    ids3 = sorted(r["doc_id"] for r in kept3.collect())
+    assert ids3 != ids1
+
+
+def test_sample_mixture_default_weight_drops_unlisted(spark):
+    df = spark.createDataFrame(
+        [(i, "x" if i % 2 else "listed") for i in range(200)], "doc_id long, dom string"
+    )
+    kept = sample_mixture(df, "dom", {"listed": 1.0}, key_col="doc_id", seed=1)
+    doms = {r["dom"] for r in kept.collect()}
+    assert doms == {"listed"}
