@@ -752,7 +752,10 @@ class LakeTable:
             )
 
             m = self._next_manifest()
-            rel = os.path.join("data", f"v{m['version']}")
+            # uuid suffix: two optimistic writers may race on the same
+            # next version; unique dirs mean the LOSER's files become
+            # unreferenced garbage instead of clobbering the winner's
+            rel = os.path.join("data", f"v{m['version']}-{uuid.uuid4().hex[:8]}")
             out_dir = os.path.join(self.root, rel)
             # co-locate each bucket in one task before the dynamic-partition
             # write: otherwise every task multiplexes up to n_buckets open
@@ -785,6 +788,27 @@ class LakeTable:
         finally:
             ch.unpersist()  # drops the checkpointed blocks
 
+    def merge_retrying(
+        self, changes: DataFrame, max_retries: int = 3, **kw
+    ) -> dict:
+        """Optimistic-concurrency retry around :meth:`merge`: when the
+        ``_current`` CAS loses to a concurrent writer
+        (ConcurrentCommitError), reload the newest snapshot and re-run
+        the merge against it. Safe to retry because (a) a failed commit
+        leaves only unreferenced data files (vacuum collects them), and
+        (b) merge is idempotent per ``batch_id`` — if the competing
+        writer already committed THIS batch, the retry degrades to the
+        skip path. Returns the successful merge result; the caller's
+        handle should be ``refresh()``-ed afterwards as usual."""
+        t = self
+        for attempt in range(max_retries + 1):
+            try:
+                return t.merge(changes, **kw)
+            except ConcurrentCommitError:
+                if attempt == max_retries:
+                    raise
+                t = LakeTable.load(t.spark, t.root)
+
     def append_delta(
         self,
         changes: DataFrame,
@@ -798,7 +822,7 @@ class LakeTable:
             return {"skipped": True, "batch_id": batch_id}
         ch = self._prep_changes(changes)
         m = self._next_manifest()
-        rel = os.path.join("data", f"v{m['version']}-delta")
+        rel = os.path.join("data", f"v{m['version']}-delta-{uuid.uuid4().hex[:8]}")
         # row count rides the write action as an observed metric — a prior
         # re-read of the just-written delta cost one extra delta-sized scan
         # per micro-batch
@@ -813,23 +837,40 @@ class LakeTable:
         self._write_manifest(m, expected_parent=m["parent"])
         return {"skipped": False, "batch_id": batch_id, "n_changes": n, "version": m["version"]}
 
-    def compact(self, purge_tombstones: bool = False) -> dict:
+    def compact(
+        self, purge_tombstones: bool = False, new_n_buckets: int | None = None
+    ) -> dict:
         """Fold all deltas into the base; afterwards read() is a pure scan.
 
         Tombstones are retained by default — they carry the version guard
         for deleted keys. Purge only when no stale re-delivery can still
         arrive (e.g. replay finished and lineage covers all offsets).
+
+        ``new_n_buckets`` reshards the table online (Iceberg
+        partition-evolution analog for the bucket transform): rows are
+        re-hashed into the new bucket count in the same single
+        resolve-and-rewrite pass a plain compaction already pays, and the
+        swap is atomic with the manifest commit — readers on the old
+        snapshot keep the old layout, the next loader sees the new one.
+        Grow buckets when per-bucket data outlives executor memory or
+        merge parallelism caps out; every subsequent merge/scan uses the
+        new count from the manifest.
         """
         resolved = self._resolve()
         if purge_tombstones:
             resolved = resolved.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
         m = self._next_manifest()
-        rel = os.path.join("data", f"v{m['version']}")
+        if new_n_buckets is not None and new_n_buckets < 1:
+            raise ValueError("new_n_buckets must be >= 1")
+        n_out = int(new_n_buckets) if new_n_buckets is not None else self.n_buckets
+        m["n_buckets"] = n_out
+        rebucket = F.pmod(F.xxhash64(F.col(self.pk[0])), F.lit(n_out)).cast("int")
+        rel = os.path.join("data", f"v{m['version']}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.root, rel)
         with_bucket = resolved.select(*self.schema.names(), *_HIDDEN).withColumn(
-            _BUCKET_COL, self._bucket_expr(resolved)
+            _BUCKET_COL, rebucket
         )
-        with_bucket.repartition(self.n_buckets, F.col(_BUCKET_COL)).write.mode(
+        with_bucket.repartition(n_out, F.col(_BUCKET_COL)).write.mode(
             "overwrite"
         ).partitionBy(_BUCKET_COL).parquet(out_dir)
         found = self._discover_bucket_dirs(out_dir)

@@ -382,3 +382,58 @@ def test_stats_pruning_disabled_with_deltas(spark, tmp_root):
     assert pruned is not None and len(pruned) == 1
     got3 = t.scan(between={"size": (99_000, 100_000)}).collect()
     assert [(r["k"], r["size"]) for r in got3] == [(3, 99_999)]
+
+
+# --------------------------------------- resharding + concurrent writers
+
+def test_compact_reshards_bucket_count(spark, tmp_root):
+    t = _scan_table(spark, tmp_root)
+    assert t.n_buckets == 8
+    before = {(r["k"], r["size"]) for r in t.read().collect()}
+    t.compact(new_n_buckets=16)
+    t = t.refresh()
+    assert t.n_buckets == 16
+    assert len(t.manifest["buckets"]) > 8  # rows re-hashed across 16 dirs
+    assert {(r["k"], r["size"]) for r in t.read().collect()} == before
+    # post-reshard point lookup prunes against the NEW bucket count
+    got = {r["k"] for r in t.point_lookup(7, 11).collect()}
+    assert got == {7, 11}
+    # subsequent merges use the new count from the manifest
+    up = spark.createDataFrame([(7, "odd", 777)], "k long, grp string, size long") \
+        .withColumn("_op", F.lit("UPSERT")) \
+        .withColumn("_vts", F.lit("2030-01-01 00:00:00").cast("timestamp"))
+    t.merge(up, batch_id="post-reshard")
+    t = t.refresh()
+    assert t.point_lookup(7).collect()[0]["size"] == 777
+
+
+def test_concurrent_writer_conflict_and_retry(spark, tmp_root):
+    from chunjun_spark.plans.lake import ConcurrentCommitError, LakeTable
+
+    t1 = _scan_table(spark, tmp_root)
+    t2 = LakeTable.load(spark, t1.root)  # second writer, same snapshot
+
+    def _ch(k, size, bid):
+        return spark.createDataFrame(
+            [(k, "x", size)], "k long, grp string, size long"
+        ).withColumn("_op", F.lit("UPSERT")).withColumn(
+            "_vts", F.lit("2031-01-01 00:00:00").cast("timestamp")
+        ).withColumn("_vseq", F.lit(bid_seq(bid)))
+
+    def bid_seq(bid):
+        return abs(hash(bid)) % 1000 + 1000
+
+    t1.merge(_ch(1, 111, "w1"), batch_id="w1")
+    # t2 still points at the pre-w1 snapshot: its CAS must lose
+    with pytest.raises(ConcurrentCommitError):
+        t2.merge(_ch(2, 222, "w2"), batch_id="w2")
+    # retry loop reloads and lands the commit
+    res = t2.merge_retrying(_ch(2, 222, "w2"), batch_id="w2")
+    assert res["skipped"] is False
+    t = t1.refresh()
+    got = {r["k"]: r["size"] for r in t.point_lookup(1, 2).collect()}
+    assert got == {1: 111, 2: 222}
+    # a batch the OTHER writer already committed degrades to the skip path
+    t_stale = LakeTable.load(spark, t1.root, version=1)
+    res2 = t_stale.merge_retrying(_ch(1, 111, "w1"), batch_id="w1")
+    assert res2["skipped"] is True
