@@ -1216,6 +1216,68 @@ FROM c
 """
 
 
+def _q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-lite quality signal: mean negative log-prob under an add-k
+    unigram LM trained on the corpus itself (functions/corpus.py). The
+    corpus pass is a token-keyed shuffle with partial agg; the smoothing
+    scalars fold into codegen as literals."""
+    from chunjun_spark.functions.corpus import unigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_lm_scores(docs, k=0.5)
+    return out.select(
+        "doc_id", "n_tokens", F.round("avg_neg_logp", 6).alias("avg_neg_logp")
+    )
+
+
+_UNIGRAM_SQL = rf"""
+WITH t AS (SELECT doc_id, {_norm_sql('text')} AS nt FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM t WHERE nt != ''),
+vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+g AS (SELECT sum(cnt) AS total, count(*) AS v FROM vocab)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(-ln((cnt + 0.5) / (g.total + 0.5 * g.v))), 6) AS avg_neg_logp
+FROM tok JOIN vocab USING (tok) CROSS JOIN g
+GROUP BY doc_id
+"""
+
+
+_BM25_TERMS = ["hash", "join", "vector"]
+
+
+def _q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Lucene idf variant) for a fixed term bag.
+    Token stream is cut to the query terms BEFORE any shuffle, so the
+    exchange is O(matching tokens); doc frequencies and N/avgdl are
+    driver scalars folded into the scoring expression."""
+    from chunjun_spark.functions.corpus import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_scores(docs, _BM25_TERMS, k1=1.2, b=0.75)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+_BM25_SQL = rf"""
+WITH t AS (SELECT doc_id, {_norm_sql('text')} AS nt FROM documents),
+lens AS (SELECT doc_id,
+                CASE WHEN nt = '' THEN 0 ELSE len(string_split(nt, ' ')) END AS dl
+         FROM t),
+g AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM t WHERE nt != ''),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+       WHERE tok IN ({', '.join(f"'{t}'" for t in _BM25_TERMS)})
+       GROUP BY doc_id, tok),
+dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+SELECT tf.doc_id,
+       round(sum(ln(1 + (g.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                 * tf.tf * (1.2 + 1)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dl / g.avgdl))), 6)
+         AS score
+FROM tf JOIN dfq USING (tok) JOIN lens USING (doc_id) CROSS JOIN g
+GROUP BY tf.doc_id
+"""
+
+
 _MIX_WEIGHTS = {"en": 1.0, "zh": 0.6, "es": 0.4, "de": 0.2, "fr": 0.05}
 _MIX_SEED = 7
 
@@ -1423,6 +1485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_topk_ngrams": _q_doc_topk_ngrams,
         "doc_pack_sequences": _q_doc_pack_sequences,
         "corpus_sample_mix": _q_corpus_sample_mix,
+        "doc_unigram_logprob": _q_doc_unigram_logprob,
+        "doc_bm25_search": _q_doc_bm25_search,
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_pruned": _q_ann_topk_pruned,
@@ -1480,5 +1544,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_topk_ngrams": _TOPK_NGRAMS_SQL,
         "doc_pack_sequences": _PACK_SQL,
         "corpus_sample_mix": _MIX_SQL,
+        "doc_unigram_logprob": _UNIGRAM_SQL,
+        "doc_bm25_search": _BM25_SQL,
         # minhash_lsh_dups / simhash_near_dups / ann_topk_lsh: rows-only
     }

@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "doc_dup_clusters",
     "doc_pack_sequences",
     "corpus_sample_mix",
+    "doc_unigram_logprob",
+    "doc_bm25_search",
 ]
 
 

@@ -1,0 +1,118 @@
+"""Corpus-level statistics operators: unigram language-model scoring and
+BM25 ranked retrieval.
+
+Unlike the map-only per-document stats in ``functions/text.py``, these
+need one aggregation pass over the whole corpus (token frequencies /
+document frequencies) before the per-document score — the classic
+"train tiny model, score everything" shape of pretraining-data quality
+filters (a KenLM-style perplexity filter reduced to its unigram core,
+which is exactly what's computable without external model files).
+
+Scale shape: the corpus pass is a token-keyed shuffle with map-side
+partial aggregation (bounded by corpus token count, like the dedup
+shingle pass); the handful of global scalars (total tokens, vocabulary
+size, average doc length) are single-row aggregates collected to the
+driver and folded into codegen as literals; per-doc scoring then
+re-aggregates by doc id. Nothing is ever proportional to vocab² or
+doc-pairs.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from chunjun_spark.functions.text import normalized
+
+
+def _doc_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, tok) with MULTIPLICITY, from the canonical normalized form
+    (the dedup/fingerprint normalization, so all corpus ops agree on
+    what a token is). Empty docs contribute no rows."""
+    return (
+        df.select(F.col(id_col), normalized(F.col(text_col)).alias("_nt"))
+        .filter(F.col("_nt") != "")
+        .select(F.col(id_col), F.explode(F.split(F.col("_nt"), " ")).alias("tok"))
+    )
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document mean negative log-probability under an add-k-smoothed
+    unigram LM trained on the corpus itself — the quality-filter signal
+    (low = fluent/common wording, high = gibberish or boilerplate-free
+    rare text). Returns (id, n_tokens, avg_neg_logp); empty docs are
+    omitted (no tokens to score)."""
+    toks = _doc_tokens(df, text_col, id_col)
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = vocab.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    total, v = int(totals["total"]), int(totals["v"])
+    denom = float(total) + k * float(v)
+    scored = toks.join(vocab, on="tok")  # same-key shuffle as the agg above
+    neg_logp = -(F.log((F.col("cnt") + F.lit(k)) / F.lit(denom)))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg(neg_logp).alias("avg_neg_logp"),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval for a bag of query terms (Lucene's
+    non-negative idf variant: ln(1 + (N - df + 0.5)/(df + 0.5))).
+    Returns (id, score) for every document matching ≥1 term.
+
+    The only per-corpus work is one filtered token aggregation — the
+    token stream is cut to the query terms BEFORE the shuffle, so the
+    exchanged volume is O(matching tokens), not O(corpus). Document
+    frequencies (|query| rows) and the N/avgdl scalars fold into the
+    scoring expression as literals."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    lens = df.select(
+        F.col(id_col),
+        F.size(
+            F.when(normalized(F.col(text_col)) == "", F.array().cast("array<string>"))
+            .otherwise(F.split(normalized(F.col(text_col)), " "))
+        ).alias("dl"),
+    )
+    g = lens.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(g["n"]), float(g["avgdl"])
+
+    toks = _doc_tokens(df, text_col, id_col).filter(F.col("tok").isin(query_terms))
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = {
+        r["tok"]: r["df"]
+        for r in tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).collect()
+    }
+    idf = {
+        t: math.log(1.0 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+        for t in dfreq
+    }
+    idf_col = F.lit(0.0)
+    for t, w in sorted(idf.items()):
+        idf_col = F.when(F.col("tok") == t, F.lit(w)).otherwise(idf_col)
+    per_term = (
+        tf.join(lens, on=id_col)
+        .withColumn(
+            "_s",
+            idf_col
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
+        )
+    )
+    return per_term.groupBy(id_col).agg(F.sum("_s").alias("score"))

@@ -1,0 +1,65 @@
+"""Unigram LM scoring and BM25 retrieval — hand-checked toy corpora."""
+
+import math
+
+import pytest
+
+from chunjun_spark.functions.corpus import bm25_scores, unigram_lm_scores
+
+
+@pytest.fixture()
+def toy(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a a b"),
+            (2, "a b c"),
+            (3, "c c c c"),
+            (4, "   "),  # empty after normalization: excluded everywhere
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_unigram_lm_hand_computed(toy):
+    # corpus tokens: a×3 b×2 c×5 → total=10, V=3, k=0.5 → denom=11.5
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_neg_logp"])
+        for r in unigram_lm_scores(toy, k=0.5).collect()
+    }
+    p = {"a": 3.5 / 11.5, "b": 2.5 / 11.5, "c": 5.5 / 11.5}
+    want1 = -(2 * math.log(p["a"]) + math.log(p["b"])) / 3
+    want3 = -math.log(p["c"])
+    assert got[1][0] == 3 and abs(got[1][1] - want1) < 1e-9
+    assert got[3][0] == 4 and abs(got[3][1] - want3) < 1e-9
+    assert 4 not in got  # empty doc has no tokens to score
+    # rarer wording scores worse (higher neg logp): doc2 has the unique 'b'
+    assert got[2][1] > got[3][1]
+
+
+def test_bm25_hand_computed(toy):
+    # query {c}: df=2 over N=4 docs, avgdl = (3+3+4+0)/4 = 2.5
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(toy, ["c"]).collect()}
+    idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+    k1, b = 1.2, 0.75
+
+    def s(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / 2.5))
+
+    assert set(got) == {2, 3}
+    assert abs(got[2] - s(1, 3)) < 1e-9
+    assert abs(got[3] - s(4, 4)) < 1e-9
+    assert got[3] > got[2]  # higher tf wins at comparable length
+
+
+def test_bm25_multi_term_accumulates(toy):
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(toy, ["a", "c"]).collect()}
+    only_a = {r["doc_id"]: r["score"] for r in bm25_scores(toy, ["a"]).collect()}
+    only_c = {r["doc_id"]: r["score"] for r in bm25_scores(toy, ["c"]).collect()}
+    for d in (1, 2, 3):
+        want = only_a.get(d, 0.0) + only_c.get(d, 0.0)
+        assert abs(got[d] - want) < 1e-9
+
+
+def test_bm25_empty_query_raises(toy):
+    with pytest.raises(ValueError):
+        bm25_scores(toy, [])
