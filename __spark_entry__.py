@@ -1216,6 +1216,35 @@ FROM c
 """
 
 
+_SAMPLE_K, _SAMPLE_K_SEED = 10, 5
+
+
+def _q_corpus_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly min(k, |domain|) docs per language, deterministically (k
+    smallest md5 coins). Scale plan avoids the hot-domain window funnel:
+    per-domain counts → map-only oversampled coin pre-filter → exact
+    rank on ~4k survivors per domain (functions/packing.py)."""
+    from chunjun_spark.functions.packing import sample_stratified_k
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_stratified_k(
+        docs, "lang", k=_SAMPLE_K, key_col="doc_id", seed=_SAMPLE_K_SEED
+    ).select("doc_id", "lang", "source")
+
+
+_SAMPLE_K_SQL = f"""
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5(concat(CAST(doc_id AS VARCHAR),
+                                      ':{_SAMPLE_K_SEED}')), 1, 8), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= {_SAMPLE_K}
+"""
+
+
 def _q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KenLM-lite quality signal: mean negative log-prob under an add-k
     unigram LM trained on the corpus itself (functions/corpus.py). The
@@ -1487,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_mix": _q_corpus_sample_mix,
         "doc_unigram_logprob": _q_doc_unigram_logprob,
         "doc_bm25_search": _q_doc_bm25_search,
+        "corpus_sample_k": _q_corpus_sample_k,
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_pruned": _q_ann_topk_pruned,
@@ -1546,5 +1576,6 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample_mix": _MIX_SQL,
         "doc_unigram_logprob": _UNIGRAM_SQL,
         "doc_bm25_search": _BM25_SQL,
+        "corpus_sample_k": _SAMPLE_K_SQL,
         # minhash_lsh_dups / simhash_near_dups / ann_topk_lsh: rows-only
     }

@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "corpus_sample_mix",
     "doc_unigram_logprob",
     "doc_bm25_search",
+    "corpus_sample_k",
 ]
 
 

@@ -124,3 +124,61 @@ def sample_mixture(
     for dom, w in sorted(weights.items()):
         thr = F.when(F.col(domain_col) == dom, f"{int(w * 0xFFFFFFFF):08x}").otherwise(thr)
     return df.filter(coin <= thr)
+
+
+def sample_stratified_k(
+    df: DataFrame,
+    domain_col: str,
+    k: int,
+    key_col: str,
+    seed: int = 0,
+    oversample: float = 4.0,
+) -> DataFrame:
+    """EXACTLY ``min(k, |domain|)`` rows per domain, deterministically:
+    the k rows with the smallest content-stable coin (md5 of key+seed)
+    in each domain. The complement of rate-based :func:`sample_mixture`
+    when downstream needs fixed per-domain counts (eval slices, balanced
+    probes).
+
+    Scale shape — the naive plan (``row_number`` partitioned by domain)
+    funnels every row of a hot domain through one task. Instead:
+
+      1. per-domain counts: one partial-agg shuffle of (domain, 1);
+      2. a map-only coin pre-filter at rate ``oversample·k/n`` per
+         domain — survivors are ~oversample·k rows per domain
+         REGARDLESS of domain size;
+      3. exact rank on the survivors only.
+
+    The pre-filter keeps every row whose coin could be among the k
+    smallest with overwhelming probability (oversample=4 → P[miss] ≈
+    e^{-9k/8} by Chernoff, < 1e-10 already at k=25 — negligible, and
+    detectable: a domain returning < min(k, n) rows means the bound was
+    hit; raise ``oversample``). Domains at or below k skip the filter
+    entirely (rate 1).
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rates = {
+        d: min(1.0, oversample * k / n) if n > k else 1.0
+        for d, n in counts.items()
+    }
+    pre = sample_mixture(
+        df, domain_col, rates, key_col=key_col, seed=seed, default_weight=1.0
+    )
+    coin = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))), 1, 8
+    )
+    w = Window.partitionBy(domain_col).orderBy(coin.asc(), F.col(key_col).asc())
+    return (
+        pre.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -74,3 +74,31 @@ def test_sample_mixture_default_weight_drops_unlisted(spark):
     kept = sample_mixture(df, "dom", {"listed": 1.0}, key_col="doc_id", seed=1)
     doms = {r["dom"] for r in kept.collect()}
     assert doms == {"listed"}
+
+
+def test_sample_stratified_k_exact_counts_and_parity(spark):
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "big")
+        .when(F.col("id") % 3 == 1, "mid")
+        .otherwise("tiny")
+        .alias("dom"),
+    ).filter((F.col("dom") != "tiny") | (F.col("doc_id") < 12))  # tiny: 4 rows
+    from chunjun_spark.functions.packing import sample_stratified_k
+
+    got = sample_stratified_k(df, "dom", k=25, key_col="doc_id", seed=5)
+    by_dom = {r["dom"]: r["n"] for r in got.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    assert by_dom == {"big": 25, "mid": 25, "tiny": 4}  # min(k, |domain|)
+    # parity with the naive global window (exact k smallest coins)
+    from pyspark.sql.window import Window
+    coin = F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":5"))), 1, 8)
+    w = Window.partitionBy("dom").orderBy(coin.asc(), F.col("doc_id").asc())
+    naive = df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= 25)
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in naive.collect()
+    )
+    # deterministic across runs
+    again = sample_stratified_k(df, "dom", k=25, key_col="doc_id", seed=5)
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in got.collect()
+    )
