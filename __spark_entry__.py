@@ -1307,6 +1307,40 @@ GROUP BY tf.doc_id
 """
 
 
+def _q_doc_pack_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainer-facing packing: one row per (doc, bin) with the half-open
+    token range filling that bin; docs spanning bins explode into
+    slices. Same distributed prefix sum as doc_pack_sequences."""
+    from chunjun_spark.functions.packing import pack_slices
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", TX.token_count(F.col("text")).alias("n_tokens"))
+    return pack_slices(sized, "doc_id", "n_tokens", budget=512)
+
+
+_PACK_SLICES_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens, sum(n_tokens) OVER (ORDER BY doc_id) AS cum
+  FROM d
+), e AS (
+  SELECT doc_id, n_tokens, cum - n_tokens AS strt,
+         unnest(generate_series(CAST(floor((cum - n_tokens) / 512) AS BIGINT),
+                                CAST(floor((cum - 1) / 512) AS BIGINT))) AS bin_id
+  FROM c WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens, bin_id,
+       CAST(greatest(bin_id * 512 - strt, 0) AS BIGINT) AS tok_start,
+       CAST(least((bin_id + 1) * 512 - strt, n_tokens) AS BIGINT) AS tok_end,
+       CAST(greatest(strt - bin_id * 512, 0) AS BIGINT) AS bin_offset
+FROM e
+"""
+
+
 _MIX_WEIGHTS = {"en": 1.0, "zh": 0.6, "es": 0.4, "de": 0.2, "fr": 0.05}
 _MIX_SEED = 7
 
@@ -1513,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_topk_ngrams": _q_doc_topk_ngrams,
         "doc_pack_sequences": _q_doc_pack_sequences,
+        "doc_pack_slices": _q_doc_pack_slices,
         "corpus_sample_mix": _q_corpus_sample_mix,
         "doc_unigram_logprob": _q_doc_unigram_logprob,
         "doc_bm25_search": _q_doc_bm25_search,
@@ -1573,6 +1608,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontaminate": _DECONTAM_SQL,
         "doc_topk_ngrams": _TOPK_NGRAMS_SQL,
         "doc_pack_sequences": _PACK_SQL,
+        "doc_pack_slices": _PACK_SLICES_SQL,
         "corpus_sample_mix": _MIX_SQL,
         "doc_unigram_logprob": _UNIGRAM_SQL,
         "doc_bm25_search": _BM25_SQL,

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "doc_topk_ngrams",
     "doc_dup_clusters",
     "doc_pack_sequences",
+    "doc_pack_slices",
     "corpus_sample_mix",
     "doc_unigram_logprob",
     "doc_bm25_search",

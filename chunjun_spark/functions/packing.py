@@ -94,6 +94,46 @@ def pack_sequences(
     )
 
 
+def pack_slices(
+    df: DataFrame,
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """The trainer-facing form of :func:`pack_sequences`: one row per
+    (document, bin) the document's tokens land in, with the half-open
+    token range ``[tok_start, tok_end)`` of the document that fills that
+    bin and the in-bin start offset. A doc spanning several bins explodes
+    into several slices; zero-token docs produce no slice. Within every
+    bin, ordering slices by ``bin_offset`` reconstructs the exact token
+    stream — so a downstream batch builder is a groupBy(bin) away.
+
+    Same distributed prefix sum as pack_sequences; the explode adds
+    ceil(n_tokens/budget) rows per doc, i.e. output ≈ corpus_tokens /
+    budget extra rows — linear, map-only after the cumsum.
+    """
+    cum = global_cumsum(df, order_col, tokens_col, out_col="_cum")
+    start = F.col("_cum") - F.col(tokens_col)
+    first = F.floor(start / F.lit(budget)).cast("long")
+    last = F.floor((F.col("_cum") - 1) / F.lit(budget)).cast("long")
+    ex = (
+        cum.filter(F.col(tokens_col) > 0)
+        .withColumn(bin_col, F.explode(F.sequence(first, last)))
+    )
+    bin_lo = F.col(bin_col) * budget  # global token index where this bin starts
+    tok_start = F.greatest(bin_lo - start, F.lit(0))
+    tok_end = F.least((F.col(bin_col) + 1) * budget - start, F.col(tokens_col))
+    return (
+        ex.withColumn("tok_start", tok_start.cast("long"))
+        .withColumn("tok_end", tok_end.cast("long"))
+        .withColumn(
+            "bin_offset", F.greatest(start - bin_lo, F.lit(0)).cast("long")
+        )
+        .drop("_cum")
+    )
+
+
 def sample_mixture(
     df: DataFrame,
     domain_col: str,

@@ -102,3 +102,30 @@ def test_sample_stratified_k_exact_counts_and_parity(spark):
     assert sorted(r["doc_id"] for r in again.collect()) == sorted(
         r["doc_id"] for r in got.collect()
     )
+
+
+def test_pack_slices_spanning_docs(spark):
+    from chunjun_spark.functions.packing import pack_slices
+
+    # stream: 300 | 300 | 500 | 100, budget 512
+    # doc3 spans bins 1-2 (starts at 600, ends 1100); doc4 in bin 2 only
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 500), (4, 100), (5, 0)], "doc_id long, n long"
+    )
+    rows = sorted(
+        (r["doc_id"], r["bin_id"], r["tok_start"], r["tok_end"], r["bin_offset"])
+        for r in pack_slices(df, "doc_id", "n", budget=512).collect()
+    )
+    assert rows == [
+        (1, 0, 0, 300, 0),       # fills [0,300) of bin 0
+        (2, 0, 0, 212, 300),     # first 212 toks finish bin 0
+        (2, 1, 212, 300, 0),     # remaining 88 open bin 1
+        (3, 1, 0, 424, 88),      # 424 toks finish bin 1
+        (3, 2, 424, 500, 0),     # last 76 open bin 2
+        (4, 2, 0, 100, 76),
+    ]                            # doc5 (0 tokens) emits nothing
+    # every bin except the open tail is exactly `budget` tokens
+    per_bin = {}
+    for _, b, s, e, _ in rows:
+        per_bin[b] = per_bin.get(b, 0) + (e - s)
+    assert per_bin == {0: 512, 1: 512, 2: 176}
