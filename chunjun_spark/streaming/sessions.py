@@ -1,0 +1,136 @@
+"""Streaming gap-based sessionization: event-time state + watermark
+timeouts.
+
+The batch form lives in ``operators/temporal.py`` (one window sweep);
+this is the continuous form for unbounded streams, the canonical custom
+stateful operator the brief calls out: per-key session state in the
+Structured Streaming state store, closed either in-batch (a gap between
+sorted events) or by an EVENT-TIME timeout when the watermark passes
+``last_event + gap`` — so emission needs no extra input for a key, only
+watermark progress from the rest of the stream.
+
+Scale notes: state per live key is 4 small numerics; the shuffle is the
+groupBy on the session key (the same exchange any per-key operator
+pays); all per-batch work is vectorized pandas over one key group.
+Late rows beyond the watermark are dropped by Spark before the UDF
+(with the one-batch lag documented in CLAUDE.md / SPARK-24634).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# open-session state: bounds + running aggregates
+_STATE_SCHEMA = "start_us long, last_us long, n long, sum_v double"
+
+_US = 1_000_000
+
+
+def _out_schema(by_fields: list[T.StructField]) -> T.StructType:
+    return T.StructType(
+        list(by_fields)
+        + [
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+
+
+def _make_session_fn(gap_us: int, by_names: list[str]):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        def emit(rows: list[tuple]) -> pd.DataFrame:
+            cols = {}
+            for i, name in enumerate(by_names):
+                cols[name] = [key[i]] * len(rows)
+            cols["session_start"] = [pd.Timestamp(r[0], unit="us") for r in rows]
+            cols["session_end"] = [pd.Timestamp(r[1], unit="us") for r in rows]
+            cols["n_events"] = [r[2] for r in rows]
+            cols["sum_value"] = [r[3] for r in rows]
+            return pd.DataFrame(cols)
+
+        if state.hasTimedOut:
+            s = tuple(state.get)
+            state.remove()
+            yield emit([(s[0], s[1], s[2], s[3])])
+            return
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values("_ts_us", ignore_index=True)
+        ts = batch["_ts_us"].to_numpy()
+        vals = batch["_v"].to_numpy()
+
+        # seed with the open session, if any
+        cur = list(state.get) if state.exists else None  # [start, last, n, sum]
+
+        closed: list[tuple] = []
+        for t, v in zip(ts, vals):
+            t = int(t)
+            if cur is not None and t - cur[1] > gap_us:
+                closed.append(tuple(cur))
+                cur = None
+            if cur is None:
+                cur = [t, t, 1, float(v)]
+            else:
+                # a watermark-admitted late row may predate the open start
+                cur[0] = min(cur[0], t)
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+                cur[3] += float(v)
+        state.update((cur[0], cur[1], cur[2], cur[3]))
+        # close by event time: fire when the watermark passes last + gap.
+        # Spark rejects timeouts at/behind the current watermark, which can
+        # happen when this batch's rows are older than watermark+gap — fire
+        # at the next possible instant instead.
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max((cur[1] + gap_us) // 1000, wm_ms + 1))
+        if closed:
+            yield emit(closed)
+
+    return fn
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    by: list[str],
+    ts: str,
+    gap_seconds: int,
+    value_col: str,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Continuous sessionization: one output row per CLOSED session
+    (append mode — a closed session is final). A session closes when a
+    later event of the same key arrives more than ``gap_seconds`` after
+    it, or when the stream's watermark passes its end + gap (event-time
+    timeout — no further input needed for that key).
+
+    ``ts`` must be castable to TIMESTAMP (TIMESTAMP_NTZ is cast here; the
+    session timezone is assumed stable, see CLAUDE.md)."""
+    by_fields = [events.schema[c] for c in by]
+    prepped = events.select(
+        *by,
+        F.col(ts).cast("timestamp").alias("_ts"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).withWatermark("_ts", watermark).withColumn(
+        "_ts_us", F.unix_micros(F.col("_ts"))
+    )
+    return prepped.groupBy(*by).applyInPandasWithState(
+        _make_session_fn(gap_seconds * _US, list(by)),
+        outputStructType=_out_schema(by_fields),
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1,0 +1,124 @@
+"""Continuous gap sessionization: in-batch closes + event-time timeouts.
+
+Mirrors the batch `session_stats` semantics (tests/test_temporal.py) on
+an unbounded stream: a session emits when a later same-key event gaps
+past it, or when the watermark passes session_end + gap.
+"""
+
+import datetime
+import os
+
+from pyspark.sql import types as T
+
+from chunjun_spark.streaming.sessions import streaming_sessionize
+
+T0 = datetime.datetime(2024, 1, 1)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("user", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+def _ev(user, sec, v):
+    return (user, T0 + datetime.timedelta(seconds=sec), float(v))
+
+
+def _run(spark, src, out_dir, ckpt):
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    sessions = streaming_sessionize(
+        stream, by=["user"], ts="ts", gap_seconds=10, value_col="v"
+    )
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+
+
+def test_streaming_sessionize_gap_and_timeout(spark, tmp_root):
+    src = os.path.join(tmp_root, "src")
+    out_dir = os.path.join(tmp_root, "out")
+    ckpt = os.path.join(tmp_root, "ckpt")
+    os.makedirs(src)
+
+    # batch 1: one open session for a ([0,5], n=2, sum=3)
+    b1 = [_ev("a", 0, 1.0), _ev("a", 5, 2.0)]
+    # batch 2: a@40 gaps past a's open session -> closes it IN-BATCH and
+    # opens [40,40]; b@100 advances the watermark to 90s after this batch
+    b2 = [_ev("a", 40, 4.0), _ev("b", 100, 9.0)]
+    # batch 3: at batch start the watermark (90s) has passed a's open
+    # session end + gap (50s) -> EVENT-TIME TIMEOUT emits [40,40]
+    b3 = [_ev("b", 200, 1.0)]
+    for b in (b1, b2, b3):
+        spark.createDataFrame(b, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    _run(spark, src, out_dir, ckpt)
+
+    rows = spark.read.parquet(out_dir).collect()
+    a = sorted(
+        (
+            (r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+            for r in rows
+            if r["user"] == "a"
+        )
+    )
+    assert a == [
+        (T0, T0 + datetime.timedelta(seconds=5), 2, 3.0),
+        (
+            T0 + datetime.timedelta(seconds=40),
+            T0 + datetime.timedelta(seconds=40),
+            1,
+            4.0,
+        ),
+    ]
+    # b's first session may or may not have timed out yet (depends on the
+    # final no-data batch); if emitted it must be exactly [100,100]
+    b_rows = [
+        (r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in rows
+        if r["user"] == "b"
+    ]
+    assert all(
+        r == (T0 + datetime.timedelta(seconds=100), T0 + datetime.timedelta(seconds=100), 1, 9.0)
+        for r in b_rows
+    )
+    assert len(b_rows) <= 1
+
+
+def test_streaming_sessionize_resume(spark, tmp_root):
+    """State (open sessions) survives a stop/restart via the checkpoint."""
+    src = os.path.join(tmp_root, "rsrc")
+    out_dir = os.path.join(tmp_root, "rout")
+    ckpt = os.path.join(tmp_root, "rckpt")
+    os.makedirs(src)
+
+    spark.createDataFrame(
+        [_ev("a", 0, 1.0), _ev("a", 3, 1.0)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, src, out_dir, ckpt)
+
+    # restart: a@6 continues the SAME open session (gap not exceeded),
+    # a@60 closes it in-batch as [0,6] n=3
+    spark.createDataFrame(
+        [_ev("a", 6, 1.0)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [_ev("a", 60, 5.0)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    _run(spark, src, out_dir, ckpt)
+
+    closed = sorted(
+        (r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert closed[0] == (T0, T0 + datetime.timedelta(seconds=6), 3, 3.0)
