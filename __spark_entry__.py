@@ -313,6 +313,64 @@ FROM events
 """
 
 
+def _q_cdc_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level partial-update merge (ChunJun UPDATE write mode /
+    sparse paved updates — EWriteMode.java:28-40, JdbcOutputFormat.java:
+    290-334): UPDATE images carry only the changed columns (purchase →
+    value only, click → event_type only), DELETE is a tombstone barrier,
+    INSERT a full-image reset; final state is last-non-null per column."""
+    from chunjun_spark.operators.partial import partial_update_state, sparse_updates
+
+    ev = _t(spark, sf_dir, "events")
+    ch = events_changelog(ev)
+    sp = sparse_updates(
+        ch,
+        {
+            "event_type": F.col("after.event_type") == "purchase",
+            "value": F.col("after.event_type") == "click",
+        },
+    )
+    st = partial_update_state(
+        sp, pk=["user_id"], order_col="seq", payload_fields=["event_type", "value"]
+    )
+    return st.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 6).alias("last_value"),
+    )
+
+
+_PARTIAL_UPDATE_SQL = """
+WITH e AS (
+  SELECT event_id AS o, user_id,
+         CASE WHEN event_type = 'signup' THEN 'INSERT'
+              WHEN event_type = 'error' THEN 'DELETE'
+              ELSE 'UPDATE' END AS op,
+         CASE WHEN event_type = 'purchase' THEN NULL ELSE event_type END AS a_event_type,
+         CASE WHEN event_type = 'click' THEN NULL ELSE value END AS a_value
+  FROM events
+),
+b AS (
+  SELECT user_id,
+         coalesce(max(CASE WHEN op = 'DELETE' THEN o END), -1) AS b_del,
+         coalesce(max(CASE WHEN op = 'INSERT' THEN o END), -1) AS b_ins
+  FROM e GROUP BY user_id
+),
+live AS (
+  SELECT e.* FROM e JOIN b USING (user_id)
+  WHERE e.op <> 'DELETE'
+    AND e.o >= CASE WHEN b_ins > b_del THEN b_ins ELSE b_del + 1 END
+)
+SELECT user_id,
+       last_value(a_event_type IGNORE NULLS) OVER w AS last_event_type,
+       round(last_value(a_value IGNORE NULLS) OVER w, 6) AS last_value
+FROM live
+WINDOW w AS (PARTITION BY user_id ORDER BY o
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY o DESC) = 1
+"""
+
+
 def _q_incremental_poll_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval polling end-to-end (JdbcInputFormat.java:181-227,842-960):
     half the events land in a live Derby table, the poller drains them in
@@ -1520,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_filter": _q_projection_filter,
         "incremental_poll_catchup": _q_incremental_poll_catchup,
         "cdc_paved_events": _q_cdc_paved_events,
+        "cdc_partial_update": _q_cdc_partial_update,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,
         "doc_bpe_token_count": _q_doc_bpe_token_count,
@@ -1580,6 +1639,7 @@ def oracle_sql() -> dict[str, str]:
         "projection_filter": _PROJECTION_SQL,
         "incremental_poll_catchup": _POLL_CATCHUP_SQL,
         "cdc_paved_events": _PAVED_SQL,
+        "cdc_partial_update": _PARTIAL_UPDATE_SQL,
         "doc_exact_dedup": _EXACT_DEDUP_SQL,
         "doc_token_count": _TOKEN_COUNT_SQL,
         "doc_bpe_token_count": _BPE_TOKEN_SQL,

@@ -1,0 +1,216 @@
+"""Column-level partial-update merge (sparse UPDATE images).
+
+Reference analog: ChunJun's UPDATE write mode updates only the columns
+present in the record (flinkx-core/.../enums/EWriteMode.java:28-40;
+flinkx-rdb/.../JdbcOutputFormat.java:290-334 builds the SET list from the
+configured column subset), and the paved wire format carries sparse
+``after_*`` columns for updates (BinlogEventSink.java:116-131). The same
+semantics exist in lake engines as Paimon's partial-update merge-engine /
+Hudi's PartialUpdateAvroPayload: for each primary key, every column's final
+value is the LAST NON-NULL value written to it, with DELETE acting as a
+tombstone barrier and INSERT as a full-image reset.
+
+Semantics (per key, events totally ordered by a single bigint ``order_col``
+— the engine's Snowflake-style seq, BinlogEventSink.java:114):
+
+- ``DELETE`` — tombstone: values written before it never resurrect.
+- ``INSERT`` — full image: resets the row; nulls in an INSERT are explicit
+  nulls, not "unchanged".
+- ``UPDATE`` — patch: null column = unchanged, non-null column = new value.
+
+Two physical strategies, same result (mirrors ``keep_last``):
+
+1. FAST PATH — payload bytes never shuffle. One narrow hash aggregate
+   computes, per key, the barrier orders and per-column last-set order
+   (all BIGINT buffers → map-side partial HashAggregate; struct/max_by
+   buffers would force SortAggregate over payload rows). The tiny
+   (key, order) fetch set is then BROADCAST-joined back to the event scan
+   to pull only the winning images, and a pivot over ≤ n_cols rows per key
+   assembles the final row.
+
+2. WINDOW FALLBACK (key-count above the broadcast threshold) — a single
+   payload shuffle partitioned by pk: full-frame ``last(col, ignorenulls)``
+   per column after a barrier filter. One payload shuffle is the correct
+   general plan at 10^8+ keys/batch (same argument as keep_last's
+   fallback).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from chunjun_spark.operators.merge import events_with_pk
+
+
+def _barrier_threshold() -> F.Column:
+    """Minimum order (inclusive) from which events contribute values.
+
+    If the last INSERT is newer than the last DELETE the INSERT itself
+    contributes (threshold = b_ins, inclusive); otherwise everything up to
+    and including the last DELETE is dead (threshold = b_del + 1).
+    """
+    b_del = F.coalesce(F.col("_b_del"), F.lit(-1))
+    b_ins = F.coalesce(F.col("_b_ins"), F.lit(-1))
+    return F.when(b_ins > b_del, b_ins).otherwise(b_del + 1)
+
+
+def partial_update_state(
+    events: DataFrame,
+    pk: list[str],
+    order_col: str = "seq",
+    payload_fields: list[str] | None = None,
+    broadcast_key_rows: int = 2_000_000,
+) -> DataFrame:
+    """Reduce a sparse-update changelog to final row state per key.
+
+    ``events`` is the canonical changelog shape (op, before, after, ...);
+    ``order_col`` must be a single bigint total order over the stream
+    (the reference's Snowflake ts). Returns one row per surviving key with
+    columns (pk..., payload_fields...).
+
+    DETERMINISM CONTRACT: like ``keep_last``'s fast path, the input plan is
+    traversed twice (winner aggregate, then fetch join); engine sources
+    (file scans, replayed offsets) are deterministic. Arbitrary caller
+    frames should be localCheckpoint'd first.
+    """
+    all_fields = [f.name for f in events.schema["after"].dataType.fields]
+    payload_fields = payload_fields or [f for f in all_fields if f not in pk]
+
+    o = F.col(order_col).cast("long")
+    evt = events_with_pk(events, pk).withColumn("_o", o)
+    not_del = F.col("op") != "DELETE"
+
+    # --- narrow winner aggregate: every buffer a bigint → HashAggregate
+    aggs = [
+        F.max(F.when(F.col("op") == "DELETE", F.col("_o"))).alias("_b_del"),
+        F.max(F.when(F.col("op") == "INSERT", F.col("_o"))).alias("_b_ins"),
+        F.max(F.when(not_del, F.col("_o"))).alias("_last_up"),
+    ]
+    for c in payload_fields:
+        aggs.append(
+            F.max(
+                F.when(not_del & F.col(f"after.{c}").isNotNull(), F.col("_o"))
+            ).alias(f"_w_{c}")
+        )
+    winners = evt.groupBy(*pk).agg(*aggs)
+    thresh = _barrier_threshold()
+    winners = (
+        winners.withColumn("_incl", thresh)
+        .filter(F.coalesce(F.col("_last_up"), F.lit(-1)) >= F.col("_incl"))
+        .select(
+            *pk,
+            F.col("_incl"),
+            *[
+                F.when(F.col(f"_w_{c}") >= F.col("_incl"), F.col(f"_w_{c}")).alias(f"_w_{c}")
+                for c in payload_fields
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    n_keys = winners.count()
+    if n_keys > broadcast_key_rows:
+        return _partial_update_window(evt, pk, payload_fields)
+
+    # --- fetch set: distinct (pk, order) pairs that hold a winning image
+    fetch = (
+        winners.select(
+            *pk,
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.array(*[F.col(f"_w_{c}") for c in payload_fields]),
+                        lambda x: x.isNotNull(),
+                    )
+                )
+            ).alias("_o"),
+        )
+    )
+    # broadcast the tiny fetch set → the event payload never shuffles
+    fetched = evt.join(F.broadcast(fetch), on=[*pk, "_o"], how="inner").select(
+        *pk, "_o", *[F.col(f"after.{c}").alias(f"_v_{c}") for c in payload_fields]
+    )
+    # pivot ≤ n_cols rows per key into the final row
+    assembled = (
+        fetched.join(F.broadcast(winners), on=pk, how="inner")
+        .groupBy(*pk)
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("_o") == F.col(f"_w_{c}"), F.col(f"_v_{c}"))
+                ).alias(c)
+                for c in payload_fields
+            ]
+        )
+    )
+    # keys whose every column is null-after-barrier still exist (e.g. a
+    # bare INSERT of all-null payload) — re-attach them
+    missing = winners.join(assembled.select(*pk), on=pk, how="left_anti").select(
+        *pk, *[F.lit(None).cast(dict(evt.select(
+            *[F.col(f"after.{c}").alias(c) for c in payload_fields]
+        ).dtypes)[c]).alias(c) for c in payload_fields]
+    )
+    return assembled.unionByName(missing)
+
+
+def _partial_update_window(
+    evt: DataFrame, pk: list[str], payload_fields: list[str]
+) -> DataFrame:
+    """Single-payload-shuffle form: barrier via unordered per-key window,
+    then full-frame last-ignore-nulls per column on the same partitioning."""
+    w_part = Window.partitionBy(*pk)
+    not_del = F.col("op") != "DELETE"
+    tagged = evt.select(
+        *pk,
+        "op",
+        "_o",
+        *[F.col(f"after.{c}").alias(f"_v_{c}") for c in payload_fields],
+    ).withColumns(
+        {
+            "_b_del": F.max(F.when(F.col("op") == "DELETE", F.col("_o"))).over(w_part),
+            "_b_ins": F.max(F.when(F.col("op") == "INSERT", F.col("_o"))).over(w_part),
+        }
+    )
+    live = tagged.filter(not_del & (F.col("_o") >= _barrier_threshold()))
+    w_full = (
+        Window.partitionBy(*pk)
+        .orderBy(F.col("_o"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_rn = Window.partitionBy(*pk).orderBy(F.col("_o").desc())
+    vals = live.select(
+        *pk,
+        F.row_number().over(w_rn).alias("_rn"),
+        *[
+            F.last(F.col(f"_v_{c}"), ignorenulls=True).over(w_full).alias(c)
+            for c in payload_fields
+        ],
+    )
+    return vals.filter(F.col("_rn") == 1).drop("_rn")
+
+
+def sparse_updates(events: DataFrame, unchanged: dict[str, F.Column]) -> DataFrame:
+    """Blank out unchanged columns of UPDATE images (wire-format helper).
+
+    ``unchanged`` maps payload field → boolean Column (true = the field is
+    NOT carried by this update). INSERT/DELETE rows pass through untouched.
+    Pure projection — codegen-only, zero shuffle.
+    """
+    fields = [f.name for f in events.schema["after"].dataType.fields]
+    is_upd = F.col("op") == "UPDATE"
+    img = F.struct(
+        *[
+            (
+                F.when(is_upd & unchanged[f], F.lit(None)).otherwise(
+                    F.col(f"after.{f}")
+                )
+                if f in unchanged
+                else F.col(f"after.{f}")
+            ).alias(f)
+            for f in fields
+        ]
+    )
+    return events.withColumn(
+        "after", F.when(F.col("after").isNotNull(), img)
+    )

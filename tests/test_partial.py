@@ -1,0 +1,142 @@
+"""Column-level partial-update merge (operators/partial.py).
+
+Python fold oracle: apply sparse images one-by-one in seq order —
+DELETE drops the key, INSERT replaces the full row (explicit nulls),
+UPDATE patches non-null fields. Both physical strategies (narrow-winner
+fast path, window fallback) must match it exactly.
+"""
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+import pytest
+
+from chunjun_spark.operators.partial import (
+    _partial_update_window,
+    partial_update_state,
+    sparse_updates,
+)
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("a", T.StringType()),
+        T.StructField("b", T.LongType()),
+    ]
+)
+SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("before", PAYLOAD),
+        T.StructField("after", PAYLOAD),
+    ]
+)
+
+
+def ev(op, seq, k, a=None, b=None):
+    img = {"k": k, "a": a, "b": b}
+    if op == "DELETE":
+        return {"op": op, "seq": seq, "before": img, "after": None}
+    return {"op": op, "seq": seq, "before": None, "after": img}
+
+
+def fold(events):
+    state = {}
+    for e in sorted(events, key=lambda e: e["seq"]):
+        img = e["before"] if e["op"] == "DELETE" else e["after"]
+        k = img["k"]
+        if e["op"] == "DELETE":
+            state.pop(k, None)
+        elif e["op"] == "INSERT":
+            state[k] = {"a": img["a"], "b": img["b"]}
+        else:  # UPDATE patches non-null fields; creates the row if absent
+            row = state.setdefault(k, {"a": None, "b": None})
+            for f in ("a", "b"):
+                if img[f] is not None:
+                    row[f] = img[f]
+    return state
+
+
+CASES = [
+    # patch sequence: a then b then a again
+    ev("INSERT", 1, 1, a="x", b=10),
+    ev("UPDATE", 2, 1, a="y"),
+    ev("UPDATE", 3, 1, b=20),
+    ev("UPDATE", 4, 1, a="z"),
+    # delete barrier: values before the delete never resurrect
+    ev("INSERT", 1, 2, a="x", b=10),
+    ev("DELETE", 2, 2),
+    ev("UPDATE", 3, 2, b=30),
+    # delete-last: key gone
+    ev("INSERT", 1, 3, a="x", b=1),
+    ev("UPDATE", 2, 3, a="y"),
+    ev("DELETE", 9, 3),
+    # insert reset: explicit null in INSERT wipes a previously-set column
+    ev("INSERT", 1, 4, a="x", b=10),
+    ev("UPDATE", 2, 4, b=99),
+    ev("INSERT", 3, 4, a="r", b=None),
+    # update-only key (upsert semantics)
+    ev("UPDATE", 5, 5, b=7),
+    # all-null patch after barrier: row exists with null columns
+    ev("DELETE", 1, 6),
+    ev("UPDATE", 2, 6),
+]
+
+
+def _run(spark, events, **kw):
+    df = spark.createDataFrame(events, SCHEMA)
+    out = partial_update_state(df, pk=["k"], order_col="seq",
+                               payload_fields=["a", "b"], **kw)
+    return {r["k"]: {"a": r["a"], "b": r["b"]} for r in out.collect()}
+
+
+def test_partial_update_fast_path_matches_fold(spark):
+    assert _run(spark, CASES) == fold(CASES)
+
+
+def test_partial_update_window_path_matches_fold(spark):
+    # broadcast_key_rows=0 forces the single-shuffle window fallback
+    assert _run(spark, CASES, broadcast_key_rows=0) == fold(CASES)
+
+
+def test_partial_update_paths_agree_on_random_stream(spark):
+    import random
+
+    rng = random.Random(7)
+    events, seq = [], 0
+    for _ in range(400):
+        seq += 1
+        k = rng.randrange(12)
+        op = rng.choice(["INSERT", "UPDATE", "UPDATE", "UPDATE", "DELETE"])
+        a = rng.choice([None, "p", "q", "r"])
+        b = rng.choice([None, 1, 2, 3])
+        events.append(ev(op, seq, k, a=a, b=b))
+    expect = fold(events)
+    assert _run(spark, events) == expect
+    assert _run(spark, events, broadcast_key_rows=0) == expect
+
+
+def test_sparse_updates_blanks_only_update_rows(spark):
+    events = [
+        ev("INSERT", 1, 1, a="purchase-ish", b=10),
+        ev("UPDATE", 2, 1, a="hide", b=20),
+        ev("DELETE", 3, 1),
+    ]
+    df = spark.createDataFrame(events, SCHEMA)
+    out = sparse_updates(df, {"a": F.col("after.a") == "hide"})
+    rows = {r["seq"]: r for r in out.collect()}
+    assert rows[1]["after"]["a"] == "purchase-ish"  # INSERT untouched
+    assert rows[2]["after"]["a"] is None            # UPDATE blanked
+    assert rows[2]["after"]["b"] == 20              # other fields kept
+    assert rows[3]["after"] is None                 # DELETE untouched
+
+
+def test_window_form_direct(spark):
+    """_partial_update_window consumes the pk-exposed/_o-tagged frame."""
+    df = spark.createDataFrame(CASES, SCHEMA)
+    from chunjun_spark.operators.merge import events_with_pk
+
+    evt = events_with_pk(df, ["k"]).withColumn("_o", F.col("seq").cast("long"))
+    out = _partial_update_window(evt, ["k"], ["a", "b"])
+    got = {r["k"]: {"a": r["a"], "b": r["b"]} for r in out.collect()}
+    assert got == fold(CASES)
