@@ -371,6 +371,91 @@ QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY o DESC) = 1
 """
 
 
+def _q_doc_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans at window granularity (Lee et al.
+    arXiv:2107.06499 reduced to a distributable groupBy — no suffix array,
+    no pair join). md5 here for DuckDB parity; xxhash64 is the scale path."""
+    from chunjun_spark.functions.substrings import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, win=40, stride=10, hash_col=F.md5).select(
+        "doc_id", "span_start", "span_end", "n_windows"
+    )
+
+
+_DUP_SPANS_SQL = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 40),
+p AS (SELECT doc_id, text,
+             unnest(generate_series(0, (length(text)-40)//10)) AS idx
+      FROM d),
+w AS (SELECT doc_id, idx, md5(substr(text, (idx*10)::int + 1, 40)) AS h
+      FROM p),
+dup AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+hits AS (SELECT doc_id, idx FROM w WHERE h IN (SELECT h FROM dup)),
+lagged AS (
+  SELECT doc_id, idx,
+         CASE WHEN (idx - lag(idx) OVER (PARTITION BY doc_id ORDER BY idx))
+                   * 10 <= 40 THEN 0 ELSE 1 END AS newisl
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, idx,
+         sum(newisl) OVER (PARTITION BY doc_id ORDER BY idx) AS island
+  FROM lagged
+)
+SELECT doc_id, min(idx)*10 AS span_start, max(idx)*10 + 40 AS span_end,
+       count(*) AS n_windows
+FROM isl GROUP BY doc_id, island
+"""
+
+
+def _q_doc_dup_span_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-character fraction — the span-level gate a
+    curation pipeline filters/down-weights on."""
+    from chunjun_spark.functions.substrings import duplicate_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_span_stats(docs, win=40, stride=10, hash_col=F.md5).select(
+        "doc_id", "n_spans", "dup_frac"
+    )
+
+
+_DUP_SPAN_FRAC_SQL = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 40),
+p AS (SELECT doc_id, text,
+             unnest(generate_series(0, (length(text)-40)//10)) AS idx
+      FROM d),
+w AS (SELECT doc_id, idx, md5(substr(text, (idx*10)::int + 1, 40)) AS h
+      FROM p),
+dup AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+hits AS (SELECT doc_id, idx FROM w WHERE h IN (SELECT h FROM dup)),
+lagged AS (
+  SELECT doc_id, idx,
+         CASE WHEN (idx - lag(idx) OVER (PARTITION BY doc_id ORDER BY idx))
+                   * 10 <= 40 THEN 0 ELSE 1 END AS newisl
+  FROM hits
+),
+isl AS (
+  SELECT doc_id, idx,
+         sum(newisl) OVER (PARTITION BY doc_id ORDER BY idx) AS island
+  FROM lagged
+),
+spans AS (
+  SELECT doc_id, min(idx)*10 AS s, max(idx)*10 + 40 AS e
+  FROM isl GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, sum(e - s) AS dup_chars, count(*) AS n_spans
+  FROM spans GROUP BY doc_id
+)
+SELECT d0.doc_id,
+       coalesce(p0.n_spans, 0) AS n_spans,
+       round(least(coalesce(p0.dup_chars, 0)::double / length(d0.text), 1.0), 6)
+         AS dup_frac
+FROM documents d0 LEFT JOIN per_doc p0 USING (doc_id)
+"""
+
+
 def _q_incremental_poll_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval polling end-to-end (JdbcInputFormat.java:181-227,842-960):
     half the events land in a live Derby table, the poller drains them in
@@ -1579,6 +1664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_poll_catchup": _q_incremental_poll_catchup,
         "cdc_paved_events": _q_cdc_paved_events,
         "cdc_partial_update": _q_cdc_partial_update,
+        "doc_dup_spans": _q_doc_dup_spans,
+        "doc_dup_span_frac": _q_doc_dup_span_frac,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,
         "doc_bpe_token_count": _q_doc_bpe_token_count,
@@ -1640,6 +1727,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_poll_catchup": _POLL_CATCHUP_SQL,
         "cdc_paved_events": _PAVED_SQL,
         "cdc_partial_update": _PARTIAL_UPDATE_SQL,
+        "doc_dup_spans": _DUP_SPANS_SQL,
+        "doc_dup_span_frac": _DUP_SPAN_FRAC_SQL,
         "doc_exact_dedup": _EXACT_DEDUP_SQL,
         "doc_token_count": _TOKEN_COUNT_SQL,
         "doc_bpe_token_count": _BPE_TOKEN_SQL,
