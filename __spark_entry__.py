@@ -456,6 +456,30 @@ FROM documents d0 LEFT JOIN per_doc p0 USING (doc_id)
 """
 
 
+def _q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus length profile: exact interpolated quantiles
+    (matches DuckDB quantile_cont); percentile_approx is the sketch-based
+    100 TB path with identical schema (tests/test_corpus.py bounds its
+    rank error)."""
+    from chunjun_spark.functions.corpus import grouped_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return grouped_quantiles(
+        docs, F.length("text").cast("double"), by=["lang"]
+    ).select("lang", "n_rows", "q25", "q50", "q75", "q90", "q99")
+
+
+_LENGTH_QUANTILES_SQL = """
+SELECT lang, count(*) AS n_rows,
+       round(quantile_cont(length(text)::double, 0.25), 6) AS q25,
+       round(quantile_cont(length(text)::double, 0.50), 6) AS q50,
+       round(quantile_cont(length(text)::double, 0.75), 6) AS q75,
+       round(quantile_cont(length(text)::double, 0.90), 6) AS q90,
+       round(quantile_cont(length(text)::double, 0.99), 6) AS q99
+FROM documents GROUP BY lang
+"""
+
+
 def _q_incremental_poll_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval polling end-to-end (JdbcInputFormat.java:181-227,842-960):
     half the events land in a live Derby table, the poller drains them in
@@ -1666,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_partial_update": _q_cdc_partial_update,
         "doc_dup_spans": _q_doc_dup_spans,
         "doc_dup_span_frac": _q_doc_dup_span_frac,
+        "doc_length_quantiles": _q_doc_length_quantiles,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,
         "doc_bpe_token_count": _q_doc_bpe_token_count,
@@ -1729,6 +1754,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_partial_update": _PARTIAL_UPDATE_SQL,
         "doc_dup_spans": _DUP_SPANS_SQL,
         "doc_dup_span_frac": _DUP_SPAN_FRAC_SQL,
+        "doc_length_quantiles": _LENGTH_QUANTILES_SQL,
         "doc_exact_dedup": _EXACT_DEDUP_SQL,
         "doc_token_count": _TOKEN_COUNT_SQL,
         "doc_bpe_token_count": _BPE_TOKEN_SQL,

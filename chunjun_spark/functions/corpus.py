@@ -116,3 +116,39 @@ def bm25_scores(
         )
     )
     return per_term.groupBy(id_col).agg(F.sum("_s").alias("score"))
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    value,
+    by: list[str] | None = None,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    approx: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group distribution quantiles of an arbitrary numeric expression
+    (corpus length/score profiling — the sanity dashboard every curation
+    run starts from).
+
+    exact (default): ``percentile`` with linear interpolation — matches
+    DuckDB ``quantile_cont`` for the oracles; sorts each group's values,
+    fine while groups are few and fat (lang/source profiling).
+
+    approx=True is the 100 TB path: ``percentile_approx`` keeps a bounded
+    QuantileSummaries sketch per group with MAP-SIDE PARTIAL AGGREGATION —
+    no full sort, error ≤ 1/accuracy of rank. Same output schema, so
+    callers can flip the flag by data size.
+    """
+    by = by or []
+    val = value if not isinstance(value, str) else F.col(value)
+    names = [f"q{int(p * 100):02d}" for p in probs]
+    if approx:
+        qs = F.percentile_approx(val, F.array(*[F.lit(p) for p in probs]), accuracy)
+    else:
+        qs = F.percentile(val, F.array(*[F.lit(p) for p in probs]))
+    out = df.groupBy(*by).agg(qs.alias("_qs"), F.count(F.lit(1)).alias("n_rows"))
+    return out.select(
+        *by,
+        "n_rows",
+        *[F.round(F.col("_qs")[i], 6).alias(names[i]) for i in range(len(probs))],
+    )

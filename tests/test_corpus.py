@@ -63,3 +63,35 @@ def test_bm25_multi_term_accumulates(toy):
 def test_bm25_empty_query_raises(toy):
     with pytest.raises(ValueError):
         bm25_scores(toy, [])
+
+
+# ------------------------------------------------------------- quantiles
+
+def test_grouped_quantiles_exact_matches_numpy(spark):
+    import numpy as np
+
+    from chunjun_spark.functions.corpus import grouped_quantiles
+
+    vals = [float(v) for v in [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9]]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    row = grouped_quantiles(df, "x", probs=(0.5, 0.9)).collect()[0]
+    assert row["n_rows"] == len(vals)
+    # Spark exact percentile and numpy 'linear' use the same interpolation
+    assert abs(row["q50"] - float(np.percentile(vals, 50))) < 1e-9
+    assert abs(row["q90"] - float(np.percentile(vals, 90))) < 1e-9
+
+
+def test_grouped_quantiles_approx_bounded_rank_error(spark):
+    import pyspark.sql.functions as F
+
+    from chunjun_spark.functions.corpus import grouped_quantiles
+
+    n = 20_000
+    df = spark.range(n).select((F.col("id") % 1000).cast("double").alias("x"))
+    exact = grouped_quantiles(df, "x", probs=(0.5, 0.99)).collect()[0]
+    approx = grouped_quantiles(
+        df, "x", probs=(0.5, 0.99), approx=True, accuracy=1000
+    ).collect()[0]
+    # rank error <= 1/accuracy → value error <= 1000 * (n/accuracy)/n * ~1
+    for q in ("q50", "q99"):
+        assert abs(approx[q] - exact[q]) <= 1000 * (1.0 / 1000) + 1
