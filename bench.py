@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "doc_unigram_logprob",
     "doc_bm25_search",
     "corpus_sample_k",
+    "cdc_partial_update",
+    "doc_dup_spans",
+    "doc_length_quantiles",
 ]
 
 
