@@ -134,6 +134,60 @@ FROM r WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def _q_cdc_replay_lake_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full patch-mode replay (reference UPDATE write mode): UPDATE events
+    carry only changed columns (purchase → value, click → event_type);
+    the merge folds last-non-null per column with the error-event
+    tombstones as barriers, then coalesces against the stored row."""
+    from chunjun_spark.operators.partial import sparse_updates
+
+    ev = _t(spark, sf_dir, "events")
+    ch = sparse_updates(
+        events_changelog(ev),
+        {
+            "event_type": F.col("after.event_type") == "purchase",
+            "value": F.col("after.event_type") == "click",
+        },
+    )
+    root = tempfile.mkdtemp(prefix="cj_entry_patch_")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table = LakeTable.create(spark, root, schema, pk=["user_id"], n_buckets=8)
+    replay(ch, table, batch_id="entry-patch", update_mode="patch")
+    return _lake_projection(table.refresh().read())
+
+
+_REPLAY_PATCH_SQL = """
+WITH e AS (
+  SELECT event_id AS o, user_id,
+         CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS op,
+         CASE WHEN event_type = 'purchase' THEN NULL ELSE event_type END AS a_event_type,
+         CASE WHEN event_type = 'click' THEN NULL ELSE value END AS a_value
+  FROM events
+),
+b AS (
+  SELECT user_id, coalesce(max(CASE WHEN op = 'DELETE' THEN o END), -1) AS b_del
+  FROM e GROUP BY user_id
+),
+live AS (
+  SELECT e.* FROM e JOIN b USING (user_id)
+  WHERE e.op <> 'DELETE' AND e.o > b_del
+)
+SELECT user_id,
+       last_value(a_event_type IGNORE NULLS) OVER w AS last_event_type,
+       round(last_value(a_value IGNORE NULLS) OVER w, 6) AS last_value
+FROM live
+WINDOW w AS (PARTITION BY user_id ORDER BY o
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY o DESC) = 1
+"""
+
+
 _LOOKUP_IDS = [3, 17, 42, 99, 148]
 
 
@@ -1677,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": _q_cdc_final_state,
         "cdc_replay_lake": _q_cdc_replay_lake,
         "cdc_replay_lake_mor": _q_cdc_replay_lake_mor,
+        "cdc_replay_lake_patch": _q_cdc_replay_lake_patch,
         "cdc_point_lookup": _q_cdc_point_lookup,
         "incremental_read": _q_incremental_read,
         "mod_split_channels": _q_mod_split_channels,
@@ -1741,6 +1796,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state": _FINAL_STATE_SQL,
         "cdc_replay_lake": _REPLAY_LAKE_SQL,
         "cdc_replay_lake_mor": _REPLAY_LAKE_SQL,
+        "cdc_replay_lake_patch": _REPLAY_PATCH_SQL,
         "cdc_point_lookup": _POINT_LOOKUP_SQL,
         "incremental_read": _INCREMENTAL_SQL,
         "mod_split_channels": _MOD_SPLIT_SQL,

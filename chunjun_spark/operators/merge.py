@@ -64,6 +64,7 @@ def replay(
     batch_id: str | None = None,
     record_offsets: bool = True,
     mode: str = "cow",
+    update_mode: str = "replace",
 ) -> dict:
     """Full batch replay: apply DDL events first (schema evolution, all
     backward compatible), then dedup to last-per-key and run one
@@ -71,6 +72,12 @@ def replay(
 
     mode='cow' rewrites touched buckets (read-optimized result);
     mode='mor' appends a delta (ingest-optimized, resolve at read).
+
+    update_mode='patch' (cow only) applies the reference's UPDATE write
+    mode: every event becomes a sparse change row (null = unchanged) and
+    the merge folds last-non-null per column — so keep_last must NOT run
+    here (it would discard columns earlier events set); the fold happens
+    inside the merge (fold_patch_rows).
     """
     from chunjun_spark.operators.ddl import apply_ddl_events, split_ddl
 
@@ -79,12 +86,19 @@ def replay(
     if ddl_rows:
         table = apply_ddl_events(table, ddl_rows)
     keyed = events_with_pk(events, table.pk)
-    survivors = keep_last(keyed, pk=table.pk, order=("op_ts", "seq"))
-    changes = to_changes(survivors)
     offsets = partition_offsets(events) if record_offsets else None
     metrics = None
     if offsets is not None:
         metrics = {"numRead": sum(v["n"] for v in offsets.values())}
+    if update_mode == "patch":
+        if mode != "cow":
+            raise ValueError("update_mode='patch' requires mode='cow'")
+        changes = to_changes(keyed)
+        return table.merge(changes, batch_id=batch_id, offsets=offsets,
+                           extra_metrics=metrics, assume_unique_keys=False,
+                           update_mode="patch")
+    survivors = keep_last(keyed, pk=table.pk, order=("op_ts", "seq"))
+    changes = to_changes(survivors)
     if mode == "cow":
         return table.merge(changes, batch_id=batch_id, offsets=offsets,
                            extra_metrics=metrics, assume_unique_keys=True)

@@ -214,3 +214,51 @@ def sparse_updates(events: DataFrame, unchanged: dict[str, F.Column]) -> DataFra
     return events.withColumn(
         "after", F.when(F.col("after").isNotNull(), img)
     )
+
+
+def fold_patch_rows(
+    ch: DataFrame,
+    pk: list[str],
+    payload_cols: list[str],
+    op_col: str = "_op",
+    vts_col: str = "_vts",
+    vseq_col: str = "_vseq",
+) -> DataFrame:
+    """Fold FLAT merge-input rows (one row per change, ``_op`` ∈
+    {UPSERT, DELETE}) to one patch row per key: last-non-null per payload
+    column among upserts after the last DELETE; a key whose last event is
+    the DELETE folds to a single tombstone row. The surviving row keeps
+    the key's LATEST (vts, vseq) so the sink's version guard sees the
+    newest version either way.
+
+    Flat form cannot express INSERT-resets (null = unchanged, always) —
+    to null a column, delete + re-insert, exactly like the reference's
+    UPDATE mode which only touches listed columns. One shuffle + sort of
+    the batch, partitioned by pk; all other columns (e.g. the bucket id,
+    which is a function of the pk) ride along from the last row.
+    """
+    ordc = F.struct(F.col(vts_col), F.col(vseq_col))
+    is_up = F.col(op_col) != "DELETE"
+    w_all = Window.partitionBy(*pk)
+    w_ord = Window.partitionBy(*pk).orderBy(vts_col, vseq_col)
+    w_full = w_ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+    barrier = F.max(F.when(~is_up, ordc)).over(w_all)
+    post = is_up & (barrier.isNull() | (ordc > barrier))
+    n_post = F.sum(F.when(post, 1).otherwise(0)).over(w_all)
+    folded = {
+        c: F.last(F.when(post, F.col(c)), ignorenulls=True).over(w_full)
+        for c in payload_cols
+    }
+    rn = F.row_number().over(w_ord)
+    n_rows = F.count(F.lit(1)).over(w_all)
+    others = [c for c in ch.columns if c not in (*pk, *payload_cols, op_col)]
+    out = ch.select(
+        *pk,
+        *[folded[c].alias(c) for c in payload_cols],
+        F.when(n_post > 0, F.lit("UPSERT")).otherwise(F.lit("DELETE")).alias(op_col),
+        *[F.col(c) for c in others],
+        (rn == n_rows).alias("_is_last"),
+        (n_post > 0).alias("_alive"),
+    )
+    return out.filter(F.col("_is_last")).drop("_is_last", "_alive")

@@ -679,6 +679,7 @@ class LakeTable:
         offsets: dict | None = None,
         extra_metrics: dict | None = None,
         assume_unique_keys: bool = False,
+        update_mode: str = "replace",
     ) -> dict:
         """Copy-on-write MERGE: upsert rows with ``_op='UPSERT'``, delete
         rows with ``_op='DELETE'``; one row per pk expected (pass a
@@ -693,19 +694,44 @@ class LakeTable:
           new base[B] = kept ∪ eff   (deletes stay as tombstone rows,
                     written partitioned by bucket)
         Buckets outside B are carried forward by reference — zero IO.
+
+        ``update_mode='patch'`` is the reference's UPDATE write mode
+        (EWriteMode.java:28-40, JdbcOutputFormat.java:290-334 — only the
+        columns present in the record update): a null payload column in an
+        UPSERT means "unchanged" and the stored value is carried forward
+        (``MERGE ... WHEN MATCHED THEN UPDATE SET c = coalesce(new.c,
+        old.c)``). Batch-internal duplicates fold with the same last-non-
+        null semantics (``fold_patch_rows``). Cost vs replace: one extra
+        payload pass over the touched buckets (the matched-rows join) and
+        one narrow pk-only base pass (new-key anti join); the batch side
+        stays on the broadcast/build side throughout, so the base still
+        never shuffles.
         """
+        if update_mode not in ("replace", "patch"):
+            raise ValueError(f"unknown update_mode {update_mode!r}")
         if batch_id is not None and batch_id in self.committed_batches():
             return {"skipped": True, "batch_id": batch_id}
 
         ch = self._prep_changes(changes)
         if not assume_unique_keys:
-            # checkpoint_input: merge accepts arbitrary caller frames, and
-            # keep_last's two-traversal row tag silently drops keys on a
-            # non-deterministic input plan (rand/sample/round-robin); the
-            # materialization pins one physical row set for both traversals
-            ch = keep_last(
-                ch, pk=self.pk, order=(VTS_COL, VSEQ_COL), checkpoint_input=True
-            )
+            if update_mode == "patch":
+                from chunjun_spark.operators.partial import fold_patch_rows
+
+                payload = [c for c in self.schema.names() if c not in self.pk]
+                ch = fold_patch_rows(
+                    ch, pk=self.pk, payload_cols=payload,
+                    op_col=OP_COL, vts_col=VTS_COL, vseq_col=VSEQ_COL,
+                )
+                # fold emits _op from scratch; recompute the tombstone flag
+                ch = ch.withColumn(DELETED_COL, F.col(OP_COL) == "DELETE")
+            else:
+                # checkpoint_input: merge accepts arbitrary caller frames,
+                # and keep_last's two-traversal row tag silently drops keys
+                # on a non-deterministic input plan (rand/sample/round-
+                # robin); the materialization pins one physical row set
+                ch = keep_last(
+                    ch, pk=self.pk, order=(VTS_COL, VSEQ_COL), checkpoint_input=True
+                )
         # materialize ONCE as plain rows (localCheckpoint), never .cache():
         # the columnar cache builder re-encodes the multi-KB payload
         # strings and dominates the whole merge when the heap is large
@@ -747,6 +773,8 @@ class LakeTable:
             kept = base.join(F.broadcast(keys) if small else keys,
                              on=self.pk, how="left_anti")
             data_cols = [*self.schema.names(), *_HIDDEN, _BUCKET_COL]
+            if update_mode == "patch":
+                eff = self._apply_patches(base, eff, small)
             new_data = kept.select(*data_cols).unionByName(
                 eff.select(*data_cols)
             )
@@ -787,6 +815,39 @@ class LakeTable:
             }
         finally:
             ch.unpersist()  # drops the checkpointed blocks
+
+    def _apply_patches(self, base: DataFrame, eff: DataFrame, small: bool) -> DataFrame:
+        """WHEN MATCHED THEN UPDATE SET c = coalesce(new.c, old.c).
+
+        Matched rows come from an inner join that keeps the micro-batch on
+        the build/broadcast side (the bucketed base never shuffles); keys
+        new to the base pass through verbatim via an anti join against a
+        pk-only base projection (parquet column pruning makes that pass
+        narrow). DELETE rows keep their tombstone payload untouched.
+        """
+        payload = [c for c in self.schema.names() if c not in self.pk]
+        carry = [OP_COL, *_HIDDEN, _BUCKET_COL]
+        base_p = base.select(
+            *self.pk, *[F.col(c).alias(f"_base_{c}") for c in payload]
+        )
+        is_up = F.col(OP_COL) != "DELETE"
+        patched = (
+            base_p.join(F.broadcast(eff) if small else eff, on=self.pk, how="inner")
+            .select(
+                *self.pk,
+                *[
+                    F.when(is_up, F.coalesce(F.col(c), F.col(f"_base_{c}")))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    for c in payload
+                ],
+                *carry,
+            )
+        )
+        fresh = eff.join(base.select(*self.pk), on=self.pk, how="left_anti").select(
+            *self.pk, *payload, *carry
+        )
+        return patched.unionByName(fresh)
 
     def merge_retrying(
         self, changes: DataFrame, max_retries: int = 3, **kw

@@ -1,0 +1,184 @@
+"""COW merge in update_mode='patch' (reference UPDATE write mode) and the
+patch replay path."""
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+import pytest
+
+from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL, LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("a", T.StringType()),
+        T.StructField("b", T.LongType()),
+    ]
+)
+
+
+def _changes(spark, rows):
+    """rows: (k, a, b, op, vseq)"""
+    return spark.createDataFrame(
+        [
+            {
+                "k": k,
+                "a": a,
+                "b": b,
+                OP_COL: op,
+                VTS_COL: "2024-01-01 00:00:00",
+                VSEQ_COL: vseq,
+            }
+            for (k, a, b, op, vseq) in rows
+        ],
+        T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("a", T.StringType()),
+                T.StructField("b", T.LongType()),
+                T.StructField(OP_COL, T.StringType()),
+                T.StructField(VTS_COL, T.StringType()),
+                T.StructField(VSEQ_COL, T.LongType()),
+            ]
+        ),
+    ).withColumn(VTS_COL, F.col(VTS_COL).cast("timestamp"))
+
+
+def _state(table):
+    return {
+        r["k"]: (r["a"], r["b"]) for r in table.refresh().read().collect()
+    }
+
+
+def test_patch_merge_coalesces_with_base(spark, tmp_root):
+    t = LakeTable.create(spark, tmp_root, SCHEMA, pk=["k"], n_buckets=2)
+    t.merge(_changes(spark, [(1, "x", 10, "UPSERT", 1), (2, "y", 20, "UPSERT", 2)]),
+            batch_id="b0", update_mode="patch")
+    t = t.refresh()
+    # sparse updates: k=1 patches only b; k=2 patches only a
+    t.merge(_changes(spark, [(1, None, 99, "UPSERT", 3), (2, "z", None, "UPSERT", 4)]),
+            batch_id="b1", update_mode="patch")
+    assert _state(t) == {1: ("x", 99), 2: ("z", 20)}
+
+
+def test_patch_merge_new_key_and_delete(spark, tmp_root):
+    t = LakeTable.create(spark, tmp_root, SCHEMA, pk=["k"], n_buckets=2)
+    t.merge(_changes(spark, [(1, "x", 10, "UPSERT", 1)]), batch_id="b0",
+            update_mode="patch")
+    t = t.refresh()
+    t.merge(
+        _changes(spark, [(2, None, 7, "UPSERT", 2), (1, None, None, "DELETE", 3)]),
+        batch_id="b1", update_mode="patch",
+    )
+    assert _state(t) == {2: (None, 7)}
+
+
+def test_patch_merge_folds_batch_internally(spark, tmp_root):
+    t = LakeTable.create(spark, tmp_root, SCHEMA, pk=["k"], n_buckets=2)
+    # one batch: insert full, patch a, patch b, then for k=2: set, delete,
+    # patch-after-delete (barrier: 'a' from before the delete must die)
+    t.merge(
+        _changes(
+            spark,
+            [
+                (1, "x", 1, "UPSERT", 1),
+                (1, "y", None, "UPSERT", 2),
+                (1, None, 5, "UPSERT", 3),
+                (2, "gone", 9, "UPSERT", 4),
+                (2, None, None, "DELETE", 5),
+                (2, None, 42, "UPSERT", 6),
+            ],
+        ),
+        batch_id="b0",
+        update_mode="patch",
+    )
+    assert _state(t) == {1: ("y", 5), 2: (None, 42)}
+
+
+def test_patch_merge_delete_last_wins_and_stale_patch_dropped(spark, tmp_root):
+    t = LakeTable.create(spark, tmp_root, SCHEMA, pk=["k"], n_buckets=2)
+    t.merge(_changes(spark, [(1, "x", 1, "UPSERT", 10)]), batch_id="b0",
+            update_mode="patch")
+    t = t.refresh()
+    # delete-last inside the batch
+    t.merge(_changes(spark, [(1, "y", None, "UPSERT", 11),
+                             (1, None, None, "DELETE", 12)]),
+            batch_id="b1", update_mode="patch")
+    t = t.refresh()
+    assert _state(t) == {}
+    # stale patch (vseq 5 < tombstone's 12) must not resurrect the row
+    t.merge(_changes(spark, [(1, "old", None, "UPSERT", 5)]), batch_id="b2",
+            update_mode="patch")
+    assert _state(t) == {}
+
+
+def test_patch_merge_idempotent_on_batch_replay(spark, tmp_root):
+    t = LakeTable.create(spark, tmp_root, SCHEMA, pk=["k"], n_buckets=2)
+    t.merge(_changes(spark, [(1, "x", 1, "UPSERT", 1)]), batch_id="b0",
+            update_mode="patch")
+    t = t.refresh()
+    t.merge(_changes(spark, [(1, None, 2, "UPSERT", 2)]), batch_id="b1",
+            update_mode="patch")
+    t = t.refresh()
+    out = t.merge(_changes(spark, [(1, None, 2, "UPSERT", 2)]), batch_id="b1",
+                  update_mode="patch")
+    assert out["skipped"]
+    assert _state(t) == {1: ("x", 2)}
+
+
+def test_patch_merge_rejects_unknown_mode(spark, tmp_root):
+    t = LakeTable.create(spark, tmp_root, SCHEMA, pk=["k"], n_buckets=2)
+    with pytest.raises(ValueError):
+        t.merge(_changes(spark, [(1, "x", 1, "UPSERT", 1)]), update_mode="nope")
+
+
+def test_replay_patch_end_to_end(spark, tmp_root):
+    """Sparse changelog replayed through replay(update_mode='patch')
+    equals a python fold with last-non-null semantics."""
+    from chunjun_spark.operators.merge import replay
+    from chunjun_spark.sources.changelog import to_changelog
+
+    rows = [
+        # (seq, k, op, a, b)
+        (1, 1, "INSERT", "x", 10),
+        (2, 1, "UPDATE", None, 11),
+        (3, 1, "UPDATE", "y", None),
+        (4, 2, "INSERT", "q", 1),
+        (5, 2, "DELETE", None, None),
+        (6, 2, "UPDATE", None, 2),
+        (7, 3, "UPDATE", "solo", None),
+    ]
+    df = spark.createDataFrame(
+        rows, ["seq", "k", "op", "a", "b"]
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    ch = to_changelog(
+        df,
+        op=F.col("op"),
+        op_ts=F.col("ts"),
+        seq=F.col("seq"),
+        payload={"k": F.col("k"), "a": F.col("a"), "b": F.col("b")},
+        pk=["k"],
+    )
+    t = LakeTable.create(spark, tmp_root, SCHEMA, pk=["k"], n_buckets=2)
+    info = replay(ch, t, batch_id="r0", update_mode="patch")
+    assert not info["skipped"]
+    assert _state(t) == {1: ("y", 11), 2: (None, 2), 3: ("solo", None)}
+
+
+def test_replay_patch_rejects_mor(spark, tmp_root):
+    from chunjun_spark.operators.merge import replay
+    from chunjun_spark.sources.changelog import events_changelog
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, "signup", 1.0, "")],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sch = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    t = LakeTable.create(spark, tmp_root, sch, pk=["user_id"], n_buckets=2)
+    with pytest.raises(ValueError):
+        replay(events_changelog(ev), t, update_mode="patch", mode="mor")
