@@ -134,8 +134,15 @@ def start_replay_stream(
     processing_time: str | None = None,
     compact_every: int | None = None,
     rate_limiter: ByteRateLimiter | None = None,
+    update_mode: str = "replace",
 ) -> StreamingQuery:
     """Start the micro-batch apply loop.
+
+    ``update_mode='patch'`` (cow only) streams the reference's UPDATE
+    write mode: sparse change images coalesce against the stored row
+    per column instead of replacing it (LakeTable.merge patch path);
+    keep_last is skipped so earlier events in a micro-batch still
+    contribute the columns only they set.
 
     ``trigger_available_now`` drains the current backlog then stops —
     the batch-replay-with-checkpoints mode used by the resume tests.
@@ -145,6 +152,8 @@ def start_replay_stream(
     analog, BaseFileOutputFormat fileIndex). Compaction is a pure
     rewrite, so a crash between compact and checkpoint replays safely.
     """
+    if update_mode == "patch" and mode != "cow":
+        raise ValueError("update_mode='patch' requires mode='cow'")
     spark = events.sparkSession
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -162,13 +171,18 @@ def start_replay_stream(
             # apply_ddl_events is idempotent under micro-batch re-delivery
             table = apply_ddl_events(table, ddl_rows)
         keyed = events_with_pk(batch_df, table.pk)
-        survivors = keep_last(keyed, pk=table.pk, order=("op_ts", "seq"))
-        changes = to_changes(survivors)
+        if update_mode == "patch":
+            changes = to_changes(keyed)  # fold happens inside the merge
+        else:
+            survivors = keep_last(keyed, pk=table.pk, order=("op_ts", "seq"))
+            changes = to_changes(survivors)
         offsets = partition_offsets(batch_df)
         metrics = {"numRead": sum(v["n"] for v in offsets.values())}
         if mode == "cow":
             table.merge(changes, batch_id=bid, offsets=offsets,
-                        extra_metrics=metrics, assume_unique_keys=True)
+                        extra_metrics=metrics,
+                        assume_unique_keys=update_mode != "patch",
+                        update_mode=update_mode)
         else:
             table.append_delta(changes, batch_id=bid, offsets=offsets,
                                extra_metrics=metrics)

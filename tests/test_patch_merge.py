@@ -182,3 +182,79 @@ def test_replay_patch_rejects_mor(spark, tmp_root):
     t = LakeTable.create(spark, tmp_root, sch, pk=["user_id"], n_buckets=2)
     with pytest.raises(ValueError):
         replay(events_changelog(ev), t, update_mode="patch", mode="mor")
+
+
+def test_streaming_patch_mode_coalesces_across_microbatches(spark, tmp_root):
+    """Patch semantics must hold ACROSS micro-batches: a column set in
+    batch 1 survives a batch-2 update that doesn't carry it."""
+    import datetime
+    import os
+
+    from chunjun_spark.streaming import pipeline as pl
+
+    payload = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.LongType()),
+        ]
+    )
+    ev_schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("schema_name", T.StringType()),
+            T.StructField("table_name", T.StringType()),
+            T.StructField("op_ts", T.TimestampType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("partition_id", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("before", payload),
+            T.StructField("after", payload),
+            T.StructField("ddl", T.StringType()),
+        ]
+    )
+    ts = datetime.datetime(2024, 1, 1)
+
+    def ev(op, seq, k, a=None, b=None):
+        img = (k, a, b)
+        return ("UPSERT" if op != "DELETE" else op, "lake", "t",
+                ts + datetime.timedelta(seconds=seq), seq, 0, seq,
+                img if op == "DELETE" else None,
+                img if op != "DELETE" else None, None)
+
+    binlog = os.path.join(tmp_root, "binlog")
+    lake = os.path.join(tmp_root, "lake")
+    ckpt = os.path.join(tmp_root, "ckpt")
+    # file 0 (batch 1): full insert; file 1 (batch 2): sparse patches
+    spark.createDataFrame([ev("UPSERT", 1, 1, a="x", b=10)], ev_schema) \
+        .coalesce(1).write.parquet(binlog)
+    spark.createDataFrame(
+        [ev("UPSERT", 2, 1, b=99), ev("UPSERT", 3, 2, a="new")], ev_schema
+    ).coalesce(1).write.mode("append").parquet(binlog)
+
+    LakeTable.create(spark, lake, payload, pk=["k"], n_buckets=2)
+    events = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(binlog)
+    )
+    q = pl.start_replay_stream(events, lake, ckpt, job_id="patchstream",
+                               update_mode="patch")
+    assert q.awaitTermination(120)
+    t = LakeTable.load(spark, lake)
+    assert _state(t) == {1: ("x", 99), 2: ("new", None)}
+
+
+def test_streaming_patch_rejects_mor(spark, tmp_root):
+    import os
+
+    from chunjun_spark.streaming import pipeline as pl
+
+    with pytest.raises(ValueError):
+        pl.start_replay_stream(
+            spark.readStream.format("rate").load(),
+            os.path.join(tmp_root, "x"),
+            os.path.join(tmp_root, "c"),
+            mode="mor",
+            update_mode="patch",
+        )
