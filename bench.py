@@ -94,13 +94,18 @@ def bench_replay(spark: SparkSession, n_events: int) -> dict:
         ).write.mode("overwrite").parquet(binlog_dir)
     events = spark.read.parquet(binlog_dir)
     out = {"n_events": n_events}
-    for mode in ("cow", "mor"):
+    # cow/mor are the replace-mode paths; patch is the UPDATE-write-mode
+    # merge (fold + coalesce-vs-base), measured on the same event stream
+    for mode, update_mode in (("cow", "replace"), ("mor", "replace"),
+                              ("patch", "patch")):
         root = tempfile.mkdtemp(prefix=f"cj_bench_lake_{mode}_")
         table = LakeTable.create(
             spark, root, PAYLOAD_SCHEMA, pk=["repo", "path"], n_buckets=32
         )
         t0 = time.time()
-        info = replay(events, table, batch_id="bench", mode=mode)
+        info = replay(events, table, batch_id="bench",
+                      mode="cow" if mode == "patch" else mode,
+                      update_mode=update_mode)
         elapsed = time.time() - t0
         out[f"replay_{mode}_sec"] = round(elapsed, 2)
         out[f"events_per_sec_{mode}"] = round(n_events / elapsed, 1)
