@@ -188,6 +188,56 @@ QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY o DESC) = 1
 """
 
 
+def _q_minhash_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH index maintenance over the lake CDF
+    (functions/incremental.py): documents land in a lake table in two
+    commits (bootstrap, then an update/delete/insert delta); the band
+    index is synced from each change window and the second sync's
+    near-dup candidates are returned. Rows-only (xxhash64 banding has no
+    DuckDB analog); the index==batch-rebuild invariant is pinned in
+    tests/test_incremental_index.py."""
+    from chunjun_spark.functions.incremental import (
+        create_minhash_index,
+        sync_minhash_index,
+    )
+    from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="cj_entry_idx_")
+    dt = LakeTable.create(
+        spark, f"{root}/docs",
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("text", T.StringType())]),
+        pk=["doc_id"], n_buckets=8,
+    )
+    as_upsert = docs.select(
+        "doc_id", "text", F.lit("UPSERT").alias(OP_COL),
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias(VTS_COL),
+        F.col("doc_id").alias(VSEQ_COL),
+    )
+    dt.merge(as_upsert.filter(F.col("doc_id") % 5 != 0), batch_id="v1",
+             assume_unique_keys=True)
+    dt = dt.refresh()
+    index = create_minhash_index(spark, f"{root}/idx", n_buckets=8)
+    out1 = sync_minhash_index(dt, index, since_version=0)
+    # delta: the held-out 20% arrives, and every doc_id % 7 == 0 leaves
+    delta = (
+        as_upsert.filter(F.col("doc_id") % 5 == 0)
+        .withColumn(VSEQ_COL, F.col(VSEQ_COL) + F.lit(1_000_000))
+        .unionByName(
+            # deletes strictly newer than the arriving upserts so ids in
+            # both halves (%35) resolve deterministically to DELETE
+            as_upsert.filter(F.col("doc_id") % 7 == 0)
+            .withColumn(OP_COL, F.lit("DELETE"))
+            .withColumn(VSEQ_COL, F.col(VSEQ_COL) + F.lit(2_000_000))
+        )
+    )
+    dt.merge(delta, batch_id="v2")
+    dt = dt.refresh()
+    out2 = sync_minhash_index(dt, index.refresh(), since_version=out1["version"])
+    return out2["candidates"].select("id_a", "id_b")
+
+
 _LOOKUP_IDS = [3, 17, 42, 99, 148]
 
 
@@ -1732,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_lake": _q_cdc_replay_lake,
         "cdc_replay_lake_mor": _q_cdc_replay_lake_mor,
         "cdc_replay_lake_patch": _q_cdc_replay_lake_patch,
+        "minhash_index_sync": _q_minhash_index_sync,
         "cdc_point_lookup": _q_cdc_point_lookup,
         "incremental_read": _q_incremental_read,
         "mod_split_channels": _q_mod_split_channels,

@@ -1,0 +1,159 @@
+"""Incremental MinHash-LSH index maintenance over the change-data-feed.
+
+Invariant: after any sequence of document inserts/updates/deletes applied
+through the docs lake table, the incrementally-maintained index equals a
+from-scratch batch build over the CURRENT documents."""
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from chunjun_spark.functions.incremental import (
+    band_rows,
+    create_minhash_index,
+    index_candidates,
+    sync_minhash_index,
+    update_minhash_index,
+)
+from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL, LakeTable
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+BODY = ("the quick brown fox jumps over the lazy dog and keeps running "
+        "through the wide open field towards the distant river ")
+
+
+def _doc(i, text):
+    return {"doc_id": i, "text": text}
+
+
+def _docs_table(spark, root, rows, batch_id, vseq0=0):
+    t = LakeTable.load(spark, root) if vseq0 else LakeTable.create(
+        spark, root, DOCS_SCHEMA, pk=["doc_id"], n_buckets=4
+    )
+    ch = spark.createDataFrame(rows, DOCS_SCHEMA).select(
+        "doc_id", "text",
+        F.lit("UPSERT").alias(OP_COL),
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias(VTS_COL),
+        (F.lit(vseq0) + F.col("doc_id")).cast("long").alias(VSEQ_COL),
+    )
+    t.merge(ch, batch_id=batch_id, assume_unique_keys=True)
+    return t.refresh()
+
+
+def _index_state(index):
+    return {
+        (r["doc_id"], r["band"]): r["bhash"]
+        for r in index.refresh().read().collect()
+    }
+
+
+def _batch_state(docs_df):
+    return {
+        (r["doc_id"], r["band"]): r["bhash"]
+        for r in band_rows(docs_df).collect()
+    }
+
+
+def test_incremental_index_equals_batch_rebuild(spark, tmp_root):
+    import os
+
+    docs_root = os.path.join(tmp_root, "docs")
+    idx_root = os.path.join(tmp_root, "idx")
+    v0_rows = [
+        _doc(1, BODY + "alpha"),
+        _doc(2, BODY + "alpha"),        # dup of 1
+        _doc(3, "completely different tiny text about sparks and lakes"),
+    ]
+    docs = _docs_table(spark, docs_root, v0_rows, "b0")
+    index = create_minhash_index(spark, idx_root, n_buckets=4)
+
+    # bootstrap: CDF from version 0 (empty) → all inserts
+    out = sync_minhash_index(docs, index, since_version=0)
+    assert not out["merge"]["skipped"]
+    assert _index_state(index) == _batch_state(docs.read())
+    cands = {tuple(r) for r in out["candidates"].collect()}
+    assert (1, 2) in cands
+
+    # v2: update doc 3 to be a dup of 1, delete doc 2, add doc 4
+    t = LakeTable.load(spark, docs_root)
+    ch = spark.createDataFrame(
+        [
+            {"doc_id": 3, "text": BODY + "alpha", "op": "UPSERT"},
+            {"doc_id": 2, "text": None, "op": "DELETE"},
+            {"doc_id": 4, "text": "brand new unrelated document body", "op": "UPSERT"},
+        ],
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("op", T.StringType()),
+            ]
+        ),
+    ).select(
+        "doc_id", "text",
+        F.col("op").alias(OP_COL),
+        F.lit("1970-01-01 00:00:01").cast("timestamp").alias(VTS_COL),
+        (F.lit(100) + F.col("doc_id")).cast("long").alias(VSEQ_COL),
+    )
+    t.merge(ch, batch_id="b1", assume_unique_keys=True)
+    docs2 = t.refresh()
+
+    out2 = sync_minhash_index(docs2, index, since_version=out["version"])
+    assert _index_state(index) == _batch_state(docs2.read())
+    cands2 = {tuple(r) for r in out2["candidates"].collect()}
+    assert (1, 3) in cands2            # new dup found incrementally
+    assert all(2 not in pair for pair in cands2)  # deleted doc gone
+
+    # replaying the same window is a no-op (batch_id skip)
+    out3 = sync_minhash_index(docs2, index, since_version=out["version"])
+    assert out3["merge"]["skipped"]
+    assert _index_state(index) == _batch_state(docs2.read())
+
+    # fully caught up → nothing to do
+    out4 = sync_minhash_index(docs2, index, since_version=out2["version"])
+    assert out4["merge"]["skipped"]
+    assert out4["candidates"].count() == 0
+
+
+def test_update_minhash_index_stale_window_loses(spark, tmp_root):
+    """An out-of-order replay of an OLDER window must not regress rows
+    the newer window already wrote (version = vseq stale guard)."""
+    index = create_minhash_index(spark, tmp_root, n_buckets=2)
+    docs_v1 = spark.createDataFrame(
+        [_doc(1, BODY + "one")], DOCS_SCHEMA
+    ).withColumn("_change_type", F.lit("insert"))
+    docs_v2 = spark.createDataFrame(
+        [_doc(1, BODY + "two-changed")], DOCS_SCHEMA
+    ).withColumn("_change_type", F.lit("update_postimage"))
+
+    update_minhash_index(index, docs_v2, version=2, batch_id="w2")
+    index = index.refresh()
+    after_v2 = _index_state(index)
+    update_minhash_index(index, docs_v1, version=1, batch_id="w1")
+    assert _index_state(index) == after_v2
+
+
+def test_index_candidates_probe_scope(spark, tmp_root):
+    """Candidates come only from the probe's bands — an unrelated doc in
+    the index never pairs."""
+    index = create_minhash_index(spark, tmp_root, n_buckets=2)
+    corpus = spark.createDataFrame(
+        [
+            _doc(1, BODY + "x"),
+            _doc(2, BODY + "x"),
+            _doc(3, "totally different content on another topic entirely"),
+        ],
+        DOCS_SCHEMA,
+    ).withColumn("_change_type", F.lit("insert"))
+    update_minhash_index(index, corpus, version=1, batch_id="w1")
+    probe = band_rows(
+        spark.createDataFrame([_doc(9, BODY + "x")], DOCS_SCHEMA)
+    )
+    got = {tuple(r) for r in index_candidates(index, probe).collect()}
+    assert (1, 9) in got and (2, 9) in got
+    assert all(3 not in p for p in got)
