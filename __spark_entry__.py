@@ -1684,6 +1684,16 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 
 
+def _q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): spherical-k-means cells → within-cell
+    cosine pairs → connected components → keep lowest id per duplicate
+    group. Rows-only (iterative k-means has no SQL analog); keep-one-per-
+    group and pair-recall invariants pinned in tests/test_curation.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    kept = ANN.semantic_dedup(emb, threshold=0.30, n_lists=8, iters=6)
+    return kept.select("vec_id")
+
+
 def _q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: the 100 TB approximate path (RP-LSH buckets + per-bucket
     # gemm); precision/recall cross-checked in tests/test_curation.py
@@ -1837,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": _q_embedding_norms,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "embedding_semantic_dedup": _q_embedding_semantic_dedup,
     }
 
 

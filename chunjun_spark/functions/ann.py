@@ -555,3 +555,76 @@ def ann_topk_pruned(
     probes = _probe_codes(query_vec, dim, n_planes, multiprobe, seed)
     cand = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
     return brute_force_topk(cand, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def pairwise_above_clustered(
+    df: DataFrame,
+    threshold: float,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-dup pairs WITHIN trained IVF cells: assign each vector to its
+    centroid (codegen literal matrix), one local gemm per cell via
+    ``applyInPandas``. Same distributed shape as
+    ``pairwise_above_bucketed`` with data-adaptive cells instead of
+    hyperplane buckets — and the deliberate SemDeDup approximation that
+    pairs straddling a cell boundary are not examined. Shuffle volume is
+    exactly n vector rows (each vector lands in ONE cell, no multiprobe
+    duplication)."""
+    import pandas as pd
+
+    assigned = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        assign_ivf_list(centroids, vec_col).alias("_cell"),
+    )
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, vecs = _normalized_matrix(pdf, "_id", "_v")
+        out = list(_pair_gemm_batches(ids, vecs, ids, vecs, threshold, True))
+        if not out:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return assigned.groupBy("_cell").applyInPandas(
+        compute, "id_a long, id_b long, sim double"
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 8,
+    seed: int = 11,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540) as a DataFrame pipeline:
+    spherical-k-means cluster the embeddings, find within-cluster pairs
+    with cosine ≥ ``threshold``, resolve transitive duplicate groups with
+    distributed connected components, keep the LOWEST-id representative
+    per group. Returns the kept rows of ``df`` (all columns).
+
+    Scale shape: bounded-sample centroid training (driver, few KB model),
+    one n-row shuffle into cells, per-cell gemm, min-label propagation on
+    the (sparse) duplicate edges, then a broadcast-able anti join of the
+    dropped ids — nothing is ever corpus × corpus.
+    """
+    from chunjun_spark.functions.graph import connected_components
+
+    cents = train_ivf_centroids(
+        df, n_lists=n_lists, vec_col=vec_col, id_col=id_col,
+        iters=iters, seed=seed,
+    )
+    pairs = pairwise_above_clustered(
+        df, threshold, cents, vec_col=vec_col, id_col=id_col
+    )
+    comps = connected_components(pairs, src="id_a", dst="id_b")
+    drops = comps.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drops, on=id_col, how="left_anti")

@@ -519,3 +519,66 @@ def test_minhash_dedup_transitive_chain(spark):
     cc = connected_components(est)
     losers = {r["node"] for r in cc.filter(F.col("node") != F.col("comp")).collect()}
     assert losers == {2, 3}
+
+
+# ------------------------------------------------------------ semantic dedup
+
+def _clustered_vectors():
+    """3 tight duplicate groups in far-apart directions + 2 singletons.
+    Returns (rows, expected_kept_ids)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    dim = 16
+    anchors = []
+    for axis in range(3):
+        a = np.zeros(dim)
+        a[axis * 5] = 1.0
+        anchors.append(a)
+    rows = []
+    vid = 0
+    for g, a in enumerate(anchors):
+        for _ in range(3):  # 3 near-identical members per group
+            v = a + rng.normal(0, 0.005, dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    # singletons far from every anchor
+    for axis in (1, 3):
+        v = np.zeros(dim)
+        v[axis * 4 + 2] = -1.0
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    kept = {0, 3, 6, 9, 10}  # min id of each group + singletons
+    return rows, kept
+
+
+def test_semantic_dedup_keeps_one_per_group(spark):
+    from chunjun_spark.functions.ann import semantic_dedup
+
+    rows, expected = _clustered_vectors()
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = semantic_dedup(df, threshold=0.95, n_lists=4, iters=6)
+    assert {r["vec_id"] for r in kept.collect()} == expected
+
+
+def test_clustered_pairs_match_exact_within_groups(spark):
+    """Within-cluster pairs must agree with the exact all-pairs result for
+    strong duplicates (boundary pairs are the documented approximation)."""
+    from chunjun_spark.functions.ann import (
+        pairwise_above,
+        pairwise_above_clustered,
+        train_ivf_centroids,
+    )
+
+    rows, _ = _clustered_vectors()
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = train_ivf_centroids(df, n_lists=4, iters=6)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in pairwise_above(df, 0.95).collect()
+    }
+    clustered = {
+        (r["id_a"], r["id_b"])
+        for r in pairwise_above_clustered(df, 0.95, cents).collect()
+    }
+    assert clustered == exact  # groups are tight and far apart → full recall
