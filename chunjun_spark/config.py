@@ -164,6 +164,11 @@ class JobConfig:
     error_limit: ErrorLimitConfig
     dirty: DirtyConfig
     job_id: str = "job"
+    # content[0].transformer — the DataX-heritage transform slot of the
+    # reference job format: an ordered list of {name, parameter} applied
+    # between reader and writer (each maps to a declarative DataFrame op,
+    # so Catalyst still fuses the whole reader→transforms→writer plan)
+    transforms: list[EndpointConfig] = field(default_factory=list)
 
     @classmethod
     def parse(cls, raw: dict | str) -> "JobConfig":
@@ -191,4 +196,8 @@ class JobConfig:
             error_limit=ErrorLimitConfig.parse(setting.get("errorLimit", {})),
             dirty=DirtyConfig.parse(setting.get("dirty", {})),
             job_id=str(raw.get("jobId", job.get("jobId", "job"))),
+            transforms=[
+                EndpointConfig(name=t["name"], parameter=t.get("parameter", {}))
+                for t in content.get("transformer", [])
+            ],
         )

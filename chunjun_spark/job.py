@@ -324,6 +324,94 @@ WRITERS = {
 }
 
 
+# -------------------------------------------------------------- transforms
+# content[0].transformer — the DataX-heritage transform slot of the
+# reference job JSON, mapped onto the engine's curation/text operators.
+# Every transform is a declarative DataFrame op: the whole
+# reader → transforms → writer chain stays one Catalyst plan (filters
+# still push to the scan, map-only transforms fuse into codegen).
+
+
+def _tf_filter(df: DataFrame, p: dict) -> DataFrame:
+    """SQL WHERE predicate (dx_filter analog)."""
+    return df.filter(p["where"])
+
+
+def _tf_sql(df: DataFrame, p: dict) -> DataFrame:
+    """Arbitrary projection via selectExpr list (dx_groovy's honest
+    declarative replacement — no row-at-a-time scripting)."""
+    return df.selectExpr(*p["exprs"])
+
+
+def _tf_quality_filter(df: DataFrame, p: dict) -> DataFrame:
+    from chunjun_spark.functions.text import quality_score
+
+    col = p.get("textColumn", "text")
+    return df.filter(quality_score(F.col(col)) >= float(p.get("minScore", 0.5)))
+
+
+def _tf_lang_filter(df: DataFrame, p: dict) -> DataFrame:
+    from chunjun_spark.functions.text import lang_id
+
+    col = p.get("textColumn", "text")
+    return df.filter(lang_id(F.col(col)).isin(list(p["langs"])))
+
+
+def _tf_repetition_filter(df: DataFrame, p: dict) -> DataFrame:
+    from chunjun_spark.functions.text import dup_line_frac
+
+    col = p.get("textColumn", "text")
+    return df.filter(dup_line_frac(F.col(col)) <= float(p.get("maxDupLineFrac", 0.3)))
+
+
+def _tf_redact(df: DataFrame, p: dict) -> DataFrame:
+    from chunjun_spark.functions.text import redact_secrets
+
+    col = p.get("textColumn", "text")
+    return df.withColumn(col, redact_secrets(F.col(col)))
+
+
+def _tf_dedup_exact(df: DataFrame, p: dict) -> DataFrame:
+    from chunjun_spark.functions.dedup_docs import exact_dedup
+
+    return exact_dedup(
+        df, text_col=p.get("textColumn", "text"), id_col=p.get("idColumn", "doc_id")
+    )
+
+
+def _tf_dedup_minhash(df: DataFrame, p: dict) -> DataFrame:
+    from chunjun_spark.functions.dedup_docs import minhash_dedup
+
+    return minhash_dedup(
+        df,
+        text_col=p.get("textColumn", "text"),
+        id_col=p.get("idColumn", "doc_id"),
+        bands=int(p.get("bands", 16)),
+        transitive=bool(p.get("transitive", False)),
+    )
+
+
+TRANSFORMS = {
+    "filter": _tf_filter,
+    "sql": _tf_sql,
+    "quality_filter": _tf_quality_filter,
+    "lang_filter": _tf_lang_filter,
+    "repetition_filter": _tf_repetition_filter,
+    "redact": _tf_redact,
+    "dedup_exact": _tf_dedup_exact,
+    "dedup_minhash": _tf_dedup_minhash,
+}
+
+
+def apply_transforms(df: DataFrame, cfg: JobConfig) -> DataFrame:
+    for t in cfg.transforms:
+        fn = TRANSFORMS.get(t.name)
+        if fn is None:
+            raise ValueError(f"unknown transform plugin {t.name!r}")
+        df = fn(df, t.parameter)
+    return df
+
+
 # ------------------------------------------------------------------ runner
 
 
@@ -389,6 +477,7 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
     if cfg.speed.rebalance:
         # Main.java:132-134 optional rebalance
         df = df.repartition(max(1, cfg.speed.channel))
+    df = apply_transforms(df, cfg)
 
     metrics: dict = {}
     n_dirty = 0

@@ -381,3 +381,105 @@ def test_lake_to_lake_incremental_sync(spark, tmp_root):
         "writer": {"name": "streamwriter", "parameter": {}},
     }]}}))
     assert {r["user_id"] for r in snap.collect()} == {1, 2, 4}
+
+
+# ------------------------------------------------------------- transformer
+
+def test_transformer_pipeline_end_to_end(spark, tmp_root):
+    """content[0].transformer (DataX-heritage slot): reader → ordered
+    transforms → writer as ONE declarative job config."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from chunjun_spark.job import run_job
+
+    src = os.path.join(tmp_root, "docs_src")
+    out = os.path.join(tmp_root, "docs_out")
+    rows = [
+        (1, "a good clean document with many plain words in it the and of", "en"),
+        (2, "a good clean document with many plain words in it the and of", "en"),  # exact dup of 1
+        (3, "contact me at someone@example.com for the secret data files the and of", "en"),
+        (4, "q" * 64, "en"),  # one 64-char token: avg token len out of range
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text", "lang"]).write.parquet(src)
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {"name": "parquetreader", "parameter": {"path": src}},
+                    "transformer": [
+                        {"name": "dedup_exact",
+                         "parameter": {"textColumn": "text", "idColumn": "doc_id"}},
+                        {"name": "quality_filter",
+                         "parameter": {"textColumn": "text", "minScore": 0.3}},
+                        {"name": "redact", "parameter": {"textColumn": "text"}},
+                        {"name": "sql", "parameter": {"exprs": ["doc_id", "text"]}},
+                    ],
+                    "writer": {"name": "parquetwriter",
+                               "parameter": {"path": out, "writeMode": "overwrite"}},
+                }
+            ]
+        }
+    }
+    metrics = run_job(spark, cfg)
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 3}                      # dup 2 dropped, 4 low-quality
+    assert "<EMAIL>" in got[3]                     # redaction applied
+    assert metrics["numRead"] == 2                 # observed post-transform rows
+
+
+def test_transformer_filter_pushes_to_scan(spark, tmp_root):
+    """The 'filter' transform must reach the parquet scan as a pushed
+    predicate — transforms are plan fragments, not row callbacks."""
+    import os
+
+    from chunjun_spark.config import JobConfig
+    from chunjun_spark.job import READERS, apply_transforms
+
+    src = os.path.join(tmp_root, "ev_src")
+    spark.range(100).selectExpr("id AS doc_id", "id * 2 AS v").write.parquet(src)
+    cfg = JobConfig.parse(
+        {
+            "job": {
+                "content": [
+                    {
+                        "reader": {"name": "parquetreader", "parameter": {"path": src}},
+                        "transformer": [
+                            {"name": "filter", "parameter": {"where": "v > 100"}}
+                        ],
+                        "writer": {"name": "streamwriter", "parameter": {}},
+                    }
+                ]
+            }
+        }
+    )
+    df = apply_transforms(READERS["parquetreader"](spark, cfg), cfg)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "GreaterThan(v,100)" in plan  # PushedFilters reached the scan
+
+
+def test_transformer_unknown_plugin_raises(spark, tmp_root):
+    import os
+
+    import pytest as _pytest
+
+    from chunjun_spark.job import run_job
+
+    src = os.path.join(tmp_root, "u_src")
+    spark.range(3).write.parquet(src)
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {"name": "parquetreader", "parameter": {"path": src}},
+                    "transformer": [{"name": "nope", "parameter": {}}],
+                    "writer": {"name": "streamwriter", "parameter": {}},
+                }
+            ]
+        }
+    }
+    with _pytest.raises(ValueError, match="unknown transform"):
+        run_job(spark, cfg)
