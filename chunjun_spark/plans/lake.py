@@ -209,6 +209,7 @@ class LakeTable:
         pk: list[str],
         n_buckets: int = 16,
         stats_cols: list[str] | None = None,
+        bucket_cols: list[str] | None = None,
     ) -> "LakeTable":
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
@@ -218,6 +219,11 @@ class LakeTable:
         bad_stats = [c for c in (stats_cols or []) if c not in schema.fieldNames()]
         if bad_stats:
             raise ValueError(f"stats columns not in schema: {bad_stats}")
+        # bucket cols must be pk columns: a key's bucket must be derivable
+        # from the key alone (merge routes DELETE rows by key)
+        bad_bucket = [c for c in (bucket_cols or []) if c not in pk]
+        if bad_bucket:
+            raise ValueError(f"bucket columns must be pk columns: {bad_bucket}")
         manifest = {
             "version": 0,
             "schema_version": 0,
@@ -232,6 +238,9 @@ class LakeTable:
             # columns whose per-bucket min/max are harvested from parquet
             # footers at commit time (Iceberg file-stats analog)
             "stats_cols": list(stats_cols or []),
+            # bucket-hash columns; [pk[0]] = prefix locality (pruned point
+            # lookups), pk = full-key spread (monorepo-skew immunity)
+            "bucket_cols": list(bucket_cols or [pk[0]]),
             "parent": None,
         }
         t = cls(spark, root, manifest)
@@ -290,8 +299,22 @@ class LakeTable:
         return self.manifest.get("stats_cols", [])
 
     # ------------------------------------------------------------- read
+    @property
+    def bucket_cols(self) -> list[str]:
+        """Columns the bucket hash is computed over. Default [pk[0]]:
+        key-prefix locality, so point lookups by pk[0] prune to one
+        bucket — but a single hot prefix value (a MONOREPO under a
+        (repo, path) key) concentrates in one bucket. ``bucket_cols=pk``
+        at create() hashes the full key instead (the Iceberg multi-arg
+        bucket transform): hot prefixes spread uniformly over all
+        buckets; prefix-only lookups then scan all buckets (residual
+        filters keep them correct). Choose by workload: lookup-heavy →
+        prefix bucketing + reshard; skew-heavy ingest → full-key."""
+        return self.manifest.get("bucket_cols", [self.pk[0]])
+
     def _bucket_expr(self, df: DataFrame) -> F.Column:
-        return F.pmod(F.xxhash64(F.col(self.pk[0])), F.lit(self.n_buckets)).cast("int")
+        cols = [F.col(c) for c in self.bucket_cols]
+        return F.pmod(F.xxhash64(*cols), F.lit(self.n_buckets)).cast("int")
 
     def _align(self, df: DataFrame, written_sv: int) -> DataFrame:
         """Project a file written under schema_version ``written_sv`` to the
@@ -377,18 +400,32 @@ class LakeTable:
 
     # --------------------------------------------------- pruned scans
     def _buckets_for_key_values(self, values: list) -> list[int]:
-        """Bucket ids for literal values of the bucket key (pk[0]) — the
-        Iceberg bucket-transform partition-pruning analog. One 1-row-per-
-        value Spark job (no table IO): the hash MUST be Spark's own
-        xxhash64, so it is computed by the same expression that wrote the
-        data rather than re-implemented driver-side."""
-        typ = next(f["type"] for f in self.schema.fields if f["name"] == self.pk[0])
+        """Bucket ids for literal values of a SINGLE bucket column (the
+        default [pk[0]] layout)."""
+        return self._buckets_for_key_tuples({self.bucket_cols[0]: values})
+
+    def _buckets_for_key_tuples(self, eq_values: dict[str, list]) -> list[int]:
+        """Bucket ids for the cross product of per-bucket-column literal
+        lists — the Iceberg bucket-transform partition-pruning analog
+        (superset of the actual tuples, so always sound). One Spark job of
+        |combinations| rows (no table IO): the hash MUST be Spark's own
+        xxhash64, computed by the same expression that wrote the data
+        rather than re-implemented driver-side."""
+        import itertools
+
+        types = {f["name"]: f["type"] for f in self.schema.fields}
+        cols = self.bucket_cols
+        combos = list(itertools.product(*[eq_values[c] for c in cols]))
         df = self.spark.createDataFrame(
-            [(v,) for v in values],
-            T.StructType([T.StructField("k", _parse_type(typ))]),
+            combos,
+            T.StructType(
+                [T.StructField(c, _parse_type(types[c])) for c in cols]
+            ),
         )
         rows = df.select(
-            F.pmod(F.xxhash64("k"), F.lit(self.n_buckets)).cast("int").alias("b")
+            F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(self.n_buckets))
+            .cast("int")
+            .alias("b")
         ).collect()
         return sorted({r["b"] for r in rows})
 
@@ -417,8 +454,12 @@ class LakeTable:
         entries = self.manifest["buckets"]
         cand = {int(b) for b in entries}
         pruned = False
-        if self.pk[0] in eq:
-            cand &= set(self._buckets_for_key_values(self._as_list(eq[self.pk[0]])))
+        if all(c in eq for c in self.bucket_cols):
+            cand &= set(
+                self._buckets_for_key_tuples(
+                    {c: self._as_list(eq[c]) for c in self.bucket_cols}
+                )
+            )
             pruned = True
         if not self.manifest["deltas"]:
             ranges: dict[str, tuple] = {}
@@ -925,7 +966,9 @@ class LakeTable:
             raise ValueError("new_n_buckets must be >= 1")
         n_out = int(new_n_buckets) if new_n_buckets is not None else self.n_buckets
         m["n_buckets"] = n_out
-        rebucket = F.pmod(F.xxhash64(F.col(self.pk[0])), F.lit(n_out)).cast("int")
+        rebucket = F.pmod(
+            F.xxhash64(*[F.col(c) for c in self.bucket_cols]), F.lit(n_out)
+        ).cast("int")
         rel = os.path.join("data", f"v{m['version']}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.root, rel)
         with_bucket = resolved.select(*self.schema.names(), *_HIDDEN).withColumn(

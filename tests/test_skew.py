@@ -83,3 +83,63 @@ def test_keep_last_hot_key_single_survivor(spark):
     out = keep_last(keyed, pk=["repo", "path"], order=("op_ts", "seq")).collect()
     assert len(out) == 1
     assert out[0]["seq"] == keyed.agg(F.max("seq")).collect()[0][0]
+
+
+def test_full_key_bucketing_spreads_monorepo(spark, tmp_root):
+    """bucket_cols=pk (Iceberg multi-arg bucket transform): a monorepo
+    holding most paths spreads ~uniformly over all buckets, while the
+    default prefix layout concentrates it in one; correctness identical."""
+    import pytest
+
+    ev = generate_binlog(spark, n_events=30_000, n_keys=10_000, n_repos=5,
+                         skew=8.0, seed=17)
+    want = sha256_state(fold_oracle(ev.collect()))
+
+    def bucket_histogram(root):
+        t = LakeTable.load(spark, root)
+        return {
+            r["_bucket"]: r["n"]
+            for r in t.read(with_internal=True)
+            .groupBy("_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+
+    prefix_root = os.path.join(tmp_root, "prefix")
+    t1 = LakeTable.create(spark, prefix_root, PAYLOAD_SCHEMA,
+                          pk=["repo", "path"], n_buckets=8)
+    replay(ev, t1, batch_id="b")
+    h1 = bucket_histogram(prefix_root)
+    assert sha256_state(df_state(LakeTable.load(spark, prefix_root).read())) == want
+
+    full_root = os.path.join(tmp_root, "fullkey")
+    t2 = LakeTable.create(spark, full_root, PAYLOAD_SCHEMA,
+                          pk=["repo", "path"], n_buckets=8,
+                          bucket_cols=["repo", "path"])
+    replay(ev, t2, batch_id="b")
+    h2 = bucket_histogram(full_root)
+    assert sha256_state(df_state(LakeTable.load(spark, full_root).read())) == want
+
+    n1, n2 = sum(h1.values()), sum(h2.values())
+    assert n1 == n2
+    # prefix layout: the zipf head dominates one bucket (>25% of rows);
+    # full-key layout: every bucket within 2x of the uniform share
+    assert max(h1.values()) > 0.25 * n1
+    assert max(h2.values()) < 2.0 * (n2 / 8)
+
+    # point_lookup on the full-key table cannot bucket-prune but must
+    # still return exactly the right rows (residual filter)
+    some = LakeTable.load(spark, full_root).read().limit(1).collect()[0]
+    got = LakeTable.load(spark, full_root).point_lookup(some["repo"]).collect()
+    assert all(r["repo"] == some["repo"] for r in got)
+    assert any(r["path"] == some["path"] for r in got)
+
+    # eq on ALL bucket cols prunes to a strict subset of buckets
+    t2 = LakeTable.load(spark, full_root)
+    pruned = t2._prune_buckets(eq={"repo": some["repo"], "path": some["path"]})
+    assert pruned is not None and 0 < len(pruned) < 8
+    row = t2.scan(eq={"repo": some["repo"], "path": some["path"]}).collect()
+    assert len(row) == 1
+
+    # bucket cols outside the pk are rejected
+    with pytest.raises(ValueError, match="bucket columns"):
+        LakeTable.create(spark, os.path.join(tmp_root, "bad"), PAYLOAD_SCHEMA,
+                         pk=["repo", "path"], bucket_cols=["lang"])
