@@ -560,6 +560,102 @@ FROM documents d0 LEFT JOIN per_doc p0 USING (doc_id)
 """
 
 
+def _q_doc_strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/markup → plain text (trafilatura-lite): deterministic markup
+    is wrapped around each document, then stripped — script bodies and
+    comments die, tags drop, entities decode, whitespace collapses.
+    Chained codegen regexp_replace; identical RE2-safe pattern chain in
+    the DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    marked = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<div class="a"><p>'), F.col("text"),
+            F.lit('</p><script type="text/javascript">var _x = 1 < 2;'
+                  '</script><!-- nav --> &amp; <b>tail&nbsp;bit</b></div>'),
+        ).alias("html"),
+    )
+    return marked.select(
+        "doc_id", TX.strip_markup(F.col("html")).alias("clean")
+    )
+
+
+_STRIP_MARKUP_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+         '<div class="a"><p>' || text ||
+         '</p><script type="text/javascript">var _x = 1 < 2;</script>' ||
+         '<!-- nav --> &amp; <b>tail&nbsp;bit</b></div>' AS html
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    regexp_replace(
+      html,
+      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g'),
+      '<[^>]+>', ' ', 'g'),
+      '&nbsp;', ' ', 'g'),
+      '&amp;', '&', 'g'),
+      '&lt;', '<', 'g'),
+      '&gt;', '>', 'g'),
+      '&quot;', '"', 'g') AS c0
+  FROM m
+)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(c0, '&#39;', '''', 'g'),
+                           '\s+', ' ', 'g')) AS clean
+FROM s
+"""
+
+
+def _q_doc_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate line removal (CCNet/RefinedWeb line
+    dedup): lines shared by more than max(2, 2% of docs) distinct
+    documents are cut everywhere; survivors re-join in order."""
+    from chunjun_spark.functions.dedup_docs import drop_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit(" table "), F.lit("\n")),
+            F.lit(" query "), F.lit("\n"),
+        ).alias("text"),
+    )
+    return drop_boilerplate_lines(docs, max_doc_frac=0.02)
+
+
+_STRIP_BOILERPLATE_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         replace(replace(text, ' table ', chr(10)), ' query ', chr(10)) AS text
+  FROM documents
+),
+n AS (SELECT count(*) AS n_docs FROM d),
+l AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, chr(10)), 1) AS idx,
+         unnest(string_split(text, chr(10))) AS line
+  FROM d
+),
+hot AS (
+  SELECT trim(line) AS k FROM l
+  GROUP BY trim(line)
+  HAVING count(DISTINCT doc_id) > (SELECT greatest(2, (0.02 * n_docs)::int) FROM n)
+),
+kept AS (SELECT * FROM l WHERE trim(line) NOT IN (SELECT k FROM hot)),
+r AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.text, '') AS text
+FROM d LEFT JOIN r USING (doc_id)
+"""
+
+
 def _q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus length profile: exact interpolated quantiles
     (matches DuckDB quantile_cont); percentile_approx is the sketch-based
@@ -1807,6 +1903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_spans": _q_doc_dup_spans,
         "doc_dup_span_frac": _q_doc_dup_span_frac,
         "doc_length_quantiles": _q_doc_length_quantiles,
+        "doc_strip_markup": _q_doc_strip_markup,
+        "doc_strip_boilerplate": _q_doc_strip_boilerplate,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,
         "doc_bpe_token_count": _q_doc_bpe_token_count,
@@ -1873,6 +1971,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_spans": _DUP_SPANS_SQL,
         "doc_dup_span_frac": _DUP_SPAN_FRAC_SQL,
         "doc_length_quantiles": _LENGTH_QUANTILES_SQL,
+        "doc_strip_markup": _STRIP_MARKUP_SQL,
+        "doc_strip_boilerplate": _STRIP_BOILERPLATE_SQL,
         "doc_exact_dedup": _EXACT_DEDUP_SQL,
         "doc_token_count": _TOKEN_COUNT_SQL,
         "doc_bpe_token_count": _BPE_TOKEN_SQL,

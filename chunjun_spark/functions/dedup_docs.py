@@ -604,3 +604,53 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def drop_boilerplate_lines(
+    df: DataFrame,
+    max_doc_frac: float = 0.05,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove nav/footer-style boilerplate: lines whose normalized form
+    appears in more than ``max(min_docs, max_doc_frac × corpus)``
+    DISTINCT documents are cut from every document (the CCNet/RefinedWeb
+    line-level dedup step). Returns (id, text) with surviving lines
+    re-joined in original order; documents whose every line is
+    boilerplate keep an empty string.
+
+    Scale shape: lines explode to narrow (id, idx, line-hash) postings;
+    the document-frequency census is a partial-agg groupBy on the hash
+    (a hot boilerplate line costs one reducer row, same argument as
+    ``substrings.duplicate_spans``); the anti join back is linear in
+    postings; reconstruction is one per-doc aggregate sorted by line
+    index. The multi-KB text never shuffles — only its lines do, once.
+    """
+    from chunjun_spark.functions.text import split_lines
+
+    n_docs = df.count()
+    cap = max(int(min_docs), int(max_doc_frac * n_docs))
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(split_lines(F.col(text_col))).alias("idx", "line"),
+    ).withColumn("_h", F.xxhash64(F.trim(F.col("line"))))
+    hot = (
+        lines.groupBy("_h")
+        .agg(F.count_distinct(F.col("_id")).alias("_df"))
+        .filter(F.col("_df") > cap)
+        .select("_h")
+    )
+    kept = lines.join(hot, on="_h", how="left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            "\n", F.transform(F.array_sort(
+                F.collect_list(F.struct("idx", "line"))
+            ), lambda s: s["line"])
+        ).alias(text_col)
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt.withColumnRenamed("_id", id_col), on=id_col, how="left")
+        .select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )

@@ -239,3 +239,39 @@ def rolling_fingerprints(col: Column, window_tokens: int = 8) -> Column:
             F.concat_ws(" ", F.slice(toks, i, window_tokens))
         ),
     )).otherwise(F.array().cast("array<bigint>"))
+
+
+# ---------------------------------------------------------------- markup
+
+# (pattern, replacement) chain for HTML/markup → plain text. Order
+# matters: block elements whose CONTENT must die (script/style) first,
+# then tags, then entities, then whitespace collapse. RE2/Java-safe
+# (no lookaround); DuckDB parity needs the 'g' flag and the same order.
+_MARKUP_STEPS: list[tuple[str, str]] = [
+    # content-dropping blocks; two patterns, NOT one with a backreference
+    # (DuckDB's RE2 oracle has no backrefs)
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),                      # comments
+    (r"<[^>]+>", " "),                             # any remaining tag
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"\s+", " "),                                 # collapse whitespace
+]
+
+
+def strip_markup(col: Column) -> Column:
+    """HTML/markup → plain text: drop script/style bodies, comments and
+    tags, decode the common entities, collapse whitespace. Chained native
+    ``regexp_replace`` — whole-stage codegen, zero shuffle (the
+    trafilatura-lite step every web-corpus pipeline runs before quality
+    scoring; the reference has no text plane, this serves the
+    training-data mandate)."""
+    out = col
+    for pat, rep in _MARKUP_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return F.trim(out)

@@ -364,6 +364,13 @@ def _tf_repetition_filter(df: DataFrame, p: dict) -> DataFrame:
     return df.filter(dup_line_frac(F.col(col)) <= float(p.get("maxDupLineFrac", 0.3)))
 
 
+def _tf_strip_markup(df: DataFrame, p: dict) -> DataFrame:
+    from chunjun_spark.functions.text import strip_markup
+
+    col = p.get("textColumn", "text")
+    return df.withColumn(col, strip_markup(F.col(col)))
+
+
 def _tf_redact(df: DataFrame, p: dict) -> DataFrame:
     from chunjun_spark.functions.text import redact_secrets
 
@@ -397,6 +404,7 @@ TRANSFORMS = {
     "quality_filter": _tf_quality_filter,
     "lang_filter": _tf_lang_filter,
     "repetition_filter": _tf_repetition_filter,
+    "strip_markup": _tf_strip_markup,
     "redact": _tf_redact,
     "dedup_exact": _tf_dedup_exact,
     "dedup_minhash": _tf_dedup_minhash,

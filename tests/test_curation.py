@@ -582,3 +582,46 @@ def test_clustered_pairs_match_exact_within_groups(spark):
         for r in pairwise_above_clustered(df, 0.95, cents).collect()
     }
     assert clustered == exact  # groups are tight and far apart → full recall
+
+
+# --------------------------------------------------- markup / boilerplate
+
+def test_strip_markup_drops_scripts_tags_entities(spark):
+    import pyspark.sql.functions as F
+
+    from chunjun_spark.functions.text import strip_markup
+
+    html = ('<html><head><style>p { color: red }</style></head><body>'
+            '<script>if (1 < 2) { alert("x"); }</script>'
+            '<p>Hello &amp; <b>world</b></p><!-- hidden -->'
+            ' spaced   out &#39;quoted&#39;</body></html>')
+    df = spark.createDataFrame([(1, html)], ["doc_id", "text"])
+    out = df.select(strip_markup(F.col("text")).alias("t")).head()["t"]
+    assert out == "Hello & world spaced out 'quoted'"
+
+
+def test_drop_boilerplate_lines_cuts_common_keeps_rare(spark):
+    import pyspark.sql.functions as F
+
+    from chunjun_spark.functions.dedup_docs import drop_boilerplate_lines
+
+    nav = "HOME | ABOUT | CONTACT"
+    footer = "(c) example corp"
+    rows = [
+        (i, f"{nav}\nunique body {i}\n{footer}") for i in range(10)
+    ] + [(99, f"{nav}\nsolo line\nrare shared line"),
+         (98, "another body\nrare shared line")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"] for r in
+           drop_boilerplate_lines(df, max_doc_frac=0.3).collect()}
+    # nav (12 docs) and footer (10 docs) exceed the cap (max(2, 3.6)=3)
+    assert out[0] == "unique body 0"
+    assert out[99] == "solo line\nrare shared line"   # 2 docs ≤ cap → kept
+    assert out[98] == "another body\nrare shared line"
+    # a doc that is ALL boilerplate collapses to empty but stays present
+    df2 = df.union(spark.createDataFrame([(100, f"{nav}\n{footer}")],
+                                         ["doc_id", "text"]))
+    out2 = {r["doc_id"]: r["text"] for r in
+            drop_boilerplate_lines(df2, max_doc_frac=0.3).collect()}
+    assert out2[100] == ""
+    assert len(out2) == 13
