@@ -1638,6 +1638,45 @@ GROUP BY doc_id
 """
 
 
+def _q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram step of the KenLM-lite ladder: mean negative log-prob of
+    p(w_i | w_{i-1}) with add-k smoothing, trained on the corpus itself.
+    Bigrams form inside one projection (shifted zip_with — the text
+    explodes once); census + context counts are two partial-agg
+    reductions on natural keys."""
+    from chunjun_spark.functions.corpus import bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_lm_scores(docs, k=0.5)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("avg_neg_logp2", 6).alias("avg_neg_logp2")
+    )
+
+
+_BIGRAM_SQL = rf"""
+WITH t AS (SELECT doc_id, {_norm_sql('text')} AS nt FROM documents),
+tok AS (
+  SELECT doc_id,
+         unnest(string_split(nt, ' ')) AS w,
+         generate_subscripts(string_split(nt, ' '), 1) AS i
+  FROM t WHERE nt != '' AND len(string_split(nt, ' ')) >= 2
+),
+pairs AS (
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM tok
+  QUALIFY w2 IS NOT NULL
+),
+bg AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM bg GROUP BY w1),
+v AS (SELECT count(DISTINCT w2) AS v FROM bg)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(-ln((c12 + 0.5) / (c1 + 0.5 * v.v))), 6) AS avg_neg_logp2
+FROM pairs JOIN bg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+GROUP BY doc_id
+"""
+
+
 _BM25_TERMS = ["hash", "join", "vector"]
 
 
@@ -1935,6 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_slices": _q_doc_pack_slices,
         "corpus_sample_mix": _q_corpus_sample_mix,
         "doc_unigram_logprob": _q_doc_unigram_logprob,
+        "doc_bigram_logprob": _q_doc_bigram_logprob,
         "doc_bm25_search": _q_doc_bm25_search,
         "corpus_sample_k": _q_corpus_sample_k,
         "ann_topk": _q_ann_topk,
@@ -2004,6 +2044,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_pack_slices": _PACK_SLICES_SQL,
         "corpus_sample_mix": _MIX_SQL,
         "doc_unigram_logprob": _UNIGRAM_SQL,
+        "doc_bigram_logprob": _BIGRAM_SQL,
         "doc_bm25_search": _BM25_SQL,
         "corpus_sample_k": _SAMPLE_K_SQL,
         # minhash_lsh_dups / simhash_near_dups / ann_topk_lsh: rows-only

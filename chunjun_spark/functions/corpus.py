@@ -152,3 +152,51 @@ def grouped_quantiles(
         "n_rows",
         *[F.round(F.col("_qs")[i], 6).alias(names[i]) for i in range(len(probs))],
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+) -> DataFrame:
+    """Per-document mean negative log-probability under an add-k-smoothed
+    BIGRAM LM trained on the corpus itself — the next fidelity step above
+    ``unigram_lm_scores`` toward the KenLM-style perplexity filter:
+    p(w_i | w_{i-1}) = (c(w_{i-1} w_i) + k) / (c(w_{i-1}) + k·V).
+    Documents with fewer than 2 tokens are omitted (no bigram to score).
+
+    Scale shape: bigrams form INSIDE one projection (zip the token array
+    with itself shifted — map-only, text never explodes twice); the
+    bigram census is one partial-agg shuffle keyed by the pair; context
+    counts reduce FROM the bigram table (no second corpus pass); V is a
+    single scalar folded into codegen. Scoring joins the doc's bigram
+    stream against the two count tables on their natural keys.
+    """
+    toks = df.select(
+        F.col(id_col), F.split(normalized(F.col(text_col)), " ").alias("_t")
+    ).filter((F.col("_t")[0] != "") & (F.size("_t") >= 2))
+    pairs = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_t"), 1, F.size("_t") - 1),
+                F.slice(F.col("_t"), 2, F.size("_t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_bg"),
+    ).select(F.col(id_col), F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    contexts = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # V = distinct NEXT-token vocabulary (the smoothing event space)
+    v = bigrams.select("w2").distinct().count()
+
+    scored = pairs.join(bigrams, on=["w1", "w2"]).join(contexts, on="w1")
+    neg_logp = -(
+        F.log((F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k * float(v))))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg(neg_logp).alias("avg_neg_logp2"),
+    )

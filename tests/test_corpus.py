@@ -95,3 +95,43 @@ def test_grouped_quantiles_approx_bounded_rank_error(spark):
     # rank error <= 1/accuracy → value error <= 1000 * (n/accuracy)/n * ~1
     for q in ("q50", "q99"):
         assert abs(approx[q] - exact[q]) <= 1000 * (1.0 / 1000) + 1
+
+
+# --------------------------------------------------------------- bigram LM
+
+def test_bigram_lm_matches_hand_model(spark):
+    import math
+
+    from chunjun_spark.functions.corpus import bigram_lm_scores
+
+    # corpus: "a b a b" and "a b c"; k=0.5
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df, k=0.5).collect()}
+    # bigram counts: (a,b)=3, (b,a)=1, (b,c)=1 ; contexts: a=3, b=2
+    # next-vocab V = {b, a, c} = 3
+    def p(c12, c1):
+        return (c12 + 0.5) / (c1 + 0.5 * 3)
+
+    d1 = -(math.log(p(3, 3)) + math.log(p(1, 2)) + math.log(p(3, 3))) / 3
+    d2 = -(math.log(p(3, 3)) + math.log(p(1, 2))) / 2
+    assert out[1]["n_bigrams"] == 3
+    assert abs(out[1]["avg_neg_logp2"] - d1) < 1e-9
+    assert abs(out[2]["avg_neg_logp2"] - d2) < 1e-9
+    assert 3 not in out  # single-token doc has no bigram
+
+
+def test_bigram_flags_shuffled_text_as_worse(spark):
+    """A document with corpus-typical word ORDER must score better than
+    the same words shuffled — the signal unigrams cannot see."""
+    from chunjun_spark.functions.corpus import bigram_lm_scores
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, fluent) for i in range(20)]
+    rows.append((100, fluent))
+    rows.append((101, "dog the over quick lazy jumps fox brown the"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["avg_neg_logp2"]
+           for r in bigram_lm_scores(df).collect()}
+    assert out[100] < out[101]
