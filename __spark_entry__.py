@@ -1677,6 +1677,32 @@ GROUP BY doc_id
 """
 
 
+def _q_events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality census of the events table (null and
+    distinct counts in one Expand-based aggregation pass); HLL++ approx
+    form is the 100 TB default, exact here for the oracle."""
+    from chunjun_spark.functions.corpus import table_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return table_profile(ev, cols=["event_id", "user_id", "event_type", "value"])
+
+
+_EVENTS_PROFILE_SQL = """
+SELECT 'event_id' AS column, count(*) AS n_rows,
+       count(*) - count(event_id) AS n_nulls,
+       count(DISTINCT event_id) AS n_distinct FROM events
+UNION ALL
+SELECT 'user_id', count(*), count(*) - count(user_id),
+       count(DISTINCT user_id) FROM events
+UNION ALL
+SELECT 'event_type', count(*), count(*) - count(event_type),
+       count(DISTINCT event_type) FROM events
+UNION ALL
+SELECT 'value', count(*), count(*) - count(value),
+       count(DISTINCT value) FROM events
+"""
+
+
 _BM25_TERMS = ["hash", "join", "vector"]
 
 
@@ -1975,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_mix": _q_corpus_sample_mix,
         "doc_unigram_logprob": _q_doc_unigram_logprob,
         "doc_bigram_logprob": _q_doc_bigram_logprob,
+        "events_profile": _q_events_profile,
         "doc_bm25_search": _q_doc_bm25_search,
         "corpus_sample_k": _q_corpus_sample_k,
         "ann_topk": _q_ann_topk,
@@ -2045,6 +2072,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample_mix": _MIX_SQL,
         "doc_unigram_logprob": _UNIGRAM_SQL,
         "doc_bigram_logprob": _BIGRAM_SQL,
+        "events_profile": _EVENTS_PROFILE_SQL,
         "doc_bm25_search": _BM25_SQL,
         "corpus_sample_k": _SAMPLE_K_SQL,
         # minhash_lsh_dups / simhash_near_dups / ann_topk_lsh: rows-only

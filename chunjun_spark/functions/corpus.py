@@ -200,3 +200,40 @@ def bigram_lm_scores(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.avg(neg_logp).alias("avg_neg_logp2"),
     )
+
+
+def table_profile(
+    df: DataFrame, cols: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """Per-column data-quality census: (column, n_rows, n_nulls,
+    n_distinct) — the first audit a pipeline runs over a new source
+    (ChunJun's dirty plane tells you rows that FAILED rules; this tells
+    you which rules to write).
+
+    One aggregation pass over the table: Catalyst expands the multiple
+    count-distincts via a single Expand + partial aggregation (rows ×
+    |cols| intermediate, map-side reduced). approx=True swaps exact
+    distinct for HyperLogLog++ (bounded sketch, the 100 TB default);
+    exact is the DuckDB-oracle form.
+    """
+    cols = cols or df.columns
+    cd = F.approx_count_distinct if approx else F.count_distinct
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(cd(F.col(c)).alias(f"_nd_{c}"))
+    row = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") - F.col(f"_nn_{c}")).alias("n_nulls"),
+                F.col(f"_nd_{c}").cast("long").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(per_col).alias("_p")).select(
+        "_p.column", "_p.n_rows", "_p.n_nulls", "_p.n_distinct"
+    )

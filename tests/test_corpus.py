@@ -135,3 +135,22 @@ def test_bigram_flags_shuffled_text_as_worse(spark):
     out = {r["doc_id"]: r["avg_neg_logp2"]
            for r in bigram_lm_scores(df).collect()}
     assert out[100] < out[101]
+
+
+def test_table_profile_exact_and_approx(spark):
+    import pyspark.sql.functions as F
+
+    from chunjun_spark.functions.corpus import table_profile
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 4 == 0, None).otherwise(F.col("id") % 10).alias("m"),
+    )
+    exact = {r["column"]: r for r in table_profile(df).collect()}
+    assert exact["id"]["n_rows"] == 1000
+    assert exact["id"]["n_nulls"] == 0 and exact["id"]["n_distinct"] == 1000
+    assert exact["m"]["n_nulls"] == 250 and exact["m"]["n_distinct"] == 10
+    approx = {r["column"]: r for r in table_profile(df, approx=True).collect()}
+    # HLL++ rsd default 5%
+    assert abs(approx["id"]["n_distinct"] - 1000) <= 100
+    assert approx["m"]["n_distinct"] == 10  # small cardinality is exact-ish
