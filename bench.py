@@ -70,6 +70,12 @@ BENCH_QUERIES = [
     "cdc_partial_update",
     "doc_dup_spans",
     "doc_length_quantiles",
+    "doc_strip_markup",
+    "doc_strip_boilerplate",
+    "doc_bigram_logprob",
+    "events_profile",
+    "embedding_semantic_dedup",
+    "minhash_index_sync",
 ]
 
 

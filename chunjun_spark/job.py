@@ -276,6 +276,9 @@ def _write_lake(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
         table,
         batch_id=p.get("batchId", f"{cfg.job_id}-batch"),
         mode=p.get("mode", "cow"),
+        # EWriteMode analog: "replace" (default) or "patch" (UPDATE write
+        # mode — null columns in update images mean "unchanged")
+        update_mode=p.get("updateMode", "replace"),
     )
     metrics["numWrite"] = info.get("n_changes", 0)
     metrics["snapshotWrite"] = info.get("version", 0)

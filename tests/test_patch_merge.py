@@ -258,3 +258,55 @@ def test_streaming_patch_rejects_mor(spark, tmp_root):
             mode="mor",
             update_mode="patch",
         )
+
+
+def test_lakewriter_update_mode_patch_via_job_json(spark, tmp_root):
+    """writer.parameter.updateMode='patch' (EWriteMode analog) reaches the
+    merge through run_job."""
+    import os
+
+    from chunjun_spark.job import run_job
+
+    binlog = os.path.join(tmp_root, "binlog")
+    lake = os.path.join(tmp_root, "lake")
+    # changelog events: full insert then a sparse update carrying only b
+    rows = [
+        ("INSERT", "lake", "t", "2024-01-01 00:00:00", 1, 0, 1,
+         None, (1, "x", 10), None),
+        ("UPDATE", "lake", "t", "2024-01-01 00:00:01", 2, 0, 2,
+         None, (1, None, 99), None),
+    ]
+    payload = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("a", T.StringType()),
+         T.StructField("b", T.LongType())]
+    )
+    schema = T.StructType(
+        [T.StructField("op", T.StringType()),
+         T.StructField("schema_name", T.StringType()),
+         T.StructField("table_name", T.StringType()),
+         T.StructField("op_ts", T.StringType()),
+         T.StructField("seq", T.LongType()),
+         T.StructField("partition_id", T.IntegerType()),
+         T.StructField("offset", T.LongType()),
+         T.StructField("before", payload), T.StructField("after", payload),
+         T.StructField("ddl", T.StringType())]
+    )
+    df = spark.createDataFrame(rows, schema).withColumn(
+        "op_ts", F.col("op_ts").cast("timestamp")
+    )
+    df.write.parquet(binlog)
+    LakeTable.create(spark, lake, payload, pk=["k"], n_buckets=2)
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {"name": "binlogreader", "parameter": {"path": binlog}},
+                    "writer": {"name": "lakewriter",
+                               "parameter": {"path": lake, "pk": ["k"],
+                                             "updateMode": "patch"}},
+                }
+            ]
+        }
+    }
+    run_job(spark, cfg)
+    assert _state(LakeTable.load(spark, lake)) == {1: ("x", 99)}
