@@ -1855,6 +1855,19 @@ def _q_embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("vec_id")
 
 
+def _q_doc_tfidf_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text near-dups through the vector path (feature-hashed tf-idf →
+    per-IVF-cell cosine gemm): the third dedup family, catching reworded
+    docs whose token distribution matches when shingles don't. Rows-only
+    (xxhash64 features + iterative k-means); hand-model and
+    reworded-pair invariants pinned in tests/test_vectorize.py."""
+    from chunjun_spark.functions.vectorize import text_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = text_near_dups(docs, threshold=0.9, dim=128, n_lists=8)
+    return pairs.select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+
+
 def _q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: the 100 TB approximate path (RP-LSH buckets + per-bucket
     # gemm); precision/recall cross-checked in tests/test_curation.py
@@ -2013,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "embedding_semantic_dedup": _q_embedding_semantic_dedup,
+        "doc_tfidf_near_dups": _q_doc_tfidf_near_dups,
     }
 
 

@@ -1,0 +1,115 @@
+"""Text → dense vector via the feature-hashing trick (HashingTF + IDF).
+
+Gives the embedding-shaped operators (``functions/ann.py`` cosine ANN,
+``semantic_dedup``) a zero-model on-ramp from raw text: token features
+hash into a fixed ``dim``-bucket space with a ±1 sign hash (Weinberger
+et al., "Feature Hashing for Large Scale Multitask Learning",
+arXiv:0902.2206), weighted tf × smooth-idf (ln((1+N)/(1+df)) + 1), and
+optionally L2-normalized so dot == cosine downstream.
+
+Scale shape: one token explode (narrow: id, 8-byte hash), ONE shuffle
+for the (doc, bucket) tf reduce and one token-keyed shuffle for the df
+census — both partial-agg bounded; the dense assembly is a per-doc
+map lookup over ``dim`` slots in codegen, no UDF anywhere. N (corpus
+size) folds into the weight expression as a literal.
+
+Reference tie-in: none in ChunJun (no text plane) — this serves the
+training-data mandate, next to the hash families in
+``functions/dedup_docs.py``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from chunjun_spark.functions.corpus import _doc_tokens
+
+
+def hashed_tfidf(
+    df: DataFrame,
+    dim: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+    seed: int = 29,
+) -> DataFrame:
+    """(id, vector: array<double>) — feature-hashed tf-idf of each doc.
+
+    Empty documents (no tokens after normalization) are omitted, matching
+    the other corpus operators.
+    """
+    toks = _doc_tokens(df, text_col, id_col)
+    n_docs = df.select(id_col).distinct().count()
+
+    h = F.xxhash64(F.col("tok"), F.lit(seed))
+    bucket = F.pmod(h, F.lit(dim)).cast("int")
+    # independent sign hash (different seed) — unbiased collisions
+    sign = F.when(
+        F.pmod(F.xxhash64(F.col("tok"), F.lit(seed + 1)), F.lit(2)) == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+
+    # tf per (doc, token) and df per token, then weight and bucket-reduce
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    weighted = (
+        tf.join(dfreq, on="tok")
+        .select(
+            F.col(id_col),
+            bucket.alias("_b"),
+            (
+                sign
+                * F.col("_tf")
+                * (F.log((F.lit(1.0 + n_docs)) / (F.lit(1.0) + F.col("_df"))) + F.lit(1.0))
+            ).alias("_w"),
+        )
+        .groupBy(id_col, "_b")
+        .agg(F.sum("_w").alias("_w"))
+    )
+    assembled = weighted.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("_b", "_w"))).alias("_m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.col("_m")[i.cast("int")], F.lit(0.0)),
+    )
+    if normalize:
+        sq = F.aggregate(
+            vec, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+        out_vec = F.when(
+            sq > 0, F.transform(vec, lambda x: x / F.sqrt(sq))
+        ).otherwise(vec)
+    else:
+        out_vec = vec
+    return assembled.select(F.col(id_col), out_vec.alias("vector"))
+
+
+def text_near_dups(
+    df: DataFrame,
+    threshold: float = 0.8,
+    dim: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_lists: int = 16,
+) -> DataFrame:
+    """Near-duplicate text pairs through the vector path: hashed tf-idf →
+    per-IVF-cell cosine gemm. A third dedup family next to shingle-set
+    (MinHash/Jaccard) and bit-signature (SimHash) — catches reworded
+    documents whose token DISTRIBUTION matches even when shingles don't.
+    """
+    from chunjun_spark.functions.ann import (
+        pairwise_above_clustered,
+        train_ivf_centroids,
+    )
+
+    vecs = hashed_tfidf(df, dim=dim, text_col=text_col, id_col=id_col)
+    cents = train_ivf_centroids(
+        vecs, n_lists=n_lists, vec_col="vector", id_col=id_col
+    )
+    return pairwise_above_clustered(
+        vecs, threshold, cents, vec_col="vector", id_col=id_col
+    )

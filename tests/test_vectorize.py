@@ -1,0 +1,77 @@
+"""Feature-hashed tf-idf vectors and the text→vector near-dup path."""
+
+import math
+
+import pyspark.sql.functions as F
+
+from chunjun_spark.functions.vectorize import hashed_tfidf, text_near_dups
+
+
+def test_tfidf_matches_hand_model(spark):
+    """Three docs, hand-computed tf-idf folded through Spark's own token
+    hashes (collisions handled exactly like the operator)."""
+    rows = [(1, "a a b"), (2, "a c"), (3, "d")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    dim, seed, n = 8, 29, 3
+
+    hashes = {
+        r["tok"]: (r["b"], r["s"])
+        for r in spark.createDataFrame(
+            [("a",), ("b",), ("c",), ("d",)], ["tok"]
+        )
+        .select(
+            "tok",
+            F.pmod(F.xxhash64("tok", F.lit(seed)), F.lit(dim)).cast("int").alias("b"),
+            F.when(
+                F.pmod(F.xxhash64("tok", F.lit(seed + 1)), F.lit(2)) == 0, 1.0
+            ).otherwise(-1.0).alias("s"),
+        )
+        .collect()
+    }
+    dfreq = {"a": 2, "b": 1, "c": 1, "d": 1}
+    tfs = {1: {"a": 2, "b": 1}, 2: {"a": 1, "c": 1}, 3: {"d": 1}}
+
+    def expect(doc):
+        v = [0.0] * dim
+        for tok, tf in tfs[doc].items():
+            b, s = hashes[tok]
+            v[b] += s * tf * (math.log((1 + n) / (1 + dfreq[tok])) + 1.0)
+        norm = math.sqrt(sum(x * x for x in v))
+        return [x / norm for x in v] if norm > 0 else v
+
+    got = {r["doc_id"]: list(r["vector"]) for r in hashed_tfidf(
+        df, dim=dim, seed=seed).collect()}
+    for doc in (1, 2, 3):
+        assert all(abs(a - b) < 1e-9 for a, b in zip(got[doc], expect(doc)))
+
+
+def test_tfidf_identical_docs_identical_vectors(spark):
+    df = spark.createDataFrame(
+        [(1, "same tokens here"), (2, "same tokens here"), (3, "other words")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: tuple(r["vector"]) for r in hashed_tfidf(df).collect()}
+    assert got[1] == got[2] != got[3]
+    # unit norm
+    assert abs(sum(x * x for x in got[1]) - 1.0) < 1e-9
+
+
+def test_text_near_dups_catches_reworded_doc(spark):
+    """Same token distribution, different ORDER → shingle families miss
+    it, the vector path must not."""
+    base = ("spark merges change events into bucketed lake tables with "
+            "idempotent commits and snapshot versions")
+    reworded = ("idempotent commits and snapshot versions spark merges "
+                "change events into bucketed lake tables with")
+    others = [
+        (10 + i, f"completely unrelated document number {i} about "
+                 f"gardens weather and music theory {i}")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        [(1, base), (2, reworded)] + others, ["doc_id", "text"]
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             text_near_dups(df, threshold=0.9, n_lists=2).collect()}
+    assert (1, 2) in pairs
+    assert all({a, b} == {1, 2} or (a >= 10 and b >= 10) for a, b in pairs)
