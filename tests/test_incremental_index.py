@@ -157,3 +157,41 @@ def test_index_candidates_probe_scope(spark, tmp_root):
     got = {tuple(r) for r in index_candidates(index, probe).collect()}
     assert (1, 9) in got and (2, 9) in got
     assert all(3 not in p for p in got)
+
+
+def test_follower_keeps_index_continuously_synced(spark, tmp_root):
+    """follow_changes (the CDF interval-polling follower) driving
+    update_minhash_index: commits land on the docs table while the
+    follower polls; after it drains, the index equals a batch rebuild."""
+    import os
+
+    from chunjun_spark.plans.lake import follow_changes
+
+    docs_root = os.path.join(tmp_root, "docs")
+    idx_root = os.path.join(tmp_root, "idx")
+    _docs_table(spark, docs_root, [_doc(1, BODY + "one"),
+                                   _doc(2, BODY + "one")], "b0")
+    index = create_minhash_index(spark, idx_root, n_buckets=4)
+
+    def apply_batch(ch, window):
+        update_minhash_index(
+            index.refresh(), ch, version=window["toVersion"],
+            batch_id=f"cdf:{window['fromVersion']}->{window['toVersion']}",
+        )
+
+    # drain the first commit
+    r1 = follow_changes(spark, docs_root, 0, apply_batch,
+                        poll_interval_sec=0.05, max_empty_polls=2)
+    assert r1["applied_windows"] == 1
+    docs = LakeTable.load(spark, docs_root)
+    assert _index_state(index) == _batch_state(docs.read())
+
+    # two more commits, then drain again from the recorded offset
+    _docs_table(spark, docs_root, [_doc(3, BODY + "three")], "b1", vseq0=500)
+    _docs_table(spark, docs_root, [_doc(1, "rewritten body entirely new")],
+                "b2", vseq0=900)
+    r2 = follow_changes(spark, docs_root, r1["endVersion"], apply_batch,
+                        poll_interval_sec=0.05, max_empty_polls=2)
+    assert r2["applied_windows"] >= 1
+    docs = LakeTable.load(spark, docs_root)
+    assert _index_state(index) == _batch_state(docs.read())
