@@ -234,6 +234,36 @@ def token_set(col: Column) -> Column:
     return shingles(col, n=1)
 
 
+def shingle_hashes(col: Column, n: int = 3, seed: int = 7) -> Column:
+    """Distinct 64-bit hashes of the n-token shingles — the hashes of
+    ``shingles(col, n)`` WITHOUT ever materializing shingle strings.
+
+    Each token hashes once (``xxhash64(tok, seed)``); a shingle's hash
+    combines the n token hashes with one more ``xxhash64`` — pure long
+    lanes after the single tokenize pass. Measured on 200k docs at
+    local[8]: the string-shingle explode ran 13.6 s and did NOT scale
+    from 2→8 cores (UTF8String concat allocation saturates the shared
+    memory bandwidth; 12.8 s at 2 cores); this form cuts the allocation
+    to one long array per document. MinHash/LSH only ever consume shingle
+    hashes, so min-over-hash semantics are unchanged (a different but
+    equally uniform hash family); the STRING form stays for operators
+    whose oracles hash shingle text (``jaccard_pairs``, top-k n-grams).
+    """
+    toks = F.split(normalized(col), " ")
+
+    def _build(t: Column) -> Column:
+        th = F.transform(t, lambda x: F.xxhash64(x, F.lit(seed)))
+        w = F.greatest(F.size(t) - F.lit(n - 1), F.lit(0))
+        out = F.slice(th, 1, w)
+        for j in range(1, n):
+            out = F.zip_with(
+                out, F.slice(th, 1 + j, w), lambda a, b: F.xxhash64(a, b)
+            )
+        return F.array_distinct(out)
+
+    return F.element_at(F.transform(F.array(toks), _build), 1)
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -329,16 +359,15 @@ def minhash_signatures(
     (explode_outer keeps them as a NULL-shingle row).
     """
     sent = 2**63 - 1
-    ex = (
-        _widen(df).select(
-            F.col(id_col).alias("_id"),
-            F.explode_outer(shingles(F.col(text_col), n)).alias("_s"),
-        )
-        .withColumn("_bh", F.xxhash64(F.col("_s"), F.lit(seed)))
+    # shingle HASHES, never shingle strings: the string-concat explode is
+    # allocation-bound and does not scale with cores (see shingle_hashes)
+    ex = _widen(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode_outer(shingle_hashes(F.col(text_col), n, seed)).alias("_bh"),
     )
     lanes = [
         F.min(
-            F.when(F.col("_s").isNull(), F.lit(sent)).otherwise(
+            F.when(F.col("_bh").isNull(), F.lit(sent)).otherwise(
                 F.xxhash64(F.col("_bh"), F.lit(seed + 1 + i))
             )
         ).alias(f"_m{i}")

@@ -1,0 +1,114 @@
+"""Property-based equivalence of the physical dedup/fold strategies.
+
+Hypothesis generates arbitrary change streams; every physical strategy of
+an operator must agree with its Python fold model exactly. One shared
+Spark action per example keeps runtime bounded (max_examples is small —
+these are equivalence proofs over adversarial shapes, not fuzzing volume).
+"""
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from chunjun_spark.operators.dedup import keep_last, keep_last_salted, keep_last_window
+from chunjun_spark.operators.partial import fold_patch_rows
+
+EVENT = st.tuples(
+    st.integers(min_value=0, max_value=5),          # key
+    st.integers(min_value=0, max_value=30),         # op_ts
+    st.sampled_from(["UPSERT", "UPSERT", "DELETE"]),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=9)),  # payload a
+    st.one_of(st.none(), st.sampled_from(["x", "y"])),            # payload b
+)
+
+
+def _stream(events):
+    """Assign a unique seq per event (arrival order) — the Snowflake
+    total-order contract every operator assumes."""
+    return [
+        {"k": k, "op_ts": ts, "seq": i, "op": op, "a": a, "b": b}
+        for i, (k, ts, op, a, b) in enumerate(events)
+    ]
+
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("op_ts", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.StringType()),
+    ]
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(EVENT, min_size=1, max_size=40))
+def test_keep_last_strategies_agree(spark, events):
+    rows = _stream(events)
+    df = spark.createDataFrame(rows, SCHEMA)
+    want = {}
+    for r in rows:  # fold model: max (op_ts, seq) wins
+        cur = want.get(r["k"])
+        if cur is None or (r["op_ts"], r["seq"]) > (cur["op_ts"], cur["seq"]):
+            want[r["k"]] = r
+    expect = {
+        k: (v["op_ts"], v["seq"], v["op"], v["a"], v["b"])
+        for k, v in want.items()
+    }
+
+    for out in (
+        keep_last(df, pk=["k"], order=("op_ts", "seq")),
+        keep_last_window(df, pk=["k"], order=("op_ts", "seq")),
+        keep_last_salted(df, pk=["k"], order=("op_ts", "seq"), n_salts=4),
+    ):
+        got = {
+            r["k"]: (r["op_ts"], r["seq"], r["op"], r["a"], r["b"])
+            for r in out.collect()
+        }
+        assert got == expect
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(EVENT, min_size=1, max_size=40))
+def test_fold_patch_rows_matches_model(spark, events):
+    rows = _stream(events)
+    df = spark.createDataFrame(rows, SCHEMA).select(
+        "k", "a", "b",
+        F.col("op").alias("_op"),
+        F.col("op_ts").alias("_vts"),
+        F.col("seq").alias("_vseq"),
+    )
+    out = fold_patch_rows(df, pk=["k"], payload_cols=["a", "b"],
+                          vts_col="_vts", vseq_col="_vseq")
+    got = {
+        r["k"]: (r["_op"], r["a"], r["b"], r["_vts"], r["_vseq"])
+        for r in out.collect()
+    }
+
+    # model: per key, barrier = last DELETE; post-barrier upserts patch
+    expect = {}
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, evs in by_key.items():
+        evs.sort(key=lambda r: (r["op_ts"], r["seq"]))
+        dels = [e for e in evs if e["op"] == "DELETE"]
+        barrier = (dels[-1]["op_ts"], dels[-1]["seq"]) if dels else None
+        post = [
+            e for e in evs
+            if e["op"] != "DELETE"
+            and (barrier is None or (e["op_ts"], e["seq"]) > barrier)
+        ]
+        last = evs[-1]
+        if post:
+            a = next((e["a"] for e in reversed(post) if e["a"] is not None), None)
+            b = next((e["b"] for e in reversed(post) if e["b"] is not None), None)
+            expect[k] = ("UPSERT", a, b, last["op_ts"], last["seq"])
+        else:
+            expect[k] = ("DELETE", None, None, last["op_ts"], last["seq"])
+    assert got == expect

@@ -1,0 +1,49 @@
+"""spark-submit payload for the curation-plane scaling run: the full
+MinHash-LSH near-dup pipeline (shingle → 64-lane signature → banding →
+candidate pairs) over a pre-generated document corpus. Prints one JSON
+line; the pair count is the cross-width checksum."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs-dir", required=True)
+    ap.add_argument("--out-json", required=True)
+    args = ap.parse_args()
+
+    from chunjun_spark.functions.dedup_docs import lsh_candidates, minhash_signatures
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(args.docs_dir)
+
+    t0 = time.time()
+    sigs = minhash_signatures(docs, k=64)
+    pairs = lsh_candidates(sigs, bands=16, rows_per_band=4)
+    n_pairs = pairs.count()
+    elapsed = time.time() - t0
+
+    n_docs = docs.count()
+    cores = spark.sparkContext.defaultParallelism
+    out = {
+        "cores": cores,
+        "n_docs": n_docs,
+        "n_pairs": n_pairs,
+        "dedup_sec": round(elapsed, 1),
+        "docs_per_sec": round(n_docs / elapsed, 1),
+    }
+    with open(args.out_json, "w") as f:
+        f.write(json.dumps(out))
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

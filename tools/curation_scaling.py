@@ -1,0 +1,141 @@
+"""Curation-plane N vs 4N scaling evidence (companion to
+tools/scaling_bench.py, which covers the CDC replay headline).
+
+The measured job is the MinHash-LSH near-dup pipeline — the most
+shuffle-intensive curation operator family — over a deterministic
+synthetic corpus with planted duplicate groups. Same protocol as the
+replay gate: identical config at both widths (64 shuffle partitions,
+8 g heap, 16 MB splits), only the core count varies, best-of
+``--attempts`` with cooldowns, pair-count checksum must match.
+
+Usage: python tools/curation_scaling.py [--n-docs 400000] [--attempts 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.scaling_bench import make_pyfiles_zip  # noqa: E402
+
+
+def gen_docs(n_docs: int, docs_dir: str) -> None:
+    """Deterministic corpus: ~40-token docs over a 5000-token vocab;
+    every block of 10 ids shares a content seed with per-doc suffix
+    noise on 2 ids per block → planted near/exact dup structure."""
+    import pyspark.sql.functions as F
+
+    from chunjun_spark.session import get_spark
+
+    spark = get_spark("curation-gen", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    ids = spark.range(n_docs)
+    seed = (F.col("id") / 10).cast("long")  # dup-group seed
+    body = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(39)),
+            lambda i: F.concat(
+                F.lit("tok"),
+                F.pmod(F.xxhash64(seed, i), F.lit(5000)).cast("string"),
+            ),
+        ),
+    )
+    suffix = F.when(
+        F.col("id") % 10 < 2,
+        F.concat(F.lit(" uniq"), F.col("id").cast("string")),
+    ).otherwise(F.lit(""))
+    ids.select(
+        F.col("id").alias("doc_id"), F.concat(body, suffix).alias("text")
+    ).write.mode("overwrite").parquet(docs_dir)
+    spark.stop()
+
+
+def run_submit(master: str, zpath: str, docs_dir: str, out_json: str) -> dict:
+    spark_submit = shutil.which("spark-submit") or os.path.join(
+        os.path.dirname(os.path.dirname(shutil.which("python") or "")),
+        "bin", "spark-submit",
+    )
+    cmd = [
+        spark_submit,
+        "--master", master,
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.sql.session.timeZone=UTC",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=64",
+        "--conf", "spark.sql.files.maxPartitionBytes=16777216",
+        "--conf", "spark.driver.memory=8g",
+        "--py-files", zpath,
+        os.path.join(REPO, "tools", "curation_job.py"),
+        "--docs-dir", docs_dir,
+        "--out-json", out_json,
+    ]
+    subprocess.run(cmd, check=True, cwd=REPO,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    with open(out_json) as f:
+        return json.loads(f.read())
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=400_000)
+    ap.add_argument("--docs-dir", default=None)
+    ap.add_argument("--attempts", type=int, default=2)
+    ap.add_argument("--cooldown", type=float, default=45.0)
+    args = ap.parse_args()
+
+    docs_dir = args.docs_dir or os.path.join(
+        tempfile.mkdtemp(prefix="cj_curation_scale_"), "docs"
+    )
+    if not os.path.exists(os.path.join(docs_dir, "_SUCCESS")):
+        print(f"generating {args.n_docs:,} docs → {docs_dir}", flush=True)
+        gen_docs(args.n_docs, docs_dir)
+
+    tmp = tempfile.mkdtemp(prefix="cj_curation_zip_")
+    zpath = make_pyfiles_zip(tmp)
+    results: dict[str, dict] = {}
+    attempts_log: dict[str, list] = {}
+    for label, master in (("N", "local[2]"), ("4N", "local[8]")):
+        best = None
+        attempts_log[label] = []
+        for i in range(args.attempts):
+            out_json = os.path.join(tmp, f"{label}_{i}.json")
+            r = run_submit(master, zpath, docs_dir, out_json)
+            attempts_log[label].append(r["docs_per_sec"])
+            print(f"{label} attempt {i}: {r['dedup_sec']}s "
+                  f"({r['docs_per_sec']:,.0f} docs/s)", flush=True)
+            if best is None or r["dedup_sec"] < best["dedup_sec"]:
+                best = r
+            time.sleep(args.cooldown)
+        results[label] = best
+
+    small, big = results["N"], results["4N"]
+    assert small["n_pairs"] == big["n_pairs"], (small, big)
+    eff = (big["docs_per_sec"] / small["docs_per_sec"]) / 4
+    report = {
+        "job": "minhash_lsh_near_dup",
+        "n_docs": small["n_docs"],
+        "n_pairs": small["n_pairs"],
+        "N": small,
+        "4N": big,
+        "attempts": attempts_log,
+        "scaling_efficiency": round(eff, 3),
+    }
+    out_path = os.path.join(REPO, "BENCH", "curation_scaling.json")
+    with open(out_path, "w") as f:
+        f.write(json.dumps(report, indent=2))
+    print(json.dumps(report))
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
