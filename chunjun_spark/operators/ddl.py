@@ -16,8 +16,11 @@ Apply rule per batch: DDLs first (in seq order), then the data merge.
 This is exact because every supported evolution is backward compatible —
 rows produced under the old schema remain valid under the new one
 (added column reads NULL, widen is a supertype cast, rename is by stable
-column id) — while rows produced under the NEW schema require it to be
-applied before the merge projects them.
+column id, a dropped column is simply no longer projected) — while rows
+produced under the NEW schema require it to be applied before the merge
+projects them. ``drop_column`` follows Iceberg's never-reuse-id rule: a
+later ``add_column`` with the same NAME takes a fresh field id, so the
+dropped column's values never resurface out of old data files.
 """
 
 from __future__ import annotations
@@ -85,6 +88,10 @@ def apply_ddl_events(table: LakeTable, ddl_rows: list) -> LakeTable:
                 if cur.get(spec["name"]) == spec["type"]:
                     continue
                 table.apply_ddl("widen_type", name=spec["name"], type=spec["type"])
+            elif action == "drop_column":
+                if spec["name"] not in names:
+                    continue
+                table.apply_ddl("drop_column", name=spec["name"])
             else:
                 raise ValueError(f"unknown ddl action {action!r}")
         finally:

@@ -124,7 +124,7 @@ class ConcurrentCommitError(RuntimeError):
 
 
 class _Schema:
-    """Columns with stable ids; supports add / rename / widen."""
+    """Columns with stable ids; supports add / rename / widen / drop."""
 
     _WIDEN_OK = {
         ("int", "bigint"),
@@ -163,11 +163,21 @@ class _Schema:
     def names(self) -> list[str]:
         return [f["name"] for f in self.fields]
 
-    def add_column(self, name: str, type_ddl: str) -> "_Schema":
+    def add_column(self, name: str, type_ddl: str, min_id: int = 0) -> "_Schema":
+        """``min_id``: floor for the new field id. Callers that track
+        schema history pass the max id EVER allocated so a column added
+        after a drop never reuses the dropped column's id (Iceberg's
+        never-reuse rule — id reuse would resurrect the dropped column's
+        values out of old data files via the id-based read projection)."""
         if name in self.names():
             raise ValueError(f"column {name} already exists")
-        nid = max(f["id"] for f in self.fields) + 1
+        nid = max([f["id"] for f in self.fields] + [min_id]) + 1
         return _Schema(self.fields + [{"id": nid, "name": name, "type": type_ddl}])
+
+    def drop_column(self, name: str) -> "_Schema":
+        if name not in self.names():
+            raise ValueError(f"no column {name}")
+        return _Schema([dict(f) for f in self.fields if f["name"] != name])
 
     def rename_column(self, old: str, new: str) -> "_Schema":
         if old not in self.names():
@@ -1101,14 +1111,33 @@ class LakeTable:
     # -------------------------------------------------------------- DDL
     def apply_ddl(self, ddl_op: str, **kw) -> dict:
         """add_column(name, type) | rename_column(old, new) |
-        widen_type(name, type). Manifest-only; data untouched."""
+        widen_type(name, type) | drop_column(name). Manifest-only; data
+        untouched — drops hide the column through the id-based read
+        projection (``_align`` selects only current fields), and a later
+        add with the same NAME takes a fresh id, so dropped values never
+        resurface from old data files."""
         sch = self.schema
         if ddl_op == "add_column":
-            sch = sch.add_column(kw["name"], kw["type"])
+            # never reuse a field id, even one freed by a drop: floor the
+            # allocator at the max id across ALL historical schema versions
+            hist_max = max(
+                f["id"]
+                for fields in self.manifest["schemas"].values()
+                for f in fields
+            )
+            sch = sch.add_column(kw["name"], kw["type"], min_id=hist_max)
         elif ddl_op == "rename_column":
             sch = sch.rename_column(kw["old"], kw["new"])
         elif ddl_op == "widen_type":
             sch = sch.widen_type(kw["name"], kw["type"])
+        elif ddl_op == "drop_column":
+            name = kw["name"]
+            protected = {*self.pk, *self.bucket_cols, *self.stats_cols}
+            if name in protected:
+                raise ValueError(
+                    f"cannot drop {name!r}: primary-key / bucket / stats column"
+                )
+            sch = sch.drop_column(name)
         else:
             raise ValueError(f"unknown ddl op {ddl_op}")
         m = self._next_manifest()

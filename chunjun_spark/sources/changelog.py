@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import types as T
 
 
 def to_changelog(
@@ -100,6 +101,57 @@ def unpave(df: DataFrame, payload_fields: list[str] | None = None) -> DataFrame:
 
     return df.select(
         *others, _side("before").alias("before"), _side("after").alias("after")
+    )
+
+
+def json_event_schema() -> T.StructType:
+    """The envelope with ``before``/``after`` as JSON strings — a FIXED,
+    payload-independent wire schema (the Debezium JSON-envelope analog of
+    BinlogEventSink's event map, BinlogEventSink.java:102-142).
+
+    Why it exists: Structured Streaming pins the file/Kafka source schema
+    at query start, so a typed nested payload forces pre-declaring the
+    WIDEST schema the stream will ever carry. With the payload as a JSON
+    string the source schema never changes; each micro-batch decodes
+    against the lake table's CURRENT schema (``decode_json_events``), so
+    a DDL-added column flows through mid-stream with no query restart.
+    """
+    from chunjun_spark.sources.binlog import EVENT_SCHEMA
+
+    return T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.StringType() if f.name in ("before", "after") else f.dataType,
+                True,
+            )
+            for f in EVENT_SCHEMA.fields
+        ]
+    )
+
+
+def encode_json_events(events: DataFrame) -> DataFrame:
+    """Nested changelog → JSON wire form. ``to_json`` of a NULL struct is
+    NULL, so the DELETE/UPSERT side conventions survive the round trip.
+    Pure projection (codegen), no shuffle."""
+    return events.select(
+        *[
+            F.to_json(F.col(c)).alias(c) if c in ("before", "after") else F.col(c)
+            for c in events.columns
+        ]
+    )
+
+
+def decode_json_events(df: DataFrame, payload: T.StructType) -> DataFrame:
+    """JSON wire form → nested changelog, projected to ``payload`` (the
+    table's CURRENT schema): JSON keys not in the schema are ignored,
+    schema columns missing from the JSON read NULL — the schema-registry
+    evolution property, evaluated per micro-batch."""
+    return df.select(
+        *[
+            F.from_json(F.col(c), payload).alias(c) if c in ("before", "after") else F.col(c)
+            for c in df.columns
+        ]
     )
 
 

@@ -51,6 +51,24 @@ def read_binlog_stream(
     )
 
 
+def read_binlog_stream_json(
+    spark: SparkSession,
+    binlog_dir: str,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """File-stream source over JSON-envelope binlog segments
+    (``json_event_schema``): the source schema is payload-independent, so
+    the payload can evolve mid-stream (pair with
+    ``start_replay_stream(wire_format='json')``)."""
+    from chunjun_spark.sources.changelog import json_event_schema
+
+    return (
+        spark.readStream.schema(json_event_schema())
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(binlog_dir)
+    )
+
+
 def files_per_trigger_for_rate(
     bytes_per_sec: int, avg_file_bytes: int, trigger_sec: float
 ) -> int:
@@ -135,8 +153,16 @@ def start_replay_stream(
     compact_every: int | None = None,
     rate_limiter: ByteRateLimiter | None = None,
     update_mode: str = "replace",
+    wire_format: str = "nested",
 ) -> StreamingQuery:
     """Start the micro-batch apply loop.
+
+    ``wire_format='json'``: ``before``/``after`` arrive as JSON strings
+    (``json_event_schema`` — the Debezium-envelope wire form) and each
+    micro-batch decodes them against the lake table's CURRENT schema,
+    AFTER this batch's DDL events are applied — so a column added
+    mid-stream flows through without restarting the query or
+    pre-declaring a widest schema.
 
     ``update_mode='patch'`` (cow only) streams the reference's UPDATE
     write mode: sparse change images coalesce against the stored row
@@ -154,10 +180,13 @@ def start_replay_stream(
     """
     if update_mode == "patch" and mode != "cow":
         raise ValueError("update_mode='patch' requires mode='cow'")
+    if wire_format not in ("nested", "json"):
+        raise ValueError(f"unknown wire_format {wire_format!r}")
     spark = events.sparkSession
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         from chunjun_spark.operators.ddl import apply_ddl_events, split_ddl
+        from chunjun_spark.sources.changelog import decode_json_events
 
         raise_on_poison(batch_df)
         table = LakeTable.load(spark, table_root)
@@ -170,6 +199,10 @@ def start_replay_stream(
             # DDLs first: all evolution ops are backward compatible, and
             # apply_ddl_events is idempotent under micro-batch re-delivery
             table = apply_ddl_events(table, ddl_rows)
+        if wire_format == "json":
+            # decode against the post-DDL schema: this batch's own
+            # add_column is already visible to its data rows
+            batch_df = decode_json_events(batch_df, table.schema.to_struct())
         keyed = events_with_pk(batch_df, table.pk)
         if update_mode == "patch":
             changes = to_changes(keyed)  # fold happens inside the merge

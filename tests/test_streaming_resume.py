@@ -72,6 +72,52 @@ def test_stream_kill_and_resume(spark, tmp_root):
     assert len(final.committed_batches()) == len(set(final.committed_batches()))
 
 
+def test_resume_from_every_boundary(spark, tmp_root):
+    """North-rule property: replay is resumable from ANY checkpoint.
+
+    For every prefix K of the binlog segment files, drain a stream that
+    can only see the first K segments (checkpoint commits there), then
+    reveal the remaining segments and resume from the same checkpoint.
+    Every split point must converge to the exact uninterrupted final
+    state (sha256 of per-row content) — the docs/restore.md §3.2
+    contract quantified over all boundaries, not just one kill point.
+    """
+    import shutil
+
+    events = generate_binlog(spark, 12_000, n_keys=2_000, dup_rate=0.05, delete_rate=0.1)
+    staging = os.path.join(tmp_root, "staging")
+    write_binlog_files(events, staging, n_files=5)
+    segments = sorted(
+        f for f in os.listdir(staging) if f.endswith(".parquet")
+    )
+    assert len(segments) == 5
+    want = fold_oracle(events.collect(), PK)
+
+    for k in range(1, len(segments)):
+        base = os.path.join(tmp_root, f"split{k}")
+        binlog_dir = os.path.join(base, "binlog")
+        os.makedirs(binlog_dir)
+        table = LakeTable.create(
+            spark, os.path.join(base, "lake"), PAYLOAD_SCHEMA, pk=PK, n_buckets=4
+        )
+        ckpt = os.path.join(base, "ckpt")
+        for f in segments[:k]:
+            shutil.copy(os.path.join(staging, f), os.path.join(binlog_dir, f))
+        run_stream_to_completion(spark, binlog_dir, table.root, ckpt, max_files_per_trigger=2)
+        mid = LakeTable.load(spark, table.root)
+        applied_at_boundary = set(mid.committed_batches())
+        assert applied_at_boundary, f"k={k}: no batch committed before the boundary"
+        for f in segments[k:]:
+            shutil.copy(os.path.join(staging, f), os.path.join(binlog_dir, f))
+        run_stream_to_completion(spark, binlog_dir, table.root, ckpt, max_files_per_trigger=2)
+        final = LakeTable.load(spark, table.root)
+        got = df_state(final.read(), PK)
+        assert sha256_state(got) == sha256_state(want), f"state diverged at boundary k={k}"
+        batches = final.committed_batches()
+        assert len(batches) == len(set(batches)), f"double-apply at boundary k={k}"
+        assert applied_at_boundary < set(batches), f"k={k}: resume did not extend lineage"
+
+
 def test_stale_duplicate_across_batches(spark, tmp_root):
     """A duplicate of an OLD event arriving in a LATER batch must not
     regress the key (version-guard semantics)."""
