@@ -167,8 +167,15 @@ def _write_jdbc(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
     """jdbcwriter: insert → distributed append; upsert/replace → staged
     bulk load + set-based driver upsert (JdbcOutputFormat.java:290-334).
     preSql/postSql run once around the write — the driver is the
-    reference's all-channels latch (BaseRichOutputFormat.java:648-660)."""
-    from chunjun_spark.sources.jdbc_live import execute_sql, write_jdbc
+    reference's all-channels latch (BaseRichOutputFormat.java:648-660).
+    ``"semantic": "exactly-once"`` routes through the audited one-
+    transaction apply (data + batch marker atomically; a re-run with the
+    same jobId/batchId is a no-op) — the XA two-phase-commit analog."""
+    from chunjun_spark.sources.jdbc_live import (
+        execute_sql,
+        write_jdbc,
+        write_jdbc_exactly_once,
+    )
 
     p = cfg.writer.parameter
     conn = _jdbc_conn_params(p)
@@ -179,16 +186,35 @@ def _write_jdbc(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
     }
     if p.get("preSql"):
         execute_sql(df.sparkSession, conn["url"], list(p["preSql"]), **common)
-    write_jdbc(
-        df,
-        conn["url"],
-        conn["table"],
-        mode=p.get("writeMode", "insert"),
-        pk=p.get("updateKey") or p.get("pk"),
-        batch_size=int(p.get("batchSize", 1000)),
-        staging_table=p.get("stagingTable"),
-        **common,
-    )
+    if p.get("semantic") == "exactly-once":
+        result = write_jdbc_exactly_once(
+            df,
+            conn["url"],
+            conn["table"],
+            job_id=str(p.get("jobId", "job")),
+            batch_id=str(p.get("batchId", "0")),
+            mode=p.get("writeMode", "insert"),
+            pk=p.get("updateKey") or p.get("pk"),
+            batch_size=int(p.get("batchSize", 1000)),
+            staging_table=p.get("stagingTable"),
+            **common,
+        )
+        metrics["jdbcBatchSkipped"] = bool(result.get("skipped"))
+        if result.get("skipped"):
+            # replayed batch: no write action ran, so the numRead
+            # observation riding it will never fire — tell run_job
+            metrics["_noAction"] = True
+    else:
+        write_jdbc(
+            df,
+            conn["url"],
+            conn["table"],
+            mode=p.get("writeMode", "insert"),
+            pk=p.get("updateKey") or p.get("pk"),
+            batch_size=int(p.get("batchSize", 1000)),
+            staging_table=p.get("stagingTable"),
+            **common,
+        )
     if p.get("postSql"):
         execute_sql(df.sparkSession, conn["url"], list(p["postSql"]), **common)
 
@@ -517,7 +543,9 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
     obs = Observation()
     df = df.observe(obs, F.count(F.lit(1)).alias("numRead"))
     writer(df, cfg, metrics)
-    num_read = int(obs.get["numRead"])
+    # a writer that skipped (replayed exactly-once batch) ran NO action,
+    # so the observation would block forever — the skip read nothing
+    num_read = 0 if metrics.pop("_noAction", False) else int(obs.get["numRead"])
     metrics["numRead"] = num_read
     metrics.setdefault("numWrite", num_read)
     check_error_limit(

@@ -68,10 +68,17 @@ def execute_sql(
 ) -> list[int]:
     """Run statements once on the driver (preSql/postSql, DDL, upserts) —
     the all-writers latch analog (BaseRichOutputFormat.java:648-660).
-    Returns each statement's update count (-1 for non-DML)."""
+    Returns each statement's update count (-1 for non-DML).
+
+    Runs as ONE transaction (autocommit off, single commit at the end):
+    a crash mid-list applies nothing — the property
+    ``write_jdbc_exactly_once`` builds on to make data apply + batch
+    marker atomic (the reference's XA ``semantic=exactly-once``,
+    JdbcOutputFormat commit protocol)."""
     conn = _connection(spark, url, driver, user, password)
     counts = []
     try:
+        conn.setAutoCommit(False)
         st = conn.createStatement()
         for sql in statements:
             try:
@@ -81,6 +88,12 @@ def execute_sql(
                 st.execute(sql)
                 counts.append(-1)
         conn.commit()
+    except Exception:
+        try:
+            conn.rollback()
+        except Exception:
+            pass
+        raise
     finally:
         conn.close()
     return counts
@@ -239,6 +252,21 @@ def staged_upsert_statements(
     return stmts
 
 
+def _stage_frame(df: DataFrame, url: str, staging: str, props: dict) -> None:
+    """Distributed bulk-load into a staging table. Derby folds unquoted
+    identifiers to UPPER while Spark quotes the exact case it's given —
+    uppercase the staging frame so the driver-side unquoted SQL resolves
+    against it on any fold-to-upper dialect."""
+    up = df.toDF(*[c.upper() for c in df.columns])
+    w = up.write.format("jdbc").option("url", url).option("dbtable", staging)
+    types = _staging_types(up)
+    if types:
+        w = w.option("createTableColumnTypes", types)
+    for k, v in props.items():
+        w = w.option(k, v)
+    w.mode("overwrite").save()
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
@@ -269,18 +297,8 @@ def write_jdbc(
         raise ValueError(f"unknown jdbc writeMode {mode!r}")
     if not pk:
         raise ValueError("upsert/replace needs a pk (updateKey)")
-    # Derby folds unquoted identifiers to UPPER; Spark quotes the exact
-    # case it's given — uppercase the staging frame so the driver-side
-    # unquoted SQL resolves against it on any fold-to-upper dialect
     staging = staging_table or f"{table}_cj_stage"
-    up = df.toDF(*[c.upper() for c in df.columns])
-    w = up.write.format("jdbc").option("url", url).option("dbtable", staging)
-    types = _staging_types(up)
-    if types:
-        w = w.option("createTableColumnTypes", types)
-    for k, v in props.items():
-        w = w.option(k, v)
-    w.mode("overwrite").save()
+    _stage_frame(df, url, staging, props)
     try:
         execute_sql(
             spark=df.sparkSession,
@@ -297,6 +315,122 @@ def write_jdbc(
                         driver, user, password)
         except Exception:
             pass  # stage left behind is harmless; next run overwrites it
+
+
+# ------------------------------------------------------- exactly-once sink
+
+AUDIT_TABLE = "CHUNJUN_BATCHES"
+
+
+def _qlit(s: str) -> str:
+    return "'" + str(s).replace("'", "''") + "'"
+
+
+def ensure_audit_table(
+    spark: SparkSession, url: str,
+    driver: str | None = None, user: str | None = None,
+    password: str | None = None,
+) -> None:
+    """Create the per-database batch-lineage table if absent — the JDBC
+    sink's analog of the lake manifest's ``lineage`` map."""
+    try:
+        execute_sql(
+            spark, url,
+            [
+                f"CREATE TABLE {AUDIT_TABLE} ("
+                "JOB_ID VARCHAR(128) NOT NULL, "
+                "BATCH_ID VARCHAR(128) NOT NULL, "
+                "APPLIED_AT TIMESTAMP DEFAULT CURRENT_TIMESTAMP, "
+                "PRIMARY KEY (JOB_ID, BATCH_ID))"
+            ],
+            driver, user, password,
+        )
+    except Exception:
+        pass  # already exists (no portable IF NOT EXISTS across dialects)
+
+
+def batch_applied(
+    spark: SparkSession, url: str, job_id: str, batch_id: str,
+    driver: str | None = None, user: str | None = None,
+    password: str | None = None,
+) -> bool:
+    n = query_scalar(
+        spark, url,
+        f"SELECT COUNT(*) FROM {AUDIT_TABLE} "
+        f"WHERE JOB_ID = {_qlit(job_id)} AND BATCH_ID = {_qlit(batch_id)}",
+        driver, user, password,
+    )
+    return bool(n)
+
+
+def write_jdbc_exactly_once(
+    df: DataFrame,
+    url: str,
+    table: str,
+    job_id: str,
+    batch_id: str,
+    mode: str = "upsert",
+    pk: list[str] | None = None,
+    driver: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    batch_size: int = 1000,
+    staging_table: str | None = None,
+) -> dict:
+    """Exactly-once JDBC apply: the reference's ``semantic=exactly-once``
+    (XA per-channel two-phase commit, JdbcOutputFormat commit protocol)
+    re-expressed set-based.
+
+    Protocol: (1) if (job_id, batch_id) is already in ``CHUNJUN_BATCHES``
+    → skip (replayed micro-batch after restart); (2) bulk-load the batch
+    into a staging table (distributed, restartable — staging is
+    overwrite-idempotent); (3) run data apply + batch-marker INSERT as
+    ONE driver-side transaction. A crash before the commit applies
+    nothing; after it, the replay hits the skip path — so a micro-batch
+    lands in the target database exactly once even for the
+    non-idempotent ``insert`` mode.
+    """
+    if mode not in ("insert", "upsert", "replace", "update"):
+        raise ValueError(f"unknown jdbc writeMode {mode!r}")
+    if mode != "insert" and not pk:
+        raise ValueError("upsert/replace needs a pk (updateKey)")
+    ensure_audit_table(df.sparkSession, url, driver, user, password)
+    if batch_applied(df.sparkSession, url, job_id, batch_id,
+                     driver, user, password):
+        return {"skipped": True, "batch_id": batch_id}
+
+    props = {"batchsize": str(batch_size)}
+    if driver:
+        props["driver"] = driver
+    if user is not None:
+        props["user"] = user
+        props["password"] = password or ""
+    staging = staging_table or f"{table}_cj_stage"
+    _stage_frame(df, url, staging, props)
+    cols = [c.upper() for c in df.columns]
+    if mode == "insert":
+        collist = ", ".join(cols)
+        stmts = [
+            f"INSERT INTO {table} ({collist}) "
+            f"SELECT {collist} FROM {staging}"
+        ]
+    else:
+        stmts = staged_upsert_statements(
+            table, staging, cols, [c.upper() for c in (pk or [])]
+        )
+    stmts.append(
+        f"INSERT INTO {AUDIT_TABLE} (JOB_ID, BATCH_ID) "
+        f"VALUES ({_qlit(job_id)}, {_qlit(batch_id)})"
+    )
+    try:
+        execute_sql(df.sparkSession, url, stmts, driver, user, password)
+    finally:
+        try:
+            execute_sql(df.sparkSession, url, [f"DROP TABLE {staging}"],
+                        driver, user, password)
+        except Exception:
+            pass  # stage left behind is harmless; next run overwrites it
+    return {"skipped": False, "batch_id": batch_id, "n_statements": len(stmts)}
 
 
 # --------------------------------------------------------------- polling

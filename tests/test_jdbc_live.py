@@ -109,6 +109,84 @@ def test_write_upsert_updates_and_inserts(spark):
                      driver=DERBY_DRIVER)
 
 
+def test_execute_sql_is_one_transaction(spark):
+    """A failing statement mid-list rolls back everything before it —
+    the atomicity write_jdbc_exactly_once builds on."""
+    url = _db("txndb")
+    execute_sql(spark, url, ["CREATE TABLE t (id INT)"], driver=DERBY_DRIVER)
+    with pytest.raises(Exception):
+        execute_sql(
+            spark, url,
+            ["INSERT INTO t VALUES (1)", "INSERT INTO nonexistent VALUES (2)"],
+            driver=DERBY_DRIVER,
+        )
+    n = query_scalar(spark, url, "SELECT COUNT(*) FROM t", driver=DERBY_DRIVER)
+    assert int(n) == 0, "partial transaction leaked"
+
+
+def test_exactly_once_insert_replay_is_noop(spark):
+    """semantic=exactly-once: re-delivering the same (job, batch) must not
+    double-apply even in the non-idempotent insert mode."""
+    from chunjun_spark.sources.jdbc_live import batch_applied, write_jdbc_exactly_once
+
+    url = _db("xoncedb")
+    execute_sql(
+        spark, url,
+        ["CREATE TABLE tgt (id INT, name VARCHAR(64), val DOUBLE)"],
+        driver=DERBY_DRIVER,
+    )
+    out = spark.range(10).selectExpr(
+        "cast(id as int) as ID", "concat('w', id) as NAME", "id * 2.0 as VAL"
+    )
+    r1 = write_jdbc_exactly_once(
+        out, url, "tgt", job_id="j1", batch_id="b1", mode="insert",
+        driver=DERBY_DRIVER,
+    )
+    assert not r1["skipped"]
+    r2 = write_jdbc_exactly_once(
+        out, url, "tgt", job_id="j1", batch_id="b1", mode="insert",
+        driver=DERBY_DRIVER,
+    )
+    assert r2["skipped"]
+    n = query_scalar(spark, url, "SELECT COUNT(*) FROM tgt", driver=DERBY_DRIVER)
+    assert int(n) == 10  # not 20
+    assert batch_applied(spark, url, "j1", "b1", driver=DERBY_DRIVER)
+    # a DIFFERENT batch id applies
+    r3 = write_jdbc_exactly_once(
+        out, url, "tgt", job_id="j1", batch_id="b2", mode="insert",
+        driver=DERBY_DRIVER,
+    )
+    assert not r3["skipped"]
+    n = query_scalar(spark, url, "SELECT COUNT(*) FROM tgt", driver=DERBY_DRIVER)
+    assert int(n) == 20
+
+
+def test_exactly_once_upsert_sequence(spark):
+    from chunjun_spark.sources.jdbc_live import write_jdbc_exactly_once
+
+    url = _db("xonceups")
+    _seed(spark, url, "tgt", n=5)  # ids 0..4, names n*
+    out = spark.range(3, 8).selectExpr(
+        "cast(id as int) as id", "concat('u', id) as name", "id * 10.0 as val"
+    )
+    write_jdbc_exactly_once(
+        out, url, "tgt", job_id="j", batch_id="b1", mode="upsert", pk=["id"],
+        driver=DERBY_DRIVER,
+    )
+    # replay b1: no-op; then b2 advances
+    write_jdbc_exactly_once(
+        out, url, "tgt", job_id="j", batch_id="b1", mode="upsert", pk=["id"],
+        driver=DERBY_DRIVER,
+    )
+    total = query_scalar(spark, url, "SELECT COUNT(*) FROM tgt", driver=DERBY_DRIVER)
+    assert int(total) == 8  # 0..7
+    updated = query_scalar(
+        spark, url, "SELECT COUNT(*) FROM tgt WHERE name LIKE 'u%'",
+        driver=DERBY_DRIVER,
+    )
+    assert int(updated) == 5
+
+
 def test_jdbc_job_end_to_end_with_pre_post_sql(spark, tmp_root):
     """Reference bread-and-butter job: jdbcreader → jdbcwriter with
     preSql truncate + postSql audit row, via a job JSON."""
