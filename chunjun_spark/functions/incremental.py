@@ -94,6 +94,7 @@ def update_minhash_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     bands: int = 16,
+    precomputed_bands: DataFrame | None = None,
     **mh_kw,
 ) -> dict:
     """Apply one CDF window to the index.
@@ -103,13 +104,21 @@ def update_minhash_index(
     frame of that shape). ``version``: the docs-table snapshot version of
     the window's END — it becomes the index rows' version sequence, so
     replayed/overlapping windows lose the stale race instead of
-    regressing the index.
+    regressing the index. ``precomputed_bands``: the live docs' band rows
+    if the caller already computed them (``sync_minhash_index`` reuses
+    one materialized band frame for both the merge and the probe — the
+    signature hash sweep is the window's dominant cost, never pay it
+    twice).
     """
-    live = changes.filter(F.col("_change_type") != "delete").select(
-        F.col(id_col), F.col(text_col)
-    )
-    upserts = band_rows(live, text_col=text_col, id_col=id_col,
-                        bands=bands, **mh_kw).select(
+    if precomputed_bands is not None:
+        bands_df = precomputed_bands
+    else:
+        live = changes.filter(F.col("_change_type") != "delete").select(
+            F.col(id_col), F.col(text_col)
+        )
+        bands_df = band_rows(live, text_col=text_col, id_col=id_col,
+                             bands=bands, **mh_kw)
+    upserts = bands_df.select(
         "doc_id", "band", "bhash",
         F.lit("UPSERT").alias(OP_COL),
     )
@@ -174,17 +183,27 @@ def sync_minhash_index(
             [], "id_a long, id_b long"
         )
         return {"merge": {"skipped": True}, "candidates": empty, "version": end}
-    changes = docs_table.read_changes(since_version, end)
-    info = update_minhash_index(
-        index, changes, version=end,
-        batch_id=f"cdf:{since_version}->{end}",
-        text_col=text_col, id_col=id_col, bands=bands, **mh_kw,
+    # one snapshot-diff evaluation: the CDF is consumed by the band
+    # computation AND the delete-tombstone branch of the merge —
+    # materialize it once (localCheckpoint, never .cache() on the wide
+    # text payload)
+    changes = docs_table.read_changes(since_version, end).localCheckpoint(
+        eager=True
     )
     live = changes.filter(F.col("_change_type") != "delete").select(
         F.col(id_col), F.col(text_col)
     )
+    # one signature sweep: the band rows feed both the index merge and
+    # the candidate probe; they're narrow (id, band, bhash) so the
+    # materialization is tiny next to recomputing k×|shingles| hashes
     probe = band_rows(live, text_col=text_col, id_col=id_col,
-                      bands=bands, **mh_kw)
+                      bands=bands, **mh_kw).localCheckpoint(eager=True)
+    info = update_minhash_index(
+        index, changes, version=end,
+        batch_id=f"cdf:{since_version}->{end}",
+        text_col=text_col, id_col=id_col, bands=bands,
+        precomputed_bands=probe, **mh_kw,
+    )
     return {
         "merge": info,
         "candidates": index_candidates(index, probe),
