@@ -1,0 +1,202 @@
+"""Property-based schema evolution under batched replay.
+
+Hypothesis generates arbitrary interleavings of data events and DDL
+actions (add / rename / widen / drop / re-add-after-drop), split into
+1-3 replay batches. The engine (apply DDLs first, then the deduped
+replace-mode merge; old files read through the id-based projection)
+must agree exactly with a pure-Python fold model that tracks columns by
+stable field id — including the Iceberg never-reuse rule: a column
+re-added after a drop reads NULL, never the dropped values.
+
+Engine batch semantics encoded in the model: within one batch, ALL DDL
+events apply before the data merge (chunjun_spark/operators/merge.py
+replay), and the surviving event per key replaces the whole row
+projected to the post-DDL schema.
+"""
+
+import datetime
+import json
+import os
+import uuid
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from chunjun_spark.operators.merge import replay
+from chunjun_spark.plans.lake import LakeTable
+
+TS = datetime.datetime(2024, 1, 1)
+
+# tokens: ("ev", key, op, v, c) | ("ddl", tag)
+TOKEN = st.one_of(
+    st.tuples(
+        st.just("ev"),
+        st.integers(min_value=0, max_value=3),                  # key
+        st.sampled_from(["UPSERT", "UPSERT", "UPSERT", "DELETE"]),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=99)),  # v
+        st.one_of(st.none(), st.integers(min_value=0, max_value=9)),   # extra col
+    ),
+    st.tuples(st.just("ddl"), st.sampled_from(["add", "rename", "widen", "drop"])),
+)
+
+
+def _normalize(tokens):
+    """Drop DDL tokens invalid at their position (rename before add, ...)
+    so both engine and model see only well-formed evolution sequences."""
+    live = {}  # name -> fid for the evolvable extra column family
+    next_fid = [3]  # 1=k, 2=v in the base schema
+    widened = [False]
+    out = []
+    for t in tokens:
+        if t[0] == "ev":
+            out.append(t)
+            continue
+        tag = t[1]
+        if tag == "add":
+            if "c" in live:
+                continue
+            live["c"] = next_fid[0]
+            next_fid[0] += 1
+            out.append(("ddl", "add"))
+        elif tag == "rename":
+            if "c" not in live or "d" in live:
+                continue
+            live["d"] = live.pop("c")
+            out.append(("ddl", "rename"))
+        elif tag == "widen":
+            if widened[0]:
+                continue
+            widened[0] = True
+            out.append(("ddl", "widen"))
+        elif tag == "drop":
+            name = "d" if "d" in live else ("c" if "c" in live else None)
+            if name is None:
+                continue
+            live.pop(name)
+            out.append(("ddl", "drop", name))
+    return out
+
+
+def _ddl_json(tok, live):
+    tag = tok[1]
+    if tag == "add":
+        return {"action": "add_column", "name": "c", "type": "int"}
+    if tag == "rename":
+        return {"action": "rename_column", "old": "c", "new": "d"}
+    if tag == "widen":
+        return {"action": "widen_type", "name": "v", "type": "bigint"}
+    return {"action": "drop_column", "name": tok[2]}
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(TOKEN, min_size=1, max_size=12),
+       st.integers(min_value=1, max_value=3))
+def test_ddl_replay_matches_fold_model(spark, tmp_root, tokens, n_batches):
+    tokens = _normalize(tokens)
+    if not tokens:
+        return
+    root = os.path.join(tmp_root, f"plake_{uuid.uuid4().hex[:8]}")
+    base = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.IntegerType()),
+    ])
+    table = LakeTable.create(spark, root, base, pk=["k"], n_buckets=2)
+
+    # ------- shared token walk: engine batch construction + fold model
+    size = max(1, (len(tokens) + n_batches - 1) // n_batches)
+    batches = [tokens[i:i + size] for i in range(0, len(tokens), size)]
+
+    # column registry by stable fid; base k=1, v=2
+    live = {1: "k", 2: "v"}   # fid -> current name
+    extra_fid = {}            # name -> fid for the c/d family
+    next_fid = 3
+    state = {}                # key -> {fid: value} projected at write time
+    seq = 0
+
+    for bi, batch in enumerate(batches):
+        ddl_rows = []          # (seq, json)
+        ev_rows = []           # (seq, key, op, {fid: value})
+        for tok in batch:
+            seq += 1
+            if tok[0] == "ddl":
+                ddl_rows.append((seq, _ddl_json(tok, live)))
+                # model: maintain the registry NOW (engine applies all
+                # batch DDLs before the merge, but registry order still
+                # matters for which fid an event's extra value binds to)
+                tag = tok[1]
+                if tag == "add":
+                    extra_fid["c"] = next_fid
+                    live[next_fid] = "c"
+                    next_fid += 1
+                elif tag == "rename":
+                    fid = extra_fid.pop("c")
+                    extra_fid["d"] = fid
+                    live[fid] = "d"
+                elif tag == "drop":
+                    fid = extra_fid.pop(tok[2])
+                    live.pop(fid)
+                # widen: no registry change
+            else:
+                _, key, op, v, c = tok
+                payload = {1: key, 2: v}
+                ename = "d" if "d" in extra_fid else ("c" if "c" in extra_fid else None)
+                if ename is not None:
+                    payload[extra_fid[ename]] = c
+                ev_rows.append((seq, key, op, payload))
+
+        # ----- engine: build the batch under its POST-DDL schema
+        final_fids = sorted(live)  # k, v, then extras in fid order
+        extra_names = [live[f] for f in final_fids if f > 2]
+        pfields = [T.StructField("k", T.LongType()),
+                   T.StructField("v", T.LongType())]
+        pfields += [T.StructField(nm, T.IntegerType()) for nm in extra_names]
+        pstruct = T.StructType(pfields)
+        eschema = T.StructType([
+            T.StructField("op", T.StringType()),
+            T.StructField("schema_name", T.StringType()),
+            T.StructField("table_name", T.StringType()),
+            T.StructField("op_ts", T.TimestampType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("partition_id", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("before", pstruct),
+            T.StructField("after", pstruct),
+            T.StructField("ddl", T.StringType()),
+        ])
+        rows = []
+        for s, spec in ddl_rows:
+            rows.append(("DDL", "lake", "t", TS + datetime.timedelta(seconds=s),
+                         s, 0, s, None, None, json.dumps(spec)))
+        for s, key, op, payload in ev_rows:
+            img = tuple(payload.get(f) for f in final_fids)
+            rows.append((op, "lake", "t", TS + datetime.timedelta(seconds=s),
+                         s, 0, s,
+                         img if op == "DELETE" else None,
+                         img if op != "DELETE" else None,
+                         None))
+        bdf = spark.createDataFrame(rows, eschema)
+        replay(bdf, LakeTable.load(spark, root), batch_id=f"b{bi}")
+
+        # ----- model: per batch, last event per key wins (replace mode)
+        last = {}
+        for s, key, op, payload in ev_rows:
+            last[key] = (op, payload)
+        for key, (op, payload) in last.items():
+            if op == "DELETE":
+                state.pop(key, None)
+            else:
+                state[key] = {f: payload.get(f) for f in final_fids}
+
+    # ------- compare final table vs model under the FINAL schema
+    final_fids = sorted(live)
+    got = {}
+    for r in LakeTable.load(spark, root).read().collect():
+        d = r.asDict()
+        got[d["k"]] = tuple(d[live[f]] for f in final_fids if f != 1)
+    want = {
+        key: tuple(row.get(f) for f in final_fids if f != 1)
+        for key, row in state.items()
+    }
+    assert got == want
