@@ -386,11 +386,20 @@ class LakeTable:
         if not deltas:
             return base
         delta_parts = []
+        want = {int(b) for b in buckets} if buckets is not None else None
         for d in deltas:
+            if want is not None and d.get("buckets") is not None:
+                # file-level skip: a delta whose touched-bucket set is
+                # disjoint from the probe cannot hold any probed key's
+                # version (bucket is a pure key hash) — don't open it
+                if not want & {int(b) for b in d["buckets"]}:
+                    continue
             df = self.spark.read.parquet(os.path.join(self.root, d["path"]))
             if buckets is not None:
                 df = df.filter(F.col(_BUCKET_COL).isin([int(b) for b in buckets]))
             delta_parts.append(self._align(df, d["schema_version"]).drop(OP_COL))
+        if not delta_parts:
+            return base
         delta = delta_parts[0]
         for p in delta_parts[1:]:
             delta = delta.unionByName(p)
@@ -462,7 +471,18 @@ class LakeTable:
         """
         eq, between = eq or {}, between or {}
         entries = self.manifest["buckets"]
+        # candidates = base buckets ∪ delta-touched buckets: a MOR table
+        # can hold a bucket's ONLY data in deltas (empty/partial base), so
+        # seeding from the base alone silently dropped those keys from
+        # pruned reads. A delta without a recorded set (older manifest)
+        # must be assumed to touch everything.
         cand = {int(b) for b in entries}
+        for d in self.manifest["deltas"]:
+            tb = d.get("buckets")
+            if tb is None:
+                cand |= set(range(self.n_buckets))
+                break
+            cand |= {int(b) for b in tb}
         pruned = False
         if all(c in eq for c in self.bucket_cols):
             cand &= set(
@@ -935,15 +955,25 @@ class LakeTable:
         ch = self._prep_changes(changes)
         m = self._next_manifest()
         rel = os.path.join("data", f"v{m['version']}-delta-{uuid.uuid4().hex[:8]}")
-        # row count rides the write action as an observed metric — a prior
-        # re-read of the just-written delta cost one extra delta-sized scan
-        # per micro-batch
+        # row count AND touched-bucket set ride the write action as
+        # observed metrics — a prior re-read of the just-written delta
+        # cost one extra delta-sized scan per micro-batch. The bucket set
+        # lets pruned reads skip this delta's FILES entirely when the
+        # probe buckets don't intersect it (sound: a key's every version
+        # lives in the key's bucket, so a disjoint delta cannot hold a
+        # version of any probed key).
         obs = Observation()
-        ch = ch.observe(obs, F.count(F.lit(1)).alias("n"))
+        ch = ch.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set(F.col(_BUCKET_COL)).alias("touched"),
+        )
         ch.write.mode("overwrite").parquet(os.path.join(self.root, rel))
         n = int(obs.get["n"])
+        touched = sorted(int(b) for b in obs.get["touched"])
         m["deltas"].append(
-            {"path": rel, "schema_version": m["schema_version"], "batch_id": batch_id}
+            {"path": rel, "schema_version": m["schema_version"],
+             "batch_id": batch_id, "buckets": touched}
         )
         self._record_lineage(m, batch_id, offsets, n, extra_metrics)
         self._write_manifest(m, expected_parent=m["parent"])

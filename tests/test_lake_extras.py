@@ -357,6 +357,52 @@ def test_stats_pruning_matches_full_filter(spark, tmp_root):
     assert t.scan(between={"size": (10_000, 20_000)}).count() == 0
 
 
+def test_delta_bucket_set_skips_disjoint_files(spark, tmp_root):
+    """Pruned reads must not OPEN delta files whose recorded touched-
+    bucket set is disjoint from the probe (file-level MOR skip)."""
+    t = _cdf_table(spark, tmp_root, "dskip")
+    # two deltas touching provably different single buckets
+    keys = list(range(40))
+    by_bucket = {}
+    for k in keys:
+        b = t._buckets_for_key_values([k])[0]
+        by_bucket.setdefault(b, []).append(k)
+    (b1, ks1), (b2, ks2) = sorted(by_bucket.items())[:2]
+    t.append_delta(_mk_changes(spark, [(k, 1.0, "UPSERT", 1, k) for k in ks1[:3]]),
+                   batch_id="d1")
+    t = t.refresh()
+    t.append_delta(_mk_changes(spark, [(k, 2.0, "UPSERT", 2, 100 + k) for k in ks2[:3]]),
+                   batch_id="d2")
+    t = t.refresh()
+    d1, d2 = t.manifest["deltas"]
+    assert d1["buckets"] == [b1] and d2["buckets"] == [b2]
+
+    probe = t.read(buckets=[b1], with_internal=True)
+    files = "\n".join(probe.inputFiles())
+    assert d1["path"].split("/")[-1] in files
+    assert d2["path"].split("/")[-1] not in files, "disjoint delta was opened"
+    # correctness of the pruned read
+    got = {r["user_id"]: r["v"] for r in probe.collect()}
+    assert got == {k: 1.0 for k in ks1[:3]}
+    # full read still sees both deltas
+    full = {r["user_id"]: r["v"] for r in t.read().collect()}
+    assert full == {**{k: 1.0 for k in ks1[:3]}, **{k: 2.0 for k in ks2[:3]}}
+
+
+def test_point_lookup_on_mor_only_table(spark, tmp_root):
+    """Regression: a key whose bucket exists ONLY in deltas (empty base —
+    pure MOR ingest, never compacted) must still be found by pruned
+    reads. _prune_buckets used to seed candidates from the base bucket
+    entries alone and returned an empty set here."""
+    t = _cdf_table(spark, tmp_root, "moronly")
+    t.append_delta(_mk_changes(spark, [(k, float(k), "UPSERT", 1, k) for k in range(20)]),
+                   batch_id="d1")
+    t = t.refresh()
+    assert not t.manifest["buckets"] and t.manifest["deltas"]
+    got = {r["user_id"]: r["v"] for r in t.point_lookup(7, 11).collect()}
+    assert got == {7: 7.0, 11: 11.0}
+
+
 def test_stats_pruning_disabled_with_deltas(spark, tmp_root):
     t = _scan_table(spark, tmp_root)
     up = spark.createDataFrame(
