@@ -490,15 +490,10 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
             byte_rate_limit=cfg.speed.bytes,
         )
         table = LakeTable.load(spark, wp["path"])
-        lineage = table.manifest["lineage"]
-        num_read = sum(
-            v.get("metrics", {}).get("numRead", 0) for v in lineage.values()
-        )
+        totals = table.lineage_totals()  # exact even past lineage eviction
         return {
-            "numRead": num_read,
-            "numWrite": sum(
-                v.get("metrics", {}).get("numWrite", 0) for v in lineage.values()
-            ),
+            "numRead": totals["numRead"],
+            "numWrite": totals["numWrite"],
             "nErrors": 0,
             "duration": round(time.time() - t0, 2),
         }

@@ -220,6 +220,7 @@ class LakeTable:
         n_buckets: int = 16,
         stats_cols: list[str] | None = None,
         bucket_cols: list[str] | None = None,
+        lineage_retention: int = 10_000,
     ) -> "LakeTable":
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
@@ -245,6 +246,16 @@ class LakeTable:
             # list of {"path": rel_dir, "schema_version": int, "batch_id": str}
             "deltas": [],
             "lineage": {},  # batch_id -> {"offsets": {...}, "metrics": {...}, "ts": epoch}
+            # max live lineage entries; older ones fold into
+            # lineage_rollup (exact totals survive) — otherwise the
+            # manifest grows one entry per micro-batch FOREVER and every
+            # commit rewrites all of it (O(batches²) bytes at 10^10-event
+            # continuous ingest). The cap is also the idempotence window:
+            # a batch_id older than the newest `lineage_retention` ids can
+            # no longer be detected as a duplicate — far beyond anything
+            # Structured Streaming replays (only the last uncommitted
+            # micro-batch comes back after restart).
+            "lineage_retention": lineage_retention,
             # columns whose per-bucket min/max are harvested from parquet
             # footers at commit time (Iceberg file-stats analog)
             "stats_cols": list(stats_cols or []),
@@ -302,7 +313,26 @@ class LakeTable:
         return self.manifest["n_buckets"]
 
     def committed_batches(self) -> set[str]:
+        """Batch ids in the LIVE lineage window (idempotence guard).
+        Entries older than ``lineage_retention`` have been folded into
+        the rollup and are no longer individually detectable — the
+        documented idempotence window (see the manifest comment)."""
         return set(self.manifest["lineage"].keys())
+
+    def lineage_totals(self) -> dict:
+        """Exact lifetime numRead/numWrite/batch counts: live lineage
+        window + the eviction rollup."""
+        roll = self.manifest.get(
+            "lineage_rollup", {"n_batches": 0, "numWrite": 0, "numRead": 0}
+        )
+        live = self.manifest["lineage"].values()
+        return {
+            "n_batches": roll["n_batches"] + len(self.manifest["lineage"]),
+            "numWrite": roll["numWrite"]
+            + sum(v.get("metrics", {}).get("numWrite", 0) for v in live),
+            "numRead": roll["numRead"]
+            + sum(v.get("metrics", {}).get("numRead", 0) for v in live),
+        }
 
     @property
     def stats_cols(self) -> list[str]:
@@ -1057,6 +1087,23 @@ class LakeTable:
             "metrics": metrics,
             "ts": time.time(),
         }
+        cap = m.get("lineage_retention") or 0
+        if cap and len(m["lineage"]) > cap:
+            # evict oldest entries into an exact aggregate rollup so the
+            # manifest stays O(retention) while numRead/numWrite totals
+            # remain lossless (lineage_totals)
+            items = sorted(m["lineage"].items(), key=lambda kv: kv[1].get("ts", 0.0))
+            roll = m.setdefault(
+                "lineage_rollup",
+                {"n_batches": 0, "numWrite": 0, "numRead": 0, "through_ts": 0.0},
+            )
+            for bid, v in items[: len(items) - cap]:
+                mt = v.get("metrics", {})
+                roll["n_batches"] += 1
+                roll["numWrite"] += mt.get("numWrite", 0)
+                roll["numRead"] += mt.get("numRead", 0)
+                roll["through_ts"] = max(roll["through_ts"], v.get("ts", 0.0))
+                del m["lineage"][bid]
 
     # ----------------------------------------------------- history / GC
     def history(self) -> list[dict]:

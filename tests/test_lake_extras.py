@@ -389,6 +389,40 @@ def test_delta_bucket_set_skips_disjoint_files(spark, tmp_root):
     assert full == {**{k: 1.0 for k in ks1[:3]}, **{k: 2.0 for k in ks2[:3]}}
 
 
+def test_lineage_retention_rolls_up_exact_totals(spark, tmp_root):
+    """Manifest lineage stays O(retention) under continuous ingest while
+    lifetime numWrite/numRead totals remain exact via the rollup."""
+    from pyspark.sql import types as T
+    root = os.path.join(tmp_root, "lret")
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    t = LakeTable.create(spark, root, schema, pk=["user_id"], n_buckets=2,
+                         lineage_retention=3)
+    for i in range(7):
+        t.append_delta(
+            _mk_changes(spark, [(k, float(i), "UPSERT", i, i * 100 + k)
+                                for k in range(i + 1)]),
+            batch_id=f"b{i}",
+            extra_metrics={"numRead": i + 1},
+        )
+        t = t.refresh()
+    assert len(t.manifest["lineage"]) == 3
+    # newest ids retained, oldest evicted
+    assert t.committed_batches() == {"b4", "b5", "b6"}
+    roll = t.manifest["lineage_rollup"]
+    assert roll["n_batches"] == 4
+    totals = t.lineage_totals()
+    assert totals["n_batches"] == 7
+    assert totals["numWrite"] == sum(i + 1 for i in range(7))
+    assert totals["numRead"] == sum(i + 1 for i in range(7))
+    # replay of a RETAINED batch is still a no-op
+    before = t.read().count()
+    t.append_delta(_mk_changes(spark, [(99, 9.9, "UPSERT", 9, 999)]), batch_id="b6")
+    assert t.refresh().read().count() == before
+
+
 def test_point_lookup_on_mor_only_table(spark, tmp_root):
     """Regression: a key whose bucket exists ONLY in deltas (empty base —
     pure MOR ingest, never compacted) must still be found by pruned
