@@ -389,6 +389,48 @@ def test_delta_bucket_set_skips_disjoint_files(spark, tmp_root):
     assert full == {**{k: 1.0 for k in ks1[:3]}, **{k: 2.0 for k in ks2[:3]}}
 
 
+def test_cluster_cols_sort_on_write(spark, tmp_root):
+    """cluster_cols (Iceberg SortOrder analog): every bucket file comes
+    out sorted by the cluster columns, on merge AND on compaction — the
+    property that makes parquet row-group min/max stats tight for
+    pushed-down range filters on the read-optimized path."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("size", T.LongType()),
+    ])
+    t = LakeTable.create(spark, os.path.join(tmp_root, "clustered"), schema,
+                         pk=["k"], n_buckets=4, cluster_cols=["size"])
+    import random
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(10_000)) for i in range(2000)]
+    ch = spark.createDataFrame(rows, schema).withColumn("_op", F.lit("UPSERT"))
+    t.merge(ch, batch_id="b1")
+    t = t.refresh()
+
+    def assert_sorted_buckets(table):
+        assert table.manifest["buckets"]
+        for b, e in table.manifest["buckets"].items():
+            bdir = os.path.join(table.root, e["path"])
+            for name in os.listdir(bdir):
+                if not name.endswith(".parquet"):
+                    continue
+                vals = pq.read_table(os.path.join(bdir, name),
+                                     columns=["size"])["size"].to_pylist()
+                assert vals == sorted(vals), f"bucket {b} file not clustered"
+
+    assert_sorted_buckets(t)
+    # MOR delta then compact: the rewritten base is clustered again
+    delta = spark.createDataFrame([(i, rng.randrange(10_000)) for i in range(500)],
+                                  schema).withColumn("_op", F.lit("UPSERT"))
+    t.append_delta(delta, batch_id="b2")
+    t = t.refresh()
+    t.compact()
+    assert_sorted_buckets(t.refresh())
+
+
 def test_lineage_retention_rolls_up_exact_totals(spark, tmp_root):
     """Manifest lineage stays O(retention) under continuous ingest while
     lifetime numWrite/numRead totals remain exact via the rollup."""
