@@ -60,17 +60,28 @@ def _read_stream_mock(spark: SparkSession, cfg: JobConfig) -> DataFrame:
 
 def _read_binlog(spark: SparkSession, cfg: JobConfig) -> DataFrame:
     """binlogreader: synthetic generator (n_events) or a parquet dir of
-    pre-materialized change events."""
+    pre-materialized change events. ``start``: {"timestamp": ts
+    (inclusive), "seq": n (exclusive)} — the reference's binlog start
+    position (docs/realTime/reader/binlogreader.md "start" option);
+    pushed-down scan filters, events before the position are never
+    read into the pipeline."""
     p = cfg.reader.parameter
     if "path" in p:
-        return spark.read.parquet(p["path"])
-    return generate_binlog(
-        spark,
-        n_events=int(p.get("nEvents", 100_000)),
-        n_keys=p.get("nKeys"),
-        seed=int(p.get("seed", 42)),
-        n_partitions=max(1, cfg.speed.channel),
-    )
+        df = spark.read.parquet(p["path"])
+    else:
+        df = generate_binlog(
+            spark,
+            n_events=int(p.get("nEvents", 100_000)),
+            n_keys=p.get("nKeys"),
+            seed=int(p.get("seed", 42)),
+            n_partitions=max(1, cfg.speed.channel),
+        )
+    start = p.get("start") or {}
+    if start.get("timestamp") is not None:
+        df = df.filter(F.col("op_ts") >= F.lit(start["timestamp"]).cast("timestamp"))
+    if start.get("seq") is not None:
+        df = df.filter(F.col("seq") > int(start["seq"]))
+    return df
 
 
 def _read_file(spark: SparkSession, cfg: JobConfig) -> DataFrame:

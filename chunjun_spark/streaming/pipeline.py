@@ -41,14 +41,27 @@ def read_binlog_stream(
     spark: SparkSession,
     binlog_dir: str,
     max_files_per_trigger: int = 4,
+    start_ts=None,
+    start_seq: int | None = None,
 ) -> DataFrame:
     """File-stream source over binlog segment files (the sandbox stand-in
-    for ``readStream.format('kafka')`` fed by canal/Debezium)."""
-    return (
+    for ``readStream.format('kafka')`` fed by canal/Debezium).
+
+    ``start_ts`` (inclusive) / ``start_seq`` (exclusive) are the
+    reference binlogreader's start position — ``"start": {"timestamp":
+    ...}`` / journal position (docs/realTime/reader/binlogreader.md;
+    BinlogInputFormat entry options). Codegen filters pushed to the
+    scan; events before the position never enter the pipeline."""
+    out = (
         spark.readStream.schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(binlog_dir)
     )
+    if start_ts is not None:
+        out = out.filter(F.col("op_ts") >= F.lit(start_ts).cast("timestamp"))
+    if start_seq is not None:
+        out = out.filter(F.col("seq") > int(start_seq))
+    return out
 
 
 def read_binlog_stream_json(

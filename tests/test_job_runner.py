@@ -102,6 +102,44 @@ def test_binlog_to_lake_job(spark, tmp_root):
     assert LakeTable.load(spark, lake).read().count() == n_before
 
 
+def test_binlog_start_position(spark, tmp_root):
+    """binlogreader 'start' option: events before the position never
+    enter the pipeline (reference start.timestamp / journal position)."""
+    import pyspark.sql.functions as F
+
+    from chunjun_spark.sources.binlog import generate_binlog
+
+    binlog = os.path.join(tmp_root, "posbinlog")
+    ev = generate_binlog(spark, 1000, n_keys=300, seed=5)
+    ev.write.parquet(binlog)
+    cut = ev.orderBy("seq").collect()[600]  # resume position
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {
+                        "name": "binlogreader",
+                        "parameter": {"path": binlog, "start": {"seq": cut["seq"]}},
+                    },
+                    "writer": {"name": "streamwriter"},
+                }
+            ],
+            "setting": {"speed": {"channel": 2}},
+        }
+    }
+    m = run_job(spark, cfg)
+    want = ev.filter(F.col("seq") > cut["seq"]).count()
+    assert m["numRead"] == want
+
+    # timestamp form (inclusive)
+    cfg["job"]["content"][0]["reader"]["parameter"]["start"] = {
+        "timestamp": str(cut["op_ts"])
+    }
+    m2 = run_job(spark, cfg)
+    want2 = ev.filter(F.col("op_ts") >= cut["op_ts"]).count()
+    assert m2["numRead"] == want2
+
+
 def test_file_roundtrip_job(spark, tmp_root):
     src = os.path.join(tmp_root, "src")
     dst = os.path.join(tmp_root, "dst")

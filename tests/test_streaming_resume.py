@@ -150,6 +150,20 @@ def test_stale_duplicate_cannot_resurrect_delete(spark, tmp_root):
     assert sha256_state(got) == sha256_state(want)
 
 
+def test_stream_start_position(spark, tmp_root):
+    """read_binlog_stream(start_seq=...) tails from a binlog position:
+    the final state equals the fold of ONLY the events past it."""
+    events, binlog_dir, table = _setup(spark, tmp_root, n_events=6_000, n_files=4)
+    cut = 3_000
+    stream = read_binlog_stream(spark, binlog_dir, max_files_per_trigger=2,
+                                start_seq=cut)
+    q = start_replay_stream(stream, table.root, os.path.join(tmp_root, "ckpt"))
+    q.awaitTermination(240)
+    got = df_state(LakeTable.load(spark, table.root).read(), PK)
+    want = fold_oracle(events.filter(F.col("seq") > cut).collect(), PK)
+    assert sha256_state(got) == sha256_state(want)
+
+
 def test_mor_stream_then_compact(spark, tmp_root):
     events, binlog_dir, table = _setup(spark, tmp_root, n_events=10_000, n_files=6)
     run_stream_to_completion(
