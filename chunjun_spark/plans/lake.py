@@ -1035,7 +1035,10 @@ class LakeTable:
         return {"skipped": False, "batch_id": batch_id, "n_changes": n, "version": m["version"]}
 
     def compact(
-        self, purge_tombstones: bool = False, new_n_buckets: int | None = None
+        self,
+        purge_tombstones: bool = False,
+        new_n_buckets: int | None = None,
+        new_bucket_cols: list[str] | None = None,
     ) -> dict:
         """Fold all deltas into the base; afterwards read() is a pure scan.
 
@@ -1052,6 +1055,12 @@ class LakeTable:
         Grow buckets when per-bucket data outlives executor memory or
         merge parallelism caps out; every subsequent merge/scan uses the
         new count from the manifest.
+
+        ``new_bucket_cols`` evolves the bucket-hash key itself (Iceberg
+        partition-SPEC evolution): e.g. switch a monorepo-skewed table
+        from [repo] prefix locality to full-key (repo, path) spread —
+        same single resolve-and-rewrite pass, atomic with the manifest
+        commit. Must be a subset of the pk (DELETE rows route by key).
         """
         resolved = self._resolve()
         if purge_tombstones:
@@ -1061,8 +1070,15 @@ class LakeTable:
             raise ValueError("new_n_buckets must be >= 1")
         n_out = int(new_n_buckets) if new_n_buckets is not None else self.n_buckets
         m["n_buckets"] = n_out
+        bcols = self.bucket_cols
+        if new_bucket_cols is not None:
+            bad = [c for c in new_bucket_cols if c not in self.pk]
+            if bad:
+                raise ValueError(f"bucket columns must be pk columns: {bad}")
+            bcols = list(new_bucket_cols)
+            m["bucket_cols"] = bcols
         rebucket = F.pmod(
-            F.xxhash64(*[F.col(c) for c in self.bucket_cols]), F.lit(n_out)
+            F.xxhash64(*[F.col(c) for c in bcols]), F.lit(n_out)
         ).cast("int")
         rel = os.path.join("data", f"v{m['version']}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.root, rel)

@@ -256,6 +256,7 @@ def start_multi_table_stream(
     job_id: str = "cdc-multi",
     mode: str = "cow",
     table_factory=None,
+    wire_format: str = "nested",
 ) -> StreamingQuery:
     """Route CDC events to per-table lake tables by ``table_name`` —
     the HiveOutputFormat fan-out (flinkx-hive/.../HiveOutputFormat.java:
@@ -270,7 +271,10 @@ def start_multi_table_stream(
     """
     from chunjun_spark.operators.ddl import apply_ddl_events, split_ddl
     from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA
+    from chunjun_spark.sources.changelog import decode_json_events
 
+    if wire_format not in ("nested", "json"):
+        raise ValueError(f"unknown wire_format {wire_format!r}")
     spark = events.sparkSession
 
     def default_factory(spark, root, table_name):
@@ -298,6 +302,10 @@ def start_multi_table_stream(
             if bid in table.committed_batches():
                 continue
             sub = batch_df.filter(F.col("table_name") == name)
+            if wire_format == "json":
+                # per-table decode against THAT table's post-DDL schema —
+                # heterogeneous payloads share one fixed wire schema
+                sub = decode_json_events(sub, table.schema.to_struct())
             keyed = events_with_pk(sub, table.pk)
             survivors = keep_last(keyed, pk=table.pk, order=("op_ts", "seq"))
             changes = to_changes(survivors)

@@ -529,6 +529,50 @@ def test_compact_reshards_bucket_count(spark, tmp_root):
     assert t.point_lookup(7).collect()[0]["size"] == 777
 
 
+def test_compact_evolves_bucket_cols(spark, tmp_root):
+    """Partition-SPEC evolution: switch bucket hashing from prefix
+    locality [repo-like pk[0]] to full-key spread in one compaction; the
+    logical state is unchanged and subsequent merges route by the NEW
+    key."""
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("size", T.LongType()),
+    ])
+    t = LakeTable.create(spark, os.path.join(tmp_root, "specevo"), schema,
+                         pk=["repo", "path"], n_buckets=4)
+    assert t.bucket_cols == ["repo"]
+    # monorepo skew: one repo holds almost all paths → one hot bucket
+    rows = [("mono", f"p{i}", i) for i in range(300)] + [("tiny", "p0", -1)]
+    ch = spark.createDataFrame(rows, schema).withColumn("_op", F.lit("UPSERT"))
+    t.merge(ch, batch_id="b1")
+    t = t.refresh()
+    assert len(t.manifest["buckets"]) <= 2  # prefix hash concentrates
+
+    before = {(r["repo"], r["path"], r["size"]) for r in t.read().collect()}
+    t.compact(new_bucket_cols=["repo", "path"], new_n_buckets=8)
+    t = t.refresh()
+    assert t.bucket_cols == ["repo", "path"]
+    assert len(t.manifest["buckets"]) > 2  # full-key hash spreads
+    assert {(r["repo"], r["path"], r["size"]) for r in t.read().collect()} == before
+
+    # merges after the evolution route by the new key
+    up = spark.createDataFrame([("mono", "p7", 777)], schema) \
+        .withColumn("_op", F.lit("UPSERT")) \
+        .withColumn("_vts", F.lit("2030-01-01 00:00:00").cast("timestamp"))
+    t.merge(up, batch_id="b2")
+    t = t.refresh()
+    got = {r["path"]: r["size"] for r in t.read().filter("repo = 'mono'").collect()}
+    assert got["p7"] == 777 and len(got) == 300
+    # full-key pruned lookup
+    pruned = t._prune_buckets(eq={"repo": ["mono"], "path": ["p7"]})
+    assert pruned is not None and len(pruned) <= 1
+
+    with pytest.raises(ValueError, match="must be pk"):
+        t.compact(new_bucket_cols=["size"])
+
+
 def test_concurrent_writer_conflict_and_retry(spark, tmp_root):
     from chunjun_spark.plans.lake import ConcurrentCommitError, LakeTable
 

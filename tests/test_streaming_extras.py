@@ -64,6 +64,54 @@ def test_multi_table_routing(spark, tmp_root):
     assert any(b.startswith("mt:alpha:") for b in alpha.committed_batches())
 
 
+def test_multi_table_json_wire_heterogeneous_payloads(spark, tmp_root):
+    """JSON wire + multi-table routing: two tables with DIFFERENT payload
+    schemas ride ONE fixed wire schema; each micro-batch decodes per
+    table against that table's own schema — impossible with a typed
+    nested payload column."""
+    import json as _json
+
+    from chunjun_spark.sources.changelog import json_event_schema
+
+    binlog = os.path.join(tmp_root, "jmbinlog")
+    lake = os.path.join(tmp_root, "jmlake")
+    ckpt = os.path.join(tmp_root, "jmckpt")
+
+    users = T.StructType([T.StructField("uid", T.LongType()),
+                          T.StructField("name", T.StringType())])
+    orders = T.StructType([T.StructField("oid", T.LongType()),
+                           T.StructField("amount", T.DoubleType()),
+                           T.StructField("note", T.StringType())])
+    LakeTable.create(spark, os.path.join(lake, "users"), users, pk=["uid"], n_buckets=2)
+    LakeTable.create(spark, os.path.join(lake, "orders"), orders, pk=["oid"], n_buckets=2)
+
+    def wire_row(op, seq, table, payload):
+        return (op, "lake", table, TS + datetime.timedelta(seconds=seq),
+                seq, None, 0, seq, None, _json.dumps(payload), None)
+
+    rows = [
+        wire_row("INSERT", 1, "users", {"uid": 1, "name": "ada"}),
+        wire_row("INSERT", 2, "orders", {"oid": 10, "amount": 9.5, "note": "x"}),
+        wire_row("INSERT", 3, "users", {"uid": 2, "name": "bo"}),
+    ]
+    spark.createDataFrame(rows, json_event_schema()).coalesce(1).write.parquet(binlog)
+
+    events = (
+        spark.readStream.schema(json_event_schema())
+        .option("maxFilesPerTrigger", 1).parquet(binlog)
+    )
+    q = pl.start_multi_table_stream(events, lake, ckpt, job_id="jmt",
+                                    wire_format="json")
+    assert q.awaitTermination(120)
+
+    u = {r["uid"]: r["name"] for r in
+         LakeTable.load(spark, os.path.join(lake, "users")).read().collect()}
+    o = {r["oid"]: (r["amount"], r["note"]) for r in
+         LakeTable.load(spark, os.path.join(lake, "orders")).read().collect()}
+    assert u == {1: "ada", 2: "bo"}
+    assert o == {10: (9.5, "x")}
+
+
 def test_poison_pill_fails_stream(spark, tmp_root):
     binlog = os.path.join(tmp_root, "pbinlog")
     lake = os.path.join(tmp_root, "plake")
