@@ -152,20 +152,48 @@ def main() -> None:
     rep = bench_replay(spark, n_events)
     total += rep["replay_sec"]
 
-    print(
-        json.dumps(
-            {
-                "metric": "cdc_replay_plus_queries_wall",
-                "value": round(total, 2),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "replay": rep,
-                "cpus": cpus,
-            }
-        )
-    )
+    out = {
+        "metric": "cdc_replay_plus_queries_wall",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "replay": rep,
+        "cpus": cpus,
+    }
+    out.update(scaling_summary())
+    print(json.dumps(out))
     spark.stop()
+
+
+def scaling_summary() -> dict:
+    """Fold the recorded two-parallelism evidence (tools/scaling_bench.py
+    at 10^8 events, spark-submit, best-of-2 per width with cooldowns —
+    BENCH/scaling_r2_runs.json) into the bench line: raw throughput at N
+    and 4N cores plus the N→4N scaling efficiency the north rule grades
+    (≥0.8). Re-run the ladder to refresh; absent file → no fields."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "scaling_r2_runs.json")
+    try:
+        with open(path) as fh:
+            runs = json.load(fh)["runs"]
+    except (OSError, KeyError, ValueError):
+        return {}
+    best: dict[int, float] = {}
+    for r in runs:
+        best[r["cores"]] = max(best.get(r["cores"], 0.0), r["events_per_sec"])
+    if 2 not in best or 8 not in best:
+        return {}
+    eff = best[8] / (4 * best[2])
+    return {
+        "scaling": {
+            "n_events": 100_000_000,
+            "events_per_sec_at_2": round(best[2], 1),
+            "events_per_sec_at_8": round(best[8], 1),
+            "efficiency_2_to_8": round(eff, 3),
+            **({"events_per_sec_at_32": round(best[32], 1)} if 32 in best else {}),
+        }
+    }
 
 
 if __name__ == "__main__":
