@@ -134,6 +134,87 @@ FROM r WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def _q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL-driven schema evolution inside the correctness gate: replay
+    the events changelog in TWO batches with an add_column DDL riding the
+    second batch's change stream (op='DDL' row, totally ordered with the
+    data). Rows whose winner was written pre-DDL read NULL for the new
+    column through the id-based projection; post-DDL winners carry it.
+    Reference: schema evolution generalizing HiveOutputFormat's
+    create-on-demand DDL surface (HiveUtil.java:105-145) per SURVEY §1.3;
+    version guard ensures the global (ts, event_id) winner survives the
+    batch split exactly as in single-batch replay."""
+    import json as _json
+
+    from chunjun_spark.sources.changelog import to_changelog
+
+    ev = _t(spark, sf_dir, "events")
+    cutoff = int(ev.agg(F.floor(F.max("event_id") / 2)).collect()[0][0])
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("INSERT"))
+        .when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+    )
+
+    def _ch(df, payload):
+        return to_changelog(
+            df, op=op, op_ts=F.col("ts"), seq=F.col("event_id"),
+            payload=payload, pk=["user_id"],
+            partition_id=F.pmod(F.col("user_id"), F.lit(4)),
+        ).withColumn("ddl", F.lit(None).cast("string"))
+
+    base_payload = {
+        "user_id": F.col("user_id"),
+        "event_type": F.col("event_type"),
+        "value": F.col("value"),
+    }
+    b1 = _ch(ev.filter(F.col("event_id") <= cutoff), base_payload)
+    b2 = _ch(
+        ev.filter(F.col("event_id") > cutoff),
+        {**base_payload, "value_x2": F.col("value") * 2},
+    )
+    ddl_row = spark.createDataFrame(
+        [("DDL", "lake", "events", None, 0, 0, 0, None, None,
+          _json.dumps({"action": "add_column", "name": "value_x2",
+                       "type": "double"}))],
+        b2.schema,
+    )
+    root = tempfile.mkdtemp(prefix="cj_entry_evo_")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table = LakeTable.create(spark, root, schema, pk=["user_id"], n_buckets=8)
+    replay(b1, table, batch_id="evo-1")
+    replay(ddl_row.unionByName(b2), LakeTable.load(spark, root), batch_id="evo-2")
+    out = LakeTable.load(spark, root).read()
+    return out.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 6).alias("last_value"),
+        F.round("value_x2", 6).alias("value_x2"),
+    )
+
+
+_SCHEMA_EVOLUTION_SQL = """
+WITH c AS (SELECT CAST(FLOOR(max(event_id) / 2) AS BIGINT) AS cutoff FROM events),
+r AS (
+  SELECT e.*, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events e
+)
+SELECT user_id,
+       event_type AS last_event_type,
+       round(value, 6) AS last_value,
+       CASE WHEN event_id > (SELECT cutoff FROM c)
+            THEN round(value * 2, 6) END AS value_x2
+FROM r WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 def _q_cdc_replay_lake_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full patch-mode replay (reference UPDATE write mode): UPDATE events
     carry only changed columns (purchase → value, click → event_type);
@@ -1966,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_lake": _q_cdc_replay_lake,
         "cdc_replay_lake_mor": _q_cdc_replay_lake_mor,
         "cdc_replay_lake_patch": _q_cdc_replay_lake_patch,
+        "cdc_schema_evolution": _q_cdc_schema_evolution,
         "minhash_index_sync": _q_minhash_index_sync,
         "cdc_point_lookup": _q_cdc_point_lookup,
         "incremental_read": _q_incremental_read,
@@ -2038,6 +2120,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_lake": _REPLAY_LAKE_SQL,
         "cdc_replay_lake_mor": _REPLAY_LAKE_SQL,
         "cdc_replay_lake_patch": _REPLAY_PATCH_SQL,
+        "cdc_schema_evolution": _SCHEMA_EVOLUTION_SQL,
         "cdc_point_lookup": _POINT_LOOKUP_SQL,
         "incremental_read": _INCREMENTAL_SQL,
         "mod_split_channels": _MOD_SPLIT_SQL,
