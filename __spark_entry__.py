@@ -199,6 +199,35 @@ def _q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once semantics in the correctness gate: the full changelog
+    is applied, then (a) RE-DELIVERED under the same batch_id (lineage
+    skip path, BaseRichOutputFormat checkpoint dedup analog) and (b) a
+    stale 50% prefix is re-delivered under a NEW batch_id (version-guard
+    path — every row loses the strictly-newer comparison). The final
+    state must equal a single clean replay, so the oracle is the plain
+    keep-last fold over events."""
+    ev = _t(spark, sf_dir, "events")
+    ch = events_changelog(ev)
+    root = tempfile.mkdtemp(prefix="cj_entry_idem_")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table = LakeTable.create(spark, root, schema, pk=["user_id"], n_buckets=8)
+    replay(ch, table, batch_id="idem-1")
+    # (a) duplicate delivery of the SAME micro-batch id → lineage skip
+    replay(ch, LakeTable.load(spark, root), batch_id="idem-1")
+    # (b) stale prefix under a NEW id → version guard drops every row
+    cutoff = int(ev.agg(F.floor(F.max("event_id") / 2)).collect()[0][0])
+    stale = events_changelog(ev.filter(F.col("event_id") <= cutoff))
+    replay(stale, LakeTable.load(spark, root), batch_id="idem-2")
+    return _lake_projection(LakeTable.load(spark, root).read())
+
+
 _SCHEMA_EVOLUTION_SQL = """
 WITH c AS (SELECT CAST(FLOOR(max(event_id) / 2) AS BIGINT) AS cutoff FROM events),
 r AS (
@@ -2048,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_lake_mor": _q_cdc_replay_lake_mor,
         "cdc_replay_lake_patch": _q_cdc_replay_lake_patch,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
+        "cdc_idempotent_replay": _q_cdc_idempotent_replay,
         "minhash_index_sync": _q_minhash_index_sync,
         "cdc_point_lookup": _q_cdc_point_lookup,
         "incremental_read": _q_incremental_read,
@@ -2121,6 +2151,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_lake_mor": _REPLAY_LAKE_SQL,
         "cdc_replay_lake_patch": _REPLAY_PATCH_SQL,
         "cdc_schema_evolution": _SCHEMA_EVOLUTION_SQL,
+        "cdc_idempotent_replay": _REPLAY_LAKE_SQL,
         "cdc_point_lookup": _POINT_LOOKUP_SQL,
         "incremental_read": _INCREMENTAL_SQL,
         "mod_split_channels": _MOD_SPLIT_SQL,
