@@ -72,6 +72,69 @@ def test_keep_last_strategies_agree(spark, events):
         assert got == expect
 
 
+WIRE_EVENT = st.tuples(
+    st.sampled_from(["INSERT", "UPDATE", "DELETE", "DDL"]),
+    st.one_of(st.none(),
+              st.text(min_size=0, max_size=12)),                # k (unicode, quotes)
+    st.one_of(st.none(), st.integers(min_value=-2**40, max_value=2**40)),  # v
+    st.booleans(),                                              # null whole image?
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(WIRE_EVENT, min_size=1, max_size=20))
+def test_json_wire_roundtrip_identity(spark, events):
+    """encode_json_events ∘ decode_json_events == identity on the nested
+    changelog, for arbitrary payloads (unicode, quotes, nulls, null
+    images) — the property the evolving-schema wire format rests on."""
+    import pyspark.sql.types as TT
+
+    from chunjun_spark.sources.changelog import decode_json_events, encode_json_events
+
+    payload = TT.StructType([
+        TT.StructField("k", TT.StringType()),
+        TT.StructField("v", TT.LongType()),
+    ])
+    schema = TT.StructType([
+        TT.StructField("op", TT.StringType()),
+        TT.StructField("seq", TT.LongType()),
+        TT.StructField("before", payload),
+        TT.StructField("after", payload),
+        TT.StructField("ddl", TT.StringType()),
+    ])
+    rows = []
+    for i, (op, k, v, null_img) in enumerate(events):
+        img = None if null_img else (k, v)
+        rows.append((
+            op, i,
+            img if op == "DELETE" else None,
+            img if op not in ("DELETE", "DDL") else None,
+            '{"action":"add_column"}' if op == "DDL" else None,
+        ))
+    df = spark.createDataFrame(rows, schema)
+    back = decode_json_events(encode_json_events(df), payload)
+    assert back.schema == df.schema
+
+    def canon(frame):
+        out = []
+        for r in frame.collect():
+            d = r.asDict(recursive=True)
+            # a non-null image with all-null members and a null image are
+            # the same logical event (to_json collapses both sides of
+            # nothing-set); normalize before comparing
+            for side in ("before", "after"):
+                if d[side] is not None and all(x is None for x in d[side].values()):
+                    d[side] = None
+            out.append((d["op"], d["seq"],
+                        tuple(sorted(d["before"].items())) if d["before"] else None,
+                        tuple(sorted(d["after"].items())) if d["after"] else None,
+                        d["ddl"]))
+        return sorted(out)
+
+    assert canon(back) == canon(df)
+
+
 @settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(st.lists(EVENT, min_size=1, max_size=40))

@@ -4,6 +4,8 @@ Per-row invariant (BASELINE.json input_hint): sha256(content) equality
 between the engine's final lake state and the reference fold model.
 """
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -150,6 +152,60 @@ def test_delete_then_reinsert(spark, tmp_root):
     got = df_state(table.refresh().read(), PK)
     assert set(got) == {("o/r", "a.py")}
     assert got[("o/r", "a.py")]["commit"] == "c3"
+
+
+def test_crash_between_data_write_and_commit_replays_clean(spark, tmp_root, monkeypatch):
+    """Exactly-once under the worst crash point: the merge's data files
+    are fully written but the process dies BEFORE the manifest CAS. The
+    snapshot still points at the old version (orphan files only), so
+    replaying the same micro-batch converges to the single-apply state —
+    the property the atomic `_current` swap exists for."""
+    from chunjun_spark.plans.lake import LakeTable as LT
+    from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA, generate_binlog
+
+    table = LT.create(
+        spark, os.path.join(tmp_root, "crashlake"), PAYLOAD_SCHEMA,
+        pk=["repo", "path"], n_buckets=4,
+    )
+    ev1 = generate_binlog(spark, 3000, n_keys=800, dup_rate=0.0)
+    replay(ev1, table, batch_id="c1")
+    table = table.refresh()
+    v_before = table.manifest["version"]
+    want_before = df_state(table.read(), PK)
+
+    # shift the second stream strictly after the first in (op_ts, seq):
+    # both the fold model's seq-idempotence and the engine's version
+    # guard assume the Snowflake total-order contract across batches
+    ev2 = (
+        generate_binlog(spark, 2000, n_keys=800, dup_rate=0.0, seed=99)
+        .withColumn("seq", F.col("seq") + F.lit(10_000_000))
+        .withColumn("op_ts", F.col("op_ts") + F.expr("INTERVAL 400 DAYS"))
+    )
+    orig = LT._write_manifest
+
+    def boom(self, manifest, expected_parent):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    monkeypatch.setattr(LT, "_write_manifest", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        replay(ev2, table.refresh(), batch_id="c2")
+    monkeypatch.setattr(LT, "_write_manifest", orig)
+
+    # the failed attempt is invisible: snapshot unchanged, state intact
+    t = LT.load(spark, table.root)
+    assert t.manifest["version"] == v_before
+    assert sha256_state(df_state(t.read(), PK)) == sha256_state(want_before)
+
+    # replaying the SAME batch applies exactly once
+    replay(ev2, t, batch_id="c2")
+    got = df_state(LT.load(spark, table.root).read(), PK)
+    want = fold_oracle(ev1.collect() + ev2.collect(), PK)
+    assert sha256_state(got) == sha256_state(want)
+    # orphan files from the failed attempt are collected by vacuum
+    t = LT.load(spark, table.root)
+    t.vacuum(keep_last=1)
+    got2 = df_state(LT.load(spark, table.root).read(), PK)
+    assert sha256_state(got2) == sha256_state(want)
 
 
 def test_lineage_offsets_recorded(spark, tmp_root):
