@@ -90,6 +90,18 @@ class SpeedConfig:
             rebalance=bool(raw.get("rebalance", False)),
         )
 
+    @property
+    def reader_channels(self) -> int:
+        """Effective source parallelism: readerChannel overrides channel
+        when set (SpeedConfig.java:41-58 — per-side parallelism with
+        channel as the fallback)."""
+        return self.reader_channel if self.reader_channel > 0 else max(1, self.channel)
+
+    @property
+    def writer_channels(self) -> int:
+        """Effective sink parallelism (SpeedConfig.java:60-77)."""
+        return self.writer_channel if self.writer_channel > 0 else max(1, self.channel)
+
 
 @dataclass
 class RestoreConfig:

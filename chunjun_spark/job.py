@@ -40,8 +40,8 @@ def _read_stream_mock(spark: SparkSession, cfg: JobConfig) -> DataFrame:
     """streamreader: N mock rows per channel from the column spec
     (StreamInputFormat.java:49-85, MockDataUtil)."""
     p = cfg.reader.parameter
-    n = int(p.get("sliceRecordCount", 100)) * max(1, cfg.speed.channel)
-    df = spark.range(0, n, 1, numPartitions=max(1, cfg.speed.channel))
+    n = int(p.get("sliceRecordCount", 100)) * cfg.speed.reader_channels
+    df = spark.range(0, n, 1, numPartitions=cfg.speed.reader_channels)
     cols = []
     for i, mc in enumerate(cfg.reader.columns):
         name = mc.name or f"c{i}"
@@ -74,7 +74,7 @@ def _read_binlog(spark: SparkSession, cfg: JobConfig) -> DataFrame:
             n_events=int(p.get("nEvents", 100_000)),
             n_keys=p.get("nKeys"),
             seed=int(p.get("seed", 42)),
-            n_partitions=max(1, cfg.speed.channel),
+            n_partitions=cfg.speed.reader_channels,
         )
     start = p.get("start") or {}
     if start.get("timestamp") is not None:
@@ -163,7 +163,7 @@ def _read_jdbc(spark: SparkSession, cfg: JobConfig) -> DataFrame:
         columns=cols,
         where=p.get("where"),
         split_column=p.get("splitPk"),
-        n_channels=max(1, cfg.speed.channel),
+        n_channels=cfg.speed.reader_channels,
         fetch_size=int(p.get("fetchSize", 1000)),
         inc_column=p.get("increColumn"),
         inc_type=p.get("increColumnType", "bigint"),
@@ -519,7 +519,12 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
     df = reader(spark, cfg)
     if cfg.speed.rebalance:
         # Main.java:132-134 optional rebalance
-        df = df.repartition(max(1, cfg.speed.channel))
+        df = df.repartition(cfg.speed.writer_channels)
+    elif cfg.speed.writer_channel > 0:
+        # writerChannel: sink parallelism decoupled from the source's
+        # (SpeedConfig.java per-side parallelism; Flink rebalances
+        # between operators of different widths)
+        df = df.repartition(cfg.speed.writer_channels)
     df = apply_transforms(df, cfg)
 
     metrics: dict = {}

@@ -327,6 +327,39 @@ def test_stream_job_creates_fresh_sink(spark, tmp_root):
     assert table.read().count() > 0
 
 
+def test_reader_writer_channel_override(spark, tmp_root):
+    """speed.readerChannel / writerChannel decouple source and sink
+    parallelism from the shared channel count (SpeedConfig.java per-side
+    parallelism)."""
+    dst = os.path.join(tmp_root, "wchan")
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {
+                        "name": "streamreader",
+                        "parameter": {
+                            "sliceRecordCount": 10,
+                            "column": [{"name": "id", "type": "bigint"}],
+                        },
+                    },
+                    "writer": {
+                        "name": "parquetwriter",
+                        "parameter": {"path": dst},
+                    },
+                }
+            ],
+            "setting": {
+                "speed": {"channel": 2, "readerChannel": 4, "writerChannel": 3}
+            },
+        }
+    }
+    m = run_job(spark, cfg)
+    assert m["numRead"] == 40  # sliceRecordCount × readerChannel
+    parts = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert len(parts) == 3  # writerChannel tasks → 3 output files
+
+
 def test_channel_tag_strip_and_affinity(spark):
     """Channel tag rides as a column (BaseRichInputFormat.java:318-326),
     affinity repartition keeps one channel's rows together, strip
