@@ -1501,6 +1501,119 @@ WHERE (s1.user_id IS NULL OR s1.ts <> s2.ts OR s1.event_id <> s2.event_id)
 """
 
 
+def _q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel: replay events in two windows, then read the
+    table AS OF the first commit's version (LakeTable.load(version=v1)
+    — Iceberg snapshot-id read analog). The second window's merges must
+    be invisible; the oracle folds only the first window's events.
+    Reference: restore-mode re-read from a historical location
+    (JdbcInputFormat.java:640-757) served from the sink's own retained
+    snapshots instead of the source DB."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    root = tempfile.mkdtemp(prefix="cj_entry_tt_")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table = LakeTable.create(spark, root, schema, pk=["user_id"], n_buckets=8)
+    replay(
+        events_changelog(ev.filter(F.col("ts") <= cut)),
+        table, batch_id="tt-1", mode="mor",
+    )
+    table = table.refresh()
+    v1 = table.manifest["version"]
+    replay(
+        events_changelog(ev.filter(F.col("ts") > cut)),
+        table, batch_id="tt-2", mode="mor",
+    )
+    old = LakeTable.load(spark, root, version=v1)
+    return _lake_projection(old.read())
+
+
+_TIME_TRAVEL_SQL = """
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+)
+SELECT user_id, event_type AS last_event_type, round(value, 6) AS last_value
+FROM r WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def _q_cdc_compact_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online compaction + bucket growth under the correctness gate: a
+    MOR-ingested table (base untouched, all data in deltas) is compacted
+    with ``new_n_buckets=16`` — one resolve-and-rewrite pass re-hashing
+    every live row into the doubled bucket count, atomic manifest swap
+    (Iceberg partition-evolution analog). The read-back state must equal
+    the plain keep-last fold: compaction is a physical-layout operation,
+    never a semantic one."""
+    table = _build_lake(spark, sf_dir, "mor")
+    table.compact(new_n_buckets=16)
+    return _lake_projection(table.refresh().read())
+
+
+def _q_cdc_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-event_type (count, sum)
+    aggregate is materialized after the first replay window by full
+    scan, then maintained from the SECOND window's preimage-complete
+    change feed (read_changes(with_preimages=True)) — postimages add,
+    preimages retract, one group-key shuffle over O(changes) rows,
+    never a re-scan. Output must equal the aggregate over the final
+    folded state (the oracle's full recompute), including keys that
+    changed groups or were deleted in window 2."""
+    from chunjun_spark.operators.ivm import (
+        apply_changes_to_agg,
+        grouped_agg_state,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    root = tempfile.mkdtemp(prefix="cj_entry_ivm_")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table = LakeTable.create(spark, root, schema, pk=["user_id"], n_buckets=8)
+    replay(
+        events_changelog(ev.filter(F.col("ts") <= cut)),
+        table, batch_id="ivm-1", mode="mor",
+    )
+    table = table.refresh()
+    v1 = table.manifest["version"]
+    agg0 = grouped_agg_state(table.read(), ["event_type"], "value")
+    replay(
+        events_changelog(ev.filter(F.col("ts") > cut)),
+        table, batch_id="ivm-2", mode="mor",
+    )
+    table = table.refresh()
+    cdf = table.read_changes(since_version=v1, with_preimages=True)
+    agg = apply_changes_to_agg(agg0, cdf, ["event_type"], "value")
+    return agg.select(
+        "event_type", "n_live", F.round("sum_value", 4).alias("sum_value")
+    )
+
+
+_AGG_INCREMENTAL_SQL = """
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type, count(*) AS n_live, round(sum(value), 4) AS sum_value
+FROM r WHERE rn = 1 AND event_type <> 'error'
+GROUP BY event_type
+"""
+
+
 # -------------------------------------------------- temporal / decontam
 
 def _q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2117,6 +2230,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_dedup_reconstruct": _q_para_dedup_reconstruct,
         "curation_pipeline": _q_curation_pipeline,
         "cdc_changes_feed": _q_cdc_changes_feed,
+        "cdc_time_travel": _q_cdc_time_travel,
+        "cdc_compact_reshard": _q_cdc_compact_reshard,
+        "cdc_agg_incremental": _q_cdc_agg_incremental,
         "events_asof_join": _q_events_asof_join,
         "events_sessionize": _q_events_sessionize,
         "doc_decontaminate": _q_doc_decontaminate,
@@ -2191,6 +2307,9 @@ def oracle_sql() -> dict[str, str]:
         "para_dedup_reconstruct": _PARA_RECON_SQL,
         "curation_pipeline": _CURATION_SQL,
         "cdc_changes_feed": _CHANGES_FEED_SQL,
+        "cdc_time_travel": _TIME_TRAVEL_SQL,
+        "cdc_compact_reshard": _REPLAY_LAKE_SQL,
+        "cdc_agg_incremental": _AGG_INCREMENTAL_SQL,
         "events_asof_join": _ASOF_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
         "doc_decontaminate": _DECONTAM_SQL,

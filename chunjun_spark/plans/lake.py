@@ -650,6 +650,7 @@ class LakeTable:
         since_version: int,
         until_version: int | None = None,
         with_internal: bool = False,
+        with_preimages: bool = False,
     ) -> DataFrame:
         """Change-data-feed: the NET row-level changes between snapshot
         ``since_version`` (exclusive) and ``until_version`` (inclusive,
@@ -679,6 +680,17 @@ class LakeTable:
         Contract: pk columns keep their names across the window (non-pk
         DDL — add/rename/widen — is fine; ``_align`` maps old files to
         the new schema by field id).
+
+        ``with_preimages=True`` additionally emits the OLD row image for
+        every updated/deleted key (``_change_type`` 'update_preimage' /
+        'delete_preimage'), projected to the NEW snapshot's schema by
+        field id — the Delta-CDF-complete feed that downstream
+        incremental view maintenance (operators/ivm.py) needs to
+        retract a key's previous contribution. Preimage version columns
+        (``_vts``/``_vseq``) carry the OLD winner's version. Plan cost:
+        the postimage diff is materialized once (localCheckpoint,
+        O(changes) rows), then one extra bucket-pruned scan of the old
+        snapshot joined against the narrow changed-key set.
         """
         old = LakeTable.load(self.spark, self.root, version=since_version)
         new = (
@@ -733,6 +745,54 @@ class LakeTable:
             .filter(F.col("_change_type").isNotNull() & ~same_ver)
             .drop("_o_vts", "_o_vseq", "_o_del")
         )
+        if with_preimages:
+            # one evaluation of the diff join, O(changes) rows on disk
+            out = out.localCheckpoint(eager=True)
+            pre_keys = out.filter(
+                F.col("_change_type").isin("update_postimage", "delete")
+            ).select(*pk, F.col("_change_type").alias("_post_type"))
+            # old payload for exactly the changed keys, projected to the
+            # NEW schema by stable field id (rename/widen/add safe)
+            old_by_id = {f["id"]: f for f in old.schema.fields}
+            cols = []
+            for f in new.schema.fields:
+                o = old_by_id.get(f["id"])
+                if o is None:
+                    cols.append(
+                        F.lit(None).cast(_parse_type(f["type"])).alias(f["name"])
+                    )
+                else:
+                    cols.append(
+                        F.col(o["name"])
+                        .cast(_parse_type(f["type"]))
+                        .alias(f["name"])
+                    )
+            old_payload = old._resolve(buckets)
+            pre = (
+                old_payload.join(
+                    pre_keys.withColumnsRenamed(
+                        {c: f"_k_{c}" for c in pk}
+                    ),
+                    on=[F.col(c) == F.col(f"_k_{c}") for c in pk],
+                    how="inner",
+                )
+                .select(
+                    *cols,
+                    F.col(VTS_COL),
+                    F.col(VSEQ_COL),
+                    F.coalesce(F.col(DELETED_COL), F.lit(False)).alias(
+                        DELETED_COL
+                    ),
+                    F.col(_BUCKET_COL),
+                    F.when(
+                        F.col("_post_type") == "delete",
+                        F.lit("delete_preimage"),
+                    )
+                    .otherwise(F.lit("update_preimage"))
+                    .alias("_change_type"),
+                )
+            )
+            out = out.unionByName(pre)
         if with_internal:
             return out
         return out.drop(*_HIDDEN, _BUCKET_COL)

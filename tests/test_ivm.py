@@ -1,0 +1,131 @@
+"""Preimage-complete CDF + incremental view maintenance (operators/ivm.py)."""
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import types as T
+
+from chunjun_spark.operators.ivm import apply_changes_to_agg, grouped_agg_state
+from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL, LakeTable
+
+
+def _mk(spark, rows):
+    """rows: (user_id, grp, v, op, sec, seq)"""
+    return spark.createDataFrame(
+        [(u, g, v, op, f"2024-01-01 00:00:{s:02d}", q)
+         for (u, g, v, op, s, q) in rows],
+        f"user_id long, grp string, v double, {OP_COL} string, "
+        f"_ts string, {VSEQ_COL} long",
+    ).select(
+        "user_id", "grp", "v", OP_COL,
+        F.col("_ts").cast("timestamp").alias(VTS_COL), VSEQ_COL,
+    )
+
+
+def _table(spark, tmp_root, name):
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    return LakeTable.create(
+        spark, os.path.join(tmp_root, name), schema,
+        pk=["user_id"], n_buckets=4,
+    )
+
+
+def test_read_changes_emits_preimages(spark, tmp_root):
+    t = _table(spark, tmp_root, "pre1")
+    t.merge(_mk(spark, [
+        (1, "a", 10.0, "UPSERT", 1, 1),
+        (2, "a", 20.0, "UPSERT", 2, 2),
+        (3, "b", 30.0, "UPSERT", 3, 3),
+    ]), batch_id="b1")
+    t = t.refresh()
+    v1 = t.manifest["version"]
+    t.merge(_mk(spark, [
+        (2, "b", 21.0, "UPSERT", 10, 10),   # update, moves group a->b
+        (3, None, None, "DELETE", 11, 11),  # delete
+        (4, "a", 40.0, "UPSERT", 12, 12),   # insert
+    ]), batch_id="b2")
+    t = t.refresh()
+
+    ch = t.read_changes(since_version=v1, with_preimages=True).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r["_change_type"], {})[r["user_id"]] = r
+    assert set(by_type["update_postimage"]) == {2}
+    assert by_type["update_postimage"][2]["v"] == 21.0
+    assert set(by_type["update_preimage"]) == {2}
+    assert by_type["update_preimage"][2]["v"] == 20.0
+    assert by_type["update_preimage"][2]["grp"] == "a"
+    assert set(by_type["delete"]) == {3}
+    assert set(by_type["delete_preimage"]) == {3}
+    assert by_type["delete_preimage"][3]["v"] == 30.0
+    assert by_type["delete_preimage"][3]["grp"] == "b"
+    assert set(by_type["insert"]) == {4}
+    # without the flag, no preimage rows at all (unchanged behavior)
+    types = {r["_change_type"]
+             for r in t.read_changes(since_version=v1).collect()}
+    assert types == {"insert", "update_postimage", "delete"}
+
+
+def test_preimages_project_through_rename_ddl(spark, tmp_root):
+    t = _table(spark, tmp_root, "pre2")
+    t.merge(_mk(spark, [(1, "a", 5.0, "UPSERT", 1, 1)]), batch_id="b1")
+    t = t.refresh()
+    v1 = t.manifest["version"]
+    t.apply_ddl("rename_column", old="v", new="val")
+    t = t.refresh()
+    t.merge(
+        _mk(spark, [(1, "a", 6.0, "UPSERT", 2, 2)]).withColumnRenamed("v", "val"),
+        batch_id="b2",
+    )
+    t = t.refresh()
+    ch = {r["_change_type"]: r
+          for r in t.read_changes(since_version=v1, with_preimages=True).collect()}
+    # preimage comes back under the NEW name via the stable field id
+    assert ch["update_preimage"]["val"] == 5.0
+    assert ch["update_postimage"]["val"] == 6.0
+
+
+def test_ivm_matches_full_recompute(spark, tmp_root):
+    t = _table(spark, tmp_root, "ivm1")
+    t.merge(_mk(spark, [
+        (1, "a", 1.0, "UPSERT", 1, 1),
+        (2, "a", 2.0, "UPSERT", 2, 2),
+        (3, "b", 3.0, "UPSERT", 3, 3),
+        (4, "b", 4.0, "UPSERT", 4, 4),
+        (5, "c", 5.0, "UPSERT", 5, 5),
+    ]), batch_id="b1")
+    t = t.refresh()
+    v1 = t.manifest["version"]
+    agg0 = grouped_agg_state(t.read(), ["grp"], "v")
+    t.merge(_mk(spark, [
+        (2, "b", 2.5, "UPSERT", 10, 10),    # moves a -> b
+        (4, None, None, "DELETE", 11, 11),  # delete from b
+        (5, None, None, "DELETE", 12, 12),  # group c empties out
+        (6, "a", 6.0, "UPSERT", 13, 13),    # insert into a
+        (1, "a", 1.5, "UPSERT", 14, 14),    # in-place update
+    ]), batch_id="b2")
+    t = t.refresh()
+    cdf = t.read_changes(since_version=v1, with_preimages=True)
+    inc = apply_changes_to_agg(agg0, cdf, ["grp"], "v")
+    full = grouped_agg_state(t.read(), ["grp"], "v")
+    inc_d = {r["grp"]: (r["n_live"], round(r["sum_value"], 9))
+             for r in inc.collect()}
+    full_d = {r["grp"]: (r["n_live"], round(r["sum_value"], 9))
+              for r in full.collect()}
+    assert inc_d == full_d == {"a": (2, 7.5), "b": (2, 5.5)}
+
+
+def test_ivm_empty_window_is_identity(spark, tmp_root):
+    t = _table(spark, tmp_root, "ivm2")
+    t.merge(_mk(spark, [(1, "a", 1.0, "UPSERT", 1, 1)]), batch_id="b1")
+    t = t.refresh()
+    agg0 = grouped_agg_state(t.read(), ["grp"], "v")
+    cdf = t.read_changes(since_version=t.manifest["version"],
+                         with_preimages=True)
+    inc = apply_changes_to_agg(agg0, cdf, ["grp"], "v")
+    assert [(r["grp"], r["n_live"], r["sum_value"]) for r in inc.collect()] \
+        == [("a", 1, 1.0)]
