@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     "events_profile",
     "embedding_semantic_dedup",
     "minhash_index_sync",
+    "cdc_time_travel",
+    "cdc_compact_reshard",
+    "cdc_agg_incremental",
 ]
 
 
