@@ -56,25 +56,26 @@ def apply_changes_to_agg(
     adjusts both. Plain 'delete' rows (the tombstone's own image) are
     ignored; the retraction rides the paired 'delete_preimage'.
 
-    Plan: changes reduce map-side to one row per touched group, union
-    with ``prev``, one hash-agg shuffle on the group key. Groups whose
-    live count reaches zero drop out (matching a full recompute, which
-    never sees them). Never O(table).
+    Plan: signed change rows union with ``prev`` and fold in ONE
+    hash-agg shuffle on the group key — the aggregate's map-side
+    partial combine condenses both sides before the exchange, so a
+    separate pre-aggregation of the delta would only add a second
+    shuffle. Groups whose live count reaches zero drop out (matching a
+    full recompute, which never sees them). Never O(table).
     """
     sign = (
         F.when(F.col("_change_type").isin(*_ADD), F.lit(1))
         .when(F.col("_change_type").isin(*_RETRACT), F.lit(-1))
         .otherwise(F.lit(0))
     )
-    delta = (
-        changes.select(
-            *group_cols,
-            sign.alias("_s"),
-            (sign * F.coalesce(F.col(value_col), F.lit(0.0))).alias("_sv"),
-        )
-        .filter(F.col("_s") != 0)
-        .groupBy(*group_cols)
-        .agg(F.sum("_s").alias("n_live"), F.sum("_sv").alias("sum_value"))
+    delta = changes.select(
+        *group_cols,
+        sign.alias("_s"),
+        (sign * F.coalesce(F.col(value_col), F.lit(0.0))).alias("_sv"),
+    ).filter(F.col("_s") != 0).select(
+        *group_cols,
+        F.col("_s").cast("long").alias("n_live"),
+        F.col("_sv").alias("sum_value"),
     )
     return (
         prev.unionByName(delta)
