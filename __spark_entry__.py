@@ -1602,6 +1602,48 @@ def _q_cdc_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent maintained view: the per-event_type aggregate lives as
+    its own LakeTable (pk = group) and is synced exactly-once from the
+    source's preimage-complete CDF after each replay window —
+    batch_id + version-guarded merges make crash re-delivery a no-op,
+    the view's own lineage carries the resume offset. Read-back must
+    equal the full recompute over the final folded source (same oracle
+    as cdc_agg_incremental)."""
+    from chunjun_spark.operators.ivm import create_agg_view, sync_agg_view
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    root = tempfile.mkdtemp(prefix="cj_entry_aggview_")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table = LakeTable.create(spark, root, schema, pk=["user_id"], n_buckets=8)
+    view = create_agg_view(
+        spark, tempfile.mkdtemp(prefix="cj_entry_aggview_v_"),
+        [("event_type", "string")], n_buckets=4,
+    )
+    replay(
+        events_changelog(ev.filter(F.col("ts") <= cut)),
+        table, batch_id="av-1", mode="mor",
+    )
+    table = table.refresh()
+    sync_agg_view(table, view, ["event_type"], "value")
+    replay(
+        events_changelog(ev.filter(F.col("ts") > cut)),
+        table, batch_id="av-2", mode="mor",
+    )
+    table = table.refresh()
+    sync_agg_view(table, view.refresh(), ["event_type"], "value")
+    return view.refresh().read().select(
+        "event_type", "n_live", F.round("sum_value", 4).alias("sum_value")
+    )
+
+
 _AGG_INCREMENTAL_SQL = """
 WITH r AS (
   SELECT *, row_number() OVER (PARTITION BY user_id
@@ -2233,6 +2275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_compact_reshard": _q_cdc_compact_reshard,
         "cdc_agg_incremental": _q_cdc_agg_incremental,
+        "cdc_agg_view": _q_cdc_agg_view,
         "events_asof_join": _q_events_asof_join,
         "events_sessionize": _q_events_sessionize,
         "doc_decontaminate": _q_doc_decontaminate,
@@ -2310,6 +2353,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_time_travel": _TIME_TRAVEL_SQL,
         "cdc_compact_reshard": _REPLAY_LAKE_SQL,
         "cdc_agg_incremental": _AGG_INCREMENTAL_SQL,
+        "cdc_agg_view": _AGG_INCREMENTAL_SQL,
         "events_asof_join": _ASOF_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
         "doc_decontaminate": _DECONTAM_SQL,

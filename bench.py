@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "cdc_time_travel",
     "cdc_compact_reshard",
     "cdc_agg_incremental",
+    "cdc_agg_view",
 ]
 
 

@@ -22,10 +22,12 @@ and would need a per-group heap — out of scope, recompute those.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 _ADD = ("insert", "update_postimage")
 _RETRACT = ("update_preimage", "delete_preimage")
+_EPOCH = "1970-01-01 00:00:00"
 
 
 def grouped_agg_state(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
@@ -46,6 +48,7 @@ def apply_changes_to_agg(
     changes: DataFrame,
     group_cols: list[str],
     value_col: str,
+    drop_empty: bool = True,
 ) -> DataFrame:
     """Fold one CDF window into the previous aggregate state.
 
@@ -77,12 +80,123 @@ def apply_changes_to_agg(
         F.col("_s").cast("long").alias("n_live"),
         F.col("_sv").alias("sum_value"),
     )
-    return (
+    out = (
         prev.unionByName(delta)
         .groupBy(*group_cols)
         .agg(
             F.sum("n_live").alias("n_live"),
             F.sum("sum_value").alias("sum_value"),
         )
-        .filter(F.col("n_live") > 0)
     )
+    # drop_empty=False keeps n_live==0 rows so a view-table sync can
+    # turn emptied groups into DELETEs (sync_agg_view)
+    return out.filter(F.col("n_live") > 0) if drop_empty else out
+
+
+# ----------------------------------------------- persistent view table
+
+def create_agg_view(
+    spark: SparkSession,
+    root: str,
+    group_fields: list[tuple[str, str]],
+    n_buckets: int = 8,
+):
+    """A maintained aggregate as its own LakeTable: pk = the group key,
+    payload (n_live, sum_value). ``group_fields``: [(name, type_ddl)]."""
+    from chunjun_spark.plans.lake import LakeTable
+    from chunjun_spark.plans.lake import _parse_type  # schema ddl parser
+
+    schema = T.StructType(
+        [T.StructField(n, _parse_type(t)) for n, t in group_fields]
+        + [
+            T.StructField("n_live", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    return LakeTable.create(
+        spark, root, schema, pk=[n for n, _ in group_fields],
+        n_buckets=n_buckets,
+    )
+
+
+def view_synced_version(view) -> int | None:
+    """Highest source snapshot version this view has applied, from the
+    view's own commit lineage (offsets={'source_version': end}). None
+    for a never-synced view. Entries past ``lineage_retention`` roll up
+    and lose their offsets — resume windows wider than retention replay
+    old windows, which the stale guard in ``sync_agg_view`` makes a
+    no-op rather than a corruption."""
+    best = None
+    for ent in view.manifest.get("lineage", {}).values():
+        v = ent.get("offsets", {}).get("source_version")
+        if v is not None and (best is None or int(v) > best):
+            best = int(v)
+    return best
+
+
+def sync_agg_view(
+    source,
+    view,
+    group_cols: list[str],
+    value_col: str,
+    since_version: int | None = None,
+) -> dict:
+    """Catch the view up to the source table's current snapshot —
+    exactly once.
+
+    Default (``since_version=None``) resumes from the view's own
+    lineage, so a crashed-and-restarted follower continues where the
+    last COMMITTED sync ended; re-delivering an already-applied window
+    is a no-op (batch_id skip, or the version guard for equal-end
+    replays). Because the deltas are RELATIVE, a window must start at
+    the view's synced boundary: an explicit ``since_version`` below it
+    whose end exceeds it would double-apply and is rejected.
+
+    Per window: one CDF evaluation (preimage-complete, bucket-pruned),
+    prev state narrowed to the touched groups by a semi-join against
+    the distinct group set, one group-key fold, then a bucketed merge
+    of O(touched groups) rows. Emptied groups become DELETEs.
+
+    Group key values must be non-null (they are the view table's pk;
+    LakeTable's merge joins on pk equality) — coalesce upstream.
+    """
+    from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL
+
+    end = source.manifest["version"]
+    synced = view_synced_version(view)
+    if since_version is None:
+        since_version = synced if synced is not None else 0
+    elif synced is not None and since_version != synced and end > synced:
+        raise ValueError(
+            f"window [{since_version}->{end}] does not start at the "
+            f"view's synced version {synced}; relative deltas would "
+            "double-apply"
+        )
+    if end == since_version or (synced is not None and end <= synced):
+        return {"merge": {"skipped": True}, "version": end}
+
+    changes = source.read_changes(
+        since_version, end, with_preimages=True
+    ).localCheckpoint(eager=True)
+    touched = changes.select(*group_cols).distinct()
+    prev = view.read().join(touched, on=group_cols, how="left_semi")
+    merged = apply_changes_to_agg(
+        prev, changes, group_cols, value_col, drop_empty=False
+    )
+    batch = merged.select(
+        *group_cols,
+        "n_live",
+        "sum_value",
+        F.when(F.col("n_live") > 0, F.lit("UPSERT"))
+        .otherwise(F.lit("DELETE"))
+        .alias(OP_COL),
+        F.lit(_EPOCH).cast("timestamp").alias(VTS_COL),
+        F.lit(end).cast("long").alias(VSEQ_COL),
+    )
+    info = view.merge(
+        batch,
+        batch_id=f"ivm:{since_version}->{end}",
+        offsets={"source_version": end},
+        assume_unique_keys=True,
+    )
+    return {"merge": info, "version": end}

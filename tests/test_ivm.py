@@ -129,3 +129,80 @@ def test_ivm_empty_window_is_identity(spark, tmp_root):
     inc = apply_changes_to_agg(agg0, cdf, ["grp"], "v")
     assert [(r["grp"], r["n_live"], r["sum_value"]) for r in inc.collect()] \
         == [("a", 1, 1.0)]
+
+
+def test_agg_view_sync_resume_idempotent(spark, tmp_root):
+    from chunjun_spark.operators.ivm import (
+        create_agg_view, sync_agg_view, view_synced_version,
+    )
+    src = _table(spark, tmp_root, "vsrc")
+    view = create_agg_view(spark, os.path.join(tmp_root, "vview"),
+                           [("grp", "string")], n_buckets=4)
+    src.merge(_mk(spark, [
+        (1, "a", 1.0, "UPSERT", 1, 1),
+        (2, "a", 2.0, "UPSERT", 2, 2),
+        (3, "b", 3.0, "UPSERT", 3, 3),
+        (5, "c", 5.0, "UPSERT", 5, 5),
+    ]), batch_id="w1")
+    src = src.refresh()
+    r1 = sync_agg_view(src, view, ["grp"], "v")
+    view = view.refresh()
+    assert view_synced_version(view) == r1["version"] == src.manifest["version"]
+
+    def _as_dict(df):
+        return {r["grp"]: (r["n_live"], round(r["sum_value"], 9))
+                for r in df.collect()}
+
+    assert _as_dict(view.read().select("grp", "n_live", "sum_value")) == \
+        _as_dict(grouped_agg_state(src.read(), ["grp"], "v"))
+
+    # window 2: move, delete, empty a whole group, insert
+    src.merge(_mk(spark, [
+        (2, "b", 2.5, "UPSERT", 10, 10),
+        (3, None, None, "DELETE", 11, 11),
+        (5, None, None, "DELETE", 12, 12),   # group c empties
+        (6, "a", 6.0, "UPSERT", 13, 13),
+    ]), batch_id="w2")
+    src = src.refresh()
+    sync_agg_view(src, view, ["grp"], "v")   # auto-resume from lineage
+    view = view.refresh()
+    got = _as_dict(view.read().select("grp", "n_live", "sum_value"))
+    assert got == _as_dict(grouped_agg_state(src.read(), ["grp"], "v"))
+    assert "c" not in got                     # emptied group DELETEd
+
+    # re-sync with nothing new: skip
+    assert sync_agg_view(src, view, ["grp"], "v")["merge"]["skipped"]
+    # replaying the full window when the view is already at its end is a
+    # no-op, not a corruption
+    assert sync_agg_view(src, view, ["grp"], "v",
+                         since_version=0)["merge"]["skipped"]
+    # but a mis-anchored window that would apply NEW data must be
+    # rejected (relative deltas double-apply)
+    src.merge(_mk(spark, [(7, "b", 7.0, "UPSERT", 20, 20)]), batch_id="w3")
+    src = src.refresh()
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        sync_agg_view(src, view, ["grp"], "v", since_version=0)
+    # the correctly-anchored sync still lands
+    sync_agg_view(src, view, ["grp"], "v")
+    view = view.refresh()
+    assert _as_dict(view.read().select("grp", "n_live", "sum_value")) == \
+        _as_dict(grouped_agg_state(src.read(), ["grp"], "v"))
+
+
+def test_agg_view_crash_replay_is_noop(spark, tmp_root):
+    from chunjun_spark.operators.ivm import create_agg_view, sync_agg_view
+    src = _table(spark, tmp_root, "csrc")
+    view = create_agg_view(spark, os.path.join(tmp_root, "cview"),
+                           [("grp", "string")], n_buckets=4)
+    src.merge(_mk(spark, [(1, "a", 1.0, "UPSERT", 1, 1)]), batch_id="w1")
+    src = src.refresh()
+    sync_agg_view(src, view, ["grp"], "v")
+    # crash AFTER commit, BEFORE the follower recorded its own progress:
+    # the re-driven window hits the batch_id lineage skip
+    view = view.refresh()
+    r = sync_agg_view(src, view, ["grp"], "v", since_version=0)
+    assert r["merge"]["skipped"]
+    view = view.refresh()
+    rows = view.read().collect()
+    assert [(r["grp"], r["n_live"], r["sum_value"]) for r in rows] == [("a", 1, 1.0)]
