@@ -35,11 +35,14 @@ def grouped_agg_state(df: DataFrame, group_cols: list[str], value_col: str) -> D
 
     Output schema is the maintenance contract: (group_cols..., n_live,
     sum_value). ``df`` is the LIVE table state (tombstones filtered, as
-    ``LakeTable.read()`` returns).
+    ``LakeTable.read()`` returns). sum_value is the sum of the NON-NULL
+    values, 0.0 when a group has none — the same convention the
+    incremental fold uses (it retracts a NULL contribution as 0.0), so
+    maintained and recomputed state stay bit-identical.
     """
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_live"),
-        F.sum(F.col(value_col)).alias("sum_value"),
+        F.coalesce(F.sum(F.col(value_col)), F.lit(0.0)).alias("sum_value"),
     )
 
 

@@ -206,3 +206,74 @@ def test_agg_view_crash_replay_is_noop(spark, tmp_root):
     view = view.refresh()
     rows = view.read().collect()
     assert [(r["grp"], r["n_live"], r["sum_value"]) for r in rows] == [("a", 1, 1.0)]
+
+
+# ------------------------------------------------- property: IVM == model
+
+def test_agg_view_random_interleavings_match_model(spark, tmp_root):
+    """Hypothesis: for arbitrary change streams split into arbitrary sync
+    windows, the maintained view equals both the full recompute and a
+    Python fold model. Each example pays several lake commits, so the
+    example budget is small — adversarial shapes, not volume."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from chunjun_spark.operators.ivm import create_agg_view, sync_agg_view
+
+    EVENT = st.tuples(
+        st.integers(min_value=0, max_value=5),            # key
+        st.integers(min_value=0, max_value=30),           # op_ts sec
+        st.sampled_from(["UPSERT", "UPSERT", "DELETE"]),
+        st.sampled_from(["g0", "g1", "g2"]),              # group
+        st.one_of(st.none(), st.integers(min_value=-9, max_value=9)),
+    )
+
+    counter = {"n": 0}
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(EVENT, min_size=1, max_size=24),
+           st.integers(min_value=1, max_value=3))
+    def run(events, n_windows):
+        counter["n"] += 1
+        rows = [
+            (k, None if op == "DELETE" else g,
+             None if (op == "DELETE" or v is None) else float(v),
+             op, ts, i)
+            for i, (k, ts, op, g, v) in enumerate(events)
+        ]
+        src = _table(spark, tmp_root, f"p_src{counter['n']}")
+        view = create_agg_view(
+            spark, os.path.join(tmp_root, f"p_view{counter['n']}"),
+            [("grp", "string")], n_buckets=2,
+        )
+        step = max(1, len(rows) // n_windows)
+        for w in range(0, len(rows), step):
+            batch = rows[w:w + step]
+            src.merge(_mk(spark, batch), batch_id=f"w{w}")
+            src = src.refresh()
+            sync_agg_view(src, view.refresh(), ["grp"], "v")
+
+        # Python fold model
+        win = {}
+        for (k, g, v, op, ts, seq) in rows:
+            cur = win.get(k)
+            if cur is None or (ts, seq) > (cur[0], cur[1]):
+                win[k] = (ts, seq, op, g, v)
+        model = {}
+        for (ts, seq, op, g, v) in win.values():
+            if op == "DELETE":
+                continue
+            n, s = model.get(g, (0, 0.0))
+            model[g] = (n + 1, s + (v or 0.0))
+
+        got = {r["grp"]: (r["n_live"], round(r["sum_value"], 9))
+               for r in view.refresh().read()
+               .select("grp", "n_live", "sum_value").collect()}
+        full = {r["grp"]: (r["n_live"], round(r["sum_value"], 9))
+                for r in grouped_agg_state(src.read(), ["grp"], "v").collect()}
+        want = {g: (n, round(s, 9)) for g, (n, s) in model.items()}
+        assert got == want, f"view {got} != model {want}"
+        assert full == want, f"recompute {full} != model {want}"
+
+    run()
