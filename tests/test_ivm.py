@@ -277,3 +277,30 @@ def test_agg_view_random_interleavings_match_model(spark, tmp_root):
         assert full == want, f"recompute {full} != model {want}"
 
     run()
+
+
+def test_agg_view_window_spans_multiple_commits(spark, tmp_root):
+    """A lagging follower syncs a window covering several source commits:
+    the CDF is a NET diff, so intermediate states the follower never saw
+    (key 1 updated twice, key 2 inserted then deleted) must still land
+    the right final aggregate."""
+    from chunjun_spark.operators.ivm import create_agg_view, sync_agg_view
+    src = _table(spark, tmp_root, "msrc")
+    view = create_agg_view(spark, os.path.join(tmp_root, "mview"),
+                           [("grp", "string")], n_buckets=4)
+    src.merge(_mk(spark, [(1, "a", 1.0, "UPSERT", 1, 1)]), batch_id="m1")
+    src = src.refresh()
+    sync_agg_view(src, view, ["grp"], "v")
+    # three more commits before the follower catches up again
+    src.merge(_mk(spark, [(1, "b", 2.0, "UPSERT", 2, 2),
+                          (2, "a", 9.0, "UPSERT", 3, 3)]), batch_id="m2")
+    src = src.refresh()
+    src.merge(_mk(spark, [(1, "b", 3.0, "UPSERT", 4, 4)]), batch_id="m3")
+    src = src.refresh()
+    src.merge(_mk(spark, [(2, None, None, "DELETE", 5, 5)]), batch_id="m4")
+    src = src.refresh()
+    sync_agg_view(src, view.refresh(), ["grp"], "v")
+    got = {r["grp"]: (r["n_live"], r["sum_value"])
+           for r in view.refresh().read()
+           .select("grp", "n_live", "sum_value").collect()}
+    assert got == {"b": (1, 3.0)}
