@@ -1656,6 +1656,61 @@ GROUP BY event_type
 """
 
 
+def _q_cdc_max_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-decomposable aggregate maintenance: per-event_type max(value)
+    maintained across a replay window with recompute-on-invalidate —
+    additions fold free; only groups whose current maximum was retracted
+    (updated away or deleted) re-scan, narrowed by a semi-join. Must
+    equal the oracle's full recompute over the final folded state."""
+    from chunjun_spark.operators.ivm import (
+        apply_changes_to_max,
+        grouped_max_state,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    root = tempfile.mkdtemp(prefix="cj_entry_mx_")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table = LakeTable.create(spark, root, schema, pk=["user_id"], n_buckets=8)
+    replay(
+        events_changelog(ev.filter(F.col("ts") <= cut)),
+        table, batch_id="mx-1", mode="mor",
+    )
+    table = table.refresh()
+    v1 = table.manifest["version"]
+    prev = grouped_max_state(table.read(), ["event_type"], "value")
+    replay(
+        events_changelog(ev.filter(F.col("ts") > cut)),
+        table, batch_id="mx-2", mode="mor",
+    )
+    table = table.refresh()
+    cdf = table.read_changes(since_version=v1, with_preimages=True)
+    inc = apply_changes_to_max(
+        prev, cdf, table.read(), ["event_type"], "value"
+    )
+    return inc.select(
+        "event_type", "n_live", F.round("max_value", 6).alias("max_value")
+    )
+
+
+_MAX_INCREMENTAL_SQL = """
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type, count(*) AS n_live, round(max(value), 6) AS max_value
+FROM r WHERE rn = 1 AND event_type <> 'error'
+GROUP BY event_type
+"""
+
+
 # -------------------------------------------------- temporal / decontam
 
 def _q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2276,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_compact_reshard": _q_cdc_compact_reshard,
         "cdc_agg_incremental": _q_cdc_agg_incremental,
         "cdc_agg_view": _q_cdc_agg_view,
+        "cdc_max_incremental": _q_cdc_max_incremental,
         "events_asof_join": _q_events_asof_join,
         "events_sessionize": _q_events_sessionize,
         "doc_decontaminate": _q_doc_decontaminate,
@@ -2354,6 +2410,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_compact_reshard": _REPLAY_LAKE_SQL,
         "cdc_agg_incremental": _AGG_INCREMENTAL_SQL,
         "cdc_agg_view": _AGG_INCREMENTAL_SQL,
+        "cdc_max_incremental": _MAX_INCREMENTAL_SQL,
         "events_asof_join": _ASOF_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
         "doc_decontaminate": _DECONTAM_SQL,

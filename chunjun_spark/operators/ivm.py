@@ -14,9 +14,12 @@ Reference analog: ChunJun's incremental restore consumers re-read
 and recompute downstream — here the committed snapshots themselves feed
 exact delta maintenance, the lakehouse generalization of that pattern.
 
-Only sum-decomposable aggregates are maintained (count, sum; avg =
-sum/count at read time). min/max are NOT decomposable under retraction
-and would need a per-group heap — out of scope, recompute those.
+Sum-decomposable aggregates (count, sum; avg = sum/count at read time)
+maintain in pure O(changes). max/min are NOT decomposable under
+retraction, so they use the standard recompute-on-invalidate hybrid
+(``apply_changes_to_max``): additions fold free, and only the groups
+whose CURRENT extremum was retracted re-scan — bounded by the touched
+groups, never the table.
 """
 
 from __future__ import annotations
@@ -94,6 +97,91 @@ def apply_changes_to_agg(
     # drop_empty=False keeps n_live==0 rows so a view-table sync can
     # turn emptied groups into DELETEs (sync_agg_view)
     return out.filter(F.col("n_live") > 0) if drop_empty else out
+
+
+def grouped_max_state(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+    """Full recompute of the max view: (group_cols..., n_live,
+    max_value). NULL values never become the max (F.max skips them); a
+    group whose live rows are all NULL reads max_value NULL."""
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.max(F.col(value_col)).alias("max_value"),
+    )
+
+
+def apply_changes_to_max(
+    prev: DataFrame,
+    changes: DataFrame,
+    source_live: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Fold one preimage-complete CDF window into a per-group max view —
+    the recompute-on-invalidate hybrid for non-decomposable aggregates.
+
+    Additions fold without touching the source: the new max is
+    ``greatest(prev_max, max(added values))``. A retraction only matters
+    when the retracted value ties the surviving candidate — the group's
+    current extremum may have left, so exactly THOSE groups recompute
+    from ``source_live`` (the CURRENT live table state, e.g.
+    ``table.read()``), narrowed by a semi-join on the invalidated group
+    set. Cost: O(changes) + one scan filtered to invalidated groups;
+    a window that never retracts a group maximum touches the source not
+    at all. n_live stays count-decomposable and never recomputes.
+    """
+    adds = (
+        changes.filter(F.col("_change_type").isin(*_ADD))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_n_add"),
+            F.max(F.col(value_col)).alias("_add_max"),
+        )
+    )
+    retr = (
+        changes.filter(F.col("_change_type").isin(*_RETRACT))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("_n_retr"),
+            F.max(F.col(value_col)).alias("_retr_max"),
+        )
+    )
+    j = (
+        prev.withColumnRenamed("max_value", "_prev_max")
+        .withColumnRenamed("n_live", "_prev_n")
+        .join(adds, on=group_cols, how="full_outer")
+        .join(retr, on=group_cols, how="full_outer")
+    )
+    n_live = (
+        F.coalesce(F.col("_prev_n"), F.lit(0))
+        + F.coalesce(F.col("_n_add"), F.lit(0))
+        - F.coalesce(F.col("_n_retr"), F.lit(0))
+    )
+    candidate = F.greatest(F.col("_prev_max"), F.col("_add_max"))
+    # a retracted value can only dethrone the max when it ties the
+    # surviving candidate (it never exceeds prev_max by construction)
+    invalid = F.col("_retr_max").isNotNull() & (
+        candidate.isNull() | (F.col("_retr_max") >= candidate)
+    )
+    j = (
+        j.withColumn("n_live", n_live)
+        .withColumn("_cand", candidate)
+        .withColumn("_invalid", invalid)
+        .filter(F.col("n_live") > 0)
+        .localCheckpoint(eager=True)  # one evaluation feeds both branches
+    )
+    valid = j.filter(~F.col("_invalid")).select(
+        *group_cols, "n_live", F.col("_cand").alias("max_value")
+    )
+    inval = j.filter(F.col("_invalid")).select(*group_cols, "n_live")
+    rescan = (
+        source_live.join(inval.select(*group_cols), on=group_cols, how="left_semi")
+        .groupBy(*group_cols)
+        .agg(F.max(F.col(value_col)).alias("max_value"))
+    )
+    recomputed = inval.join(rescan, on=group_cols, how="left").select(
+        *group_cols, "n_live", "max_value"
+    )
+    return valid.unionByName(recomputed)
 
 
 # ----------------------------------------------- persistent view table

@@ -304,3 +304,57 @@ def test_agg_view_window_spans_multiple_commits(spark, tmp_root):
            for r in view.refresh().read()
            .select("grp", "n_live", "sum_value").collect()}
     assert got == {"b": (1, 3.0)}
+
+
+def test_max_view_recompute_on_invalidate(spark, tmp_root):
+    from chunjun_spark.operators.ivm import (
+        apply_changes_to_max, grouped_max_state,
+    )
+    t = _table(spark, tmp_root, "mx1")
+    t.merge(_mk(spark, [
+        (1, "a", 1.0, "UPSERT", 1, 1),
+        (2, "a", 9.0, "UPSERT", 2, 2),   # group a's max
+        (3, "b", 3.0, "UPSERT", 3, 3),
+        (4, "b", 7.0, "UPSERT", 4, 4),   # group b's max
+    ]), batch_id="b1")
+    t = t.refresh()
+    v1 = t.manifest["version"]
+    prev = grouped_max_state(t.read(), ["grp"], "v")
+    t.merge(_mk(spark, [
+        (2, None, None, "DELETE", 10, 10),  # retracts a's max -> recompute
+        (3, "b", 3.5, "UPSERT", 11, 11),    # non-max update in b
+        (5, "c", 2.0, "UPSERT", 12, 12),    # new group
+    ]), batch_id="b2")
+    t = t.refresh()
+    cdf = t.read_changes(since_version=v1, with_preimages=True)
+    inc = apply_changes_to_max(prev, cdf, t.read(), ["grp"], "v")
+    got = {r["grp"]: (r["n_live"], r["max_value"]) for r in inc.collect()}
+    full = {r["grp"]: (r["n_live"], r["max_value"])
+            for r in grouped_max_state(t.read(), ["grp"], "v").collect()}
+    assert got == full == {"a": (1, 1.0), "b": (2, 7.0), "c": (1, 2.0)}
+
+
+def test_max_view_skips_source_when_max_survives(spark, tmp_root):
+    """Retracting a NON-max value must not need the source at all: an
+    empty source_live frame still yields the right answer."""
+    from chunjun_spark.operators.ivm import (
+        apply_changes_to_max, grouped_max_state,
+    )
+    t = _table(spark, tmp_root, "mx2")
+    t.merge(_mk(spark, [
+        (1, "a", 1.0, "UPSERT", 1, 1),
+        (2, "a", 9.0, "UPSERT", 2, 2),
+    ]), batch_id="b1")
+    t = t.refresh()
+    v1 = t.manifest["version"]
+    prev = grouped_max_state(t.read(), ["grp"], "v")
+    t.merge(_mk(spark, [
+        (1, None, None, "DELETE", 10, 10),   # retracts the NON-max row
+        (3, "a", 11.0, "UPSERT", 11, 11),    # and a new max arrives
+    ]), batch_id="b2")
+    t = t.refresh()
+    cdf = t.read_changes(since_version=v1, with_preimages=True)
+    empty_src = spark.createDataFrame([], t.read().schema)
+    inc = apply_changes_to_max(prev, cdf, empty_src, ["grp"], "v")
+    assert [(r["grp"], r["n_live"], r["max_value"]) for r in inc.collect()] \
+        == [("a", 2, 11.0)]
