@@ -358,3 +358,52 @@ def test_max_view_skips_source_when_max_survives(spark, tmp_root):
     inc = apply_changes_to_max(prev, cdf, empty_src, ["grp"], "v")
     assert [(r["grp"], r["n_live"], r["max_value"]) for r in inc.collect()] \
         == [("a", 2, 11.0)]
+
+
+def test_view_chaining_distinct_count(spark, tmp_root):
+    """Views compose: a maintained view is itself a LakeTable with a
+    preimage-complete CDF, so a second view can be maintained FROM the
+    first. distinct-count — not decomposable directly — falls out of the
+    chain: view1 counts rows per (grp, v) [its n_live > 0 iff the pair
+    exists], view2 counts view1's rows per grp = exact distinct values,
+    maintained end-to-end in O(changes)."""
+    from chunjun_spark.operators.ivm import create_agg_view, sync_agg_view
+
+    src = _table(spark, tmp_root, "dsrc")
+    v1 = create_agg_view(spark, os.path.join(tmp_root, "dview1"),
+                         [("grp", "string"), ("v", "double")], n_buckets=4)
+    v2 = create_agg_view(spark, os.path.join(tmp_root, "dview2"),
+                         [("grp", "string")], n_buckets=2)
+
+    def sync_chain():
+        nonlocal src, v1, v2
+        src = src.refresh()
+        sync_agg_view(src, v1.refresh(), ["grp", "v"], "v")
+        v1 = v1.refresh()
+        sync_agg_view(v1, v2.refresh(), ["grp"], "n_live")
+        v2 = v2.refresh()
+
+    src.merge(_mk(spark, [
+        (1, "a", 1.0, "UPSERT", 1, 1),
+        (2, "a", 1.0, "UPSERT", 2, 2),   # duplicate value in a
+        (3, "a", 2.0, "UPSERT", 3, 3),
+        (4, "b", 5.0, "UPSERT", 4, 4),
+    ]), batch_id="w1")
+    sync_chain()
+    got = {r["grp"]: r["n_live"] for r in v2.read().collect()}
+    assert got == {"a": 2, "b": 1}        # distinct values per group
+
+    src.merge(_mk(spark, [
+        (2, "a", 3.0, "UPSERT", 10, 10),  # 1.0 still held by key 1; adds 3.0
+        (3, None, None, "DELETE", 11, 11),  # last holder of 2.0 leaves
+        (4, None, None, "DELETE", 12, 12),  # group b vanishes entirely
+    ]), batch_id="w2")
+    sync_chain()
+    got = {r["grp"]: r["n_live"] for r in v2.read().collect()}
+    assert got == {"a": 2}                # {1.0, 3.0}; b dropped
+
+    # model cross-check against a direct recompute
+    direct = {r["grp"]: r["n"] for r in
+              src.read().groupBy("grp")
+              .agg(F.countDistinct("v").alias("n")).collect()}
+    assert got == direct
