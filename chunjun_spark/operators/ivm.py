@@ -14,6 +14,11 @@ Reference analog: ChunJun's incremental restore consumers re-read
 and recompute downstream — here the committed snapshots themselves feed
 exact delta maintenance, the lakehouse generalization of that pattern.
 
+``value_col`` everywhere accepts a column name OR any SQL expression
+over the source row (e.g. ``"cast(length(content) as double)"``) — the
+expression is evaluated identically on postimages, preimages, and
+recompute scans, so computed-value views maintain exactly.
+
 Sum-decomposable aggregates (count, sum; avg = sum/count at read time)
 maintain in pure O(changes). max/min are NOT decomposable under
 retraction, so they use the standard recompute-on-invalidate hybrid
@@ -45,7 +50,7 @@ def grouped_agg_state(df: DataFrame, group_cols: list[str], value_col: str) -> D
     """
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_live"),
-        F.coalesce(F.sum(F.col(value_col)), F.lit(0.0)).alias("sum_value"),
+        F.coalesce(F.sum(F.expr(value_col)), F.lit(0.0)).alias("sum_value"),
     )
 
 
@@ -80,7 +85,7 @@ def apply_changes_to_agg(
     delta = changes.select(
         *group_cols,
         sign.alias("_s"),
-        (sign * F.coalesce(F.col(value_col), F.lit(0.0))).alias("_sv"),
+        (sign * F.coalesce(F.expr(value_col), F.lit(0.0))).alias("_sv"),
     ).filter(F.col("_s") != 0).select(
         *group_cols,
         F.col("_s").cast("long").alias("n_live"),
@@ -105,7 +110,7 @@ def grouped_max_state(df: DataFrame, group_cols: list[str], value_col: str) -> D
     group whose live rows are all NULL reads max_value NULL."""
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_live"),
-        F.max(F.col(value_col)).alias("max_value"),
+        F.max(F.expr(value_col)).alias("max_value"),
     )
 
 
@@ -134,7 +139,7 @@ def apply_changes_to_max(
         .groupBy(*group_cols)
         .agg(
             F.count(F.lit(1)).alias("_n_add"),
-            F.max(F.col(value_col)).alias("_add_max"),
+            F.max(F.expr(value_col)).alias("_add_max"),
         )
     )
     retr = (
@@ -142,7 +147,7 @@ def apply_changes_to_max(
         .groupBy(*group_cols)
         .agg(
             F.count(F.lit(1)).alias("_n_retr"),
-            F.max(F.col(value_col)).alias("_retr_max"),
+            F.max(F.expr(value_col)).alias("_retr_max"),
         )
     )
     j = (
@@ -176,7 +181,7 @@ def apply_changes_to_max(
     rescan = (
         source_live.join(inval.select(*group_cols), on=group_cols, how="left_semi")
         .groupBy(*group_cols)
-        .agg(F.max(F.col(value_col)).alias("max_value"))
+        .agg(F.max(F.expr(value_col)).alias("max_value"))
     )
     recomputed = inval.join(rescan, on=group_cols, how="left").select(
         *group_cols, "n_live", "max_value"

@@ -167,6 +167,7 @@ def start_replay_stream(
     rate_limiter: ByteRateLimiter | None = None,
     update_mode: str = "replace",
     wire_format: str = "nested",
+    agg_views: list[dict] | None = None,
 ) -> StreamingQuery:
     """Start the micro-batch apply loop.
 
@@ -190,12 +191,32 @@ def start_replay_stream(
     under continuous ingest (the reference's file-sink block rollover
     analog, BaseFileOutputFormat fileIndex). Compaction is a pure
     rewrite, so a crash between compact and checkpoint replays safely.
+
+    ``agg_views``: pre-created maintained views (operators/ivm.py) that
+    follow the sink continuously — ``[{"root": view_root, "group_cols":
+    [...], "value_col": "..."}]``. After each micro-batch commit, each
+    view syncs its own CDF window (O(changes) + O(touched groups));
+    syncs are idempotent and resume from the VIEW's lineage, so they
+    also run on the replayed-batch skip path — a crash between the
+    table commit and the view sync just catches up on the next batch.
     """
     if update_mode == "patch" and mode != "cow":
         raise ValueError("update_mode='patch' requires mode='cow'")
     if wire_format not in ("nested", "json"):
         raise ValueError(f"unknown wire_format {wire_format!r}")
     spark = events.sparkSession
+
+    def _sync_views() -> None:
+        if not agg_views:
+            return
+        from chunjun_spark.operators.ivm import sync_agg_view
+
+        t = LakeTable.load(spark, table_root)
+        for v in agg_views:
+            sync_agg_view(
+                t, LakeTable.load(spark, v["root"]),
+                v["group_cols"], v["value_col"],
+            )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         from chunjun_spark.operators.ddl import apply_ddl_events, split_ddl
@@ -205,7 +226,10 @@ def start_replay_stream(
         table = LakeTable.load(spark, table_root)
         bid = f"{job_id}:{batch_id}"
         if bid in table.committed_batches():
-            return  # replayed micro-batch after restart — already applied
+            # replayed micro-batch after restart — already applied; the
+            # views may still lag it (crash between commit and sync)
+            _sync_views()
+            return
         batch_df, ddl = split_ddl(batch_df)
         ddl_rows = [r.asDict() for r in ddl.collect()]
         if ddl_rows:
@@ -238,6 +262,7 @@ def start_replay_stream(
                     t2.compact()
         if rate_limiter is not None:
             rate_limiter.observe_rows(metrics["numRead"], batch_df)
+        _sync_views()
 
     writer = events.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

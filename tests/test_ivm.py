@@ -407,3 +407,45 @@ def test_view_chaining_distinct_count(spark, tmp_root):
               src.read().groupBy("grp")
               .agg(F.countDistinct("v").alias("n")).collect()}
     assert got == direct
+
+
+def test_streaming_replay_maintains_view(spark, tmp_root):
+    """A maintained view rides the micro-batch loop: start_replay_stream
+    with agg_views syncs the view after every commit (and on the
+    replayed-batch skip path), so the drained view equals a full
+    recompute over the sink — here a computed-value view, per-lang
+    (row count, total content bytes)."""
+    from chunjun_spark.operators.ivm import create_agg_view, grouped_agg_state
+    from chunjun_spark.sources.binlog import (
+        PAYLOAD_SCHEMA, generate_binlog, write_binlog_files,
+    )
+    from chunjun_spark.streaming.pipeline import (
+        read_binlog_stream, start_replay_stream,
+    )
+
+    root = os.path.join(tmp_root, "sv_lake")
+    vroot = os.path.join(tmp_root, "sv_view")
+    binlog = os.path.join(tmp_root, "sv_binlog")
+    ckpt = os.path.join(tmp_root, "sv_ckpt")
+    LakeTable.create(spark, root, PAYLOAD_SCHEMA,
+                     pk=["repo", "path"], n_buckets=4)
+    create_agg_view(spark, vroot, [("lang", "string")], n_buckets=2)
+    ev = generate_binlog(spark, n_events=4000, n_keys=1000, seed=9)
+    write_binlog_files(ev, binlog, n_files=4)
+
+    content_bytes = "cast(length(content) as double)"
+    events = read_binlog_stream(spark, binlog, max_files_per_trigger=1)
+    q = start_replay_stream(
+        events, root, ckpt, job_id="sv", mode="mor",
+        agg_views=[{"root": vroot, "group_cols": ["lang"],
+                    "value_col": content_bytes}],
+    )
+    assert q.awaitTermination(300)
+
+    t = LakeTable.load(spark, root)
+    view = LakeTable.load(spark, vroot)
+    got = {r["lang"]: (r["n_live"], round(r["sum_value"], 6))
+           for r in view.read().select("lang", "n_live", "sum_value").collect()}
+    want = {r["lang"]: (r["n_live"], round(r["sum_value"], 6))
+            for r in grouped_agg_state(t.read(), ["lang"], content_bytes).collect()}
+    assert got == want and len(got) > 0
