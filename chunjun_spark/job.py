@@ -489,6 +489,31 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
                 pk=wp.get("pk") or ["repo", "path"],
                 n_buckets=int(wp.get("nBuckets", 16)),
             )
+        # writer.parameter.aggViews: maintained views that follow the
+        # sink (operators/ivm.py) — [{"path", "groupCols", "valueCol"}];
+        # created on demand with group types from the sink payload schema
+        agg_views = None
+        if wp.get("aggViews"):
+            from chunjun_spark.operators.ivm import create_agg_view
+            from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA
+
+            types = {f.name: f.dataType.simpleString()
+                     for f in PAYLOAD_SCHEMA.fields}
+            agg_views = []
+            for v in wp["aggViews"]:
+                try:
+                    LakeTable.load(spark, v["path"])
+                except FileNotFoundError:
+                    create_agg_view(
+                        spark, v["path"],
+                        [(c, types[c]) for c in v["groupCols"]],
+                        n_buckets=int(v.get("nBuckets", 8)),
+                    )
+                agg_views.append({
+                    "root": v["path"],
+                    "group_cols": list(v["groupCols"]),
+                    "value_col": v["valueCol"],
+                })
         run_stream_to_completion(
             spark,
             binlog_dir=p["path"],
@@ -499,6 +524,7 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
             # setting.speed.bytes → feedback byte-rate throttle
             # (ByteRateLimiter.java analog; -1 = unlimited)
             byte_rate_limit=cfg.speed.bytes,
+            agg_views=agg_views,
         )
         table = LakeTable.load(spark, wp["path"])
         totals = table.lineage_totals()  # exact even past lineage eviction

@@ -405,12 +405,14 @@ def run_stream_to_completion(
     max_files_per_trigger: int = 4,
     timeout_sec: int = 600,
     byte_rate_limit: int = -1,
+    agg_views: list[dict] | None = None,
 ) -> None:
     events = read_binlog_stream(spark, binlog_dir, max_files_per_trigger)
     limiter = ByteRateLimiter(byte_rate_limit) if byte_rate_limit > 0 else None
     q = start_replay_stream(
         events, table_root, checkpoint_dir, job_id=job_id, mode=mode,
         trigger_available_now=True, rate_limiter=limiter,
+        agg_views=agg_views,
     )
     if not q.awaitTermination(timeout_sec):
         q.stop()

@@ -554,3 +554,53 @@ def test_transformer_unknown_plugin_raises(spark, tmp_root):
     }
     with _pytest.raises(ValueError, match="unknown transform"):
         run_job(spark, cfg)
+
+
+def test_stream_job_with_agg_view(spark, tmp_root):
+    """writer.parameter.aggViews attaches maintained views to the stream
+    job: created on demand (group types from the payload schema), synced
+    per micro-batch, final state equals a recompute over the sink."""
+    from chunjun_spark.operators.ivm import grouped_agg_state
+    from chunjun_spark.sources.binlog import generate_binlog
+
+    binlog_dir = os.path.join(tmp_root, "av_segments")
+    lake = os.path.join(tmp_root, "av_lake")
+    view = os.path.join(tmp_root, "av_view")
+    generate_binlog(spark, n_events=800, seed=4, n_partitions=2).write.parquet(
+        binlog_dir
+    )
+    vexpr = "cast(length(content) as double)"
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {"name": "binlogreader", "parameter": {"path": binlog_dir}},
+                    "writer": {
+                        "name": "lakewriter",
+                        "parameter": {
+                            "path": lake, "pk": ["repo", "path"],
+                            "nBuckets": 4, "mode": "mor",
+                            "aggViews": [{"path": view,
+                                          "groupCols": ["lang"],
+                                          "valueCol": vexpr}],
+                        },
+                    },
+                }
+            ],
+            "setting": {
+                "restore": {
+                    "isStream": True,
+                    "isRestore": True,
+                    "checkpointDir": os.path.join(tmp_root, "av_ckpt"),
+                }
+            },
+        }
+    }
+    run_job(spark, cfg)
+    t = LakeTable.load(spark, lake)
+    v = LakeTable.load(spark, view)
+    got = {r["lang"]: (r["n_live"], round(r["sum_value"], 6))
+           for r in v.read().select("lang", "n_live", "sum_value").collect()}
+    want = {r["lang"]: (r["n_live"], round(r["sum_value"], 6))
+            for r in grouped_agg_state(t.read(), ["lang"], vexpr).collect()}
+    assert got == want and len(got) > 0
