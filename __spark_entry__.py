@@ -1656,6 +1656,62 @@ GROUP BY event_type
 """
 
 
+def _q_cdc_distinct_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained maintained views under the oracle gate: exact per-group
+    distinct-count — not directly decomposable — maintained by stacking
+    two views. view1 counts live rows per (event_type, value); because a
+    maintained view is itself a LakeTable with a preimage-complete CDF,
+    view2 syncs FROM view1 counting its rows per event_type = the exact
+    number of distinct values, all in O(changes) per window. Oracle:
+    count(DISTINCT value) over the final folded state."""
+    from chunjun_spark.operators.ivm import create_agg_view, sync_agg_view
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    root = tempfile.mkdtemp(prefix="cj_entry_dv_")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table = LakeTable.create(spark, root, schema, pk=["user_id"], n_buckets=8)
+    v1 = create_agg_view(
+        spark, tempfile.mkdtemp(prefix="cj_entry_dv1_"),
+        [("event_type", "string"), ("value", "double")], n_buckets=8,
+    )
+    v2 = create_agg_view(
+        spark, tempfile.mkdtemp(prefix="cj_entry_dv2_"),
+        [("event_type", "string")], n_buckets=4,
+    )
+    for i, pred in enumerate(
+        (F.col("ts") <= cut, F.col("ts") > cut), start=1
+    ):
+        replay(events_changelog(ev.filter(pred)), table,
+               batch_id=f"dv-{i}", mode="mor")
+        table = table.refresh()
+        sync_agg_view(table, v1.refresh(), ["event_type", "value"], "value")
+        v1 = v1.refresh()
+        sync_agg_view(v1, v2.refresh(), ["event_type"], "n_live")
+        v2 = v2.refresh()
+    return v2.refresh().read().select(
+        "event_type", F.col("n_live").alias("n_distinct")
+    )
+
+
+_DISTINCT_VIEW_SQL = """
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type, count(DISTINCT value) AS n_distinct
+FROM r WHERE rn = 1 AND event_type <> 'error'
+GROUP BY event_type
+"""
+
+
 def _q_cdc_max_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-decomposable aggregate maintenance: per-event_type max(value)
     maintained across a replay window with recompute-on-invalidate —
@@ -2332,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_agg_incremental": _q_cdc_agg_incremental,
         "cdc_agg_view": _q_cdc_agg_view,
         "cdc_max_incremental": _q_cdc_max_incremental,
+        "cdc_distinct_view": _q_cdc_distinct_view,
         "events_asof_join": _q_events_asof_join,
         "events_sessionize": _q_events_sessionize,
         "doc_decontaminate": _q_doc_decontaminate,
@@ -2411,6 +2468,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_agg_incremental": _AGG_INCREMENTAL_SQL,
         "cdc_agg_view": _AGG_INCREMENTAL_SQL,
         "cdc_max_incremental": _MAX_INCREMENTAL_SQL,
+        "cdc_distinct_view": _DISTINCT_VIEW_SQL,
         "events_asof_join": _ASOF_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
         "doc_decontaminate": _DECONTAM_SQL,
