@@ -449,3 +449,36 @@ def test_streaming_replay_maintains_view(spark, tmp_root):
     want = {r["lang"]: (r["n_live"], round(r["sum_value"], 6))
             for r in grouped_agg_state(t.read(), ["lang"], content_bytes).collect()}
     assert got == want and len(got) > 0
+
+
+def test_preimages_project_through_widen_ddl(spark, tmp_root):
+    """A widen (int->bigint style; here float->double is exercised via
+    the double column staying castable) between windows: preimages cast
+    to the NEW type through the field-id projection."""
+    import pyspark.sql.types as _T
+    root = os.path.join(tmp_root, "prew")
+    schema = _T.StructType([
+        _T.StructField("user_id", _T.LongType()),
+        _T.StructField("grp", _T.StringType()),
+        _T.StructField("n", _T.IntegerType()),
+    ])
+    t = LakeTable.create(spark, root, schema, pk=["user_id"], n_buckets=2)
+    t.merge(_mk(spark, [(1, "a", 5.0, "UPSERT", 1, 1)])
+            .withColumn("n", F.col("v").cast("int")).drop("v"),
+            batch_id="b1")
+    t = t.refresh()
+    v1 = t.manifest["version"]
+    t.apply_ddl("widen_type", name="n", type="bigint")
+    t = t.refresh()
+    t.merge(_mk(spark, [(1, "a", 6.0, "UPSERT", 2, 2)])
+            .withColumn("n", F.col("v").cast("bigint")).drop("v"),
+            batch_id="b2")
+    t = t.refresh()
+    ch = {r["_change_type"]: r
+          for r in t.read_changes(since_version=v1, with_preimages=True).collect()}
+    assert ch["update_preimage"]["n"] == 5
+    assert ch["update_postimage"]["n"] == 6
+    # both read back as the widened type
+    f = {x.name: x.dataType.simpleString()
+         for x in t.read_changes(since_version=v1, with_preimages=True).schema.fields}
+    assert f["n"] == "bigint"
