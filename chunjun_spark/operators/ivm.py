@@ -189,6 +189,35 @@ def apply_changes_to_max(
     return valid.unionByName(recomputed)
 
 
+def grouped_min_state(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+    """Full recompute of the min view: (group_cols..., n_live, min_value)."""
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.min(F.expr(value_col)).alias("min_value"),
+    )
+
+
+def apply_changes_to_min(
+    prev: DataFrame,
+    changes: DataFrame,
+    source_live: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """min is max of the negated expression — same
+    recompute-on-invalidate machinery, same cost bounds
+    (``apply_changes_to_max``); double negation is exact for doubles."""
+    neg_prev = prev.select(
+        *group_cols, "n_live", (-F.col("min_value")).alias("max_value")
+    )
+    out = apply_changes_to_max(
+        neg_prev, changes, source_live, group_cols, f"-({value_col})"
+    )
+    return out.select(
+        *group_cols, "n_live", (-F.col("max_value")).alias("min_value")
+    )
+
+
 # ----------------------------------------------- persistent view table
 
 def create_agg_view(

@@ -482,3 +482,29 @@ def test_preimages_project_through_widen_ddl(spark, tmp_root):
     f = {x.name: x.dataType.simpleString()
          for x in t.read_changes(since_version=v1, with_preimages=True).schema.fields}
     assert f["n"] == "bigint"
+
+
+def test_min_view_recompute_on_invalidate(spark, tmp_root):
+    from chunjun_spark.operators.ivm import (
+        apply_changes_to_min, grouped_min_state,
+    )
+    t = _table(spark, tmp_root, "mn1")
+    t.merge(_mk(spark, [
+        (1, "a", 1.0, "UPSERT", 1, 1),   # group a's min
+        (2, "a", 9.0, "UPSERT", 2, 2),
+        (3, "b", 3.0, "UPSERT", 3, 3),
+    ]), batch_id="b1")
+    t = t.refresh()
+    v1 = t.manifest["version"]
+    prev = grouped_min_state(t.read(), ["grp"], "v")
+    t.merge(_mk(spark, [
+        (1, None, None, "DELETE", 10, 10),  # retracts a's min -> recompute
+        (4, "b", 0.5, "UPSERT", 11, 11),    # new min arrives in b
+    ]), batch_id="b2")
+    t = t.refresh()
+    cdf = t.read_changes(since_version=v1, with_preimages=True)
+    inc = apply_changes_to_min(prev, cdf, t.read(), ["grp"], "v")
+    got = {r["grp"]: (r["n_live"], r["min_value"]) for r in inc.collect()}
+    full = {r["grp"]: (r["n_live"], r["min_value"])
+            for r in grouped_min_state(t.read(), ["grp"], "v").collect()}
+    assert got == full == {"a": (1, 9.0), "b": (2, 0.5)}
