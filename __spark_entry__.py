@@ -32,6 +32,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Exact-grid float aggregates (functions/exact.py): every sum/avg over a
+# double that feeds the oracle hash is quantized to an integer grid so
+# the result is order-independent on BOTH engines — the fix for the r02
+# curation_pipeline hash flap (round(avg(q),6) straddling the grid).
+from chunjun_spark.functions.exact import (  # noqa: E402
+    GRID as _GRID,
+    exact_avg as _exact_avg,
+    exact_avg_sql as _sql_exact_avg,
+    exact_sum as _exact_sum,
+    exact_sum_sql as _sql_exact_sum,
+    micro as _micro,
+    micro_sql as _sql_micro,
+)
+
+
 # --------------------------------------------------------------- CDC core
 
 def _q_cdc_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,6 +124,56 @@ def _lake_projection(df: DataFrame) -> DataFrame:
         F.col("event_type").alias("last_event_type"),
         F.round("value", 6).alias("last_value"),
     )
+
+
+# Shared two-window replay fixture. Six entries (changes_feed,
+# time_travel, agg_incremental, agg_view, distinct_view,
+# max_incremental) consume the SAME source shape: the events changelog
+# replayed in two MOR windows split at the cut timestamp. Round-2
+# verdict: rebuilding that lake per entry made the bench time fixture
+# construction, not the operator. Build it once per (session, sf_dir);
+# consumers only time-travel (LakeTable.load(version=...)) and read the
+# CDF — they never mutate it, so sharing is safe. Mutating entries
+# (compact, schema evolution, idempotent replay, ...) keep private lakes.
+_EVENTS_FIXTURE: dict = {}
+
+
+def _events_lake_2w(spark: SparkSession, sf_dir: str) -> dict:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _EVENTS_FIXTURE.get(key)
+    if got is not None:
+        return got
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    root = tempfile.mkdtemp(prefix="cj_entry_fx2w_")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table = LakeTable.create(spark, root, schema, pk=["user_id"], n_buckets=8)
+    replay(
+        events_changelog(ev.filter(F.col("ts") <= cut)),
+        table, batch_id="fx-w1", mode="mor",
+    )
+    table = table.refresh()
+    v1 = table.manifest["version"]
+    replay(
+        events_changelog(ev.filter(F.col("ts") > cut)),
+        table, batch_id="fx-w2", mode="mor",
+    )
+    table = table.refresh()
+    got = {"root": root, "v1": v1, "v2": table.manifest["version"]}
+    _EVENTS_FIXTURE[key] = got
+    return got
+
+
+# value quantized to the exact grid for sum-maintained views — the same
+# expression evaluates on postimages, preimages, and recompute scans, so
+# the maintained sum is an exact integer in every state (order-free).
+_VALUE_MICRO_SQL = f"CAST(round(value * {_GRID}) AS BIGINT)"
 
 
 def _replay_lake(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
@@ -393,12 +458,13 @@ def _q_mod_split_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("channel", F.pmod(F.col("event_id"), F.lit(8)))
         .groupBy("channel")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .agg(F.count("*").alias("n"), _exact_sum("value").alias("sum_value"))
     )
 
 
-_MOD_SPLIT_SQL = """
-SELECT event_id % 8 AS channel, count(*) AS n, round(sum(value), 4) AS sum_value
+_MOD_SPLIT_SQL = f"""
+SELECT event_id % 8 AS channel, count(*) AS n,
+       {_sql_exact_sum('value')} AS sum_value
 FROM events GROUP BY 1
 """
 
@@ -1112,21 +1178,27 @@ def _q_skew_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # salted two-phase aggregation must equal the plain aggregate
     from chunjun_spark.operators.skew import two_phase_agg
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").withColumn("_vm", _micro("value"))
     out = two_phase_agg(
         ev,
         keys=["event_type"],
         aggs={
             "n": (F.count("*"), F.sum("n")),
-            "sum_value": (F.sum("value"), F.sum("sum_value")),
+            "sum_vm": (F.sum("_vm"), F.sum("sum_vm")),
         },
         n_salts=8,
     )
-    return out.select("event_type", "n", F.round("sum_value", 4).alias("sum_value"))
+    return out.select(
+        "event_type",
+        "n",
+        F.round(F.col("sum_vm").cast("double") / F.lit(float(_GRID)), 4).alias(
+            "sum_value"
+        ),
+    )
 
 
-_SKEW_AGG_SQL = """
-SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+_SKEW_AGG_SQL = f"""
+SELECT event_type, count(*) AS n, {_sql_exact_sum('value')} AS sum_value
 FROM events GROUP BY 1
 """
 
@@ -1380,7 +1452,9 @@ def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("q"), 6).alias("avg_quality"),
+        # exact-grid mean: q quantized to 1e-6 integers so the group
+        # average is order-independent (the r02 driver hash flap)
+        _exact_avg("q", 6).alias("avg_quality"),
     )
 
 
@@ -1424,7 +1498,7 @@ base AS (
   FROM flt
 )
 SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
-       round(avg(q), 6) AS avg_quality
+       {_sql_exact_avg('q', 6)} AS avg_quality
 FROM tok GROUP BY source
 """
 
@@ -1435,30 +1509,11 @@ def _q_cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental downstream consumption: replay events in two windows,
     then read the net row-level changes between the two snapshots via
     LakeTable.read_changes (Iceberg incremental-read / Delta CDF
-    analog; MOR fast path prunes the diff to delta-touched buckets)."""
-    ev = _t(spark, sf_dir, "events")
-    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
-    root = tempfile.mkdtemp(prefix="cj_entry_cdf_")
-    schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-        ]
-    )
-    table = LakeTable.create(spark, root, schema, pk=["user_id"], n_buckets=8)
-    replay(
-        events_changelog(ev.filter(F.col("ts") <= cut)),
-        table, batch_id="w1", mode="mor",
-    )
-    table = table.refresh()
-    v1 = table.manifest["version"]
-    replay(
-        events_changelog(ev.filter(F.col("ts") > cut)),
-        table, batch_id="w2", mode="mor",
-    )
-    table = table.refresh()
-    return table.read_changes(since_version=v1).select(
+    analog; MOR fast path prunes the diff to delta-touched buckets).
+    Source lake = the shared two-window fixture (read-only here)."""
+    fx = _events_lake_2w(spark, sf_dir)
+    table = LakeTable.load(spark, fx["root"], version=fx["v2"])
+    return table.read_changes(since_version=fx["v1"]).select(
         "user_id",
         F.col("_change_type").alias("change_type"),
         "event_type",
@@ -1508,29 +1563,10 @@ def _q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     be invisible; the oracle folds only the first window's events.
     Reference: restore-mode re-read from a historical location
     (JdbcInputFormat.java:640-757) served from the sink's own retained
-    snapshots instead of the source DB."""
-    ev = _t(spark, sf_dir, "events")
-    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
-    root = tempfile.mkdtemp(prefix="cj_entry_tt_")
-    schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-        ]
-    )
-    table = LakeTable.create(spark, root, schema, pk=["user_id"], n_buckets=8)
-    replay(
-        events_changelog(ev.filter(F.col("ts") <= cut)),
-        table, batch_id="tt-1", mode="mor",
-    )
-    table = table.refresh()
-    v1 = table.manifest["version"]
-    replay(
-        events_changelog(ev.filter(F.col("ts") > cut)),
-        table, batch_id="tt-2", mode="mor",
-    )
-    old = LakeTable.load(spark, root, version=v1)
+    snapshots instead of the source DB. Source lake = the shared
+    two-window fixture (read-only here)."""
+    fx = _events_lake_2w(spark, sf_dir)
+    old = LakeTable.load(spark, fx["root"], version=fx["v1"])
     return _lake_projection(old.read())
 
 
@@ -1566,39 +1602,23 @@ def _q_cdc_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     preimages retract, one group-key shuffle over O(changes) rows,
     never a re-scan. Output must equal the aggregate over the final
     folded state (the oracle's full recompute), including keys that
-    changed groups or were deleted in window 2."""
+    changed groups or were deleted in window 2. Source lake = the shared
+    two-window fixture; window-1 state comes from a time-travel load."""
     from chunjun_spark.operators.ivm import (
         apply_changes_to_agg,
         grouped_agg_state,
     )
 
-    ev = _t(spark, sf_dir, "events")
-    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
-    root = tempfile.mkdtemp(prefix="cj_entry_ivm_")
-    schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-        ]
-    )
-    table = LakeTable.create(spark, root, schema, pk=["user_id"], n_buckets=8)
-    replay(
-        events_changelog(ev.filter(F.col("ts") <= cut)),
-        table, batch_id="ivm-1", mode="mor",
-    )
-    table = table.refresh()
-    v1 = table.manifest["version"]
-    agg0 = grouped_agg_state(table.read(), ["event_type"], "value")
-    replay(
-        events_changelog(ev.filter(F.col("ts") > cut)),
-        table, batch_id="ivm-2", mode="mor",
-    )
-    table = table.refresh()
-    cdf = table.read_changes(since_version=v1, with_preimages=True)
-    agg = apply_changes_to_agg(agg0, cdf, ["event_type"], "value")
+    fx = _events_lake_2w(spark, sf_dir)
+    t1 = LakeTable.load(spark, fx["root"], version=fx["v1"])
+    t2 = LakeTable.load(spark, fx["root"], version=fx["v2"])
+    agg0 = grouped_agg_state(t1.read(), ["event_type"], _VALUE_MICRO_SQL)
+    cdf = t2.read_changes(since_version=fx["v1"], with_preimages=True)
+    agg = apply_changes_to_agg(agg0, cdf, ["event_type"], _VALUE_MICRO_SQL)
     return agg.select(
-        "event_type", "n_live", F.round("sum_value", 4).alias("sum_value")
+        "event_type",
+        "n_live",
+        F.round(F.col("sum_value") / F.lit(float(_GRID)), 4).alias("sum_value"),
     )
 
 
@@ -1609,48 +1629,34 @@ def _q_cdc_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_id + version-guarded merges make crash re-delivery a no-op,
     the view's own lineage carries the resume offset. Read-back must
     equal the full recompute over the final folded source (same oracle
-    as cdc_agg_incremental)."""
+    as cdc_agg_incremental). Source lake = the shared two-window
+    fixture; the two sync windows come from time-travel loads at v1 and
+    v2, so the entry times the SYNC operator, not fixture replays."""
     from chunjun_spark.operators.ivm import create_agg_view, sync_agg_view
 
-    ev = _t(spark, sf_dir, "events")
-    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
-    root = tempfile.mkdtemp(prefix="cj_entry_aggview_")
-    schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-        ]
-    )
-    table = LakeTable.create(spark, root, schema, pk=["user_id"], n_buckets=8)
+    fx = _events_lake_2w(spark, sf_dir)
     view = create_agg_view(
         spark, tempfile.mkdtemp(prefix="cj_entry_aggview_v_"),
         [("event_type", "string")], n_buckets=4,
     )
-    replay(
-        events_changelog(ev.filter(F.col("ts") <= cut)),
-        table, batch_id="av-1", mode="mor",
-    )
-    table = table.refresh()
-    sync_agg_view(table, view, ["event_type"], "value")
-    replay(
-        events_changelog(ev.filter(F.col("ts") > cut)),
-        table, batch_id="av-2", mode="mor",
-    )
-    table = table.refresh()
-    sync_agg_view(table, view.refresh(), ["event_type"], "value")
+    t1 = LakeTable.load(spark, fx["root"], version=fx["v1"])
+    sync_agg_view(t1, view, ["event_type"], _VALUE_MICRO_SQL)
+    t2 = LakeTable.load(spark, fx["root"], version=fx["v2"])
+    sync_agg_view(t2, view.refresh(), ["event_type"], _VALUE_MICRO_SQL)
     return view.refresh().read().select(
-        "event_type", "n_live", F.round("sum_value", 4).alias("sum_value")
+        "event_type",
+        "n_live",
+        F.round(F.col("sum_value") / F.lit(float(_GRID)), 4).alias("sum_value"),
     )
 
 
-_AGG_INCREMENTAL_SQL = """
+_AGG_INCREMENTAL_SQL = f"""
 WITH r AS (
   SELECT *, row_number() OVER (PARTITION BY user_id
                                ORDER BY ts DESC, event_id DESC) AS rn
   FROM events
 )
-SELECT event_type, count(*) AS n_live, round(sum(value), 4) AS sum_value
+SELECT event_type, count(*) AS n_live, {_sql_exact_sum('value')} AS sum_value
 FROM r WHERE rn = 1 AND event_type <> 'error'
 GROUP BY event_type
 """
@@ -1663,20 +1669,11 @@ def _q_cdc_distinct_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintained view is itself a LakeTable with a preimage-complete CDF,
     view2 syncs FROM view1 counting its rows per event_type = the exact
     number of distinct values, all in O(changes) per window. Oracle:
-    count(DISTINCT value) over the final folded state."""
+    count(DISTINCT value) over the final folded state. Source lake =
+    the shared two-window fixture (time-travel loads per window)."""
     from chunjun_spark.operators.ivm import create_agg_view, sync_agg_view
 
-    ev = _t(spark, sf_dir, "events")
-    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
-    root = tempfile.mkdtemp(prefix="cj_entry_dv_")
-    schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-        ]
-    )
-    table = LakeTable.create(spark, root, schema, pk=["user_id"], n_buckets=8)
+    fx = _events_lake_2w(spark, sf_dir)
     v1 = create_agg_view(
         spark, tempfile.mkdtemp(prefix="cj_entry_dv1_"),
         [("event_type", "string"), ("value", "double")], n_buckets=8,
@@ -1685,13 +1682,9 @@ def _q_cdc_distinct_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, tempfile.mkdtemp(prefix="cj_entry_dv2_"),
         [("event_type", "string")], n_buckets=4,
     )
-    for i, pred in enumerate(
-        (F.col("ts") <= cut, F.col("ts") > cut), start=1
-    ):
-        replay(events_changelog(ev.filter(pred)), table,
-               batch_id=f"dv-{i}", mode="mor")
-        table = table.refresh()
-        sync_agg_view(table, v1.refresh(), ["event_type", "value"], "value")
+    for ver in (fx["v1"], fx["v2"]):
+        src = LakeTable.load(spark, fx["root"], version=ver)
+        sync_agg_view(src, v1.refresh(), ["event_type", "value"], "value")
         v1 = v1.refresh()
         sync_agg_view(v1, v2.refresh(), ["event_type"], "n_live")
         v2 = v2.refresh()
@@ -1717,38 +1710,20 @@ def _q_cdc_max_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintained across a replay window with recompute-on-invalidate —
     additions fold free; only groups whose current maximum was retracted
     (updated away or deleted) re-scan, narrowed by a semi-join. Must
-    equal the oracle's full recompute over the final folded state."""
+    equal the oracle's full recompute over the final folded state.
+    Source lake = the shared two-window fixture (time-travel loads)."""
     from chunjun_spark.operators.ivm import (
         apply_changes_to_max,
         grouped_max_state,
     )
 
-    ev = _t(spark, sf_dir, "events")
-    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
-    root = tempfile.mkdtemp(prefix="cj_entry_mx_")
-    schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-        ]
-    )
-    table = LakeTable.create(spark, root, schema, pk=["user_id"], n_buckets=8)
-    replay(
-        events_changelog(ev.filter(F.col("ts") <= cut)),
-        table, batch_id="mx-1", mode="mor",
-    )
-    table = table.refresh()
-    v1 = table.manifest["version"]
-    prev = grouped_max_state(table.read(), ["event_type"], "value")
-    replay(
-        events_changelog(ev.filter(F.col("ts") > cut)),
-        table, batch_id="mx-2", mode="mor",
-    )
-    table = table.refresh()
-    cdf = table.read_changes(since_version=v1, with_preimages=True)
+    fx = _events_lake_2w(spark, sf_dir)
+    t1 = LakeTable.load(spark, fx["root"], version=fx["v1"])
+    t2 = LakeTable.load(spark, fx["root"], version=fx["v2"])
+    prev = grouped_max_state(t1.read(), ["event_type"], "value")
+    cdf = t2.read_changes(since_version=fx["v1"], with_preimages=True)
     inc = apply_changes_to_max(
-        prev, cdf, table.read(), ["event_type"], "value"
+        prev, cdf, t2.read(), ["event_type"], "value"
     )
     return inc.select(
         "event_type", "n_live", F.round("max_value", 6).alias("max_value")
@@ -1857,7 +1832,7 @@ WITH o AS (
 SELECT user_id, session_seq, count(*) AS n_events,
        min(ms) AS start_ms, max(ms) AS end_ms,
        max(ms) - min(ms) AS duration_ms,
-       round(sum(value), 6) AS sum_value
+       {_sql_exact_sum('value', 6)} AS sum_value
 FROM s GROUP BY user_id, session_seq
 """
 
@@ -2008,7 +1983,8 @@ tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok FROM t WHERE nt != '
 vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
 g AS (SELECT sum(cnt) AS total, count(*) AS v FROM vocab)
 SELECT doc_id, count(*) AS n_tokens,
-       round(avg(-ln((cnt + 0.5) / (g.total + 0.5 * g.v))), 6) AS avg_neg_logp
+       {_sql_exact_avg("-ln((cnt + 0.5) / (g.total + 0.5 * g.v))", 6)}
+         AS avg_neg_logp
 FROM tok JOIN vocab USING (tok) CROSS JOIN g
 GROUP BY doc_id
 """
@@ -2047,7 +2023,8 @@ bg AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2),
 ctx AS (SELECT w1, sum(c12) AS c1 FROM bg GROUP BY w1),
 v AS (SELECT count(DISTINCT w2) AS v FROM bg)
 SELECT doc_id, count(*) AS n_bigrams,
-       round(avg(-ln((c12 + 0.5) / (c1 + 0.5 * v.v))), 6) AS avg_neg_logp2
+       {_sql_exact_avg("-ln((c12 + 0.5) / (c1 + 0.5 * v.v))", 6)}
+         AS avg_neg_logp2
 FROM pairs JOIN bg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
 GROUP BY doc_id
 """
@@ -2106,9 +2083,10 @@ tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
        GROUP BY doc_id, tok),
 dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
 SELECT tf.doc_id,
-       round(sum(ln(1 + (g.n - dfq.df + 0.5) / (dfq.df + 0.5))
-                 * tf.tf * (1.2 + 1)
-                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dl / g.avgdl))), 6)
+       {_sql_exact_sum(
+           "ln(1 + (g.n - dfq.df + 0.5) / (dfq.df + 0.5))"
+           " * tf.tf * (1.2 + 1)"
+           " / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.dl / g.avgdl))", 6)}
          AS score
 FROM tf JOIN dfq USING (tok) JOIN lens USING (doc_id) CROSS JOIN g
 GROUP BY tf.doc_id
@@ -2302,11 +2280,11 @@ def _q_events_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WINDOW_COUNTS_SQL = """
+_WINDOW_COUNTS_SQL = f"""
 SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 4) AS sum_value
+       {_sql_exact_sum('value')} AS sum_value
 FROM events
 GROUP BY 1, 2
 """

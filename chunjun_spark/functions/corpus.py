@@ -24,6 +24,7 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from chunjun_spark.functions.exact import GRID, micro
 from chunjun_spark.functions.text import normalized
 
 
@@ -58,9 +59,14 @@ def unigram_lm_scores(
     denom = float(total) + k * float(v)
     scored = toks.join(vocab, on="tok")  # same-key shuffle as the agg above
     neg_logp = -(F.log((F.col("cnt") + F.lit(k)) / F.lit(denom)))
+    # per-token scores quantized to the exact 1e-6 grid so the per-doc
+    # mean is an order-independent integer sum (functions/exact.py)
+    n = F.count(F.lit(1))
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.avg(neg_logp).alias("avg_neg_logp"),
+        n.alias("n_tokens"),
+        (F.sum(micro(neg_logp)).cast("double") / n / F.lit(float(GRID))).alias(
+            "avg_neg_logp"
+        ),
     )
 
 
@@ -115,7 +121,12 @@ def bm25_scores(
             / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
         )
     )
-    return per_term.groupBy(id_col).agg(F.sum("_s").alias("score"))
+    # exact-grid sum of the per-term contributions (order-independent)
+    return per_term.groupBy(id_col).agg(
+        (F.sum(micro(F.col("_s"))).cast("double") / F.lit(float(GRID))).alias(
+            "score"
+        )
+    )
 
 
 def grouped_quantiles(
@@ -196,9 +207,13 @@ def bigram_lm_scores(
     neg_logp = -(
         F.log((F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k * float(v))))
     )
+    # exact-grid mean, as in unigram_lm_scores (order-independent)
+    n = F.count(F.lit(1))
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.avg(neg_logp).alias("avg_neg_logp2"),
+        n.alias("n_bigrams"),
+        (F.sum(micro(neg_logp)).cast("double") / n / F.lit(float(GRID))).alias(
+            "avg_neg_logp2"
+        ),
     )
 
 

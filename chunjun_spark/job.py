@@ -183,6 +183,8 @@ def _write_jdbc(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
     transaction apply (data + batch marker atomically; a re-run with the
     same jobId/batchId is a no-op) — the XA two-phase-commit analog."""
     from chunjun_spark.sources.jdbc_live import (
+        batch_applied,
+        ensure_audit_table,
         execute_sql,
         write_jdbc,
         write_jdbc_exactly_once,
@@ -195,6 +197,21 @@ def _write_jdbc(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
         "user": conn["user"],
         "password": conn["password"],
     }
+    if p.get("semantic") == "exactly-once":
+        # the exactly-once guarantee covers the side-effect SQL too: a
+        # replayed batch must not re-run a non-idempotent preSql/postSql
+        # (DELETE/TRUNCATE would mutate the target on every replay), so
+        # check the audit marker BEFORE any statement executes
+        spark = df.sparkSession
+        ensure_audit_table(spark, conn["url"], **common)
+        if batch_applied(
+            spark, conn["url"],
+            str(p.get("jobId", "job")), str(p.get("batchId", "0")),
+            **common,
+        ):
+            metrics["jdbcBatchSkipped"] = True
+            metrics["_noAction"] = True
+            return
     if p.get("preSql"):
         execute_sql(df.sparkSession, conn["url"], list(p["preSql"]), **common)
     if p.get("semantic") == "exactly-once":

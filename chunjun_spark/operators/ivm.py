@@ -291,6 +291,13 @@ def sync_agg_view(
     synced = view_synced_version(view)
     if since_version is None:
         since_version = synced if synced is not None else 0
+    elif synced is None and since_version != 0:
+        # a never-synced view has no base state: a partial window applied
+        # to empty state silently loses the base contribution
+        raise ValueError(
+            f"window [{since_version}->{end}] on a never-synced view "
+            "must start at 0; a partial delta would miss the base state"
+        )
     elif synced is not None and since_version != synced and end > synced:
         raise ValueError(
             f"window [{since_version}->{end}] does not start at the "

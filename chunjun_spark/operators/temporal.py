@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
+from chunjun_spark.functions.exact import exact_sum
+
 
 def asof_join(
     left: DataFrame,
@@ -136,5 +138,7 @@ def session_stats(
         (F.max(ms) - F.min(ms)).alias("duration_ms"),
     ]
     if value_col:
-        aggs.append(F.round(F.sum(value_col), 6).alias("sum_value"))
+        # exact-grid sum (functions/exact.py): order-independent, so the
+        # rounded result never flaps against the DuckDB oracle
+        aggs.append(exact_sum(value_col, scale=6).alias("sum_value"))
     return s.groupBy(*by, "session_seq").agg(*aggs)

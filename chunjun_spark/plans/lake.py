@@ -1310,10 +1310,18 @@ class LakeTable:
             sch = sch.widen_type(kw["name"], kw["type"])
         elif ddl_op == "drop_column":
             name = kw["name"]
-            protected = {*self.pk, *self.bucket_cols, *self.stats_cols}
+            # cluster_cols must be protected too: dropping a sort-on-write
+            # column would leave _clustered() referencing a nonexistent
+            # column and every subsequent merge/compact would fail with no
+            # API able to repair the manifest
+            protected = {
+                *self.pk, *self.bucket_cols, *self.stats_cols,
+                *self.cluster_cols,
+            }
             if name in protected:
                 raise ValueError(
-                    f"cannot drop {name!r}: primary-key / bucket / stats column"
+                    f"cannot drop {name!r}: primary-key / bucket / stats"
+                    " / cluster column"
                 )
             sch = sch.drop_column(name)
         else:

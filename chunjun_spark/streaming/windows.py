@@ -24,6 +24,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from chunjun_spark.functions.exact import exact_sum
+
 
 def windowed_counts(
     df: DataFrame,
@@ -48,7 +50,10 @@ def windowed_counts(
         x = x.withWatermark(ts_col, watermark)
     agg = [F.count(F.lit(1)).alias("n_events")]
     if value_col is not None:
-        agg.append(F.round(F.sum(value_col), 4).alias("sum_value"))
+        # exact-grid sum (functions/exact.py): order-independent across
+        # partitions AND micro-batches, so the rounded result never
+        # flaps against the DuckDB oracle
+        agg.append(exact_sum(value_col, scale=4).alias("sum_value"))
     return (
         x.groupBy(F.window(F.col(ts_col), window).alias("w"), *keys)
         .agg(*agg)

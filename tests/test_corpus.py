@@ -29,8 +29,8 @@ def test_unigram_lm_hand_computed(toy):
     p = {"a": 3.5 / 11.5, "b": 2.5 / 11.5, "c": 5.5 / 11.5}
     want1 = -(2 * math.log(p["a"]) + math.log(p["b"])) / 3
     want3 = -math.log(p["c"])
-    assert got[1][0] == 3 and abs(got[1][1] - want1) < 1e-9
-    assert got[3][0] == 4 and abs(got[3][1] - want3) < 1e-9
+    assert got[1][0] == 3 and abs(got[1][1] - want1) < 1e-6  # exact grid
+    assert got[3][0] == 4 and abs(got[3][1] - want3) < 1e-6
     assert 4 not in got  # empty doc has no tokens to score
     # rarer wording scores worse (higher neg logp): doc2 has the unique 'b'
     assert got[2][1] > got[3][1]
@@ -46,8 +46,8 @@ def test_bm25_hand_computed(toy):
         return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / 2.5))
 
     assert set(got) == {2, 3}
-    assert abs(got[2] - s(1, 3)) < 1e-9
-    assert abs(got[3] - s(4, 4)) < 1e-9
+    assert abs(got[2] - s(1, 3)) < 1e-6  # exact-grid quantization (functions/exact.py)
+    assert abs(got[3] - s(4, 4)) < 1e-6
     assert got[3] > got[2]  # higher tf wins at comparable length
 
 
@@ -117,8 +117,8 @@ def test_bigram_lm_matches_hand_model(spark):
     d1 = -(math.log(p(3, 3)) + math.log(p(1, 2)) + math.log(p(3, 3))) / 3
     d2 = -(math.log(p(3, 3)) + math.log(p(1, 2))) / 2
     assert out[1]["n_bigrams"] == 3
-    assert abs(out[1]["avg_neg_logp2"] - d1) < 1e-9
-    assert abs(out[2]["avg_neg_logp2"] - d2) < 1e-9
+    assert abs(out[1]["avg_neg_logp2"] - d1) < 1e-6  # exact-grid quantization
+    assert abs(out[2]["avg_neg_logp2"] - d2) < 1e-6
     assert 3 not in out  # single-token doc has no bigram
 
 

@@ -508,3 +508,28 @@ def test_min_view_recompute_on_invalidate(spark, tmp_root):
     full = {r["grp"]: (r["n_live"], r["min_value"])
             for r in grouped_min_state(t.read(), ["grp"], "v").collect()}
     assert got == full == {"a": (1, 9.0), "b": (2, 0.5)}
+
+
+def test_sync_never_synced_view_rejects_partial_window(spark, tmp_root):
+    """A never-synced view has no base state: an explicit since_version
+    > 0 would apply a partial delta to empty state and silently lose the
+    base contribution — must be rejected, while since_version=0 lands."""
+    import pytest
+
+    from chunjun_spark.operators.ivm import create_agg_view, sync_agg_view
+
+    src = _table(spark, tmp_root, "nsrc")
+    view = create_agg_view(spark, os.path.join(tmp_root, "nview"),
+                           [("grp", "string")], n_buckets=4)
+    src.merge(_mk(spark, [(1, "a", 1.0, "UPSERT", 1, 1)]), batch_id="w1")
+    src = src.refresh()
+    v1 = src.manifest["version"]
+    src.merge(_mk(spark, [(2, "a", 2.0, "UPSERT", 2, 2)]), batch_id="w2")
+    src = src.refresh()
+    with pytest.raises(ValueError, match="never-synced"):
+        sync_agg_view(src, view, ["grp"], "v", since_version=v1)
+    # the full window from 0 is the legal first sync
+    sync_agg_view(src, view, ["grp"], "v", since_version=0)
+    got = {r["grp"]: (r["n_live"], r["sum_value"])
+           for r in view.refresh().read().collect()}
+    assert got == {"a": (2, 3.0)}

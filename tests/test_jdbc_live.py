@@ -302,3 +302,58 @@ def test_poll_incremental_catches_up_and_resumes(spark):
     assert out["applied_windows"] == 2
     all_rows = [i for (_, _, rows) in seen for i in rows]
     assert all_rows == list(range(35))  # no gaps, no dups across windows
+
+
+def test_exactly_once_replay_skips_pre_post_sql(spark):
+    """exactly-once covers the side-effect SQL too: a replayed (job,
+    batch) must not re-run preSql/postSql — a non-idempotent DELETE /
+    audit-insert there would mutate the target on every replay."""
+    url = _db("xoncepresql")
+    _seed(spark, url, "src", n=5)
+    execute_sql(
+        spark, url,
+        [
+            "CREATE TABLE tgt (id INT PRIMARY KEY, name VARCHAR(64), val DOUBLE)",
+            "CREATE TABLE hooks (note VARCHAR(16))",
+        ],
+        driver=DERBY_DRIVER,
+    )
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {
+                        "name": "jdbcreader",
+                        "parameter": {
+                            "url": url, "table": "src",
+                            "driver": DERBY_DRIVER,
+                        },
+                    },
+                    "writer": {
+                        "name": "jdbcwriter",
+                        "parameter": {
+                            "url": url, "table": "tgt",
+                            "driver": DERBY_DRIVER,
+                            "writeMode": "upsert", "updateKey": ["ID"],
+                            "semantic": "exactly-once",
+                            "jobId": "jx", "batchId": "b1",
+                            "preSql": ["INSERT INTO hooks VALUES ('pre')"],
+                            "postSql": ["INSERT INTO hooks VALUES ('post')"],
+                        },
+                    },
+                }
+            ],
+            "setting": {"speed": {"channel": 2}},
+        }
+    }
+    m1 = run_job(spark, cfg)
+    assert not m1.get("jdbcBatchSkipped")
+    m2 = run_job(spark, cfg)  # replay of the same (jobId, batchId)
+    assert m2["jdbcBatchSkipped"]
+    assert m2["numRead"] == 0  # no action ran
+    n_hooks = query_scalar(spark, url, "SELECT COUNT(*) FROM hooks",
+                           driver=DERBY_DRIVER)
+    assert int(n_hooks) == 2  # one 'pre' + one 'post', not four
+    n = query_scalar(spark, url, "SELECT COUNT(*) FROM tgt",
+                     driver=DERBY_DRIVER)
+    assert int(n) == 5

@@ -603,3 +603,28 @@ def test_concurrent_writer_conflict_and_retry(spark, tmp_root):
     t_stale = LakeTable.load(spark, t1.root, version=1)
     res2 = t_stale.merge_retrying(_ch(1, 111, "w1"), batch_id="w1")
     assert res2["skipped"] is True
+
+
+def test_drop_cluster_column_rejected(spark, tmp_root):
+    """Dropping a cluster (sort-on-write) column must be rejected like
+    pk/bucket/stats columns: a manifest referencing a dropped cluster
+    col would fail every later merge/compact with no repair API."""
+    import pytest
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("size", T.LongType()),
+        T.StructField("note", T.StringType()),
+    ])
+    t = LakeTable.create(spark, os.path.join(tmp_root, "dropclu"), schema,
+                         pk=["k"], n_buckets=2, cluster_cols=["size"])
+    with pytest.raises(ValueError, match="cluster"):
+        t.apply_ddl("drop_column", name="size")
+    # non-protected columns still drop, and writes keep working
+    t.apply_ddl("drop_column", name="note")
+    t = t.refresh()
+    ch = spark.createDataFrame([(1, 5)], "k long, size long") \
+        .withColumn("_op", F.lit("UPSERT"))
+    t.merge(ch, batch_id="b1")
+    assert {r["k"] for r in t.refresh().read().collect()} == {1}
