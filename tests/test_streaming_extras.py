@@ -344,3 +344,96 @@ def test_pave_unpave_roundtrip(spark):
     if dels.count() > 0:
         assert dels.filter("after IS NOT NULL").count() == 0
         assert dels.filter("before IS NULL").count() == 0
+
+
+def _counted_batch(spark, rows, acc):
+    """Batch DataFrame whose every full evaluation re-runs the source RDD
+    (the stand-in for a file source re-reading its input files): the
+    accumulator counts rows produced = source evaluations * n_rows."""
+    def bump(r):
+        acc.add(1)
+        return r
+
+    rdd = spark.sparkContext.parallelize(rows, 2).map(bump)
+    return spark.createDataFrame(rdd, SCHEMA)
+
+
+def test_admit_batch_one_source_evaluation(spark):
+    """Fused micro-batch admission (r02 verdict scale-killer #2): poison
+    detection + DDL extraction must evaluate the source exactly ONCE —
+    the old shape (poison filter+collect, then ddl.collect) read it twice
+    before the write even started."""
+    import json
+
+    rows = [
+        _ev("INSERT", 1, "t", "r", "a"),
+        _ev("DDL", 2, "t", "r", None,
+            ddl=json.dumps({"action": "add_column", "name": "x",
+                            "type": "int"})),
+        _ev("INSERT", 3, "t", "r", "b"),
+    ]
+    acc = spark.sparkContext.accumulator(0)
+    df = _counted_batch(spark, rows, acc)
+    data, ddl_rows = pl.admit_batch(df)
+    assert acc.value == len(rows), (
+        f"admission evaluated the source {acc.value / len(rows):.1f} times"
+    )
+    assert [r["seq"] for r in ddl_rows] == [2]
+    assert json.loads(ddl_rows[0]["ddl"])["action"] == "add_column"
+    got = sorted(r["seq"] for r in data.collect())
+    assert got == [1, 3]
+    # admission + the one wide pass the write performs = two total
+    assert acc.value == 2 * len(rows)
+
+
+def test_admit_batch_poison_raises_and_tolerates_missing_cols(spark):
+    rows = [_ev("INSERT", 1, "t", "r", "a"), _ev("ERROR", 2, "t", "r", None,
+                                                 ddl="boom")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    with pytest.raises(pl.InBandFailure, match="boom"):
+        pl.admit_batch(df)
+    # no op column -> no control rows, zero evaluations, frame passes through
+    acc = spark.sparkContext.accumulator(0)
+    rdd = spark.sparkContext.parallelize([(1, "x")], 1).map(
+        lambda r: (acc.add(1), r)[1]
+    )
+    plain = spark.createDataFrame(rdd, "id long, v string")
+    out, ddl_rows = pl.admit_batch(plain)
+    assert ddl_rows == [] and out is plain
+    assert acc.value == 0
+
+
+def test_admit_multi_batch_one_source_evaluation(spark):
+    """Multi-table admission folds poison + per-table DDL + the routing
+    list into one narrow aggregate (previously three separate scans); a
+    table seeing only DDL this batch is not routed (create-on-first-data,
+    as before)."""
+    import json
+
+    rows = [
+        _ev("INSERT", 1, "ta", "r", "a"),
+        _ev("DDL", 2, "ta", "r", None,
+            ddl=json.dumps({"action": "add_column", "name": "x",
+                            "type": "int"})),
+        _ev("INSERT", 3, "tb", "r", "b"),
+        _ev("DDL", 4, "tc", "r", None,
+            ddl=json.dumps({"action": "add_column", "name": "y",
+                            "type": "int"})),
+    ]
+    acc = spark.sparkContext.accumulator(0)
+    df = _counted_batch(spark, rows, acc)
+    data, names, ddl_rows = pl.admit_multi_batch(df)
+    assert acc.value == len(rows), (
+        f"admission evaluated the source {acc.value / len(rows):.1f} times"
+    )
+    assert names == ["ta", "tb"]  # tc had only DDL -> not routed
+    assert sorted(r["seq"] for r in ddl_rows) == [2, 4]
+    assert sorted(r["seq"] for r in data.collect()) == [1, 3]
+
+
+def test_admit_multi_batch_poison(spark):
+    rows = [_ev("INSERT", 1, "ta", "r", "a"),
+            _ev("ERROR", 2, "tb", "r", None, ddl="kaput")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    with pytest.raises(pl.InBandFailure, match="kaput"):
+        pl.admit_multi_batch(df)
