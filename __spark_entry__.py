@@ -199,6 +199,54 @@ FROM r WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def _q_kafka_roundtrip_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Kafka-shaped transport e2e: changelog → JSON encode →
+    file-backed topic (hash-partitioned by key, per-partition contiguous
+    offsets) produced in TWO send windows → Structured Streaming decode →
+    dedup → version-guarded merge. Per-key order holds inside one topic
+    partition; micro-batches mix partitions arbitrarily, and the merge's
+    stale-drop guard makes the final state order-independent — so the
+    result must equal the oracle's direct keep-last fold.
+    Reference: KafkaBaseInputFormat.java:94-145 (offset lineage + seek),
+    KafkaOutputFormat (key-partitioned produce)."""
+    from chunjun_spark.sources import kafka_sim as ks
+    from chunjun_spark.sources.kafka import decode_events, encode_events
+    from chunjun_spark.streaming.pipeline import start_replay_stream
+
+    ev = _t(spark, sf_dir, "events")
+    ch = events_changelog(ev).withColumn(
+        "op_ts", F.col("op_ts").cast("timestamp")  # NTZ → TZ for to_json
+    )
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    root = tempfile.mkdtemp(prefix="cj_entry_kafka_")
+    topic = f"{root}/topic"
+    ks.create_topic(topic, n_partitions=4)
+    for i, pred in enumerate((F.col("op_ts") <= cut, F.col("op_ts") > cut)):
+        ks.produce(
+            encode_events(ch.filter(pred), key_cols=["user_id"],
+                          keep_cols=("op_ts", "seq")),
+            topic,
+        )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table = LakeTable.create(spark, f"{root}/lake", schema,
+                             pk=["user_id"], n_buckets=8)
+    stream = ks.read_topic_stream(spark, topic, max_files_per_trigger=4)
+    q = start_replay_stream(
+        decode_events(stream, ch.schema), f"{root}/lake", f"{root}/cp",
+        job_id="kafka-rt",
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("kafka roundtrip stream did not drain")
+    return _lake_projection(table.refresh().read())
+
+
 def _q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDL-driven schema evolution inside the correctness gate: replay
     the events changelog in TWO batches with an add_column DDL riding the
@@ -2319,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": _q_cdc_final_state,
         "cdc_replay_lake": _q_cdc_replay_lake,
         "cdc_replay_lake_mor": _q_cdc_replay_lake_mor,
+        "kafka_roundtrip_final_state": _q_kafka_roundtrip_final_state,
         "cdc_replay_lake_patch": _q_cdc_replay_lake_patch,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_idempotent_replay": _q_cdc_idempotent_replay,
@@ -2399,6 +2448,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state": _FINAL_STATE_SQL,
         "cdc_replay_lake": _REPLAY_LAKE_SQL,
         "cdc_replay_lake_mor": _REPLAY_LAKE_SQL,
+        "kafka_roundtrip_final_state": _REPLAY_LAKE_SQL,
         "cdc_replay_lake_patch": _REPLAY_PATCH_SQL,
         "cdc_schema_evolution": _SCHEMA_EVOLUTION_SQL,
         "cdc_idempotent_replay": _REPLAY_LAKE_SQL,

@@ -174,6 +174,51 @@ def _read_jdbc(spark: SparkSession, cfg: JobConfig) -> DataFrame:
     return df
 
 
+def _read_jdbc_distributed(spark: SparkSession, cfg: JobConfig) -> DataFrame:
+    """distributedjdbcreader: one logical reader over a LIST of shard
+    databases (DistributedJdbcInputFormat.java:103-161). The reference's
+    connection[].jdbcUrl[] x table[] cross product becomes the shard
+    list; every shard reads concurrently with its own split predicates
+    (see read_jdbc_distributed)."""
+    from chunjun_spark.sources.jdbc_live import read_jdbc_distributed
+
+    p = cfg.reader.parameter
+    shards = []
+    for c in p.get("connection", []):
+        urls = c["jdbcUrl"] if isinstance(c["jdbcUrl"], list) else [c["jdbcUrl"]]
+        tables = c["table"] if isinstance(c["table"], list) else [c["table"]]
+        for url in urls:
+            for table in tables:
+                shards.append(
+                    {
+                        "url": url,
+                        "table": table,
+                        "driver": p.get("driver"),
+                        "user": c.get("username", p.get("username")),
+                        "password": c.get("password", p.get("password")),
+                        "where": p.get("where"),
+                    }
+                )
+    cols = [mc.name for mc in cfg.reader.columns if mc.value is None] or None
+    df, state = read_jdbc_distributed(
+        spark,
+        shards,
+        columns=cols,
+        split_column=p.get("splitPk"),
+        n_channels_per_shard=max(
+            1, cfg.speed.reader_channels // max(1, len(shards))
+        ),
+        fetch_size=int(p.get("fetchSize", 1000)),
+        inc_column=p.get("increColumn"),
+        inc_type=p.get("increColumnType", "bigint"),
+        start_locations=p.get("startLocations"),
+        use_max_func=bool(p.get("useMaxFunc", True)),
+        shard_col=None,  # job output keeps the reference's column shape
+    )
+    cfg.reader.parameter["_state"] = state  # per-shard endLocation lineage
+    return df
+
+
 def _write_jdbc(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
     """jdbcwriter: insert → distributed append; upsert/replace → staged
     bulk load + set-based driver upsert (JdbcOutputFormat.java:290-334).
@@ -301,6 +346,7 @@ READERS = {
     "parquetreader": _read_file,
     # live JDBC family — one capability class, many reference plugin names
     "jdbcreader": _read_jdbc,
+    "distributedjdbcreader": _read_jdbc_distributed,
     "mysqlreader": _read_jdbc,
     "postgresqlreader": _read_jdbc,
     "oraclereader": _read_jdbc,

@@ -17,6 +17,7 @@ Two surfaces:
 
 from __future__ import annotations
 
+import re
 import time
 from contextlib import contextmanager
 
@@ -59,3 +60,73 @@ class JobMetrics:
             yield
         finally:
             self.add(duration_metric, int((time.time() - t0) * 1000))
+
+
+# --------------------------------------------------- Prometheus exposition
+
+_HELP = {
+    "numRead": "rows read from the source",
+    "byteRead": "bytes read from the source",
+    "readDuration": "read stage wall clock (ms)",
+    "numWrite": "rows written to the sink",
+    "byteWrite": "bytes written to the sink",
+    "writeDuration": "write stage wall clock (ms)",
+    "nErrors": "total dirty/error rows",
+    "nullErrors": "dirty rows: null constraint",
+    "duplicateErrors": "dirty rows: duplicate key",
+    "conversionErrors": "dirty rows: type conversion",
+    "otherErrors": "dirty rows: other",
+    "snapshotWrite": "rows written during checkpoint snapshot",
+}
+
+_CAMEL = re.compile(r"(?<!^)(?=[A-Z])")
+
+
+def _prom_name(name: str, prefix: str = "chunjun") -> str:
+    """numRead → chunjun_num_read (Prometheus snake_case convention —
+    the reference reporter exports Flink metric names verbatim; we follow
+    the exposition-format naming rules instead)."""
+    return f"{prefix}_{_CAMEL.sub('_', name).lower()}"
+
+
+def render_prometheus(
+    metrics: dict,
+    labels: dict[str, str] | None = None,
+    prefix: str = "chunjun",
+) -> str:
+    """Render a metrics snapshot in the Prometheus text exposition format
+    — the reference's CustomPrometheusReporter surface
+    (flinkx-core/.../metrics/CustomPrometheusReporter.java: pushes every
+    accumulator to a gateway at job end; here the driver renders the
+    same counters for any scraper/pushgateway to consume).
+
+    Accepts ``JobMetrics.snapshot()`` output or any flat metric dict
+    (e.g. ``run_job``'s result, lake ``lineage_totals()``); non-numeric
+    and private (``_``-prefixed) entries are skipped. Labels (job_id,
+    batch_id, ...) attach to every sample; values are escaped per the
+    exposition spec."""
+    lab = ""
+    if labels:
+        body = ",".join(
+            '{}="{}"'.format(
+                k,
+                str(v).replace("\\", r"\\").replace('"', r"\"").replace(
+                    "\n", r"\n"
+                ),
+            )
+            for k, v in sorted(labels.items())
+        )
+        lab = "{" + body + "}"
+    lines = []
+    for name in sorted(metrics):
+        v = metrics[name]
+        if name.startswith("_") or isinstance(v, bool) or not isinstance(
+            v, (int, float)
+        ):
+            continue
+        pn = _prom_name(name, prefix)
+        if name in _HELP:
+            lines.append(f"# HELP {pn} {_HELP[name]}")
+        lines.append(f"# TYPE {pn} counter")
+        lines.append(f"{pn}{lab} {v}")
+    return "\n".join(lines) + "\n"

@@ -33,6 +33,36 @@ def mod_split_predicates(column: str, n_channels: int) -> list[str]:
     return [f"mod({column}, {n_channels}) = {i}" for i in range(n_channels)]
 
 
+ROWNUM_COL = "CJ_ROWNUM"
+
+
+def rownum_wrapped_table(table: str, order_by: str | None = None) -> str:
+    """pk-less split: wrap the source as a derived table carrying a
+    ROW_NUMBER so ``mod(rownum, N) = M`` can split it — the reference's
+    FLINKX_ROWNUM wrap for tables without a numeric split key
+    (QuerySqlBuilder.java:40-41,187-203).
+
+    ``order_by`` should name a stable (ideally unique) expression; with
+    None the window is ``OVER ()`` and exactly-once coverage relies on
+    the table's scan order being stable across the N concurrent split
+    queries — the same assumption the reference's wrap makes. Pass the
+    result as ``dbtable`` with :func:`rownum_split_predicates`.
+    """
+    over = f"ORDER BY {order_by}" if order_by else ""
+    return (
+        f"(SELECT t.*, ROW_NUMBER() OVER ({over}) AS {ROWNUM_COL} "
+        f"FROM {table} t) cj_rn"
+    )
+
+
+def rownum_split_predicates(n_channels: int) -> list[str]:
+    """``mod(CJ_ROWNUM, N) = i`` per channel over the wrapped table
+    (QuerySqlBuilder.java:187-203)."""
+    if n_channels < 1:
+        raise ValueError("n_channels must be >= 1")
+    return [f"mod({ROWNUM_COL}, {n_channels}) = {i}" for i in range(n_channels)]
+
+
 def range_split_predicates(
     column: str, lower: int, upper: int, n_channels: int
 ) -> list[str]:

@@ -137,6 +137,8 @@ def read_jdbc(
     inc_type: str = "bigint",
     start_location=None,
     use_max_func: bool = True,
+    rownum_split: bool = False,
+    rownum_order_by: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Execute the read plan from ``jdbc_reader_options`` and return
     (DataFrame, state) where state carries the pinned ``endLocation`` for
@@ -145,7 +147,41 @@ def read_jdbc(
     The WHERE pieces (user filter, incremental window, split predicate)
     are spliced into the JDBC-side query exactly like QuerySqlBuilder —
     they run IN the database, not as a post-scan Spark filter.
+
+    ``rownum_split=True`` is the no-numeric-pk split: the source is
+    wrapped as a ROW_NUMBER-carrying derived table and channels take
+    ``mod(rownum, N) = i`` slices (QuerySqlBuilder.java:187-203);
+    ``rownum_order_by`` should name a stable expression for exact
+    coverage. Mutually exclusive with ``split_column``.
     """
+    if rownum_split:
+        from chunjun_spark.sources.jdbc import (
+            ROWNUM_COL,
+            rownum_split_predicates,
+            rownum_wrapped_table,
+        )
+
+        if split_column:
+            raise ValueError("rownum_split and split_column are exclusive")
+        props = {"fetchsize": str(fetch_size)}
+        if driver:
+            props["driver"] = driver
+        if user is not None:
+            props["user"] = user
+            props["password"] = password or ""
+        preds = rownum_split_predicates(n_channels)
+        if where:
+            preds = [f"{p} AND ({where})" for p in preds]
+        df = spark.read.jdbc(
+            url,
+            rownum_wrapped_table(table, rownum_order_by),
+            predicates=preds,
+            properties=props,
+        )
+        df = df.drop(ROWNUM_COL)
+        if columns:
+            df = df.select(*columns)
+        return df, {}
     state: dict = {}
     clauses = []
     if where:
@@ -204,6 +240,78 @@ def read_jdbc(
     if full_where and plan["predicates"] is None and "partitionColumn" not in plan["options"]:
         df = df.filter(full_where)
     return df, state
+
+
+def read_jdbc_distributed(
+    spark: SparkSession,
+    shards: list[dict],
+    columns: list[str] | None = None,
+    split_column: str | None = None,
+    n_channels_per_shard: int = 1,
+    fetch_size: int = 1000,
+    inc_column: str | None = None,
+    inc_type: str = "bigint",
+    start_locations: dict | None = None,
+    use_max_func: bool = True,
+    shard_col: str | None = "_shard",
+) -> tuple[DataFrame, dict]:
+    """Distributed multi-shard JDBC read — the reference's
+    DistributedJdbcInputFormat (flinkx-rdb/.../DistributedJdbcInputFormat
+    .java:103-161): one logical reader drains a LIST of shard
+    DataSources, each `{url, table, [user, password, driver, where]}`
+    (built from reader.parameter.connection[].jdbcUrl[] × table[],
+    DistributedJdbcDataReader).
+
+    Spark-first translation: the reference drains shards SEQUENTIALLY
+    per channel; here every shard contributes its own set of scan
+    partitions (split predicates per shard) to one union-all plan, so
+    shards are read CONCURRENTLY across executors — same coverage
+    contract (each source row exactly once), strictly better parallelism
+    at 1000-executor scale, and no shuffle (union is partition-preserving).
+
+    Incremental state is per shard: ``start_locations[shard_id]`` seeds
+    each shard's window and the returned state carries
+    ``{"shards": {shard_id: {"endLocation": ...}}}`` — the per-shard
+    offset lineage FormatState keeps in the reference.
+
+    ``shard_col`` (None to omit) tags rows with their shard id — the
+    channel-tag analog, letting downstream audits prove exactly-once
+    coverage per shard.
+    """
+    if not shards:
+        raise ValueError("read_jdbc_distributed needs at least one shard")
+    frames = []
+    state: dict = {"shards": {}}
+    starts = start_locations or {}
+    for i, sh in enumerate(shards):
+        sid = str(sh.get("id", i))
+        df, st = read_jdbc(
+            spark,
+            sh["url"],
+            sh["table"],
+            driver=sh.get("driver"),
+            user=sh.get("user"),
+            password=sh.get("password"),
+            columns=columns,
+            where=sh.get("where"),
+            split_column=split_column,
+            n_channels=n_channels_per_shard,
+            fetch_size=fetch_size,
+            inc_column=inc_column,
+            inc_type=inc_type,
+            start_location=starts.get(sid),
+            use_max_func=use_max_func,
+        )
+        if shard_col:
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(shard_col, F.lit(sid))
+        frames.append(df)
+        state["shards"][sid] = st
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out, state
 
 
 # ------------------------------------------------------------------ write

@@ -24,10 +24,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 
-def encode_events(events: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+def encode_events(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    keep_cols: list[str] | tuple[str, ...] | None = None,
+) -> DataFrame:
     """Changelog → (key, value) Kafka payload. Key = JSON of the pk tuple
     extracted from the event images (DELETEs key from ``before``), so all
-    versions of one key land in one partition — per-key order preserved."""
+    versions of one key land in one partition — per-key order preserved.
+
+    ``keep_cols`` rides ordering columns (e.g. ``("op_ts", "seq")``)
+    alongside the payload for a producer that assigns offsets in send
+    order (``kafka_sim.produce`` drops them after assignment)."""
     key_cols = key_cols or ["repo", "path"]
     is_del = F.col("op") == "DELETE"
     key_fields = [
@@ -39,6 +47,7 @@ def encode_events(events: DataFrame, key_cols: list[str] | None = None) -> DataF
         F.to_json(F.struct(*[F.col(c) for c in events.columns])).cast("binary").alias(
             "value"
         ),
+        *[F.col(c) for c in (keep_cols or [])],
     )
 
 

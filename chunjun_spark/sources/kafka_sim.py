@@ -1,0 +1,199 @@
+"""File-backed Kafka topic simulation: broker semantics without a broker.
+
+Reference analog: kafkareader/kafkawriter transport
+(flinkx-kafka/.../KafkaBaseInputFormat.java:94-145 — a consumer loop
+polls (partition, offset, key, value) records, decodes JSON, and
+snapshots per-partition offsets into FormatState for resume;
+KafkaOutputFormat re-encodes rows to JSON keyed so one key's versions
+stay in one partition). The sandbox has no broker, so this module gives
+the same OBSERVABLE contract over parquet segment files:
+
+- a topic = a directory with fixed ``n_partitions`` and a meta file
+  carrying the per-partition log end offsets;
+- ``produce`` assigns ``partition = hash(key) % n_partitions`` (Kafka's
+  default partitioner shape — murmur2 there, xxhash64 here) and
+  per-partition CONTIGUOUS monotonic offsets in producer send order, so
+  all versions of one key land in one partition in order — the property
+  the downstream dedup/merge relies on;
+- ``read_topic_stream`` is a Structured Streaming source over the
+  segment files with the Kafka source's column shape (key, value,
+  topic, partition, offset, timestamp); ``starting_offsets`` is the
+  per-partition seek of the reference's restore mode, pushed to the
+  scan as a codegen filter.
+
+Cross-partition interleaving is safe end-to-end: micro-batches may mix
+partitions in any proportion, because ``LakeTable.merge``'s version
+guard drops stale (older ``(op_ts, seq)``) arrivals — per-key order
+within a partition plus last-writer-wins at the sink reproduces the
+broker pipeline's effective exactly-once state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import types as T
+
+TOPIC_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+    ]
+)
+
+_META = "_topic.json"
+
+
+def create_topic(topic_dir: str, n_partitions: int = 4, name: str = "t") -> dict:
+    os.makedirs(os.path.join(topic_dir, "data"), exist_ok=True)
+    meta = {
+        "name": name,
+        "n_partitions": int(n_partitions),
+        # next offset to assign per partition (log end offset)
+        "ends": {str(p): 0 for p in range(n_partitions)},
+    }
+    _save_meta(topic_dir, meta)
+    return meta
+
+
+def topic_meta(topic_dir: str) -> dict:
+    with open(os.path.join(topic_dir, _META)) as f:
+        return json.load(f)
+
+
+def _save_meta(topic_dir: str, meta: dict) -> None:
+    tmp = os.path.join(topic_dir, f"{_META}.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(topic_dir, _META))
+
+
+def partition_for(key, n_partitions: int):
+    """Kafka default-partitioner shape: hash(key bytes) % n_partitions."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(F.xxhash64(c), F.lit(int(n_partitions))).cast("int")
+
+
+def produce(
+    kafka_df: DataFrame,
+    topic_dir: str,
+    order_cols: list[str] | tuple[str, ...] = ("op_ts", "seq"),
+) -> dict:
+    """Append one producer batch (a "send window") to the topic.
+
+    ``kafka_df`` carries ``key``/``value`` (binary, from
+    ``encode_events``) plus the ``order_cols`` that define producer send
+    order — per-partition offsets are assigned contiguously in that
+    order from the current log end, then the ordering columns are
+    dropped (a real producer's send sequence, made deterministic).
+
+    One narrow shuffle on the partition id (the produced batch only —
+    the topic's existing data is never read), then one file per
+    partition per call, segment-named so the file stream source lists
+    them in append order. Returns the new per-partition end offsets.
+    """
+    meta = topic_meta(topic_dir)
+    n = meta["n_partitions"]
+    ends = meta["ends"]
+    base = F.create_map(
+        *[x for p, e in sorted(ends.items()) for x in (F.lit(int(p)), F.lit(int(e)))]
+    )
+    part = partition_for("key", n)
+    w = Window.partitionBy("partition").orderBy(*[F.col(c) for c in order_cols])
+    out = (
+        kafka_df.withColumn("partition", part)
+        .withColumn(
+            "offset",
+            base[F.col("partition")] + F.row_number().over(w) - F.lit(1),
+        )
+        .select(
+            "key",
+            "value",
+            F.lit(meta["name"]).alias("topic"),
+            "partition",
+            "offset",
+            F.current_timestamp().alias("timestamp"),
+        )
+    )
+    seg = f"seg-{max(int(e) for e in ends.values()):012d}-{uuid.uuid4().hex[:8]}"
+    tmp = os.path.join(topic_dir, f"_stage_{seg}")
+    out.repartition(n, F.col("partition")).write.mode("error").parquet(tmp)
+    # move part files into the flat data dir under the segment name so the
+    # file stream source (which lists a flat dir) discovers them atomically
+    data_dir = os.path.join(topic_dir, "data")
+    spark = kafka_df.sparkSession
+    moved = 0
+    for fn in sorted(os.listdir(tmp)):
+        if fn.endswith(".parquet"):
+            os.replace(
+                os.path.join(tmp, fn), os.path.join(data_dir, f"{seg}-{moved:04d}.parquet")
+            )
+            moved += 1
+    for fn in os.listdir(tmp):
+        os.remove(os.path.join(tmp, fn))
+    os.rmdir(tmp)
+    # log-end bump: count per partition from the written segment (cheap —
+    # reads only the new segment's footers/partition column)
+    seg_df = spark.read.schema(TOPIC_SCHEMA).parquet(
+        os.path.join(data_dir, f"{seg}-*.parquet")
+    )
+    counts = {
+        r["partition"]: r["n"]
+        for r in seg_df.groupBy("partition").agg(F.count("*").alias("n")).collect()
+    }
+    for p, c in counts.items():
+        ends[str(p)] = int(ends[str(p)]) + int(c)
+    _save_meta(topic_dir, meta)
+    return {int(p): int(e) for p, e in ends.items()}
+
+
+def _offset_filter(starting_offsets: dict | None):
+    if not starting_offsets:
+        return None
+    seek = F.create_map(
+        *[
+            x
+            for p, o in sorted(starting_offsets.items())
+            for x in (F.lit(int(p)), F.lit(int(o)))
+        ]
+    )
+    return F.col("offset") >= F.coalesce(seek[F.col("partition")], F.lit(0))
+
+
+def read_topic_stream(
+    spark: SparkSession,
+    topic_dir: str,
+    max_files_per_trigger: int = 4,
+    starting_offsets: dict | None = None,
+) -> DataFrame:
+    """Streaming read with the Kafka source's column shape.
+
+    ``starting_offsets`` maps partition -> first offset to READ (the
+    per-partition seek the reference restores from FormatState,
+    KafkaBaseInputFormat.java:118-131); the filter is a codegen
+    predicate so already-consumed records never enter the pipeline.
+    ``max_files_per_trigger`` is the ``maxOffsetsPerTrigger`` analog.
+    """
+    out = (
+        spark.readStream.schema(TOPIC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(os.path.join(topic_dir, "data"))
+    )
+    flt = _offset_filter(starting_offsets)
+    return out.filter(flt) if flt is not None else out
+
+
+def read_topic_batch(
+    spark: SparkSession, topic_dir: str, starting_offsets: dict | None = None
+) -> DataFrame:
+    out = spark.read.schema(TOPIC_SCHEMA).parquet(os.path.join(topic_dir, "data"))
+    flt = _offset_filter(starting_offsets)
+    return out.filter(flt) if flt is not None else out

@@ -452,11 +452,11 @@ def run_stream_with_restart(
     timeout_sec: int = 600,
 ) -> None:
     """Fixed-delay restart loop — the stream-job restart strategy
-    (Main.java:155-208, config/RestartConfig.java). ``start_query`` is a
-    zero-arg callable returning a fresh StreamingQuery against the SAME
-    checkpoint dir; restarts resume from it, and the idempotent merge
-    makes replayed micro-batches no-ops, so a crash between commit and
-    checkpoint cannot double-apply."""
+    (Main.java:155-208, config/RestartConfig.java STRATEGY_FIXED_DELAY).
+    ``start_query`` is a zero-arg callable returning a fresh
+    StreamingQuery against the SAME checkpoint dir; restarts resume from
+    it, and the idempotent merge makes replayed micro-batches no-ops, so
+    a crash between commit and checkpoint cannot double-apply."""
     import time as _time
 
     last = None
@@ -473,6 +473,56 @@ def run_stream_with_restart(
             last = e
             _time.sleep(delay_sec)
     raise RuntimeError(f"stream failed after {max_attempts} attempts") from last
+
+
+def run_stream_with_failure_rate_restart(
+    start_query,
+    max_failures_per_interval: int = 3,
+    failure_interval_sec: float = 60.0,
+    delay_sec: float = 2.0,
+    timeout_sec: int = 600,
+    _clock=None,
+) -> dict:
+    """Failure-rate restart — the reference's second strategy
+    (Main.java:155-208, RestartConfig.java STRATEGY_FAILURE_RATE:
+    ``failureRate`` failures within ``failureInterval`` give up,
+    otherwise restart after ``delayInterval``). A sliding window of
+    failure timestamps decides: a burst of crashes aborts quickly, while
+    occasional failures spread over time restart forever — the right
+    policy for a long-lived tail job where transient source hiccups are
+    expected but a crash-loop must page instead of spinning.
+
+    ``_clock`` is injectable for tests (defaults to ``time.monotonic``).
+    Returns ``{"restarts": n, "gave_up": False}`` on success; raises
+    RuntimeError (cause chained) when the rate bound trips."""
+    import time as _time
+
+    clock = _clock or _time.monotonic
+    fail_times: list[float] = []
+    restarts = 0
+    while True:
+        q = start_query()
+        try:
+            if not q.awaitTermination(timeout_sec):
+                q.stop()
+                raise TimeoutError("stream did not drain in time")
+            return {"restarts": restarts, "gave_up": False}
+        except TimeoutError:
+            raise
+        except Exception as e:  # noqa: BLE001 — rate-limit any query failure
+            now = clock()
+            fail_times.append(now)
+            # slide the window: only failures inside the interval count
+            fail_times = [t for t in fail_times
+                          if now - t <= failure_interval_sec]
+            if len(fail_times) > max_failures_per_interval:
+                raise RuntimeError(
+                    f"stream failed {len(fail_times)} times within "
+                    f"{failure_interval_sec}s (bound "
+                    f"{max_failures_per_interval}) — giving up"
+                ) from e
+            restarts += 1
+            _time.sleep(delay_sec)
 
 
 def run_stream_to_completion(

@@ -357,3 +357,119 @@ def test_exactly_once_replay_skips_pre_post_sql(spark):
     n = query_scalar(spark, url, "SELECT COUNT(*) FROM tgt",
                      driver=DERBY_DRIVER)
     assert int(n) == 5
+
+
+def test_rownum_split_covers_exactly_once(spark):
+    """No-numeric-pk split (QuerySqlBuilder.java:187-203): the wrapped
+    ROW_NUMBER derived table + mod predicates cover every row exactly
+    once across N channels."""
+    url = _db("rownumdb")
+    execute_sql(
+        spark, url,
+        ["CREATE TABLE nopk (name VARCHAR(64), val DOUBLE)"]
+        + [f"INSERT INTO nopk VALUES ('k{i:04d}', {i * 0.5})"
+           for i in range(37)],
+        driver=DERBY_DRIVER,
+    )
+    # Derby implements only ROW_NUMBER() OVER () (no window ORDER BY);
+    # its stable heap-scan order makes coverage exact — dialects with
+    # window ORDER BY should pass rownum_order_by for guaranteed coverage
+    df, state = read_jdbc(
+        spark, url, "nopk", driver=DERBY_DRIVER,
+        n_channels=4, rownum_split=True,
+    )
+    assert df.rdd.getNumPartitions() == 4
+    names = [r["NAME"] for r in df.collect()]
+    assert sorted(names) == [f"k{i:04d}" for i in range(37)]  # no dup/loss
+    assert "CJ_ROWNUM" not in [c.upper() for c in df.columns]
+    # user WHERE still splices into every channel's query
+    df2, _ = read_jdbc(
+        spark, url, "nopk", driver=DERBY_DRIVER,
+        n_channels=3, rownum_split=True, where="val >= 5.0",
+    )
+    assert df2.count() == 27
+
+
+def test_distributed_multi_shard_read_and_lineage(spark):
+    """DistributedJdbcInputFormat analog: one logical read over N shard
+    databases — exactly-once coverage, per-shard split predicates, and
+    per-shard endLocation lineage driving an incremental second window."""
+    from chunjun_spark.sources.jdbc_live import read_jdbc_distributed
+
+    urls = [_db(f"shard{i}") for i in range(3)]
+    for i, u in enumerate(urls):
+        _seed(spark, u, "part_tbl", n=20, start=i * 100)
+    shards = [{"url": u, "table": "part_tbl", "driver": DERBY_DRIVER}
+              for u in urls]
+    df, state = read_jdbc_distributed(
+        spark, shards, split_column="id", n_channels_per_shard=2,
+        inc_column="id", start_locations={"0": -1, "1": -1, "2": -1},
+    )
+    # 3 shards x 2 channels, concurrent scan partitions
+    assert df.rdd.getNumPartitions() == 6
+    ids = sorted(r["ID"] for r in df.collect())
+    want = sorted(i * 100 + j for i in range(3) for j in range(20))
+    assert ids == want  # exactly once across shards
+    assert {r["_shard"] for r in df.select("_shard").distinct().collect()} \
+        == {"0", "1", "2"}
+    ends = {s: st["endLocation"] for s, st in state["shards"].items()}
+    assert ends == {"0": 19, "1": 119, "2": 219}
+
+    # new rows land in shard 1 only; resume from per-shard lineage
+    execute_sql(spark, urls[1],
+                [f"INSERT INTO part_tbl VALUES ({i}, 'n{i}', 0.0)"
+                 for i in range(120, 125)], driver=DERBY_DRIVER)
+    df2, state2 = read_jdbc_distributed(
+        spark, shards, inc_column="id",
+        start_locations={k: v for k, v in ends.items()},
+    )
+    got = sorted(r["ID"] for r in df2.collect())
+    assert got == [120, 121, 122, 123, 124]
+    assert state2["shards"]["1"]["endLocation"] == 124
+
+
+def test_distributed_jdbc_reader_job_json(spark):
+    """Job-JSON surface: distributedjdbcreader with connection[].jdbcUrl[]
+    x table[] cross product lands every shard's rows in the target."""
+    urls = [_db(f"jshard{i}") for i in range(2)]
+    for i, u in enumerate(urls):
+        _seed(spark, u, "src", n=10, start=i * 50)
+    tgt = _db("jshard_tgt")
+    execute_sql(
+        spark, tgt,
+        ["CREATE TABLE tgt (id INT PRIMARY KEY, name VARCHAR(64), val DOUBLE)"],
+        driver=DERBY_DRIVER,
+    )
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {
+                        "name": "distributedjdbcreader",
+                        "parameter": {
+                            "connection": [
+                                {"jdbcUrl": [u], "table": ["src"]}
+                                for u in urls
+                            ],
+                            "driver": DERBY_DRIVER,
+                            "splitPk": "id",
+                        },
+                    },
+                    "writer": {
+                        "name": "jdbcwriter",
+                        "parameter": {
+                            "url": tgt, "table": "tgt",
+                            "driver": DERBY_DRIVER,
+                            "writeMode": "insert",
+                        },
+                    },
+                }
+            ],
+            "setting": {"speed": {"channel": 4}},
+        }
+    }
+    m = run_job(spark, cfg)
+    assert m["numRead"] == 20
+    n = query_scalar(spark, tgt, "SELECT COUNT(*) FROM tgt",
+                     driver=DERBY_DRIVER)
+    assert int(n) == 20

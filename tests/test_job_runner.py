@@ -604,3 +604,53 @@ def test_stream_job_with_agg_view(spark, tmp_root):
     want = {r["lang"]: (r["n_live"], round(r["sum_value"], 6))
             for r in grouped_agg_state(t.read(), ["lang"], vexpr).collect()}
     assert got == want and len(got) > 0
+
+
+def test_prometheus_exposition_from_job_metrics(spark):
+    """CustomPrometheusReporter analog: run_job metrics render in the
+    Prometheus text exposition format — every sample line parses, names
+    follow the snake_case convention, labels escape, values round-trip."""
+    import re
+
+    from chunjun_spark.metrics import render_prometheus
+
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {
+                        "name": "streamreader",
+                        "parameter": {
+                            "sliceRecordCount": 10,
+                            "column": [{"name": "k", "type": "bigint"}],
+                        },
+                    },
+                    "writer": {"name": "streamwriter"},
+                }
+            ],
+            "setting": {"speed": {"channel": 2}},
+        }
+    }
+    m = run_job(spark, cfg)
+    text = render_prometheus(m, labels={"job_id": 'j"1', "host": "a\\b"})
+    sample = re.compile(
+        r'^([a-z_][a-z0-9_]*)(\{[a-z_]+="(?:[^"\\]|\\.)*"'
+        r'(?:,[a-z_]+="(?:[^"\\]|\\.)*")*\})? (-?\d+(?:\.\d+)?)$'
+    )
+    got = {}
+    lines = text.strip().split("\n")
+    assert lines  # non-empty exposition
+    for ln in lines:
+        if ln.startswith("# HELP ") or ln.startswith("# TYPE "):
+            continue
+        mt = sample.match(ln)
+        assert mt, f"unparseable exposition line: {ln!r}"
+        got[mt.group(1)] = float(mt.group(3))
+        assert 'job_id="j\\"1"' in mt.group(2)  # quote escaping held
+    assert got["chunjun_num_read"] == m["numRead"] == 20
+    assert got["chunjun_num_write"] == m["numWrite"] == 20
+    # every TYPE header precedes its sample and uses the same name
+    for i, ln in enumerate(lines):
+        if ln.startswith("# TYPE "):
+            name = ln.split()[2]
+            assert lines[i + 1].startswith(name)

@@ -1,0 +1,191 @@
+"""File-backed Kafka topic simulation: broker offset semantics, per-key
+ordering, e2e encode → produce → stream-decode → dedup → merge, resume.
+
+Reference contract: KafkaBaseInputFormat.java:94-145 (per-partition
+offset lineage, restore seek), KafkaOutputFormat (key-partitioned
+produce preserving per-key order)."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from chunjun_spark.plans.lake import LakeTable
+from chunjun_spark.sources import kafka_sim as ks
+from chunjun_spark.sources.binlog import generate_binlog
+from chunjun_spark.sources.kafka import decode_events, encode_events
+
+
+def _events(spark, n=4000, keys=700, seed=3):
+    return generate_binlog(spark, n_events=n, n_keys=keys, seed=seed)
+
+
+def test_produce_offsets_contiguous_and_key_sticky(spark, tmp_root):
+    ev = _events(spark)
+    topic = os.path.join(tmp_root, "t1")
+    ks.create_topic(topic, n_partitions=4)
+    kv = encode_events(ev, keep_cols=("op_ts", "seq"))
+    ends = ks.produce(kv, topic)
+    out = ks.read_topic_batch(spark, topic)
+    # per-partition offsets are 0..n-1 contiguous (a broker log)
+    per = {
+        r["partition"]: (r["n"], r["lo"], r["hi"])
+        for r in out.groupBy("partition")
+        .agg(F.count("*").alias("n"), F.min("offset").alias("lo"),
+             F.max("offset").alias("hi"))
+        .collect()
+    }
+    assert sum(n for n, _, _ in per.values()) == ev.count()
+    for p, (n, lo, hi) in per.items():
+        assert (lo, hi) == (0, n - 1)
+        assert ends[p] == n
+    # every key lives in exactly one partition
+    multi = (
+        out.groupBy("key")
+        .agg(F.countDistinct("partition").alias("np"))
+        .filter("np > 1")
+        .count()
+    )
+    assert multi == 0
+    # within a partition, offsets follow producer send order (op_ts, seq):
+    # decoded (op_ts, seq) must be non-decreasing along the offset axis
+    from pyspark.sql.window import Window
+
+    dec = decode_events(out.orderBy("partition", "offset"),
+                        _events(spark).schema)
+    j = out.select(
+        "partition", "offset",
+        F.get_json_object(F.col("value").cast("string"), "$.op_ts").alias("o_ts"),
+        F.get_json_object(F.col("value").cast("string"), "$.seq").cast("long").alias("o_seq"),
+    )
+    w = Window.partitionBy("partition").orderBy("offset")
+    bad = (
+        j.withColumn("prev", F.lag(F.struct("o_ts", "o_seq")).over(w))
+        .filter("prev IS NOT NULL AND struct(o_ts, o_seq) < prev")
+        .count()
+    )
+    assert bad == 0
+    assert dec.count() == ev.count()
+
+
+def test_second_produce_appends_from_log_end(spark, tmp_root):
+    ev = _events(spark, n=2000, keys=300, seed=5)
+    w1 = ev.filter("seq % 2 = 0")
+    w2 = ev.filter("seq % 2 = 1")
+    topic = os.path.join(tmp_root, "t2")
+    ks.create_topic(topic, n_partitions=3)
+    e1 = ks.produce(encode_events(w1, keep_cols=("op_ts", "seq")), topic)
+    e2 = ks.produce(encode_events(w2, keep_cols=("op_ts", "seq")), topic)
+    out = ks.read_topic_batch(spark, topic)
+    per = {
+        r["partition"]: (r["n"], r["lo"], r["hi"], r["d"])
+        for r in out.groupBy("partition")
+        .agg(F.count("*").alias("n"), F.min("offset").alias("lo"),
+             F.max("offset").alias("hi"),
+             F.countDistinct("offset").alias("d"))
+        .collect()
+    }
+    for p, (n, lo, hi, d) in per.items():
+        assert (lo, hi, d) == (0, n - 1, n)  # contiguous, no overlap
+        assert e2[p] == n and e2[p] >= e1.get(p, 0)
+    # restore-mode seek: starting at window-1's end offsets yields exactly
+    # window 2, and the filter reaches the scan
+    resumed = ks.read_topic_batch(spark, topic, starting_offsets=e1)
+    assert resumed.count() == w2.count()
+    plan = resumed._jdf.queryExecution().executedPlan().toString()
+    assert "Filter" in plan
+
+
+def _final_state(spark, table_root):
+    return {
+        r["repo"] + "/" + r["path"]: r["commit"]
+        for r in LakeTable.load(spark, table_root).read()
+        .select("repo", "path", "commit").collect()
+    }
+
+
+def _expected_final(ev):
+    from chunjun_spark.operators.dedup import keep_last
+    from chunjun_spark.operators.merge import events_with_pk, to_changes
+
+    keyed = events_with_pk(ev, ["repo", "path"])
+    last = keep_last(keyed, pk=["repo", "path"], order=("op_ts", "seq"))
+    fin = to_changes(last).filter("_op != 'DELETE'")
+    return {
+        r["repo"] + "/" + r["path"]: r["commit"]
+        for r in fin.select("repo", "path", "commit").collect()
+    }
+
+
+def test_kafka_roundtrip_stream_matches_direct_fold(spark, tmp_root):
+    """encode → produce → streaming decode → dedup → merge must land the
+    same final state as the direct batch fold, despite micro-batches
+    mixing topic partitions in arbitrary proportions (the version guard
+    drops cross-batch stale arrivals)."""
+    from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA
+    from chunjun_spark.streaming.pipeline import start_replay_stream
+
+    ev = _events(spark, n=6000, keys=900, seed=7)
+    topic = os.path.join(tmp_root, "t3")
+    ks.create_topic(topic, n_partitions=4)
+    ks.produce(encode_events(ev, keep_cols=("op_ts", "seq")), topic)
+
+    stream = ks.read_topic_stream(spark, topic, max_files_per_trigger=1)
+    decoded = decode_events(stream, ev.schema)
+    table_root = os.path.join(tmp_root, "klake")
+    LakeTable.create(spark, table_root, PAYLOAD_SCHEMA,
+                     pk=["repo", "path"], n_buckets=4)
+    q = start_replay_stream(decoded, table_root,
+                            os.path.join(tmp_root, "kcp"), job_id="k1")
+    assert q.awaitTermination(300)
+    assert _final_state(spark, table_root) == _expected_final(ev)
+
+
+def test_kafka_stream_resumes_from_checkpoint(spark, tmp_root):
+    """Drain window 1, stop; produce window 2; restart on the SAME
+    checkpoint — only new segments are read (batch lineage shows new
+    batch ids only) and the final state equals the full fold."""
+    from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA
+    from chunjun_spark.streaming.pipeline import start_replay_stream
+
+    ev = _events(spark, n=5000, keys=800, seed=9)
+    w1 = ev.filter("seq % 3 != 0")
+    w2 = ev.filter("seq % 3 = 0")
+    topic = os.path.join(tmp_root, "t4")
+    ks.create_topic(topic, n_partitions=4)
+    ks.produce(encode_events(w1, keep_cols=("op_ts", "seq")), topic)
+
+    table_root = os.path.join(tmp_root, "klake4")
+    cp = os.path.join(tmp_root, "kcp4")
+    LakeTable.create(spark, table_root, PAYLOAD_SCHEMA,
+                     pk=["repo", "path"], n_buckets=4)
+
+    def run():
+        stream = ks.read_topic_stream(spark, topic, max_files_per_trigger=2)
+        q = start_replay_stream(decode_events(stream, ev.schema),
+                                table_root, cp, job_id="k2")
+        assert q.awaitTermination(300)
+
+    run()
+    t = LakeTable.load(spark, table_root)
+    batches_after_w1 = set(t.committed_batches())
+    assert batches_after_w1
+
+    ks.produce(encode_events(w2, keep_cols=("op_ts", "seq")), topic)
+    run()
+    t = LakeTable.load(spark, table_root)
+    new_batches = set(t.committed_batches()) - batches_after_w1
+    assert new_batches  # window 2 landed in fresh micro-batches
+    assert _final_state(spark, table_root) == _expected_final(ev)
+
+
+def test_malformed_message_decodes_to_nulls(spark):
+    """JsonDecoder analog: a malformed value surfaces as NULL columns (→
+    dirty-data rules), never an exception."""
+    ev = _events(spark, n=10, keys=5, seed=1)
+    bad = spark.createDataFrame(
+        [(bytearray(b"k"), bytearray(b"{not json"))], "key binary, value binary"
+    )
+    out = decode_events(bad, ev.schema)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["op"] is None

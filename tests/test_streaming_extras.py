@@ -160,6 +160,63 @@ def test_restart_loop_retries_then_succeeds(spark, tmp_root):
         pl.run_stream_with_restart(always_fail, max_attempts=2, delay_sec=0.01)
 
 
+def test_failure_rate_restart_spread_failures_keep_restarting():
+    """Failures spread wider than the interval never trip the bound —
+    the sliding window forgets them (RestartConfig STRATEGY_FAILURE_RATE
+    semantics); a burst inside the interval gives up."""
+    calls = {"n": 0}
+    clock = {"t": 0.0}
+
+    class FakeQuery:
+        def __init__(self, fail):
+            self.fail = fail
+
+        def awaitTermination(self, _timeout):
+            clock["t"] += 30.0  # each attempt runs 30s of fake time
+            if self.fail:
+                raise RuntimeError("transient")
+            return True
+
+        def stop(self):
+            pass
+
+    def start():
+        calls["n"] += 1
+        return FakeQuery(fail=calls["n"] < 6)
+
+    # failures land 30s apart: any 50s window holds at most 2 -> survives
+    out = pl.run_stream_with_failure_rate_restart(
+        start, max_failures_per_interval=2, failure_interval_sec=50.0,
+        delay_sec=0.0, _clock=lambda: clock["t"],
+    )
+    assert out == {"restarts": 5, "gave_up": False}
+    assert calls["n"] == 6
+
+
+def test_failure_rate_restart_burst_gives_up():
+    clock = {"t": 0.0}
+    calls = {"n": 0}
+
+    class Crash:
+        def awaitTermination(self, _timeout):
+            clock["t"] += 1.0  # crashes 1s apart: a burst
+            raise RuntimeError("boom")
+
+        def stop(self):
+            pass
+
+    def start():
+        calls["n"] += 1
+        return Crash()
+
+    with pytest.raises(RuntimeError, match="giving up"):
+        pl.run_stream_with_failure_rate_restart(
+            start, max_failures_per_interval=3, failure_interval_sec=60.0,
+            delay_sec=0.0, _clock=lambda: clock["t"],
+        )
+    assert calls["n"] == 4  # 3 allowed in window, the 4th trips the bound
+
+
 def test_files_per_trigger_for_rate():
     assert pl.files_per_trigger_for_rate(-1, 1000, 1.0) == 1_000_000
     assert pl.files_per_trigger_for_rate(10_000_000, 1_000_000, 1.0) == 10
