@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "cdc_compact_reshard",
     "cdc_agg_incremental",
     "cdc_agg_view",
+    "kafka_roundtrip_final_state",
     "cdc_max_incremental",
 ]
 
