@@ -1,0 +1,187 @@
+"""Property-based IVM: maintained views stay exact across DDL interleavings.
+
+Extends ``test_properties_ddl``'s token machinery: hypothesis generates
+interleavings of data events and DDL actions (add / rename / widen /
+drop) replayed in 1-3 batches into a source LakeTable, PLUS a sync mask
+choosing after which batches the maintained views catch up. Invariants:
+
+- the persistent sum/count view (``create_agg_view`` + ``sync_agg_view``)
+  equals a full ``grouped_agg_state`` recompute of the final live table,
+  no matter where the sync boundaries fall relative to the DDLs — the
+  preimage-complete CDF must project retractions of OLD files through
+  whatever schema evolution happened since they were written (widen of
+  the value column is the sharp case: preimages read pre-widen files
+  but retract post-widen-typed values);
+- the max view folded window-by-window with ``apply_changes_to_max``
+  (recompute-on-invalidate) equals ``grouped_max_state`` of the final
+  table, including all-NULL groups and groups emptied then re-filled.
+
+Values are small integers cast to double, so sums are exact and the
+comparisons are equality, not tolerance (CLAUDE.md float-grid rule).
+"""
+
+import datetime
+import json
+import os
+import uuid
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from chunjun_spark.operators.ivm import (
+    apply_changes_to_max,
+    create_agg_view,
+    grouped_agg_state,
+    grouped_max_state,
+    sync_agg_view,
+)
+from chunjun_spark.operators.merge import replay
+from chunjun_spark.plans.lake import LakeTable
+
+from .test_properties_ddl import TOKEN, _ddl_json, _normalize
+
+TS = datetime.datetime(2024, 1, 1)
+VALUE = "cast(v as double)"
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(TOKEN, min_size=2, max_size=12),
+       st.integers(min_value=1, max_value=3),
+       st.lists(st.booleans(), min_size=3, max_size=3))
+def test_maintained_views_exact_across_ddl(spark, tmp_root, tokens,
+                                           n_batches, sync_mask):
+    tokens = _normalize(tokens)
+    if not any(t[0] == "ev" for t in tokens):
+        return
+    run = uuid.uuid4().hex[:8]
+    base = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("g", T.IntegerType()),
+        T.StructField("v", T.IntegerType()),
+    ])
+    table = LakeTable.create(
+        spark, os.path.join(tmp_root, f"ivmsrc_{run}"), base,
+        pk=["k"], n_buckets=2,
+    )
+    sum_view = create_agg_view(
+        spark, os.path.join(tmp_root, f"ivmsum_{run}"), [("g", "int")],
+        n_buckets=2,
+    )
+
+    size = max(1, (len(tokens) + n_batches - 1) // n_batches)
+    batches = [tokens[i:i + size] for i in range(0, len(tokens), size)]
+
+    # column registry mirrors test_properties_ddl (base k=1, g=2, v=3)
+    live = {1: "k", 2: "g", 3: "v"}
+    extra_fid = {}
+    next_fid = 4
+    seq = 0
+
+    max_schema = T.StructType([
+        T.StructField("g", T.IntegerType()),
+        T.StructField("n_live", T.LongType()),
+        T.StructField("max_value", T.DoubleType()),
+    ])
+    max_state = spark.createDataFrame([], max_schema)
+    max_synced = 0  # source version the max view has folded up to
+
+    def sync_views():
+        nonlocal max_state, max_synced
+        src = table.refresh()
+        sync_agg_view(src, sum_view.refresh(), ["g"], VALUE)
+        end = src.manifest["version"]
+        if end > max_synced:
+            ch = src.read_changes(max_synced, end, with_preimages=True)
+            max_state = apply_changes_to_max(
+                max_state, ch, src.read(), ["g"], VALUE
+            ).localCheckpoint(eager=True)
+            max_synced = end
+
+    for bi, batch in enumerate(batches):
+        ddl_rows, ev_rows = [], []
+        for tok in batch:
+            seq += 1
+            if tok[0] == "ddl":
+                ddl_rows.append((seq, _ddl_json(tok, live)))
+                tag = tok[1]
+                if tag == "add":
+                    extra_fid["c"] = next_fid
+                    live[next_fid] = "c"
+                    next_fid += 1
+                elif tag == "rename":
+                    fid = extra_fid.pop("c")
+                    extra_fid["d"] = fid
+                    live[fid] = "d"
+                elif tag == "drop":
+                    live.pop(extra_fid.pop(tok[2]))
+            else:
+                _, key, op, v, c = tok
+                payload = {1: key, 2: key % 2, 3: v}
+                ename = "d" if "d" in extra_fid else (
+                    "c" if "c" in extra_fid else None)
+                if ename is not None:
+                    payload[extra_fid[ename]] = c
+                ev_rows.append((seq, key, op, payload))
+
+        final_fids = sorted(live)
+        extra_names = [live[f] for f in final_fids if f > 3]
+        pfields = [T.StructField("k", T.LongType()),
+                   T.StructField("g", T.IntegerType()),
+                   T.StructField("v", T.LongType())]
+        pfields += [T.StructField(nm, T.IntegerType()) for nm in extra_names]
+        pstruct = T.StructType(pfields)
+        eschema = T.StructType([
+            T.StructField("op", T.StringType()),
+            T.StructField("schema_name", T.StringType()),
+            T.StructField("table_name", T.StringType()),
+            T.StructField("op_ts", T.TimestampType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("partition_id", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("before", pstruct),
+            T.StructField("after", pstruct),
+            T.StructField("ddl", T.StringType()),
+        ])
+        rows = []
+        for s, spec in ddl_rows:
+            rows.append(("DDL", "lake", "t", TS + datetime.timedelta(seconds=s),
+                         s, 0, s, None, None, json.dumps(spec)))
+        for s, key, op, payload in ev_rows:
+            img = tuple(payload.get(f) for f in final_fids)
+            rows.append((op, "lake", "t", TS + datetime.timedelta(seconds=s),
+                         s, 0, s,
+                         img if op == "DELETE" else None,
+                         img if op != "DELETE" else None,
+                         None))
+        replay(spark.createDataFrame(rows, eschema),
+               table.refresh(), batch_id=f"b{bi}")
+        if sync_mask[bi % len(sync_mask)]:
+            sync_views()
+    sync_views()  # views always end caught-up to the final snapshot
+
+    final = table.refresh().read()
+
+    want_sum = {
+        r["g"]: (r["n_live"], r["sum_value"])
+        for r in grouped_agg_state(final, ["g"], VALUE).collect()
+    }
+    got_sum = {
+        r["g"]: (r["n_live"], r["sum_value"])
+        for r in sum_view.refresh().read().collect()
+        if r["n_live"] > 0  # emptied groups persist as DELETEs upstream
+    }
+    assert got_sum == want_sum
+
+    want_max = {
+        r["g"]: (r["n_live"], r["max_value"])
+        for r in grouped_max_state(final, ["g"], VALUE).collect()
+    }
+    got_max = {
+        r["g"]: (r["n_live"], r["max_value"])
+        for r in max_state.collect()
+        if r["n_live"] > 0
+    }
+    assert got_max == want_max

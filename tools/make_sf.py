@@ -1,0 +1,115 @@
+"""Deterministic scale-factor up-scaler for soak benchmarks.
+
+Writes an sf(K x src) directory by unioning K per-copy transforms of the
+driver's synthetic tables (TESTDATA.md schema). Each copy is a disjoint
+shard of the scaled world:
+
+- bigint entity keys shift by ``copy * STRIDE`` (foreign keys shift in
+  lockstep, so joins stay internally consistent per copy);
+- document ``text`` goes through a per-copy letter rotation (a ROT-c
+  substitution on [a-z] and [A-Z]) — lengths, token boundaries,
+  whitespace and punctuation are untouched, so per-row map work is
+  byte-identical to the source, while every shingle/minhash/simhash
+  value differs across copies. Dup and near-dup DENSITY therefore
+  matches the source exactly: scaling preserves the workload's
+  character instead of multiplying cross-copy duplicates;
+- document ``source`` gets a per-copy suffix (domain cardinality scales
+  with data, keeping per-domain row counts constant — the shape a
+  mixture sampler sees at real scale);
+- embeddings rotate dimensions by ``copy`` positions (within-copy cosine
+  structure preserved verbatim; cross-copy similarities scrambled);
+- ``region``/``nation`` are dimension tables and are copied once.
+
+DuckDB writes single-file parquet per table, matching the testdata
+layout, so the output dir drops into ``SPARK_GRAFT_SF_DIR`` for
+``bench.py`` AND into ``tools/check_oracle.py`` unchanged.
+
+Usage: python tools/make_sf.py [src_dir] [out_dir] [copies]
+       (defaults: /root/testdata/sf0.1  .sfdata/sf1  10)
+"""
+
+from __future__ import annotations
+
+import os
+import string
+import sys
+
+import duckdb
+
+STRIDE = 1 << 40  # far above any source key; copies never collide
+
+LOWER = string.ascii_lowercase
+UPPER = string.ascii_uppercase
+
+
+def _rot(s: str, c: int) -> str:
+    return s[c % 26:] + s[: c % 26]
+
+
+def build(src: str, out: str, copies: int) -> None:
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.sql(f"CREATE TABLE copies AS SELECT range AS c FROM range({copies})")
+    rot_rows = ", ".join(
+        f"({c}, '{LOWER + UPPER}', '{_rot(LOWER, c) + _rot(UPPER, c)}')"
+        for c in range(copies)
+    )
+    con.sql(f"CREATE TABLE rot(c BIGINT, f VARCHAR, t VARCHAR); "
+            f"INSERT INTO rot VALUES {rot_rows}")
+
+    def emit(table: str, select: str, joins: str = ", copies") -> None:
+        con.sql(
+            f"COPY (SELECT {select} FROM '{src}/{table}.parquet'{joins}) "
+            f"TO '{out}/{table}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.sql(f"SELECT count(*) FROM '{out}/{table}.parquet'").fetchone()[0]
+        print(f"{table}: {n} rows")
+
+    # dimension tables: one copy, shared by every shard
+    emit("region", "*", joins="")
+    emit("nation", "*", joins="")
+
+    emit("customer",
+         "c_custkey + c*" + str(STRIDE) + " AS c_custkey, c_name, "
+         "c_nationkey, c_acctbal, c_mktsegment")
+    emit("supplier",
+         "s_suppkey + c*" + str(STRIDE) + " AS s_suppkey, s_name, "
+         "s_nationkey, s_acctbal")
+    emit("part",
+         "p_partkey + c*" + str(STRIDE) + " AS p_partkey, p_name, p_brand, "
+         "p_type, p_size, p_retailprice")
+    emit("orders",
+         f"o_orderkey + c*{STRIDE} AS o_orderkey, "
+         f"o_custkey + c*{STRIDE} AS o_custkey, "
+         "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority")
+    emit("lineitem",
+         f"l_orderkey + c*{STRIDE} AS l_orderkey, "
+         f"l_partkey + c*{STRIDE} AS l_partkey, "
+         f"l_suppkey + c*{STRIDE} AS l_suppkey, "
+         "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
+         "l_returnflag, l_linestatus, l_shipdate")
+    emit("events",
+         f"event_id + c*{STRIDE} AS event_id, ts, "
+         f"user_id + c*{STRIDE} AS user_id, event_type, value, props")
+    emit("documents",
+         f"doc_id + c*{STRIDE} AS doc_id, translate(text, f, t) AS text, "
+         "lang, CASE WHEN c = 0 THEN source "
+         "     ELSE source || '-' || c::VARCHAR END AS source, n_chars",
+         joins=", rot")
+    emit("embeddings",
+         f"vec_id + c*{STRIDE} AS vec_id, "
+         "list_concat(embedding[(c % len(embedding))::BIGINT + 1:], "
+         "            embedding[:(c % len(embedding))::BIGINT])"
+         "  ::FLOAT[] AS embedding, label")
+
+
+def main() -> int:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else ".sfdata/sf1"
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    build(src, out, copies)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
