@@ -107,9 +107,14 @@ def paragraph_dedup(
 
     Packing contract: ``para_idx < 2^21`` (a >2M-paragraph document
     would tie-break to an arbitrary in-document copy — harmless for
-    dedup semantics, but out of the deterministic contract) and
-    ``id < 2^42``; both hold for any realistic corpus keyed by a
-    Snowflake-style or dense id.
+    dedup semantics, but out of the deterministic contract); ``id``
+    may span the FULL bigint range. The pair packs into one
+    DECIMAL(38,0) — ``id * 2^21`` overflows a bigint past id = 2^42
+    (Snowflake-style ids reach 2^63; caught by the sf1 soak's
+    stride-shifted ids under ANSI mode), while exact decimal packing
+    keeps headroom to 10^38 AND keeps the winner aggregate a
+    partial-agg HashAggregate (decimal min has a mutable fixed-width
+    buffer; ``min(struct(...))`` would force SortAggregate).
 
     Documents whose every paragraph was a repeat disappear from the
     output (there is nothing left to emit).
@@ -119,13 +124,14 @@ def paragraph_dedup(
     winners = (
         paras.select(
             "_fp",
-            (F.col(id_col) * _PACK + F.col("para_idx")).alias("_packed"),
+            (F.col(id_col).cast("decimal(38,0)") * _PACK
+             + F.col("para_idx")).alias("_packed"),
         )
         .groupBy("_fp")
         .agg(F.min("_packed").alias("_w"))
         .select(
             F.col("_fp"),
-            F.floor(F.col("_w") / _PACK).alias(id_col),
+            F.floor(F.col("_w") / _PACK).cast("long").alias(id_col),
             (F.col("_w") % _PACK).cast("int").alias("para_idx"),
         )
     )
