@@ -151,17 +151,21 @@ def _events_lake_2w(spark: SparkSession, sf_dir: str) -> dict:
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
+            # event time rides in the row image so time-bucketed rollup
+            # views can derive their bucket key from the stored row
+            T.StructField("ts", ev.schema["ts"].dataType),
         ]
     )
     table = LakeTable.create(spark, root, schema, pk=["user_id"], n_buckets=8)
+    ts_extra = {"ts": F.col("ts")}
     replay(
-        events_changelog(ev.filter(F.col("ts") <= cut)),
+        events_changelog(ev.filter(F.col("ts") <= cut), extra_payload=ts_extra),
         table, batch_id="fx-w1", mode="mor",
     )
     table = table.refresh()
     v1 = table.manifest["version"]
     replay(
-        events_changelog(ev.filter(F.col("ts") > cut)),
+        events_changelog(ev.filter(F.col("ts") > cut), extra_payload=ts_extra),
         table, batch_id="fx-w2", mode="mor",
     )
     table = table.refresh()
@@ -1710,6 +1714,54 @@ GROUP BY event_type
 """
 
 
+def _q_cdc_rollup_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup (TimescaleDB continuous-aggregate /
+    hypertable-rollup analog): a maintained view whose group key is
+    DERIVED from the row — ``date_trunc('hour', ts)`` — so the hourly
+    per-event_type (count, sum) rollup lives as its own LakeTable and
+    syncs in O(changes) per window. A key whose latest event moves it
+    to a different hour retracts from the old bucket and adds to the
+    new one through the ordinary group-moving-update path; the derived
+    expression is evaluated identically on postimages, preimages, and
+    any recompute, all row-local (a projection — no extra shuffle; plan
+    shape unchanged from ivm_apply_single_shuffle). Oracle: GROUP BY
+    event_type, hour over the final folded state."""
+    from chunjun_spark.operators.ivm import create_agg_view, sync_agg_view
+
+    fx = _events_lake_2w(spark, sf_dir)
+    ts_type = "timestamp_ntz" if isinstance(
+        _t(spark, sf_dir, "events").schema["ts"].dataType, T.TimestampNTZType
+    ) else "timestamp"
+    view = create_agg_view(
+        spark, tempfile.mkdtemp(prefix="cj_entry_rollup_"),
+        [("event_type", "string"), ("bucket_ts", ts_type)], n_buckets=4,
+    )
+    exprs = [("bucket_ts", "date_trunc('hour', ts)")]
+    for ver in (fx["v1"], fx["v2"]):
+        src = LakeTable.load(spark, fx["root"], version=ver)
+        sync_agg_view(src, view.refresh(), ["event_type", "bucket_ts"],
+                      _VALUE_MICRO_SQL, group_exprs=exprs)
+    return view.refresh().read().select(
+        "event_type",
+        "bucket_ts",
+        "n_live",
+        F.round(F.col("sum_value") / F.lit(float(_GRID)), 4).alias("sum_value"),
+    )
+
+
+_ROLLUP_VIEW_SQL = f"""
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+       count(*) AS n_live, {_sql_exact_sum('value')} AS sum_value
+FROM r WHERE rn = 1 AND event_type <> 'error'
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
 def _q_cdc_distinct_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained maintained views under the oracle gate: exact per-group
     distinct-count — not directly decomposable — maintained by stacking
@@ -2416,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_agg_view": _q_cdc_agg_view,
         "cdc_max_incremental": _q_cdc_max_incremental,
         "cdc_distinct_view": _q_cdc_distinct_view,
+        "cdc_rollup_view": _q_cdc_rollup_view,
         "events_asof_join": _q_events_asof_join,
         "events_sessionize": _q_events_sessionize,
         "doc_decontaminate": _q_doc_decontaminate,
@@ -2497,6 +2550,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_agg_view": _AGG_INCREMENTAL_SQL,
         "cdc_max_incremental": _MAX_INCREMENTAL_SQL,
         "cdc_distinct_view": _DISTINCT_VIEW_SQL,
+        "cdc_rollup_view": _ROLLUP_VIEW_SQL,
         "events_asof_join": _ASOF_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
         "doc_decontaminate": _DECONTAM_SQL,

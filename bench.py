@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "cdc_agg_view",
     "kafka_roundtrip_final_state",
     "cdc_max_incremental",
+    "cdc_rollup_view",
 ]
 
 

@@ -38,7 +38,33 @@ _RETRACT = ("update_preimage", "delete_preimage")
 _EPOCH = "1970-01-01 00:00:00"
 
 
-def grouped_agg_state(df: DataFrame, group_cols: list[str], value_col: str) -> DataFrame:
+def derive_group_keys(
+    df: DataFrame, group_exprs: list[tuple[str, str]] | None
+) -> DataFrame:
+    """Materialize DERIVED group keys (name, sql_expr) onto ``df``.
+
+    This is what turns the sum/count maintenance machinery into a
+    continuous-aggregate engine: a time bucket (``date_trunc('hour',
+    ts)``) gives hypertable-style rollups, a value bucket
+    (``cast(floor(value) as int)``) gives maintained histograms — the
+    derived key is evaluated IDENTICALLY on postimages, preimages, and
+    recompute scans (a projection, no shuffle), so a row whose raw
+    columns move it between buckets retracts from the old bucket and
+    adds to the new one through the ordinary group-moving-update path.
+    Expressions must be deterministic row-local functions of the source
+    row; the derived names become pk columns of the view table.
+    """
+    for name, sql in group_exprs or []:
+        df = df.withColumn(name, F.expr(sql))
+    return df
+
+
+def grouped_agg_state(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    group_exprs: list[tuple[str, str]] | None = None,
+) -> DataFrame:
     """Full recompute of the maintained view: one partial-agg shuffle.
 
     Output schema is the maintenance contract: (group_cols..., n_live,
@@ -47,7 +73,10 @@ def grouped_agg_state(df: DataFrame, group_cols: list[str], value_col: str) -> D
     values, 0.0 when a group has none — the same convention the
     incremental fold uses (it retracts a NULL contribution as 0.0), so
     maintained and recomputed state stay bit-identical.
+    ``group_exprs`` derived keys (``derive_group_keys``) may appear in
+    ``group_cols``.
     """
+    df = derive_group_keys(df, group_exprs)
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_live"),
         F.coalesce(F.sum(F.expr(value_col)), F.lit(0.0)).alias("sum_value"),
@@ -265,6 +294,7 @@ def sync_agg_view(
     group_cols: list[str],
     value_col: str,
     since_version: int | None = None,
+    group_exprs: list[tuple[str, str]] | None = None,
 ) -> dict:
     """Catch the view up to the source table's current snapshot —
     exactly once.
@@ -307,8 +337,9 @@ def sync_agg_view(
     if end == since_version or (synced is not None and end <= synced):
         return {"merge": {"skipped": True}, "version": end}
 
-    changes = source.read_changes(
-        since_version, end, with_preimages=True
+    changes = derive_group_keys(
+        source.read_changes(since_version, end, with_preimages=True),
+        group_exprs,
     ).localCheckpoint(eager=True)
     touched = changes.select(*group_cols).distinct()
     prev = view.read().join(touched, on=group_cols, how="left_semi")

@@ -155,14 +155,18 @@ def decode_json_events(df: DataFrame, payload: T.StructType) -> DataFrame:
     )
 
 
-def events_changelog(events: DataFrame) -> DataFrame:
+def events_changelog(
+    events: DataFrame, extra_payload: dict[str, Column] | None = None
+) -> DataFrame:
     """The driver's ``events`` table (event_id, ts, user_id, event_type,
     value, props) viewed as a CDC changelog keyed by user_id.
 
     Deterministic op mapping: ``signup`` → INSERT, ``error`` → DELETE,
     everything else → UPDATE; ordering is (ts, event_id) — the explicit
     (op_ts, seq) split of the reference's Snowflake ts total order
-    (BinlogEventSink.java:114).
+    (BinlogEventSink.java:114). ``extra_payload`` appends further
+    columns to the row image (e.g. the event time itself, for
+    time-bucketed rollup views over the resulting lake).
     """
     op = (
         F.when(F.col("event_type") == "signup", F.lit("INSERT"))
@@ -178,6 +182,7 @@ def events_changelog(events: DataFrame) -> DataFrame:
             "user_id": F.col("user_id"),
             "event_type": F.col("event_type"),
             "value": F.col("value"),
+            **(extra_payload or {}),
         },
         pk=["user_id"],
         partition_id=F.pmod(F.col("user_id"), F.lit(4)),

@@ -533,3 +533,49 @@ def test_sync_never_synced_view_rejects_partial_window(spark, tmp_root):
     got = {r["grp"]: (r["n_live"], r["sum_value"])
            for r in view.refresh().read().collect()}
     assert got == {"a": (2, 3.0)}
+
+
+def test_rollup_view_derived_group_key(spark, tmp_root):
+    """group_exprs turns the sum/count view into a continuous aggregate:
+    the bucket key is computed from the row (here floor(v); same shape
+    as a date_trunc time bucket). An update that moves a row between
+    buckets must retract from the old bucket and add to the new one."""
+    from chunjun_spark.operators.ivm import (
+        create_agg_view, grouped_agg_state, sync_agg_view,
+    )
+    src = _table(spark, tmp_root, "rsrc")
+    view = create_agg_view(spark, os.path.join(tmp_root, "rview"),
+                           [("grp", "string"), ("bucket", "int")],
+                           n_buckets=4)
+    exprs = [("bucket", "cast(floor(v) as int)")]
+
+    def _check():
+        got = {(r["grp"], r["bucket"]): (r["n_live"], round(r["sum_value"], 9))
+               for r in view.refresh().read().collect()}
+        want = {(r["grp"], r["bucket"]): (r["n_live"], round(r["sum_value"], 9))
+                for r in grouped_agg_state(
+                    src.read(), ["grp", "bucket"], "v", group_exprs=exprs
+                ).collect()}
+        assert got == want
+
+    src.merge(_mk(spark, [
+        (1, "a", 1.2, "UPSERT", 1, 1),
+        (2, "a", 1.7, "UPSERT", 2, 2),
+        (3, "a", 3.1, "UPSERT", 3, 3),
+        (4, "b", 1.9, "UPSERT", 4, 4),
+    ]), batch_id="w1")
+    src = src.refresh()
+    sync_agg_view(src, view, ["grp", "bucket"], "v", group_exprs=exprs)
+    _check()
+
+    src.merge(_mk(spark, [
+        (1, "a", 3.8, "UPSERT", 10, 10),   # moves bucket 1 -> 3
+        (4, None, None, "DELETE", 11, 11),  # empties (b, 1)
+        (5, "b", 0.4, "UPSERT", 12, 12),   # new bucket 0
+    ]), batch_id="w2")
+    src = src.refresh()
+    sync_agg_view(src, view.refresh(), ["grp", "bucket"], "v",
+                  group_exprs=exprs)
+    _check()
+    live = {(r["grp"], r["bucket"]) for r in view.refresh().read().collect()}
+    assert ("b", 1) not in live and ("a", 3) in live
