@@ -1633,6 +1633,28 @@ FROM r WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def _q_cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot ROLLBACK (Iceberg rollback_to_snapshot analog): copy the
+    shared two-window fixture lake, roll it back to the first window's
+    commit as a NEW commit (metadata-only — buckets/deltas/schema
+    pointer restored, lineage window reset so rolled-back batches
+    re-apply, history retained), then read. The restored state must
+    equal the keep-last fold of window-1 events alone — same oracle as
+    time travel, but produced by the WRITE-side restore machinery
+    instead of a historical read. Reference: ChunJun restore-mode return
+    to a historical position (FormatState.java:30-76) served from the
+    sink's retained snapshots."""
+    import shutil
+
+    fx = _events_lake_2w(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cj_entry_rb_")
+    shutil.rmtree(root)
+    shutil.copytree(fx["root"], root)
+    table = LakeTable.load(spark, root)
+    table.rollback(fx["v1"])
+    return _lake_projection(LakeTable.load(spark, root).read())
+
+
 def _q_cdc_compact_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online compaction + bucket growth under the correctness gate: a
     MOR-ingested table (base untouched, all data in deltas) is compacted
@@ -2463,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation_pipeline,
         "cdc_changes_feed": _q_cdc_changes_feed,
         "cdc_time_travel": _q_cdc_time_travel,
+        "cdc_rollback": _q_cdc_rollback,
         "cdc_compact_reshard": _q_cdc_compact_reshard,
         "cdc_agg_incremental": _q_cdc_agg_incremental,
         "cdc_agg_view": _q_cdc_agg_view,
@@ -2545,6 +2568,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _CURATION_SQL,
         "cdc_changes_feed": _CHANGES_FEED_SQL,
         "cdc_time_travel": _TIME_TRAVEL_SQL,
+        "cdc_rollback": _TIME_TRAVEL_SQL,
         "cdc_compact_reshard": _REPLAY_LAKE_SQL,
         "cdc_agg_incremental": _AGG_INCREMENTAL_SQL,
         "cdc_agg_view": _AGG_INCREMENTAL_SQL,

@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "embedding_semantic_dedup",
     "minhash_index_sync",
     "cdc_time_travel",
+    "cdc_rollback",
     "cdc_compact_reshard",
     "cdc_agg_incremental",
     "cdc_agg_view",

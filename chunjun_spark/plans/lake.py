@@ -1327,10 +1327,63 @@ class LakeTable:
         else:
             raise ValueError(f"unknown ddl op {ddl_op}")
         m = self._next_manifest()
-        m["schema_version"] += 1
+        # allocate schema ids append-only (max historical + 1), never
+        # current+1: after a rollback the CURRENT schema_version can be
+        # older than ids already registered in the map, and reusing one
+        # would silently re-bind data files written under the old meaning
+        m["schema_version"] = max(int(k) for k in m["schemas"]) + 1
         m["schemas"][str(m["schema_version"])] = sch.fields
         self._write_manifest(m, expected_parent=m["parent"])
         return {"version": m["version"], "schema_version": m["schema_version"]}
+
+    # ---------------------------------------------------------- rollback
+    def rollback(self, to_version: int) -> dict:
+        """Roll the table back to snapshot ``to_version`` as a NEW commit
+        (Iceberg ``rollback_to_snapshot`` analog): the new manifest's
+        STATE — buckets, deltas (with their file stats), schema pointer,
+        bucket/cluster spec — is copied from the target snapshot, while
+        history is preserved (rolled-back manifests stay readable until
+        ``vacuum``). Metadata-only: no data files move.
+
+        Exactly-once interplay: the lineage window is restored to the
+        target's, so batches whose effects were rolled back are
+        re-appliable on replay (their batch ids leave
+        ``committed_batches``); the rollback itself is recorded under
+        ``rollback:{from}->{to}``. The schema-id map is kept as the
+        superset of target + current so field-id allocation still floors
+        at the historical max (dropped ids never resurrect), and
+        downstream ``read_changes`` across a rollback automatically takes
+        the snapshot-diff path (the delta chain is no longer a prefix),
+        so maintained views converge by retraction. Reference:
+        restore-mode re-read from a historical position
+        (flinkx-core restore semantics, FormatState.java:30-76) applied
+        to the SINK's own retained snapshots."""
+        cur = self.manifest["version"]
+        if to_version >= cur:
+            raise ValueError(
+                f"rollback target v{to_version} is not earlier than v{cur}"
+            )
+        target = LakeTable.load(self.spark, self.root, version=to_version).manifest
+        m = self._next_manifest()
+        for k in ("schema_version", "n_buckets", "buckets", "deltas",
+                  "bucket_cols", "cluster_cols", "stats_cols"):
+            m[k] = json.loads(json.dumps(target[k]))
+        # schemas stay append-only: current's map is a superset of the
+        # target's (same chain, ids never reused), so keep current's
+        m["lineage"] = json.loads(json.dumps(target["lineage"]))
+        if "lineage_rollup" in target:
+            m["lineage_rollup"] = json.loads(json.dumps(target["lineage_rollup"]))
+        else:
+            m.pop("lineage_rollup", None)
+        self._record_lineage(
+            m,
+            f"rollback:{cur}->{to_version}",
+            offsets={"rolled_back_from": cur, "rolled_back_to": to_version},
+            n_changes=0,
+            extra_metrics=None,
+        )
+        self._write_manifest(m, expected_parent=cur)
+        return {"version": m["version"], "restored": to_version, "from": cur}
 
     # ------------------------------------------------------------ introspection
     def lineage_df(self) -> DataFrame:

@@ -1,0 +1,175 @@
+"""Snapshot rollback (Iceberg rollback_to_snapshot analog).
+
+Reference analog: ChunJun's restore mode re-reads from a historical
+position (flinkx-core FormatState.java:30-76); rollback serves the same
+"return to a known-good point" contract from the SINK's retained
+snapshots — metadata-only, exactly-once window restored, CDF across the
+rollback retracts.
+"""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from chunjun_spark.operators.merge import replay
+from chunjun_spark.plans.lake import ConcurrentCommitError, LakeTable
+from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA, generate_binlog
+
+from .conftest import df_state, sha256_state
+
+PK = ["repo", "path"]
+
+
+def _two_windows(spark, root, mode="cow"):
+    table = LakeTable.create(spark, root, PAYLOAD_SCHEMA, pk=PK, n_buckets=4)
+    ev1 = generate_binlog(spark, 2000, n_keys=500, seed=3, dup_rate=0.0)
+    replay(ev1, table, batch_id="w1", mode=mode)
+    t = table.refresh()
+    v1 = t.manifest["version"]
+    # window 2 strictly after window 1 in (op_ts, seq) — shared-seq trap
+    ev2 = (
+        generate_binlog(spark, 2000, n_keys=500, seed=9, dup_rate=0.0)
+        .withColumn("seq", F.col("seq") + F.lit(10_000_000))
+        .withColumn("op_ts", F.col("op_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    replay(ev2, t, batch_id="w2", mode=mode)
+    return table.refresh(), v1, ev2
+
+
+def test_rollback_restores_snapshot_state(spark, tmp_root):
+    root = os.path.join(tmp_root, "rb")
+    table, v1, _ = _two_windows(spark, root)
+    v2 = table.manifest["version"]
+    want = sha256_state(df_state(LakeTable.load(spark, root, version=v1).read(), PK))
+
+    res = table.rollback(v1)
+    assert res == {"version": v2 + 1, "restored": v1, "from": v2}
+    t = LakeTable.load(spark, root)
+    assert t.manifest["version"] == v2 + 1
+    assert sha256_state(df_state(t.read(), PK)) == want
+    # history preserved: the rolled-back snapshot stays readable
+    assert LakeTable.load(spark, root, version=v2).read().count() > 0
+    # the rollback is recorded in lineage
+    assert f"rollback:{v2}->{v1}" in t.committed_batches()
+
+
+def test_rollback_resets_exactly_once_window(spark, tmp_root):
+    root = os.path.join(tmp_root, "rb_eo")
+    table, v1, ev2 = _two_windows(spark, root)
+    v2 = table.manifest["version"]
+    want_v2 = sha256_state(df_state(table.read(), PK))
+    assert "w2" in table.committed_batches()
+
+    table.rollback(v1)
+    t = LakeTable.load(spark, root)
+    # w2's effects are gone, so its batch id must be re-appliable
+    assert "w2" not in t.committed_batches()
+    replay(ev2, t, batch_id="w2")
+    t = LakeTable.load(spark, root)
+    assert sha256_state(df_state(t.read(), PK)) == want_v2
+    # and the re-applied batch is once again guarded
+    n = t.manifest["version"]
+    replay(ev2, t, batch_id="w2")  # duplicate delivery → no-op
+    assert LakeTable.load(spark, root).manifest["version"] == n
+    assert v2 < n
+
+
+def test_rollback_guards(spark, tmp_root):
+    root = os.path.join(tmp_root, "rb_g")
+    table, v1, _ = _two_windows(spark, root)
+    cur = table.manifest["version"]
+    with pytest.raises(ValueError, match="not earlier"):
+        table.rollback(cur)
+    with pytest.raises(ValueError, match="not earlier"):
+        table.rollback(cur + 5)
+    # stale handle loses the optimistic race
+    stale = LakeTable.load(spark, root)
+    table.rollback(v1)
+    with pytest.raises(ConcurrentCommitError):
+        stale.rollback(v1)
+    # a vacuumed target is unrecoverable — explicit error, not silence
+    t = LakeTable.load(spark, root)
+    t.vacuum(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        t.rollback(0)
+
+
+def test_vacuum_after_rollback_keeps_restored_data(spark, tmp_root):
+    root = os.path.join(tmp_root, "rb_vac")
+    table, v1, _ = _two_windows(spark, root, mode="mor")
+    want = sha256_state(df_state(LakeTable.load(spark, root, version=v1).read(), PK))
+    table.rollback(v1)
+    t = LakeTable.load(spark, root)
+    t.vacuum(keep_last=1)
+    t = LakeTable.load(spark, root)
+    assert sha256_state(df_state(t.read(), PK)) == want
+
+
+def test_ddl_after_rollback_never_reuses_schema_ids(spark, tmp_root):
+    root = os.path.join(tmp_root, "rb_ddl")
+    table = LakeTable.create(spark, root, PAYLOAD_SCHEMA, pk=PK, n_buckets=2)
+    base_max = max(f["id"] for f in table.schema.fields)
+
+    table.apply_ddl("add_column", name="c1", type="int")
+    t = LakeTable.load(spark, root)
+    sv_c1 = t.manifest["schema_version"]
+    id_c1 = next(f["id"] for f in t.schema.fields if f["name"] == "c1")
+    assert id_c1 == base_max + 1
+
+    # write a row carrying c1 so resurrection would be observable
+    ev = generate_binlog(spark, 200, n_keys=50, seed=7, dup_rate=0.0)
+    replay(ev, t, batch_id="d1")
+
+    t = LakeTable.load(spark, root)
+    t.rollback(0)
+    t = LakeTable.load(spark, root)
+    assert t.manifest["schema_version"] == 0
+    assert "c1" not in t.schema.names()
+    # the rolled-back schema version stays registered (append-only map)
+    assert any(f["name"] == "c1" for f in t.manifest["schemas"][str(sv_c1)])
+
+    t.apply_ddl("add_column", name="c2", type="int")
+    t = LakeTable.load(spark, root)
+    # fresh schema version AND fresh field id — never a reused slot
+    assert t.manifest["schema_version"] == sv_c1 + 1
+    id_c2 = next(f["id"] for f in t.schema.fields if f["name"] == "c2")
+    assert id_c2 == id_c1 + 1
+    assert any(f["name"] == "c1" for f in t.manifest["schemas"][str(sv_c1)])
+
+
+def test_maintained_view_converges_across_rollback(spark, tmp_root):
+    """A view synced PAST the rollback boundary catches back up by
+    retraction: the next sync window's CDF takes the snapshot-diff path
+    (delta chain is no longer a prefix) and retracts window-2's
+    contributions, so the view equals a recompute over the restored
+    state."""
+    from chunjun_spark.operators.ivm import (
+        create_agg_view,
+        grouped_agg_state,
+        sync_agg_view,
+    )
+
+    root = os.path.join(tmp_root, "rb_ivm")
+    table, v1, _ = _two_windows(spark, root, mode="mor")
+
+    view = create_agg_view(
+        spark, os.path.join(tmp_root, "rb_ivm_view"),
+        [("lang", "string")], n_buckets=2,
+    )
+    value_sql = "CAST(length(content) AS BIGINT)"
+    sync_agg_view(table, view, ["lang"], value_sql)
+
+    table.rollback(v1)
+    t = LakeTable.load(spark, root)
+    sync_agg_view(t, view.refresh(), ["lang"], value_sql)
+
+    got = {
+        r["lang"]: (r["n_live"], r["sum_value"])
+        for r in view.refresh().read().collect()
+    }
+    want = {
+        r["lang"]: (r["n_live"], r["sum_value"])
+        for r in grouped_agg_state(t.read(), ["lang"], value_sql).collect()
+    }
+    assert got == want
