@@ -112,6 +112,10 @@ class RestoreConfig:
     restore_column_name: str | None = None
     max_row_num_for_checkpoint: int = 10000
     checkpoint_dir: str | None = None  # Spark addition: SS checkpointLocation
+    # Spark addition: restore mode — seek past the SINK's recorded
+    # per-partition offsets (LakeTable.resume_offsets) instead of a Spark
+    # checkpoint; needs a fresh checkpointDir + job name (pipeline guards)
+    from_lineage: bool = False
 
     @classmethod
     def parse(cls, raw: dict) -> "RestoreConfig":
@@ -121,6 +125,7 @@ class RestoreConfig:
             restore_column_name=raw.get("restoreColumnName"),
             max_row_num_for_checkpoint=int(raw.get("maxRowNumForCheckpoint", 10000)),
             checkpoint_dir=raw.get("checkpointDir"),
+            from_lineage=bool(raw.get("restoreFromLineage", False)),
         )
 
 

@@ -588,6 +588,10 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
             # (ByteRateLimiter.java analog; -1 = unlimited)
             byte_rate_limit=cfg.speed.bytes,
             agg_views=agg_views,
+            # setting.restore.restoreFromLineage: restore mode — row-level
+            # seek past the sink's recorded offsets (fresh checkpoint +
+            # job name required; the pipeline enforces both)
+            restore_from_lineage=cfg.restore.from_lineage,
         )
         table = LakeTable.load(spark, wp["path"])
         totals = table.lineage_totals()  # exact even past lineage eviction

@@ -58,6 +58,41 @@ def partition_offsets(events: DataFrame) -> dict:
     return {str(r["partition_id"]): {"max_offset": r["max_offset"], "n": r["n"]} for r in rows}
 
 
+def restore_filter(events: DataFrame, resume_offsets: dict) -> DataFrame:
+    """Row-level FormatState restore: drop events at or below the sink's
+    recorded per-partition high-water offset.
+
+    Reference: on restore the reader seeks past the checkpointed
+    position and skips re-delivered records at or below it
+    (flinkx-core/.../restore/FormatState.java:31-47,
+    DtInputFormatSourceFunction.java:252-283). Here the position comes
+    from the TABLE's lineage (``LakeTable.resume_offsets``) instead of a
+    Flink checkpoint, so a stream restarted over the FULL source with a
+    fresh Spark checkpoint — e.g. after ``LakeTable.rollback`` — applies
+    exactly the suffix the table has not yet absorbed, at row (not
+    micro-batch) granularity.
+
+    Contract: sound iff the source delivered IN ORDER per partition (a
+    binlog/Kafka partition's native guarantee; ``write_binlog_files``
+    stamps segment mtimes so the sandbox file source honors it) — then
+    the absorbed set is an offset prefix and the high-water cut is
+    exact. Rows that slip PAST the filter stale (re-delivered but
+    already absorbed) are still no-ops: the merge's strictly-newer
+    version guard drops them row-level.
+
+    Scale shape: the offsets map has one entry per binlog
+    partition/channel (bounded, config-sized), folded into a literal
+    in-expression map — codegen scan filter, no join, no shuffle.
+    """
+    pairs: list = []
+    for p, off in resume_offsets.items():
+        pairs.extend([F.lit(int(p)), F.lit(int(off))])
+    if not pairs:
+        return events
+    hw = F.create_map(*pairs)[F.col("partition_id")]
+    return events.filter(F.col("offset") > F.coalesce(hw, F.lit(-1)))
+
+
 def replay(
     events: DataFrame,
     table: LakeTable,

@@ -329,6 +329,23 @@ class LakeTable:
         documented idempotence window (see the manifest comment)."""
         return set(self.manifest["lineage"].keys())
 
+    def resume_offsets(self) -> dict:
+        """Per-binlog-partition high-water offset as of THIS snapshot —
+        the table-side FormatState (``{partition_id: max_offset}``).
+        Maintained un-evicted across the lineage retention window; after
+        ``rollback`` it reflects the RESTORED position, so a stream
+        restarted with ``restore_from_lineage=True`` re-applies exactly
+        the rolled-back suffix (FormatState.java:31-47 restore seek).
+        Pre-upgrade manifests fall back to folding the live window."""
+        if "resume_offsets" in self.manifest:
+            return dict(self.manifest["resume_offsets"])
+        out: dict = {}
+        for v in self.manifest["lineage"].values():
+            for p, o in v.get("offsets", {}).items():
+                if isinstance(o, dict) and isinstance(o.get("max_offset"), int):
+                    out[p] = max(out.get(p, -1), o["max_offset"])
+        return out
+
     def lineage_totals(self) -> dict:
         """Exact lifetime numRead/numWrite/batch counts: live lineage
         window + the eviction rollup."""
@@ -1188,6 +1205,14 @@ class LakeTable:
             "metrics": metrics,
             "ts": time.time(),
         }
+        # persistent per-partition high-water (the FormatState resume
+        # position, FormatState.java:31-47): unlike the lineage entries
+        # it is NEVER evicted, so the restore position survives the
+        # retention window over a 10^10-event ingest
+        ro = m.setdefault("resume_offsets", {})
+        for p, v in (offsets or {}).items():
+            if isinstance(v, dict) and isinstance(v.get("max_offset"), int):
+                ro[p] = max(ro.get(p, -1), v["max_offset"])
         cap = m.get("lineage_retention") or 0
         if cap and len(m["lineage"]) > cap:
             # evict oldest entries into an exact aggregate rollup so the
@@ -1363,11 +1388,16 @@ class LakeTable:
             raise ValueError(
                 f"rollback target v{to_version} is not earlier than v{cur}"
             )
-        target = LakeTable.load(self.spark, self.root, version=to_version).manifest
+        tgt = LakeTable.load(self.spark, self.root, version=to_version)
+        target = tgt.manifest
         m = self._next_manifest()
         for k in ("schema_version", "n_buckets", "buckets", "deltas",
                   "bucket_cols", "cluster_cols", "stats_cols"):
             m[k] = json.loads(json.dumps(target[k]))
+        # restore the FormatState position too: a later restore-mode
+        # stream must re-read from the ROLLED-BACK high-water, not the
+        # pre-rollback one
+        m["resume_offsets"] = tgt.resume_offsets()
         # schemas stay append-only: current's map is a superset of the
         # target's (same chain, ids never reused), so keep current's
         m["lineage"] = json.loads(json.dumps(target["lineage"]))

@@ -180,9 +180,25 @@ def write_binlog_files(
     One file ≈ one binlog segment; Structured Streaming's file source feeds
     them to the pipeline ``maxFilesPerTrigger`` at a time (the analog of
     canal handing batches to BinlogEventSink).
+
+    The file source picks files in modification-time order, and a real
+    binlog delivers segments in position order — so the range-partitioned
+    parts get ascending mtimes stamped (write tasks finish in arbitrary
+    order, leaving near-equal mtimes and therefore arbitrary delivery).
+    Without this the in-order-per-partition delivery contract breaks and
+    a mid-stream snapshot is not an offset prefix, which restore-mode
+    resume (``LakeTable.resume_offsets`` + ``restore_filter``) relies on.
     """
+    import os
+    import time
+
     out = df.repartitionByRange(n_files, "seq") if order_by_partition else df.repartition(n_files)
     out.write.mode("overwrite").parquet(path)
+    if order_by_partition:
+        parts = sorted(p for p in os.listdir(path) if p.startswith("part-"))
+        base = time.time() - len(parts) - 10
+        for i, p in enumerate(parts):
+            os.utime(os.path.join(path, p), (base + i, base + i))
 
 
 def decode_snowflake(df: DataFrame, col: str = "snowflake_ts") -> DataFrame:

@@ -168,8 +168,21 @@ def start_replay_stream(
     update_mode: str = "replace",
     wire_format: str = "nested",
     agg_views: list[dict] | None = None,
+    restore_from_lineage: bool = False,
 ) -> StreamingQuery:
     """Start the micro-batch apply loop.
+
+    ``restore_from_lineage``: restore mode (FormatState.java:31-47
+    restore seek). The source is filtered row-level against the TABLE's
+    recorded per-partition high-water offsets
+    (``LakeTable.resume_offsets``) captured at query start, so a stream
+    pointed at the FULL source re-applies exactly the suffix the table
+    has not absorbed — the recovery path after ``LakeTable.rollback``,
+    a lost Spark checkpoint, or a source that re-delivers overlapping
+    windows. A restore run renumbers micro-batches, so it MUST use a
+    fresh checkpoint dir and a job_id with no committed batches in the
+    table's lineage (both enforced); the batch-id guard then protects
+    the restore run's own restarts as usual.
 
     ``wire_format='json'``: ``before``/``after`` arrive as JSON strings
     (``json_event_schema`` — the Debezium-envelope wire form) and each
@@ -205,6 +218,25 @@ def start_replay_stream(
     if wire_format not in ("nested", "json"):
         raise ValueError(f"unknown wire_format {wire_format!r}")
     spark = events.sparkSession
+    if restore_from_lineage:
+        from chunjun_spark.operators.merge import restore_filter
+
+        if os.path.isdir(os.path.join(checkpoint_dir, "offsets")):
+            raise ValueError(
+                "restore_from_lineage requires a FRESH checkpoint dir: a "
+                "used checkpoint would skip already-numbered micro-batches "
+                "entirely and the rolled-back window would never re-arrive"
+            )
+        t0 = LakeTable.load(spark, table_root)
+        prefix = f"{job_id}:"
+        if any(b.startswith(prefix) for b in t0.committed_batches()):
+            raise ValueError(
+                f"restore_from_lineage requires a fresh job_id: lineage "
+                f"already holds batches under {job_id!r}, and a restore "
+                f"run renumbers micro-batches from 0, so reusing it would "
+                f"wrongly skip re-delivered batches via the batch-id guard"
+            )
+        events = restore_filter(events, t0.resume_offsets())
 
     def _sync_views() -> None:
         if not agg_views:
@@ -536,13 +568,14 @@ def run_stream_to_completion(
     timeout_sec: int = 600,
     byte_rate_limit: int = -1,
     agg_views: list[dict] | None = None,
+    restore_from_lineage: bool = False,
 ) -> None:
     events = read_binlog_stream(spark, binlog_dir, max_files_per_trigger)
     limiter = ByteRateLimiter(byte_rate_limit) if byte_rate_limit > 0 else None
     q = start_replay_stream(
         events, table_root, checkpoint_dir, job_id=job_id, mode=mode,
         trigger_available_now=True, rate_limiter=limiter,
-        agg_views=agg_views,
+        agg_views=agg_views, restore_from_lineage=restore_from_lineage,
     )
     if not q.awaitTermination(timeout_sec):
         q.stop()

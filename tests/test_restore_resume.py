@@ -1,0 +1,215 @@
+"""Restore-mode stream resume from the sink's offset lineage.
+
+Reference contract: on restore the reader seeks past the checkpointed
+position and skips re-delivered records at or below it
+(flinkx-core/.../restore/FormatState.java:31-47,
+DtInputFormatSourceFunction.java:252-283). Here the position is the
+TABLE's per-partition high-water (``LakeTable.resume_offsets``), so the
+same seek works when the Spark checkpoint is gone or the table was
+rolled back — the cases a checkpoint-only resume cannot cover.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+import pytest
+
+from chunjun_spark.operators.merge import replay, restore_filter
+from chunjun_spark.plans.lake import LakeTable
+from chunjun_spark.sources.binlog import (
+    PAYLOAD_SCHEMA,
+    generate_binlog,
+    write_binlog_files,
+)
+from chunjun_spark.streaming.pipeline import run_stream_to_completion
+
+from .conftest import df_state, fold_oracle, sha256_state
+
+PK = ["repo", "path"]
+
+
+def _setup(spark, tmp_root, n_events=15_000, n_files=10):
+    events = generate_binlog(
+        spark, n_events, n_keys=n_events // 5, dup_rate=0.05, delete_rate=0.1
+    )
+    binlog_dir = os.path.join(tmp_root, "binlog")
+    write_binlog_files(events, binlog_dir, n_files=n_files)
+    table = LakeTable.create(
+        spark, os.path.join(tmp_root, "lake"), PAYLOAD_SCHEMA, pk=PK, n_buckets=8
+    )
+    return events, binlog_dir, table
+
+
+def test_restore_resume_after_rollback(spark, tmp_root):
+    """Checkpointed stream drains fully → rollback to a mid-stream
+    snapshot → the OLD checkpoint is useless (Spark thinks those batches
+    are done). A restore-mode run over the FULL source with a fresh
+    checkpoint + job id re-applies exactly the rolled-back suffix and
+    converges to the uninterrupted final state."""
+    events, binlog_dir, table = _setup(spark, tmp_root)
+    run_stream_to_completion(
+        spark, binlog_dir, table.root, os.path.join(tmp_root, "ckpt1"),
+        max_files_per_trigger=2,
+    )
+    full = LakeTable.load(spark, table.root)
+    want_full = sha256_state(df_state(full.read(), PK))
+    versions = [h["version"] for h in full.history()]
+    v_mid = versions[len(versions) // 2]
+    assert 0 < v_mid < full.manifest["version"]
+
+    full.rollback(v_mid)
+    t = LakeTable.load(spark, table.root)
+    assert sha256_state(df_state(t.read(), PK)) != want_full
+
+    hw = t.resume_offsets()
+    expected_reread = sum(
+        1 for r in events.select("partition_id", "offset").collect()
+        if r["offset"] > hw.get(str(r["partition_id"]), -1)
+    )
+    assert 0 < expected_reread < events.count()
+
+    run_stream_to_completion(
+        spark, binlog_dir, table.root, os.path.join(tmp_root, "ckpt2"),
+        job_id="restore-1", max_files_per_trigger=3,
+        restore_from_lineage=True,
+    )
+    final = LakeTable.load(spark, table.root)
+    assert sha256_state(df_state(final.read(), PK)) == want_full
+    # row-level seek: the restore run read only the un-absorbed suffix
+    reread = sum(
+        v["metrics"].get("numRead", 0)
+        for b, v in final.manifest["lineage"].items()
+        if b.startswith("restore-1:")
+    )
+    assert reread == expected_reread
+
+
+def test_restore_run_on_up_to_date_table_is_noop(spark, tmp_root):
+    """Overlap re-delivery: pointing a restore run at a source the table
+    has fully absorbed applies nothing (every row filtered at the scan)."""
+    events, binlog_dir, table = _setup(spark, tmp_root, n_events=6_000, n_files=4)
+    run_stream_to_completion(
+        spark, binlog_dir, table.root, os.path.join(tmp_root, "ckpt1"),
+    )
+    t = LakeTable.load(spark, table.root)
+    want = sha256_state(df_state(t.read(), PK))
+    v = t.manifest["version"]
+
+    run_stream_to_completion(
+        spark, binlog_dir, table.root, os.path.join(tmp_root, "ckpt2"),
+        job_id="restore-1", restore_from_lineage=True,
+    )
+    final = LakeTable.load(spark, table.root)
+    assert sha256_state(df_state(final.read(), PK)) == want
+    reread = sum(
+        val["metrics"].get("numRead", 0)
+        for b, val in final.manifest["lineage"].items()
+        if b.startswith("restore-1:")
+    )
+    assert reread == 0
+    assert final.manifest["version"] >= v  # empty batches may still commit
+
+
+def test_restore_guards_fresh_checkpoint_and_job_id(spark, tmp_root):
+    events, binlog_dir, table = _setup(spark, tmp_root, n_events=4_000, n_files=4)
+    ckpt1 = os.path.join(tmp_root, "ckpt1")
+    run_stream_to_completion(spark, binlog_dir, table.root, ckpt1)
+
+    with pytest.raises(ValueError, match="FRESH checkpoint"):
+        run_stream_to_completion(
+            spark, binlog_dir, table.root, ckpt1,
+            job_id="restore-1", restore_from_lineage=True,
+        )
+    with pytest.raises(ValueError, match="fresh job_id"):
+        run_stream_to_completion(
+            spark, binlog_dir, table.root, os.path.join(tmp_root, "ckpt2"),
+            job_id="cdc-replay", restore_from_lineage=True,
+        )
+
+
+def test_resume_offsets_survive_lineage_eviction(spark, tmp_root):
+    """The high-water map is NOT subject to the lineage retention window:
+    after eviction folds old entries into the rollup, resume_offsets
+    still covers them — a restore run cannot re-apply ancient batches."""
+    table = LakeTable.create(
+        spark, os.path.join(tmp_root, "lake"), PAYLOAD_SCHEMA, pk=PK,
+        n_buckets=2, lineage_retention=3,
+    )
+    all_ev = generate_binlog(spark, 4_000, n_keys=400, seed=5, dup_rate=0.0)
+    bounds = [0, 500, 1200, 2000, 2600, 3300, 4000]
+    for i in range(len(bounds) - 1):
+        w = all_ev.filter(
+            (F.col("offset") >= bounds[i]) & (F.col("offset") < bounds[i + 1])
+        )
+        replay(w, LakeTable.load(spark, table.root), batch_id=f"b{i}")
+    t = LakeTable.load(spark, table.root)
+    assert len(t.manifest["lineage"]) == 3  # older entries evicted
+    hw = t.resume_offsets()
+    want_hw = {
+        str(r["partition_id"]): r["mx"]
+        for r in all_ev.groupBy("partition_id")
+        .agg(F.max("offset").alias("mx")).collect()
+    }
+    assert hw == want_hw
+    assert restore_filter(all_ev, hw).count() == 0
+
+
+def test_restore_filter_unit(spark):
+    ev = generate_binlog(spark, 2_000, n_keys=200, seed=11, dup_rate=0.0)
+    # absorb a prefix: per-partition high-water at offset 999
+    hw = {
+        str(r["partition_id"]): r["mx"]
+        for r in ev.filter(F.col("offset") < 1000)
+        .groupBy("partition_id").agg(F.max("offset").alias("mx")).collect()
+    }
+    out = restore_filter(ev, hw)
+    rows = out.select("partition_id", "offset").collect()
+    assert all(r["offset"] > hw.get(str(r["partition_id"]), -1) for r in rows)
+    want = sum(
+        1 for r in ev.select("partition_id", "offset").collect()
+        if r["offset"] > hw.get(str(r["partition_id"]), -1)
+    )
+    assert len(rows) == want
+    # empty map = no-op passthrough
+    assert restore_filter(ev, {}) is ev
+
+
+def test_job_json_restore_from_lineage(spark, tmp_root):
+    """setting.restore.restoreFromLineage drives the same path through
+    the job-JSON surface (run_job)."""
+    from chunjun_spark.job import run_job
+
+    # 8 segments / default 4-per-trigger = 2 micro-batches, so a strictly
+    # earlier snapshot exists to roll back to
+    events, binlog_dir, table = _setup(spark, tmp_root, n_events=5_000, n_files=8)
+
+    def job(name, ckpt, restore):
+        return {
+            "job": {
+                "jobId": name,
+                "content": [{
+                    "reader": {"name": "binlogreader",
+                               "parameter": {"path": binlog_dir}},
+                    "writer": {"name": "lakewriter",
+                               "parameter": {"path": table.root, "pk": PK}},
+                }],
+                "setting": {
+                    "restore": {
+                        "isRestore": True, "isStream": True,
+                        "checkpointDir": os.path.join(tmp_root, ckpt),
+                        "restoreFromLineage": restore,
+                    },
+                },
+            }
+        }
+
+    run_job(spark, job("j1", "ck1", False))
+    full = LakeTable.load(spark, table.root)
+    want = sha256_state(df_state(full.read(), PK))
+    versions = [h["version"] for h in full.history()]
+    full.rollback(versions[len(versions) // 2])
+
+    m = run_job(spark, job("j2", "ck2", True))
+    final = LakeTable.load(spark, table.root)
+    assert sha256_state(df_state(final.read(), PK)) == want
+    assert m["numWrite"] >= 0
