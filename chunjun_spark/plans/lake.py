@@ -450,6 +450,17 @@ class LakeTable:
             ]
         )
 
+    @staticmethod
+    def _delta_live_buckets(d: dict) -> set[int] | None:
+        """Buckets whose rows in this delta file are still authoritative:
+        the recorded touched set minus buckets folded into the base by
+        partial compactions. ``None`` = no recorded set (older manifest),
+        assume it may touch anything."""
+        tb = d.get("buckets")
+        if tb is None:
+            return None
+        return {int(b) for b in tb} - {int(b) for b in d.get("exclude_buckets", [])}
+
     def _resolve(self, buckets: list[int] | None = None) -> DataFrame:
         """base ⊕ deltas reduced to one row per pk by the (op_ts, seq)
         version order; tombstones retained (callers filter)."""
@@ -460,13 +471,23 @@ class LakeTable:
         delta_parts = []
         want = {int(b) for b in buckets} if buckets is not None else None
         for d in deltas:
-            if want is not None and d.get("buckets") is not None:
-                # file-level skip: a delta whose touched-bucket set is
+            live = self._delta_live_buckets(d)
+            if live is not None and not live:
+                # every touched bucket folded out by partial compactions;
+                # the entry survives only until the next manifest rewrite
+                continue
+            if want is not None and live is not None and not (want & live):
+                # file-level skip: a delta whose live-bucket set is
                 # disjoint from the probe cannot hold any probed key's
                 # version (bucket is a pure key hash) — don't open it
-                if not want & {int(b) for b in d["buckets"]}:
-                    continue
+                continue
             df = self.spark.read.parquet(os.path.join(self.root, d["path"]))
+            excl = d.get("exclude_buckets")
+            if excl:
+                # rows in these buckets were rewritten into the base by a
+                # partial compaction; the file is kept for its OTHER
+                # buckets, so those rows must not resolve twice
+                df = df.filter(~F.col(_BUCKET_COL).isin([int(b) for b in excl]))
             if buckets is not None:
                 df = df.filter(F.col(_BUCKET_COL).isin([int(b) for b in buckets]))
             delta_parts.append(self._align(df, d["schema_version"]).drop(OP_COL))
@@ -550,11 +571,11 @@ class LakeTable:
         # must be assumed to touch everything.
         cand = {int(b) for b in entries}
         for d in self.manifest["deltas"]:
-            tb = d.get("buckets")
+            tb = self._delta_live_buckets(d)
             if tb is None:
                 cand |= set(range(self.n_buckets))
                 break
-            cand |= {int(b) for b in tb}
+            cand |= tb
         pruned = False
         if all(c in eq for c in self.bucket_cols):
             cand &= set(
@@ -1116,8 +1137,24 @@ class LakeTable:
         purge_tombstones: bool = False,
         new_n_buckets: int | None = None,
         new_bucket_cols: list[str] | None = None,
+        buckets: list[int] | None = None,
     ) -> dict:
         """Fold all deltas into the base; afterwards read() is a pure scan.
+
+        ``buckets``: PARTIAL compaction — fold only these buckets'
+        delta rows into fresh base files, leaving every other bucket's
+        read path untouched. The compaction pass costs O(selected
+        buckets' data), never O(table): delta files that also hold OTHER
+        buckets' rows are not rewritten — they get the folded buckets
+        recorded in ``exclude_buckets`` and resolve-side reads filter
+        those rows out (a delta whose every touched bucket is excluded
+        drops from the manifest). This is what continuous ingest needs
+        at 10^10 events: zipf-skewed keys concentrate deltas on a few
+        hot buckets (``hot_buckets``), and folding just those keeps
+        read amplification bounded without ever paying a full rewrite.
+        Iceberg analog: RewriteDataFiles with a partition filter.
+        Cannot be combined with reshard/bucket-spec evolution (bucket
+        ids must keep their meaning).
 
         Tombstones are retained by default — they carry the version guard
         for deleted keys. Purge only when no stale re-delivery can still
@@ -1139,6 +1176,13 @@ class LakeTable:
         same single resolve-and-rewrite pass, atomic with the manifest
         commit. Must be a subset of the pk (DELETE rows route by key).
         """
+        if buckets is not None:
+            if new_n_buckets is not None or new_bucket_cols is not None:
+                raise ValueError(
+                    "partial compaction cannot reshard or evolve bucket cols"
+                )
+            return self._compact_partial(sorted({int(b) for b in buckets}),
+                                         purge_tombstones)
         resolved = self._resolve()
         if purge_tombstones:
             resolved = resolved.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
@@ -1178,6 +1222,71 @@ class LakeTable:
         m["deltas"] = []
         self._write_manifest(m, expected_parent=m["parent"])
         return {"version": m["version"], "n_buckets_written": len(m["buckets"])}
+
+    def _compact_partial(self, sel: list[int], purge_tombstones: bool) -> dict:
+        if not sel:
+            return {"version": self.manifest["version"], "n_buckets_written": 0,
+                    "skipped": True}
+        selset = set(sel)
+        resolved = self._resolve(buckets=sel)
+        if purge_tombstones:
+            resolved = resolved.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        m = self._next_manifest()
+        rel = os.path.join("data", f"v{m['version']}-pc-{uuid.uuid4().hex[:8]}")
+        out_dir = os.path.join(self.root, rel)
+        # bucket ids keep their meaning — carry the stored bucket column
+        # through instead of re-hashing (no reshard on the partial path)
+        with_bucket = resolved.select(
+            *self.schema.names(), *_HIDDEN, _BUCKET_COL
+        )
+        self._clustered(
+            with_bucket.repartition(len(sel), F.col(_BUCKET_COL))
+        ).write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out_dir)
+        found = self._discover_bucket_dirs(out_dir)
+        stats = self._harvest_stats(out_dir, found)
+        for b in sel:
+            m["buckets"].pop(str(b), None)
+        for b in found:
+            m["buckets"][str(b)] = {
+                "path": os.path.join(rel, f"{_BUCKET_COL}={b}"),
+                "schema_version": m["schema_version"],
+                **({"stats": stats[b]} if stats.get(b) else {}),
+            }
+        new_deltas = []
+        for d in m["deltas"]:
+            live = self._delta_live_buckets(d)
+            if live is not None and not (live & selset):
+                new_deltas.append(d)  # untouched by this fold
+                continue
+            d2 = dict(d)
+            d2["exclude_buckets"] = sorted(
+                {int(b) for b in d.get("exclude_buckets", [])} | selset
+            )
+            live2 = self._delta_live_buckets(d2)
+            if live2 is not None and not live2:
+                continue  # every touched bucket folded — drop the file ref
+            new_deltas.append(d2)
+        m["deltas"] = new_deltas
+        self._write_manifest(m, expected_parent=m["parent"])
+        return {"version": m["version"], "n_buckets_written": len(found),
+                "n_deltas_remaining": len(new_deltas)}
+
+    def hot_buckets(self, min_deltas: int = 4) -> list[int]:
+        """Buckets whose outstanding (un-folded) delta-file count has
+        reached ``min_deltas`` — the read-amplification hot set under
+        skewed continuous ingest. Feed to ``compact(buckets=...)`` so
+        periodic compaction costs O(hot data), not O(table). Driver-side
+        manifest fold, no Spark job."""
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for d in self.manifest["deltas"]:
+            live = self._delta_live_buckets(d)
+            if live is None:
+                # no recorded set (older manifest): could touch anything
+                return sorted(range(self.n_buckets))
+            counts.update(live)
+        return sorted(b for b, n in counts.items() if n >= min_deltas)
 
     @staticmethod
     def _discover_bucket_dirs(out_dir: str) -> set[int]:

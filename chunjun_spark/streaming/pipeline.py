@@ -164,6 +164,7 @@ def start_replay_stream(
     trigger_available_now: bool = True,
     processing_time: str | None = None,
     compact_every: int | None = None,
+    compact_hot_min: int | None = None,
     rate_limiter: ByteRateLimiter | None = None,
     update_mode: str = "replace",
     wire_format: str = "nested",
@@ -204,6 +205,11 @@ def start_replay_stream(
     under continuous ingest (the reference's file-sink block rollover
     analog, BaseFileOutputFormat fileIndex). Compaction is a pure
     rewrite, so a crash between compact and checkpoint replays safely.
+    ``compact_hot_min``: with ``compact_every``, switch to the
+    hot-bucket policy — fold only buckets appearing in at least this
+    many outstanding deltas (``LakeTable.hot_buckets`` →
+    ``compact(buckets=...)``, O(hot data) per fold), with a full fold
+    at 4× ``compact_every`` as the cold-sweep bound.
 
     ``agg_views``: pre-created maintained views (operators/ivm.py) that
     follow the sink continuously — ``[{"root": view_root, "group_cols":
@@ -291,7 +297,21 @@ def start_replay_stream(
                                extra_metrics=metrics)
             if compact_every is not None:
                 t2 = table.refresh()
-                if len(t2.manifest["deltas"]) >= compact_every:
+                n_deltas = len(t2.manifest["deltas"])
+                if compact_hot_min is not None:
+                    # hot-bucket policy: fold only the buckets whose
+                    # outstanding delta count crossed the bar — O(hot
+                    # data) per fold under skewed ingest. Cold remnants
+                    # keep some delta files alive, so a full fold at 4×
+                    # the trigger bounds manifest size + residual read
+                    # amplification.
+                    if n_deltas >= 4 * compact_every:
+                        t2.compact()
+                    elif n_deltas >= compact_every:
+                        hot = t2.hot_buckets(min_deltas=compact_hot_min)
+                        if hot:
+                            t2.compact(buckets=hot)
+                elif n_deltas >= compact_every:
                     t2.compact()
         if rate_limiter is not None:
             rate_limiter.observe_rows(metrics["numRead"], batch_df)

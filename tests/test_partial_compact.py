@@ -1,0 +1,185 @@
+"""Partial (hot-bucket) compaction: fold a bucket subset, O(hot data).
+
+Iceberg analog: RewriteDataFiles with a partition filter. The scale
+story: zipf-skewed CDC concentrates deltas on a few hot buckets;
+folding just those keeps MOR read amplification bounded without ever
+paying a full-table rewrite.
+"""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from chunjun_spark.operators.merge import replay
+from chunjun_spark.plans.lake import LakeTable
+from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA, generate_binlog
+
+from .conftest import df_state, fold_oracle, sha256_state
+
+PK = ["repo", "path"]
+
+
+def _mor_two_windows(spark, root, n_buckets=8):
+    table = LakeTable.create(spark, root, PAYLOAD_SCHEMA, pk=PK, n_buckets=n_buckets)
+    ev1 = generate_binlog(spark, 3000, n_keys=600, seed=3, dup_rate=0.0,
+                          delete_rate=0.1)
+    replay(ev1, table, batch_id="w1", mode="mor")
+    ev2 = (
+        generate_binlog(spark, 3000, n_keys=600, seed=9, dup_rate=0.0,
+                        delete_rate=0.1)
+        .withColumn("seq", F.col("seq") + F.lit(10_000_000))
+        .withColumn("op_ts", F.col("op_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    replay(ev2, LakeTable.load(spark, root), batch_id="w2", mode="mor")
+    return LakeTable.load(spark, root), ev1.unionByName(ev2)
+
+
+def test_partial_compact_state_invariant(spark, tmp_root):
+    root = os.path.join(tmp_root, "pc")
+    table, all_ev = _mor_two_windows(spark, root)
+    want = sha256_state(df_state(table.read(), PK))
+    hot = table.hot_buckets(min_deltas=2)
+    assert hot and len(hot) <= table.n_buckets
+
+    res = table.compact(buckets=hot)
+    t = LakeTable.load(spark, root)
+    assert sha256_state(df_state(t.read(), PK)) == want
+    assert res["n_buckets_written"] == len(hot)
+    # folded buckets got fresh base entries from the partial pass
+    for b in hot:
+        assert "-pc-" in t.manifest["buckets"][str(b)]["path"]
+    # surviving deltas record the folded buckets as excluded
+    for d in t.manifest["deltas"]:
+        assert set(hot) <= set(d.get("exclude_buckets", []))
+        live = set(d["buckets"]) - set(d.get("exclude_buckets", []))
+        assert live  # fully-covered files were dropped from the manifest
+    # after folding the hot set, nothing is hot at the same bar
+    assert t.hot_buckets(min_deltas=2) == []
+
+
+def test_partial_compact_then_ingest_then_full(spark, tmp_root):
+    root = os.path.join(tmp_root, "pc2")
+    table, _ = _mor_two_windows(spark, root)
+    hot = table.hot_buckets(min_deltas=2)
+    table.compact(buckets=hot)
+    t = LakeTable.load(spark, root)
+
+    ev3 = (
+        generate_binlog(spark, 3000, n_keys=600, seed=21, dup_rate=0.0)
+        .withColumn("seq", F.col("seq") + F.lit(20_000_000))
+        .withColumn("op_ts", F.col("op_ts") + F.expr("INTERVAL 2 HOURS"))
+    )
+    replay(ev3, t, batch_id="w3", mode="mor")
+    t = LakeTable.load(spark, root)
+    want = sha256_state(df_state(t.read(), PK))
+
+    # pruned point lookups stay correct across exclusion sets
+    keys = t.read().select(*PK).limit(3).collect()
+    for k in keys:
+        got = t.scan(eq={c: k[c] for c in PK}).collect()
+        assert len(got) == 1
+
+    t.compact()  # full fold clears every delta + exclusion remnant
+    t = LakeTable.load(spark, root)
+    assert t.manifest["deltas"] == []
+    assert sha256_state(df_state(t.read(), PK)) == want
+
+
+def test_partial_compact_guards(spark, tmp_root):
+    root = os.path.join(tmp_root, "pcg")
+    table, _ = _mor_two_windows(spark, root)
+    with pytest.raises(ValueError, match="partial compaction"):
+        table.compact(buckets=[0], new_n_buckets=32)
+    with pytest.raises(ValueError, match="partial compaction"):
+        table.compact(buckets=[0], new_bucket_cols=PK)
+    v = table.manifest["version"]
+    res = table.compact(buckets=[])
+    assert res["skipped"] and res["version"] == v
+    assert LakeTable.load(spark, root).manifest["version"] == v
+
+
+def test_hot_buckets_counts_live_sets(spark, tmp_root):
+    """Three deltas touch key X's bucket, one touches key Y's — only X's
+    bucket is hot at min_deltas=2; folding it resets the count."""
+    root = os.path.join(tmp_root, "hb")
+    table = LakeTable.create(spark, root, PAYLOAD_SCHEMA, pk=PK, n_buckets=16)
+    ev = generate_binlog(spark, 4000, n_keys=400, seed=7, dup_rate=0.0)
+    k = F.coalesce(F.col("after.repo"), F.col("before.repo"))
+    repos = [r[0] for r in ev.select(k.alias("r")).distinct().limit(2).collect()]
+    x, y = repos
+    exw = ev.filter(k == x)
+    for i, frac in enumerate([(0, 0.4), (0.4, 0.7), (0.7, 1.0)]):
+        n = exw.count()
+        sub = exw.orderBy("seq").limit(int(n * frac[1])).subtract(
+            exw.orderBy("seq").limit(int(n * frac[0]))
+        )
+        replay(sub, LakeTable.load(spark, root), batch_id=f"x{i}", mode="mor")
+    replay(ev.filter(k == y), LakeTable.load(spark, root), batch_id="y0", mode="mor")
+
+    t = LakeTable.load(spark, root)
+    bx = set(t.manifest["deltas"][0]["buckets"])
+    assert all(set(d["buckets"]) == bx for d in t.manifest["deltas"][:3])
+    hot = t.hot_buckets(min_deltas=2)
+    assert set(hot) == bx
+    t.compact(buckets=hot)
+    assert LakeTable.load(spark, root).hot_buckets(min_deltas=2) == []
+
+
+def test_cdf_across_partial_compact_matches_plain(spark, tmp_root):
+    """read_changes over a window containing a partial compact equals
+    the same window without it (the delta-chain fast path correctly
+    falls back to the snapshot diff)."""
+    roots = [os.path.join(tmp_root, n) for n in ("a", "b")]
+    tables = []
+    for root in roots:
+        t, _ = _mor_two_windows(spark, root)
+        tables.append(t)
+    ta, tb = tables
+    v0 = 1  # after w1 on both tables
+    tb.compact(buckets=tb.hot_buckets(min_deltas=2))
+    tb = LakeTable.load(spark, roots[1])
+
+    def changes(t):
+        rows = t.read_changes(since_version=v0).collect()
+        return sorted(
+            (r["repo"], r["path"], r["_change_type"], r["commit"]) for r in rows
+        )
+
+    assert changes(ta) == changes(tb)
+
+
+def test_streaming_hot_compaction(spark, tmp_root):
+    """MOR stream with the hot-bucket policy converges to the fold
+    oracle and actually performed partial folds mid-stream."""
+    from chunjun_spark.sources.binlog import write_binlog_files
+    from chunjun_spark.streaming.pipeline import (
+        read_binlog_stream,
+        start_replay_stream,
+    )
+
+    events = generate_binlog(spark, 12_000, n_keys=1_500, dup_rate=0.05,
+                             delete_rate=0.1)
+    binlog_dir = os.path.join(tmp_root, "binlog")
+    write_binlog_files(events, binlog_dir, n_files=10)
+    table = LakeTable.create(
+        spark, os.path.join(tmp_root, "lake"), PAYLOAD_SCHEMA, pk=PK, n_buckets=8
+    )
+    stream = read_binlog_stream(spark, binlog_dir, max_files_per_trigger=2)
+    q = start_replay_stream(
+        stream, table.root, os.path.join(tmp_root, "ckpt"), mode="mor",
+        compact_every=2, compact_hot_min=2,
+    )
+    assert q.awaitTermination(300)
+
+    t = LakeTable.load(spark, table.root)
+    got = df_state(t.read(), PK)
+    want = fold_oracle(events.collect(), PK)
+    assert sha256_state(got) == sha256_state(want)
+    partials = [
+        h for h in t.history()
+        if any("-pc-" in e.get("path", "") for e in LakeTable.load(
+            spark, table.root, version=h["version"]
+        ).manifest["buckets"].values())
+    ]
+    assert partials, "no partial compaction happened mid-stream"
