@@ -1633,6 +1633,51 @@ FROM r WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+_FINAL_2W_SQL = """
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_event_type, round(value, 6) AS last_value
+FROM r WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def _q_cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish under the oracle gate: copy the shared
+    two-window fixture, roll back to window 1, then re-apply window 2
+    THROUGH the WAP flow — stage (`wap_id`, invisible to readers),
+    declarative audits against the staged snapshot, atomic publish
+    (operators/wap.py). The published state must equal the keep-last
+    fold of ALL events, i.e. the staging/audit hop is state-invariant
+    vs a direct replay. Reference: ErrorLimiter.java:62-97 pre-commit
+    caps + two-phase sink invisibility (BaseFileOutputFormat.java:
+    236-274) lifted to snapshot granularity."""
+    import shutil
+
+    from chunjun_spark.operators.wap import replay_wap
+
+    fx = _events_lake_2w(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cj_entry_wap_")
+    shutil.rmtree(root)
+    shutil.copytree(fx["root"], root)
+    LakeTable.load(spark, root).rollback(fx["v1"])
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    ev2 = events_changelog(
+        ev.filter(F.col("ts") > cut), extra_payload={"ts": F.col("ts")}
+    )
+    rep = replay_wap(
+        ev2, LakeTable.load(spark, root), "fx-w2",
+        [{"type": "row_count_min", "value": 1},
+         {"type": "forbid", "predicate": "user_id IS NULL"}],
+        mode="mor",
+    )
+    assert rep["outcome"] == "published", rep
+    return _lake_projection(LakeTable.load(spark, root).read())
+
+
 def _q_cdc_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot ROLLBACK (Iceberg rollback_to_snapshot analog): copy the
     shared two-window fixture lake, roll it back to the first window's
@@ -2486,6 +2531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changes_feed": _q_cdc_changes_feed,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_rollback": _q_cdc_rollback,
+        "cdc_wap_publish": _q_cdc_wap_publish,
         "cdc_compact_reshard": _q_cdc_compact_reshard,
         "cdc_agg_incremental": _q_cdc_agg_incremental,
         "cdc_agg_view": _q_cdc_agg_view,
@@ -2569,6 +2615,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changes_feed": _CHANGES_FEED_SQL,
         "cdc_time_travel": _TIME_TRAVEL_SQL,
         "cdc_rollback": _TIME_TRAVEL_SQL,
+        "cdc_wap_publish": _FINAL_2W_SQL,
         "cdc_compact_reshard": _REPLAY_LAKE_SQL,
         "cdc_agg_incremental": _AGG_INCREMENTAL_SQL,
         "cdc_agg_view": _AGG_INCREMENTAL_SQL,

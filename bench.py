@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "minhash_index_sync",
     "cdc_time_travel",
     "cdc_rollback",
+    "cdc_wap_publish",
     "cdc_compact_reshard",
     "cdc_agg_incremental",
     "cdc_agg_view",
@@ -183,27 +184,39 @@ def main() -> None:
 
 
 def scaling_summary() -> dict:
-    """Fold the recorded two-parallelism evidence (tools/scaling_bench.py
-    at 10^8 events, spark-submit, best-of-2 per width with cooldowns —
-    BENCH/scaling_r2_runs.json) into the bench line: raw throughput at N
-    and 4N cores plus the N→4N scaling efficiency the north rule grades
-    (≥0.8). Re-run the ladder to refresh; absent file → no fields."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH", "scaling_r2_runs.json")
+    """Fold the recorded two-parallelism evidence (tools/scaling_bench.py,
+    spark-submit, best-of-2 per width with cooldowns) into the bench
+    line: raw throughput at N and 4N cores plus the N→4N scaling
+    efficiency the north rule grades (≥0.8). The newest recorded ladder
+    wins (BENCH/scaling_r{K}_runs.json). Re-run the ladder with
+    ``--out-runs`` to refresh; absent files → no fields."""
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     try:
-        with open(path) as fh:
+        ladders = sorted(
+            f for f in os.listdir(bench_dir)
+            if f.startswith("scaling_r") and f.endswith("_runs.json")
+        )
+    except OSError:
+        return {}
+    if not ladders:
+        return {}
+    try:
+        with open(os.path.join(bench_dir, ladders[-1])) as fh:
             runs = json.load(fh)["runs"]
     except (OSError, KeyError, ValueError):
         return {}
     best: dict[int, float] = {}
+    n_events = 0
     for r in runs:
         best[r["cores"]] = max(best.get(r["cores"], 0.0), r["events_per_sec"])
+        n_events = max(n_events, int(r.get("n_events", 0)))
     if 2 not in best or 8 not in best:
         return {}
     eff = best[8] / (4 * best[2])
     return {
         "scaling": {
-            "n_events": 100_000_000,
+            "n_events": n_events,
+            "source": ladders[-1],
             "events_per_sec_at_2": round(best[2], 1),
             "events_per_sec_at_8": round(best[8], 1),
             "efficiency_2_to_8": round(eff, 3),

@@ -371,15 +371,32 @@ def _write_lake(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
         table = LakeTable.create(
             spark, root, schema, pk=pk, n_buckets=int(p.get("nBuckets", 16))
         )
-    info = replay(
-        df,
-        table,
-        batch_id=p.get("batchId", f"{cfg.job_id}-batch"),
-        mode=p.get("mode", "cow"),
-        # EWriteMode analog: "replace" (default) or "patch" (UPDATE write
-        # mode — null columns in update images mean "unchanged")
-        update_mode=p.get("updateMode", "replace"),
-    )
+    batch_id = p.get("batchId", f"{cfg.job_id}-batch")
+    mode = p.get("mode", "cow")
+    # EWriteMode analog: "replace" (default) or "patch" (UPDATE write
+    # mode — null columns in update images mean "unchanged")
+    update_mode = p.get("updateMode", "replace")
+    if p.get("audits"):
+        # write-audit-publish: stage the window, run the declarative
+        # checks against the staged snapshot, publish only on pass
+        # (operators/wap.py; ErrorLimiter.java:62-97 lifted to snapshot
+        # granularity). A failed audit abandons the stage and raises —
+        # the job fails loudly, the table is untouched.
+        from chunjun_spark.operators.wap import replay_wap
+
+        rep = replay_wap(df, table, batch_id, p["audits"],
+                         mode=mode, update_mode=update_mode)
+        metrics["wapOutcome"] = rep["outcome"]
+        if rep["outcome"] == "abandoned":
+            raise RuntimeError(
+                f"WAP audit failed; staged snapshot abandoned: "
+                f"{rep['violations']}"
+            )
+        metrics["numWrite"] = rep.get("n_changes", 0)
+        metrics["snapshotWrite"] = rep.get("version", 0)
+        return
+    info = replay(df, table, batch_id=batch_id, mode=mode,
+                  update_mode=update_mode)
     metrics["numWrite"] = info.get("n_changes", 0)
     metrics["snapshotWrite"] = info.get("version", 0)
 

@@ -100,6 +100,7 @@ def replay(
     record_offsets: bool = True,
     mode: str = "cow",
     update_mode: str = "replace",
+    wap_id: str | None = None,
 ) -> dict:
     """Full batch replay: apply DDL events first (schema evolution, all
     backward compatible), then dedup to last-per-key and run one
@@ -113,6 +114,13 @@ def replay(
     the merge folds last-non-null per column — so keep_last must NOT run
     here (it would discard columns earlier events set); the fold happens
     inside the merge (fold_patch_rows).
+
+    wap_id: stage the DATA commit for write-audit-publish instead of
+    making it current (LakeTable WAP surface). DDL events in the batch
+    still commit immediately — schema evolution is metadata-only,
+    backward compatible, and allocates ids append-only, so an abandoned
+    staged batch leaves at most an unused schema version, never wrong
+    data.
     """
     from chunjun_spark.operators.ddl import apply_ddl_events, split_ddl
 
@@ -131,14 +139,15 @@ def replay(
         changes = to_changes(keyed)
         return table.merge(changes, batch_id=batch_id, offsets=offsets,
                            extra_metrics=metrics, assume_unique_keys=False,
-                           update_mode="patch")
+                           update_mode="patch", wap_id=wap_id)
     survivors = keep_last(keyed, pk=table.pk, order=("op_ts", "seq"))
     changes = to_changes(survivors)
     if mode == "cow":
         return table.merge(changes, batch_id=batch_id, offsets=offsets,
-                           extra_metrics=metrics, assume_unique_keys=True)
+                           extra_metrics=metrics, assume_unique_keys=True,
+                           wap_id=wap_id)
     return table.append_delta(changes, batch_id=batch_id, offsets=offsets,
-                              extra_metrics=metrics)
+                              extra_metrics=metrics, wap_id=wap_id)
 
 
 def events_with_pk(events: DataFrame, pk: list[str]) -> DataFrame:

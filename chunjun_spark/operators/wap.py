@@ -1,0 +1,114 @@
+"""Write-audit-publish over staged lake snapshots.
+
+Iceberg WAP analog; the reference's closest machinery is its pre-commit
+validation plane — the error limiter that fails a job when dirty-record
+counts cross absolute/ratio caps (flinkx-core/.../ErrorLimiter.java:62-97)
+and the two-phase sinks that keep data invisible until the checkpoint
+commit (BaseFileOutputFormat.java:236-274, JdbcOutputFormat.java:336-390).
+WAP lifts both to snapshot granularity: a whole replay window lands as a
+STAGED snapshot (``LakeTable.merge(wap_id=...)``), audits run against it
+with full SQL power, and only a passing snapshot is published (atomic
+``_current`` CAS — the exact commit step a normal merge uses).
+
+Audit checks are declarative dicts so they serialize into job JSON:
+
+  {"type": "row_count_min", "value": 100}
+  {"type": "row_count_max", "value": 10_000_000}
+  {"type": "max_null_frac", "column": "content", "value": 0.01}
+  {"type": "forbid", "predicate": "value < 0"}          # zero matching rows
+  {"type": "forbid", "predicate": "...", "max_rows": 5} # bounded violations
+
+Every check evaluates on the STAGED snapshot's read() — one pass per
+``forbid`` (a codegen filter + count), one Expand-style aggregate for all
+null-fraction checks together, so the audit costs O(one table scan), not
+O(checks) scans.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from chunjun_spark.plans.lake import LakeTable
+
+
+def audit_snapshot(table: LakeTable, checks: list[dict]) -> dict:
+    """Run declarative checks against a table handle (normally a staged
+    snapshot via ``LakeTable.load_staged``). Returns ``{"passed": bool,
+    "violations": [...], "row_count": n}``; never raises on a failing
+    check — the caller decides publish vs abandon."""
+    df = table.read()
+    null_cols = [c["column"] for c in checks if c["type"] == "max_null_frac"]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in null_cols:
+        aggs.append(
+            F.avg(F.col(c).isNull().cast("double")).alias(f"_nullfrac_{c}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    n = row["_n"]
+    violations: list[dict] = []
+    for c in checks:
+        t = c["type"]
+        if t == "row_count_min":
+            if n < c["value"]:
+                violations.append({**c, "actual": n})
+        elif t == "row_count_max":
+            if n > c["value"]:
+                violations.append({**c, "actual": n})
+        elif t == "max_null_frac":
+            frac = float(row[f"_nullfrac_{c['column']}"] or 0.0)
+            if frac > c["value"]:
+                violations.append({**c, "actual": round(frac, 6)})
+        elif t == "forbid":
+            bad = df.filter(F.expr(c["predicate"])).count()
+            if bad > c.get("max_rows", 0):
+                violations.append({**c, "actual": bad})
+        else:
+            raise ValueError(f"unknown audit check type {t!r}")
+    return {"passed": not violations, "violations": violations, "row_count": n}
+
+
+def replay_wap(
+    events,
+    table: LakeTable,
+    batch_id: str,
+    checks: list[dict],
+    mode: str = "cow",
+    update_mode: str = "replace",
+) -> dict:
+    """One-call write-audit-publish replay: stage the window under
+    ``wap_id=batch_id``, audit the staged snapshot, publish on pass /
+    abandon on fail. Returns the audit report plus the outcome
+    (``published`` / ``abandoned`` / ``skipped`` for an already-committed
+    batch). Crash-safe at every boundary: a crash before the stage
+    completes leaves only unreferenced garbage; between stage and
+    publish it leaves an invisible staged snapshot, and the re-run
+    detects it (``staged_ids``) and resumes at the audit step instead of
+    re-staging; after publish the batch-id guard makes the whole re-run
+    a no-op."""
+    from chunjun_spark.operators.merge import replay
+
+    if batch_id in table.committed_batches():
+        return {"outcome": "skipped", "batch_id": batch_id}
+    spark = table.spark
+    if batch_id in table.staged_ids():
+        # resumed after a crash between stage and publish/abandon:
+        # re-audit the existing staged snapshot instead of re-staging
+        staged = LakeTable.load_staged(spark, table.root, batch_id)
+    else:
+        replay(events, table, batch_id=batch_id, mode=mode,
+               update_mode=update_mode, wap_id=batch_id)
+        staged = LakeTable.load_staged(spark, table.root, batch_id)
+    report = audit_snapshot(staged, checks)
+    # both paths: the staged commit recorded its own lineage entry
+    n_changes = (
+        staged.manifest["lineage"].get(batch_id, {})
+        .get("metrics", {}).get("numWrite", 0)
+    )
+    t = table.refresh()
+    if report["passed"]:
+        res = t.publish_staged(batch_id)
+        return {"outcome": "published", "version": res["version"],
+                "batch_id": batch_id, "n_changes": n_changes, **report}
+    t.abandon_staged(batch_id)
+    return {"outcome": "abandoned", "batch_id": batch_id,
+            "n_changes": n_changes, **report}

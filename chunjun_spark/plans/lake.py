@@ -904,6 +904,7 @@ class LakeTable:
         extra_metrics: dict | None = None,
         assume_unique_keys: bool = False,
         update_mode: str = "replace",
+        wap_id: str | None = None,
     ) -> dict:
         """Copy-on-write MERGE: upsert rows with ``_op='UPSERT'``, delete
         rows with ``_op='DELETE'``; one row per pk expected (pass a
@@ -1029,13 +1030,17 @@ class LakeTable:
                 else:
                     m["buckets"].pop(key, None)  # bucket emptied by deletes
             self._record_lineage(m, batch_id, offsets, n_changes, extra_metrics)
-            self._write_manifest(m, expected_parent=m["parent"])
+            if wap_id is not None:
+                self._write_staged(m, wap_id)
+            else:
+                self._write_manifest(m, expected_parent=m["parent"])
             return {
                 "skipped": False,
                 "batch_id": batch_id,
                 "n_changes": n_changes,
                 "touched_buckets": sorted(touched),
                 "version": m["version"],
+                **({"staged": True, "wap_id": wap_id} if wap_id is not None else {}),
             }
         finally:
             ch.unpersist()  # drops the checkpointed blocks
@@ -1100,6 +1105,7 @@ class LakeTable:
         batch_id: str | None = None,
         offsets: dict | None = None,
         extra_metrics: dict | None = None,
+        wap_id: str | None = None,
     ) -> dict:
         """Merge-on-read ingest: append change files, defer resolution.
         O(batch) io per call regardless of table size."""
@@ -1129,8 +1135,13 @@ class LakeTable:
              "batch_id": batch_id, "buckets": touched}
         )
         self._record_lineage(m, batch_id, offsets, n, extra_metrics)
-        self._write_manifest(m, expected_parent=m["parent"])
-        return {"skipped": False, "batch_id": batch_id, "n_changes": n, "version": m["version"]}
+        if wap_id is not None:
+            self._write_staged(m, wap_id)
+        else:
+            self._write_manifest(m, expected_parent=m["parent"])
+        return {"skipped": False, "batch_id": batch_id, "n_changes": n,
+                "version": m["version"],
+                **({"staged": True, "wap_id": wap_id} if wap_id is not None else {})}
 
     def compact(
         self,
@@ -1392,16 +1403,22 @@ class LakeTable:
         keep_paths: set[str] = set()
         removed_manifests = 0
         for name in sorted(os.listdir(mdir)):
-            if not (name.startswith("v") and name.endswith(".json")):
+            if name.startswith("staged-") and name.endswith(".json"):
+                # unpublished WAP snapshots pin their data until published
+                # or abandoned — never GC under a pending audit
+                with open(os.path.join(mdir, name)) as f:
+                    m = json.load(f)
+            elif name.startswith("v") and name.endswith(".json"):
+                v = int(name[1:-5])
+                path = os.path.join(mdir, name)
+                if v < cutoff:
+                    os.remove(path)
+                    removed_manifests += 1
+                    continue
+                with open(path) as f:
+                    m = json.load(f)
+            else:
                 continue
-            v = int(name[1:-5])
-            path = os.path.join(mdir, name)
-            if v < cutoff:
-                os.remove(path)
-                removed_manifests += 1
-                continue
-            with open(path) as f:
-                m = json.load(f)
             for e in m["buckets"].values():
                 keep_paths.add(e["path"].split(os.sep)[1])  # data/<dir>/...
             for d in m["deltas"]:
@@ -1523,6 +1540,80 @@ class LakeTable:
         )
         self._write_manifest(m, expected_parent=cur)
         return {"version": m["version"], "restored": to_version, "from": cur}
+
+    # ------------------------------------------- write-audit-publish (WAP)
+    # Iceberg WAP analog, and the snapshot-level generalization of the
+    # reference's two-phase sinks (stage to `.data` then move on
+    # checkpoint, BaseFileOutputFormat.java:236-274; transaction commit
+    # at checkpoint, JdbcOutputFormat.java:336-390): a merge/append with
+    # ``wap_id`` writes its data files and manifest but NOT the
+    # ``_current`` pointer, so readers never see it; audits run against
+    # the staged snapshot; ``publish_staged`` is the same atomic CAS a
+    # normal commit uses, ``abandon_staged`` leaves only unreferenced
+    # garbage for vacuum.
+
+    def _write_staged(self, manifest: dict, wap_id: str) -> None:
+        spath = os.path.join(self.root, "_manifests", f"staged-{wap_id}.json")
+        if os.path.exists(spath):
+            raise ValueError(f"wap_id {wap_id!r} is already staged")
+        with open(spath, "w") as f:
+            json.dump(manifest, f, indent=1)
+
+    @classmethod
+    def load_staged(cls, spark: SparkSession, root: str, wap_id: str) -> "LakeTable":
+        """Read-only view of a staged (unpublished) snapshot — what the
+        audit step reads. Writing through this handle is rejected by the
+        optimistic CAS (its parent is not ``_current``... unless it is,
+        in which case a write would race the publish — don't)."""
+        spath = os.path.join(root, "_manifests", f"staged-{wap_id}.json")
+        if not os.path.exists(spath):
+            raise FileNotFoundError(f"no staged snapshot {wap_id!r} at {root}")
+        with open(spath) as f:
+            return cls(spark, root, json.load(f))
+
+    def staged_ids(self) -> list[str]:
+        mdir = os.path.join(self.root, "_manifests")
+        return sorted(
+            n[len("staged-"):-len(".json")]
+            for n in os.listdir(mdir)
+            if n.startswith("staged-") and n.endswith(".json")
+        )
+
+    def publish_staged(self, wap_id: str) -> dict:
+        """Atomically make a staged snapshot the current one. The CAS
+        requires ``_current`` to still be the staged snapshot's parent —
+        a commit that landed in between fails the publish (re-stage
+        against the new current instead of silently dropping its
+        effects). Idempotent across a crash between the pointer swap and
+        the staged-file cleanup."""
+        spath = os.path.join(self.root, "_manifests", f"staged-{wap_id}.json")
+        if not os.path.exists(spath):
+            raise FileNotFoundError(f"no staged snapshot {wap_id!r} at {self.root}")
+        with open(spath) as f:
+            m = json.load(f)
+        cur = self._current_version(self.root)
+        if cur == m["version"]:
+            # crash between swap and cleanup on a previous publish: the
+            # committed manifest IS this staged one — finish the cleanup
+            vpath = os.path.join(self.root, "_manifests", f"v{m['version']}.json")
+            with open(vpath) as f:
+                if json.load(f) == m:
+                    os.remove(spath)
+                    self.manifest = m
+                    return {"version": m["version"], "wap_id": wap_id,
+                            "already_published": True}
+        self._write_manifest(m, expected_parent=m["parent"])
+        os.remove(spath)
+        return {"version": m["version"], "wap_id": wap_id}
+
+    def abandon_staged(self, wap_id: str) -> dict:
+        """Drop a staged snapshot. Its data files become unreferenced
+        garbage that the next ``vacuum`` collects."""
+        spath = os.path.join(self.root, "_manifests", f"staged-{wap_id}.json")
+        if not os.path.exists(spath):
+            raise FileNotFoundError(f"no staged snapshot {wap_id!r} at {self.root}")
+        os.remove(spath)
+        return {"wap_id": wap_id, "abandoned": True}
 
     # ------------------------------------------------------------ introspection
     def lineage_df(self) -> DataFrame:

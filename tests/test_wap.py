@@ -1,0 +1,238 @@
+"""Write-audit-publish: staged snapshots gated by declarative audits.
+
+Iceberg WAP analog; reference analog is ErrorLimiter.java:62-97
+(pre-commit dirty caps) + the two-phase sinks' invisibility-until-commit
+(BaseFileOutputFormat.java:236-274).
+"""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from chunjun_spark.operators.merge import replay
+from chunjun_spark.operators.wap import audit_snapshot, replay_wap
+from chunjun_spark.plans.lake import ConcurrentCommitError, LakeTable
+from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA, generate_binlog
+
+from .conftest import df_state, sha256_state
+
+PK = ["repo", "path"]
+
+
+def _table(spark, tmp_root, name="lake"):
+    return LakeTable.create(
+        spark, os.path.join(tmp_root, name), PAYLOAD_SCHEMA, pk=PK, n_buckets=4
+    )
+
+
+def _w2(spark):
+    return (
+        generate_binlog(spark, 2000, n_keys=500, seed=9, dup_rate=0.0)
+        .withColumn("seq", F.col("seq") + F.lit(10_000_000))
+        .withColumn("op_ts", F.col("op_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+
+
+def test_staged_commit_invisible_until_published(spark, tmp_root):
+    table = _table(spark, tmp_root)
+    ev1 = generate_binlog(spark, 2000, n_keys=500, seed=3, dup_rate=0.0)
+    replay(ev1, table, batch_id="w1")
+    t = LakeTable.load(spark, table.root)
+    before = sha256_state(df_state(t.read(), PK))
+    v1 = t.manifest["version"]
+
+    res = replay(_w2(spark), t, batch_id="w2", wap_id="wap-w2")
+    assert res["staged"] and res["wap_id"] == "wap-w2"
+    # readers see nothing; the staged snapshot is separately loadable
+    t = LakeTable.load(spark, table.root)
+    assert t.manifest["version"] == v1
+    assert sha256_state(df_state(t.read(), PK)) == before
+    assert "w2" not in t.committed_batches()
+    assert t.staged_ids() == ["wap-w2"]
+    staged = LakeTable.load_staged(spark, table.root, "wap-w2")
+    assert staged.read().count() > t.read().count()
+
+    pub = t.publish_staged("wap-w2")
+    assert pub["version"] == res["version"]
+    t = LakeTable.load(spark, table.root)
+    assert t.manifest["version"] == res["version"]
+    assert "w2" in t.committed_batches()
+    assert t.staged_ids() == []
+    # publishing again: gone
+    with pytest.raises(FileNotFoundError):
+        t.publish_staged("wap-w2")
+
+
+def test_publish_rejects_when_parent_moved(spark, tmp_root):
+    table = _table(spark, tmp_root)
+    ev1 = generate_binlog(spark, 2000, n_keys=500, seed=3, dup_rate=0.0)
+    replay(ev1, table, batch_id="w1")
+    t = LakeTable.load(spark, table.root)
+    replay(_w2(spark), t, batch_id="w2", wap_id="stale")
+    # a commit lands between stage and publish
+    ev3 = (
+        generate_binlog(spark, 500, n_keys=100, seed=5, dup_rate=0.0)
+        .withColumn("seq", F.col("seq") + F.lit(20_000_000))
+        .withColumn("op_ts", F.col("op_ts") + F.expr("INTERVAL 2 HOURS"))
+    )
+    replay(ev3, LakeTable.load(spark, table.root), batch_id="w3")
+    with pytest.raises(ConcurrentCommitError):
+        LakeTable.load(spark, table.root).publish_staged("stale")
+    # the stale stage is still there to abandon
+    t = LakeTable.load(spark, table.root)
+    assert t.staged_ids() == ["stale"]
+    t.abandon_staged("stale")
+    assert LakeTable.load(spark, table.root).staged_ids() == []
+
+
+def test_abandoned_stage_is_vacuumed_not_leaked(spark, tmp_root):
+    table = _table(spark, tmp_root)
+    ev1 = generate_binlog(spark, 2000, n_keys=500, seed=3, dup_rate=0.0)
+    replay(ev1, table, batch_id="w1")
+    t = LakeTable.load(spark, table.root)
+    replay(_w2(spark), t, batch_id="w2", wap_id="bad")
+    ddir = os.path.join(table.root, "data")
+    n_dirs_staged = len(os.listdir(ddir))
+
+    # pending stage pins its files across a vacuum
+    t = LakeTable.load(spark, table.root)
+    t.vacuum(keep_last=1)
+    assert len(os.listdir(ddir)) == n_dirs_staged
+    assert LakeTable.load_staged(spark, table.root, "bad").read().count() > 0
+
+    t.abandon_staged("bad")
+    t = LakeTable.load(spark, table.root)
+    got = t.vacuum(keep_last=1)
+    assert got["data_dirs_removed"] >= 1
+    assert len(os.listdir(ddir)) < n_dirs_staged
+    assert t.read().count() > 0  # published state intact
+
+
+def test_audit_snapshot_checks(spark, tmp_root):
+    table = _table(spark, tmp_root)
+    ev = generate_binlog(spark, 2000, n_keys=500, seed=3, dup_rate=0.0)
+    replay(ev, table, batch_id="w1")
+    t = LakeTable.load(spark, table.root)
+    n = t.read().count()
+
+    rep = audit_snapshot(t, [
+        {"type": "row_count_min", "value": 1},
+        {"type": "row_count_max", "value": n},
+        {"type": "max_null_frac", "column": "content", "value": 0.0},
+        {"type": "forbid", "predicate": "length(repo) = 0"},
+    ])
+    assert rep["passed"] and rep["row_count"] == n
+
+    rep = audit_snapshot(t, [
+        {"type": "row_count_min", "value": n + 1},
+        {"type": "forbid", "predicate": "length(content) > 0"},
+        {"type": "forbid", "predicate": "length(content) > 0",
+         "max_rows": n + 5},
+    ])
+    assert not rep["passed"]
+    assert len(rep["violations"]) == 2  # bounded forbid within max_rows passes
+
+    with pytest.raises(ValueError, match="unknown audit"):
+        audit_snapshot(t, [{"type": "nope"}])
+
+
+def test_replay_wap_publish_and_abandon(spark, tmp_root):
+    table = _table(spark, tmp_root)
+    ev1 = generate_binlog(spark, 2000, n_keys=500, seed=3, dup_rate=0.0)
+    replay(ev1, table, batch_id="w1")
+    t = LakeTable.load(spark, table.root)
+    good = _w2(spark)
+
+    rep = replay_wap(good, t, "w2", [{"type": "row_count_min", "value": 1}])
+    assert rep["outcome"] == "published"
+    t = LakeTable.load(spark, table.root)
+    want = sha256_state(df_state(t.read(), PK))
+    assert "w2" in t.committed_batches()
+
+    # re-run = skip (exactly-once)
+    rep2 = replay_wap(good, t, "w2", [{"type": "row_count_min", "value": 1}])
+    assert rep2["outcome"] == "skipped"
+
+    # a window that fails its audit never becomes visible
+    bad = (
+        generate_binlog(spark, 500, n_keys=100, seed=5, dup_rate=0.0,
+                        delete_rate=0.9)
+        .withColumn("seq", F.col("seq") + F.lit(20_000_000))
+        .withColumn("op_ts", F.col("op_ts") + F.expr("INTERVAL 2 HOURS"))
+    )
+    rep3 = replay_wap(bad, LakeTable.load(spark, table.root), "w3",
+                      [{"type": "row_count_min", "value": 10_000_000}])
+    assert rep3["outcome"] == "abandoned" and rep3["violations"]
+    t = LakeTable.load(spark, table.root)
+    assert sha256_state(df_state(t.read(), PK)) == want
+    assert "w3" not in t.committed_batches()
+    assert t.staged_ids() == []
+
+
+def test_replay_wap_resumes_from_existing_stage(spark, tmp_root):
+    """Crash between stage and publish: the re-run resumes at the audit
+    step over the EXISTING staged snapshot (no double stage)."""
+    table = _table(spark, tmp_root)
+    ev1 = generate_binlog(spark, 2000, n_keys=500, seed=3, dup_rate=0.0)
+    replay(ev1, table, batch_id="w1")
+    t = LakeTable.load(spark, table.root)
+    w2 = _w2(spark)
+    replay(w2, t, batch_id="w2", wap_id="w2")  # the "crashed" run's stage
+    n_dirs = len(os.listdir(os.path.join(table.root, "data")))
+
+    rep = replay_wap(w2, LakeTable.load(spark, table.root), "w2",
+                     [{"type": "row_count_min", "value": 1}])
+    assert rep["outcome"] == "published"
+    # no second stage directory was written
+    assert len(os.listdir(os.path.join(table.root, "data"))) == n_dirs
+    assert "w2" in LakeTable.load(spark, table.root).committed_batches()
+
+
+def test_job_json_wap_audits(spark, tmp_root):
+    """writer.parameter.audits drives WAP through run_job: a passing
+    window publishes; a failing one abandons and fails the job loudly."""
+    from chunjun_spark.job import run_job
+
+    binlog_dir = os.path.join(tmp_root, "binlog")
+    generate_binlog(spark, 2000, n_keys=500, seed=3, dup_rate=0.0).write.mode(
+        "overwrite"
+    ).parquet(binlog_dir)
+    root = os.path.join(tmp_root, "lake")
+
+    def job(batch_id, audits):
+        return {"job": {"jobId": "wapjob", "content": [{
+            "reader": {"name": "binlogreader", "parameter": {"path": binlog_dir}},
+            "writer": {"name": "lakewriter", "parameter": {
+                "path": root, "pk": PK, "batchId": batch_id, "audits": audits,
+            }},
+        }]}}
+
+    m = run_job(spark, job("b1", [{"type": "row_count_min", "value": 1}]))
+    assert m["numWrite"] > 0
+    t = LakeTable.load(spark, root)
+    assert "b1" in t.committed_batches()
+    n = t.read().count()
+
+    with pytest.raises(RuntimeError, match="WAP audit failed"):
+        run_job(spark, job("b2", [{"type": "row_count_max", "value": 1}]))
+    t = LakeTable.load(spark, root)
+    assert t.read().count() == n
+    assert "b2" not in t.committed_batches()
+    assert t.staged_ids() == []
+
+
+def test_staged_mor_delta_roundtrip(spark, tmp_root):
+    table = _table(spark, tmp_root)
+    ev1 = generate_binlog(spark, 2000, n_keys=500, seed=3, dup_rate=0.0)
+    replay(ev1, table, batch_id="w1", mode="mor")
+    t = LakeTable.load(spark, table.root)
+    v1 = t.manifest["version"]
+    res = replay(_w2(spark), t, batch_id="w2", mode="mor", wap_id="d2")
+    assert res["staged"]
+    t = LakeTable.load(spark, table.root)
+    assert t.manifest["version"] == v1
+    t.publish_staged("d2")
+    t = LakeTable.load(spark, table.root)
+    assert len(t.manifest["deltas"]) == 2
+    assert "w2" in t.committed_batches()

@@ -148,6 +148,9 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=5_000_000)
     ap.add_argument("--binlog-dir", default=None)
     ap.add_argument("--mode", default="mor", choices=["cow", "mor"])
+    ap.add_argument("--out-runs", default=None,
+                    help="repo-relative JSON path for the raw run table "
+                         "(e.g. BENCH/scaling_r3_runs.json)")
     args = ap.parse_args()
 
     binlog_dir = args.binlog_dir or tempfile.mkdtemp(prefix="cj_scaling_binlog_")
@@ -159,6 +162,8 @@ def main() -> None:
     zpath = make_pyfiles_zip(workdir)
 
     cooldown = 90
+
+    all_runs: list[dict] = []
 
     def best_of(master: str, tag: str, repeats: int = 2) -> dict:
         """Best of N attempts per config: this VM's run-to-run throughput
@@ -173,16 +178,35 @@ def main() -> None:
                            mode=args.mode)
             print(f"  {r}", flush=True)
             runs.append(r)
+        all_runs.extend(runs)
         return max(runs, key=lambda r: r["events_per_sec"])
 
     small = best_of("local[2]", "N")
     big = best_of("local[8]", "4N")
-    extra = best_of("local[32]", "16N", repeats=1)
+    # the 16N probe documents the shared-box ceiling; at the fixed 8g
+    # heap 32 concurrent sort tasks can OOM (the single-box model breaks
+    # down exactly where a real cluster adds per-executor memory) — a
+    # failed probe must not lose the N/4N evidence above
+    try:
+        extra = best_of("local[32]", "16N", repeats=1)
+    except subprocess.CalledProcessError as e:
+        print(f"16N probe failed (shared-heap ceiling): {e}", flush=True)
+        extra = None
 
     eff = (big["events_per_sec"] / small["events_per_sec"]) / 4.0
     print(f"scaling_efficiency = {eff:.3f}", flush=True)
     assert small["state_checksum"] == big["state_checksum"], "state mismatch!"
     write_report(small, big, eff, args.events, extra)
+    if args.out_runs:
+        with open(os.path.join(REPO, args.out_runs), "w") as f:
+            json.dump({
+                "protocol": "spark-submit --py-files, identical config "
+                            "(64 shuffle partitions, 16MB splits, 8g heap), "
+                            f"best-of-2 per width, {cooldown}s cooldowns, "
+                            f"same {args.events:,}-event binlog, mode={args.mode}",
+                "runs": all_runs,
+            }, f, indent=1)
+        print(f"wrote {args.out_runs}", flush=True)
     print("wrote BENCH/scaling_run.md", flush=True)
 
 
