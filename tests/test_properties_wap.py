@@ -1,0 +1,87 @@
+"""Property-based WAP: any interleaving of direct commits, published
+stages, abandoned stages, and crash-resumed stages equals the fold of
+exactly the windows that were published.
+
+Model: split one binlog (seq == offset, so later windows are strictly
+newer) into K windows; hypothesis picks each window's path. The table
+state must equal ``fold_oracle`` over the union of the applied windows'
+events — abandoned windows contribute nothing, a crash between stage
+and publish (modeled by staging first, then running the full WAP flow,
+which must resume the existing stage) contributes exactly once. After
+the run no stage is left behind and a ``vacuum(keep_last=1)`` keeps the
+state byte-identical (abandoned stages are collectable garbage, pending
+ones were all resolved).
+"""
+
+import os
+import uuid
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from chunjun_spark.operators.merge import replay
+from chunjun_spark.operators.wap import replay_wap
+from chunjun_spark.plans.lake import LakeTable
+from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA, generate_binlog
+
+from .conftest import df_state, fold_oracle, sha256_state
+
+PK = ["repo", "path"]
+PASS = [{"type": "row_count_min", "value": 1}]
+FAIL = [{"type": "row_count_min", "value": 10**9}]
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.sampled_from(["direct", "publish", "abandon", "crash"]),
+                min_size=2, max_size=5),
+       st.booleans())
+def test_wap_interleavings_fold_to_published_windows(spark, tmp_root,
+                                                     decisions, mor):
+    run = uuid.uuid4().hex[:8]
+    n = 3000
+    ev = generate_binlog(spark, n, n_keys=300, seed=13, dup_rate=0.0,
+                         delete_rate=0.1).localCheckpoint(eager=True)
+    k = len(decisions)
+    bounds = [n * i // k for i in range(k + 1)]
+    root = os.path.join(tmp_root, f"wapprop_{run}")
+    LakeTable.create(spark, root, PAYLOAD_SCHEMA, pk=PK, n_buckets=4)
+    mode = "mor" if mor else "cow"
+
+    applied = []
+    for i, d in enumerate(decisions):
+        w = ev.filter((F.col("offset") >= bounds[i]) &
+                      (F.col("offset") < bounds[i + 1]))
+        t = LakeTable.load(spark, root)
+        bid = f"w{run}{i}"
+        if d == "direct":
+            replay(w, t, batch_id=bid, mode=mode)
+            applied.append(w)
+        elif d == "publish":
+            rep = replay_wap(w, t, bid, PASS, mode=mode)
+            assert rep["outcome"] == "published"
+            applied.append(w)
+        elif d == "abandon":
+            rep = replay_wap(w, t, bid, FAIL, mode=mode)
+            assert rep["outcome"] == "abandoned"
+        else:  # crash: stage lands, the flow re-runs and must resume it
+            replay(w, t, batch_id=bid, mode=mode, wap_id=bid)
+            rep = replay_wap(w, LakeTable.load(spark, root), bid, PASS,
+                             mode=mode)
+            assert rep["outcome"] == "published"
+            applied.append(w)
+
+    t = LakeTable.load(spark, root)
+    assert t.staged_ids() == []
+    got = sha256_state(df_state(t.read(), PK))
+    if applied:
+        union = applied[0]
+        for w in applied[1:]:
+            union = union.unionByName(w)
+        want = sha256_state(fold_oracle(union.collect(), PK))
+    else:
+        want = sha256_state(fold_oracle([], PK))
+    assert got == want
+    t.vacuum(keep_last=1)
+    assert sha256_state(df_state(LakeTable.load(spark, root).read(), PK)) == got
