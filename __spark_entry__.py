@@ -415,38 +415,71 @@ QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY o DESC) = 1
 """
 
 
-def _q_minhash_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental MinHash-LSH index maintenance over the lake CDF
-    (functions/incremental.py): documents land in a lake table in two
-    commits (bootstrap, then an update/delete/insert delta); the band
-    index is synced from each change window and the second sync's
-    near-dup candidates are returned. Rows-only (xxhash64 banding has no
-    DuckDB analog); the index==batch-rebuild invariant is pinned in
-    tests/test_incremental_index.py."""
+_IDX_FIXTURE: dict = {}
+
+
+def _docs_as_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id", "text", F.lit("UPSERT").alias(OP_COL),
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias(VTS_COL),
+        F.col("doc_id").alias(VSEQ_COL),
+    )
+
+
+def _minhash_index_fixture(spark: SparkSession, sf_dir: str) -> dict:
+    """Bootstrap state shared per (session, sf_dir): 80% of documents
+    merged into a docs lake and the band index synced once. Entries copy
+    it and apply THEIR window, so the bench times the incremental
+    operator (delta merge + CDF sync), not bootstrap construction —
+    the same sharing rationale as _events_lake_2w."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _IDX_FIXTURE.get(key)
+    if got is not None:
+        return got
     from chunjun_spark.functions.incremental import (
         create_minhash_index,
         sync_minhash_index,
     )
-    from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    root = tempfile.mkdtemp(prefix="cj_entry_idx_")
+    root = tempfile.mkdtemp(prefix="cj_entry_idxfx_")
     dt = LakeTable.create(
         spark, f"{root}/docs",
         T.StructType([T.StructField("doc_id", T.LongType()),
                       T.StructField("text", T.StringType())]),
         pk=["doc_id"], n_buckets=8,
     )
-    as_upsert = docs.select(
-        "doc_id", "text", F.lit("UPSERT").alias(OP_COL),
-        F.lit("1970-01-01 00:00:00").cast("timestamp").alias(VTS_COL),
-        F.col("doc_id").alias(VSEQ_COL),
-    )
+    as_upsert = _docs_as_upsert(spark, sf_dir)
     dt.merge(as_upsert.filter(F.col("doc_id") % 5 != 0), batch_id="v1",
              assume_unique_keys=True)
-    dt = dt.refresh()
     index = create_minhash_index(spark, f"{root}/idx", n_buckets=8)
-    out1 = sync_minhash_index(dt, index, since_version=0)
+    out1 = sync_minhash_index(dt.refresh(), index, since_version=0)
+    got = {"root": root, "synced": out1["version"]}
+    _IDX_FIXTURE[key] = got
+    return got
+
+
+def _q_minhash_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH index maintenance over the lake CDF
+    (functions/incremental.py): from the shared bootstrap (80% of
+    documents indexed), apply an update/delete/insert delta window and
+    sync the band index from that change window only; the sync's
+    near-dup candidates are returned. Rows-only (xxhash64 banding has no
+    DuckDB analog); the index==batch-rebuild invariant is pinned in
+    tests/test_incremental_index.py."""
+    import shutil
+
+    from chunjun_spark.functions.incremental import sync_minhash_index
+    from chunjun_spark.plans.lake import OP_COL, VSEQ_COL
+
+    fx = _minhash_index_fixture(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cj_entry_idx_")
+    shutil.rmtree(root)
+    shutil.copytree(fx["root"], root)
+    dt = LakeTable.load(spark, f"{root}/docs")
+    as_upsert = _docs_as_upsert(spark, sf_dir)
     # delta: the held-out 20% arrives, and every doc_id % 7 == 0 leaves
     delta = (
         as_upsert.filter(F.col("doc_id") % 5 == 0)
@@ -461,7 +494,8 @@ def _q_minhash_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dt.merge(delta, batch_id="v2")
     dt = dt.refresh()
-    out2 = sync_minhash_index(dt, index.refresh(), since_version=out1["version"])
+    index = LakeTable.load(spark, f"{root}/idx")
+    out2 = sync_minhash_index(dt, index, since_version=fx["synced"])
     return out2["candidates"].select("id_a", "id_b")
 
 
