@@ -268,9 +268,9 @@ def start_replay_stream(
             # No admission pass: the batch was admitted when it committed.
             _sync_views()
             return
-        # one narrow pre-pass (poison + DDL); the write below is the one
-        # wide evaluation of the batch
-        batch_df, ddl_rows = admit_batch(batch_df)
+        # one fused narrow pre-pass (poison + DDL + FormatState offsets);
+        # the write below is the one wide evaluation of the batch
+        batch_df, ddl_rows, offsets = admit_batch_with_offsets(batch_df)
         if ddl_rows:
             # DDLs first: all evolution ops are backward compatible, and
             # apply_ddl_events is idempotent under micro-batch re-delivery
@@ -285,7 +285,6 @@ def start_replay_stream(
         else:
             survivors = keep_last(keyed, pk=table.pk, order=("op_ts", "seq"))
             changes = to_changes(survivors)
-        offsets = partition_offsets(batch_df)
         metrics = {"numRead": sum(v["n"] for v in offsets.values())}
         if mode == "cow":
             table.merge(changes, batch_id=bid, offsets=offsets,
@@ -414,6 +413,65 @@ def raise_on_poison(batch_df: DataFrame) -> None:
         r = poison[0]
         msg = r["ddl"] if "ddl" in batch_df.columns and r["ddl"] else "source error"
         raise InBandFailure(f"in-band source failure event: {msg}")
+
+
+def admit_batch_with_offsets(
+    batch_df: DataFrame,
+) -> tuple[DataFrame, list[dict], dict]:
+    """Fused micro-batch admission + FormatState offsets: ONE narrow
+    aggregation job yields the per-partition (max offset, count), the
+    poison/DDL control rows, and therefore numRead — where
+    ``admit_batch`` followed by ``partition_offsets`` cost two separate
+    source scans per micro-batch. With the payload pruned out of both,
+    the per-trigger source evaluations drop from 4 to 3 (this fused
+    narrow pass + keep_last's winner-agg side + the one wide payload
+    pass the write performs) — measured via StreamingQueryListener
+    numInputRows, which counts every source re-read in a trigger.
+
+    Falls back to the two-pass path for frames without the
+    partition_id/offset columns. Offsets here include control rows'
+    offsets (a restore must not re-deliver a consumed DDL); counts
+    exclude them, matching the previous numRead semantics.
+    """
+    cols = set(batch_df.columns)
+    if "op" not in cols or not {"partition_id", "offset"} <= cols:
+        from chunjun_spark.operators.merge import partition_offsets
+
+        df, ddl_rows = admit_batch(batch_df)
+        return df, ddl_rows, partition_offsets(df)
+    narrow = [c for c in ("op", "table_name", "op_ts", "seq", "ddl")
+              if c in cols]
+    is_ctrl = F.col("op").isin("ERROR", "DDL")
+    rows = (
+        batch_df.groupBy("partition_id")
+        .agg(
+            F.max("offset").alias("max_offset"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(is_ctrl, 1)).alias("n_ctrl"),
+            F.collect_list(
+                F.when(is_ctrl, F.struct(*[F.col(c) for c in narrow]))
+            ).alias("ctrl"),
+        )
+        .collect()
+    )
+    offsets = {
+        str(r["partition_id"]): {
+            "max_offset": r["max_offset"], "n": r["n"] - r["n_ctrl"]
+        }
+        for r in rows
+    }
+    ctrl = sorted(
+        (c.asDict() for r in rows for c in r["ctrl"]),
+        key=lambda d: d.get("seq") if d.get("seq") is not None else -1,
+    )
+    for c in ctrl:
+        if c["op"] == "ERROR":
+            raise InBandFailure(
+                f"in-band source failure event: {c['ddl'] or 'source error'}"
+            )
+    ddl_rows = [c for c in ctrl if c["op"] == "DDL"]
+    data = batch_df.filter(F.col("op") != "DDL") if ddl_rows else batch_df
+    return data, ddl_rows, offsets
 
 
 def admit_batch(batch_df: DataFrame) -> tuple[DataFrame, list[dict]]:

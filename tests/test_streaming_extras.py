@@ -494,3 +494,61 @@ def test_admit_multi_batch_poison(spark):
     df = spark.createDataFrame(rows, SCHEMA)
     with pytest.raises(pl.InBandFailure, match="kaput"):
         pl.admit_multi_batch(df)
+
+
+def test_stream_metrics_listener(spark, tmp_root):
+    """StreamMetricsListener (AccumulatorCollector/Prometheus-reporter
+    analog for the streaming path): totals fold per query from pushed
+    progress events and render in exposition format."""
+    import os
+    import time
+
+    from chunjun_spark.metrics import StreamMetricsListener
+    from chunjun_spark.plans.lake import LakeTable
+    from chunjun_spark.sources.binlog import (
+        PAYLOAD_SCHEMA,
+        generate_binlog,
+        write_binlog_files,
+    )
+    from chunjun_spark.streaming.pipeline import run_stream_to_completion
+
+    listener = StreamMetricsListener.attach(spark)
+    try:
+        n = 6000
+        events = generate_binlog(spark, n, n_keys=1200, dup_rate=0.0)
+        binlog_dir = os.path.join(tmp_root, "binlog")
+        write_binlog_files(events, binlog_dir, n_files=4)
+        table = LakeTable.create(
+            spark, os.path.join(tmp_root, "lake"), PAYLOAD_SCHEMA,
+            pk=["repo", "path"], n_buckets=4,
+        )
+        run_stream_to_completion(
+            spark, binlog_dir, table.root, os.path.join(tmp_root, "ckpt"),
+            max_files_per_trigger=2,
+        )
+        # listener callbacks arrive on the JVM event thread — poll
+        deadline = time.time() + 60
+        snap = {}
+        while time.time() < deadline:
+            snap = listener.snapshot()
+            if any(d["numInputRows"] >= n and d["active"] == 0
+                   for d in snap.values()):
+                break
+            time.sleep(0.5)
+        ours = [d for d in snap.values() if d["numInputRows"] >= n]
+        assert ours, snap
+        d = ours[0]
+        assert d["numBatches"] >= 2  # 4 files / 2 per trigger
+        # numInputRows counts every source re-read in a trigger: the
+        # fused narrow admission pass + keep_last's winner-agg side +
+        # the one wide payload pass = at most 3 evaluations per batch
+        # (was 4 before admission and offsets were fused)
+        assert n <= d["numInputRows"] <= 3 * n, d
+        assert d["active"] == 0
+
+        text = listener.render()
+        assert "chunjun_stream_num_input_rows" in text
+        assert "chunjun_stream_num_batches" in text
+        assert 'query_id="' in text
+    finally:
+        listener.detach(spark)
