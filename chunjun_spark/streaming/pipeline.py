@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from chunjun_spark.operators.dedup import keep_last
-from chunjun_spark.operators.merge import events_with_pk, partition_offsets, to_changes
+from chunjun_spark.operators.merge import events_with_pk, to_changes
 from chunjun_spark.plans.lake import LakeTable
 from chunjun_spark.sources.binlog import EVENT_SCHEMA
 
@@ -362,8 +362,9 @@ def start_multi_table_stream(
     factory = table_factory or default_factory
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # one narrow aggregate: poison + per-table DDL + routing list
-        batch_df, names, ddl_rows = admit_multi_batch(batch_df)
+        # one narrow aggregate: poison + per-table DDL + routing list +
+        # per-table FormatState offsets
+        batch_df, names, ddl_rows, offsets_by_table = admit_multi_batch(batch_df)
         for name in names:
             root = os.path.join(lake_root, name)
             try:
@@ -384,7 +385,7 @@ def start_multi_table_stream(
             keyed = events_with_pk(sub, table.pk)
             survivors = keep_last(keyed, pk=table.pk, order=("op_ts", "seq"))
             changes = to_changes(survivors)
-            offsets = partition_offsets(sub)
+            offsets = offsets_by_table.get(name, {})
             if mode == "cow":
                 table.merge(changes, batch_id=bid, offsets=offsets,
                             assume_unique_keys=True)
@@ -518,41 +519,57 @@ def admit_batch(batch_df: DataFrame) -> tuple[DataFrame, list[dict]]:
 
 def admit_multi_batch(
     batch_df: DataFrame,
-) -> tuple[DataFrame, list[str], list[dict]]:
+) -> tuple[DataFrame, list[str], list[dict], dict]:
     """Multi-table admission in ONE narrow job: poison + per-table DDL +
-    the distinct table-name routing list (previously three separate
-    scans: poison collect, ddl collect, ``distinct().collect()``).
+    the distinct table-name routing list + per-(table, partition)
+    FormatState offsets (previously four separate scans: poison collect,
+    ddl collect, ``distinct().collect()``, and one ``partition_offsets``
+    scan PER TABLE — O(#tables) extra source evaluations per trigger).
 
-    One narrow aggregate (group by ``table_name`` over op/ddl only —
-    #tables rows out) yields everything the router needs; the payload
-    columns are never loaded. Returns ``(data_events, sorted_names,
-    ddl_rows)``.
+    One narrow aggregate (group by (table_name, partition_id) over
+    op/ddl/offset only — #tables × #channels rows out) yields everything
+    the router needs; the payload columns are never loaded. Returns
+    ``(data_events, sorted_names, ddl_rows, offsets_by_table)`` where
+    ``offsets_by_table[name]`` has ``partition_offsets`` shape (data
+    rows only, matching the pre-fusion numRead semantics).
     """
+    has_off = {"partition_id", "offset"} <= set(batch_df.columns)
     ddl_struct = F.when(
         F.col("op") == "DDL",
         F.struct("op", "table_name", "op_ts", "seq", "ddl"),
     )
-    ctrl = (
-        batch_df.groupBy("table_name")
-        .agg(
-            F.max(
-                F.when(F.col("op") == "ERROR",
-                       F.coalesce(F.col("ddl"), F.lit("source error")))
-            ).alias("poison"),
-            # routing is by DATA events: a table seeing only DDL this
-            # batch is not created/routed (matches the split_ddl-era
-            # behavior); its DDL applies on first data sight
-            F.max(~F.col("op").isin("DDL", "ERROR")).alias("has_data"),
-            F.collect_list(ddl_struct).alias("ddls"),  # nulls are skipped
-        )
-        .collect()
-    )
+    is_data = ~F.col("op").isin("DDL", "ERROR")
+    group = ["table_name", "partition_id"] if has_off else ["table_name"]
+    aggs = [
+        F.max(
+            F.when(F.col("op") == "ERROR",
+                   F.coalesce(F.col("ddl"), F.lit("source error")))
+        ).alias("poison"),
+        # routing is by DATA events: a table seeing only DDL this
+        # batch is not created/routed (matches the split_ddl-era
+        # behavior); its DDL applies on first data sight
+        F.max(is_data).alias("has_data"),
+        F.collect_list(ddl_struct).alias("ddls"),  # nulls are skipped
+    ]
+    if has_off:
+        aggs += [
+            F.max(F.when(is_data, F.col("offset"))).alias("max_offset"),
+            F.count(F.when(is_data, 1)).alias("n"),
+        ]
+    ctrl = batch_df.groupBy(*group).agg(*aggs).collect()
     for r in ctrl:
         if r["poison"] is not None:
             raise InBandFailure(f"in-band source failure event: {r['poison']}")
-    names = sorted(r["table_name"] for r in ctrl if r["has_data"])
+    names = sorted({r["table_name"] for r in ctrl if r["has_data"]})
     ddl_rows = [d.asDict() for r in ctrl for d in r["ddls"]]
-    return batch_df.filter(F.col("op") != "DDL"), names, ddl_rows
+    offsets_by_table: dict = {}
+    if has_off:
+        for r in ctrl:
+            if r["has_data"]:
+                offsets_by_table.setdefault(r["table_name"], {})[
+                    str(r["partition_id"])
+                ] = {"max_offset": r["max_offset"], "n": r["n"]}
+    return batch_df.filter(F.col("op") != "DDL"), names, ddl_rows, offsets_by_table
 
 
 def run_stream_with_restart(

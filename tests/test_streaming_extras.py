@@ -479,13 +479,18 @@ def test_admit_multi_batch_one_source_evaluation(spark):
     ]
     acc = spark.sparkContext.accumulator(0)
     df = _counted_batch(spark, rows, acc)
-    data, names, ddl_rows = pl.admit_multi_batch(df)
+    data, names, ddl_rows, offsets = pl.admit_multi_batch(df)
     assert acc.value == len(rows), (
         f"admission evaluated the source {acc.value / len(rows):.1f} times"
     )
     assert names == ["ta", "tb"]  # tc had only DDL -> not routed
     assert sorted(r["seq"] for r in ddl_rows) == [2, 4]
     assert sorted(r["seq"] for r in data.collect()) == [1, 3]
+    # per-table FormatState offsets ride the same single pass (data rows
+    # only, one channel in this fixture)
+    assert set(offsets) == {"ta", "tb"}
+    assert sum(v["n"] for v in offsets["ta"].values()) == 1
+    assert sum(v["n"] for v in offsets["tb"].values()) == 1
 
 
 def test_admit_multi_batch_poison(spark):
