@@ -1615,6 +1615,26 @@ class LakeTable:
         os.remove(spath)
         return {"wap_id": wap_id, "abandoned": True}
 
+    def expire_staged(self, older_than_sec: float) -> dict:
+        """Abandon staged snapshots older than the given age. A job that
+        crashed between stage and publish/abandon leaves its stage
+        pinning data files against vacuum FOREVER otherwise; ``replay_wap``
+        resumes a live stage on re-run, so anything older than the
+        longest plausible retry horizon is an orphan. Age is the staged
+        file's mtime (stage time)."""
+        mdir = os.path.join(self.root, "_manifests")
+        cutoff = time.time() - older_than_sec
+        expired = []
+        for wap_id in self.staged_ids():
+            spath = os.path.join(mdir, f"staged-{wap_id}.json")
+            try:
+                if os.path.getmtime(spath) < cutoff:
+                    os.remove(spath)
+                    expired.append(wap_id)
+            except FileNotFoundError:
+                continue  # concurrent publish/abandon won the race
+        return {"expired": expired}
+
     # ------------------------------------------------------------ introspection
     def lineage_df(self) -> DataFrame:
         rows = [

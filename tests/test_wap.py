@@ -236,3 +236,32 @@ def test_staged_mor_delta_roundtrip(spark, tmp_root):
     t = LakeTable.load(spark, table.root)
     assert len(t.manifest["deltas"]) == 2
     assert "w2" in t.committed_batches()
+
+
+def test_expire_staged_drops_only_old_orphans(spark, tmp_root):
+    """A crashed run's stage older than the retry horizon is expired
+    (and its files become vacuumable); a fresh stage survives."""
+    import time as _time
+
+    table = _table(spark, tmp_root)
+    ev1 = generate_binlog(spark, 2000, n_keys=500, seed=3, dup_rate=0.0)
+    replay(ev1, table, batch_id="w1")
+    t = LakeTable.load(spark, table.root)
+    replay(_w2(spark), t, batch_id="w2", wap_id="old")
+    spath = os.path.join(table.root, "_manifests", "staged-old.json")
+    past = _time.time() - 3600
+    os.utime(spath, (past, past))
+    ev3 = (
+        generate_binlog(spark, 300, n_keys=60, seed=5, dup_rate=0.0)
+        .withColumn("seq", F.col("seq") + F.lit(20_000_000))
+        .withColumn("op_ts", F.col("op_ts") + F.expr("INTERVAL 2 HOURS"))
+    )
+    replay(ev3, LakeTable.load(spark, table.root), batch_id="w3", wap_id="fresh")
+
+    t = LakeTable.load(spark, table.root)
+    got = t.expire_staged(older_than_sec=600)
+    assert got == {"expired": ["old"]}
+    assert t.staged_ids() == ["fresh"]
+    # the fresh stage is still publishable
+    t.publish_staged("fresh")
+    assert "w3" in LakeTable.load(spark, table.root).committed_batches()
