@@ -609,6 +609,9 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
             # seek past the sink's recorded offsets (fresh checkpoint +
             # job name required; the pipeline enforces both)
             restore_from_lineage=cfg.restore.from_lineage,
+            # writer.parameter.audits gates every micro-batch through
+            # write-audit-publish on the stream path too
+            audits=wp.get("audits"),
         )
         table = LakeTable.load(spark, wp["path"])
         totals = table.lineage_totals()  # exact even past lineage eviction

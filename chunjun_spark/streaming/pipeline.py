@@ -170,8 +170,17 @@ def start_replay_stream(
     wire_format: str = "nested",
     agg_views: list[dict] | None = None,
     restore_from_lineage: bool = False,
+    audits: list[dict] | None = None,
 ) -> StreamingQuery:
     """Start the micro-batch apply loop.
+
+    ``audits``: declarative checks (operators/wap.py shapes) gating
+    EVERY micro-batch through write-audit-publish — the batch stages
+    invisibly, the audits run against the staged snapshot, and only a
+    passing batch publishes; a failing one is abandoned and fails the
+    query (the reference's error-cap job failure, ErrorLimiter.java:
+    62-97, at snapshot granularity). Crash between stage and publish →
+    the re-delivered batch resumes at the audit step.
 
     ``restore_from_lineage``: restore mode (FormatState.java:31-47
     restore seek). The source is filtered row-level against the TABLE's
@@ -286,7 +295,39 @@ def start_replay_stream(
             survivors = keep_last(keyed, pk=table.pk, order=("op_ts", "seq"))
             changes = to_changes(survivors)
         metrics = {"numRead": sum(v["n"] for v in offsets.values())}
-        if mode == "cow":
+        if audits:
+            # per-micro-batch write-audit-publish (operators/wap.py;
+            # ErrorLimiter.java:62-97 lifted to snapshot granularity):
+            # stage under wap_id=bid (invisible), audit the staged
+            # snapshot, publish atomically / abandon + fail the query.
+            # A crash between stage and publish re-delivers the batch,
+            # finds the stage, and resumes at the audit step; after an
+            # abandon the re-delivered batch re-stages and fails the
+            # same audit — terminal by design, bad data needs an
+            # upstream fix, exactly like the reference's error caps.
+            from chunjun_spark.operators.wap import audit_snapshot
+
+            if bid not in table.staged_ids():
+                if mode == "cow":
+                    table.merge(changes, batch_id=bid, offsets=offsets,
+                                extra_metrics=metrics,
+                                assume_unique_keys=update_mode != "patch",
+                                update_mode=update_mode, wap_id=bid)
+                else:
+                    table.append_delta(changes, batch_id=bid,
+                                       offsets=offsets,
+                                       extra_metrics=metrics, wap_id=bid)
+            staged = LakeTable.load_staged(spark, table_root, bid)
+            rep = audit_snapshot(staged, audits)
+            t = table.refresh()
+            if not rep["passed"]:
+                t.abandon_staged(bid)
+                raise MicroBatchAuditFailure(
+                    f"micro-batch {bid} failed its audits; staged "
+                    f"snapshot abandoned: {rep['violations']}"
+                )
+            t.publish_staged(bid)
+        elif mode == "cow":
             table.merge(changes, batch_id=bid, offsets=offsets,
                         extra_metrics=metrics,
                         assume_unique_keys=update_mode != "patch",
@@ -294,24 +335,24 @@ def start_replay_stream(
         else:
             table.append_delta(changes, batch_id=bid, offsets=offsets,
                                extra_metrics=metrics)
-            if compact_every is not None:
-                t2 = table.refresh()
-                n_deltas = len(t2.manifest["deltas"])
-                if compact_hot_min is not None:
-                    # hot-bucket policy: fold only the buckets whose
-                    # outstanding delta count crossed the bar — O(hot
-                    # data) per fold under skewed ingest. Cold remnants
-                    # keep some delta files alive, so a full fold at 4×
-                    # the trigger bounds manifest size + residual read
-                    # amplification.
-                    if n_deltas >= 4 * compact_every:
-                        t2.compact()
-                    elif n_deltas >= compact_every:
-                        hot = t2.hot_buckets(min_deltas=compact_hot_min)
-                        if hot:
-                            t2.compact(buckets=hot)
-                elif n_deltas >= compact_every:
+        if mode == "mor" and compact_every is not None:
+            t2 = table.refresh()
+            n_deltas = len(t2.manifest["deltas"])
+            if compact_hot_min is not None:
+                # hot-bucket policy: fold only the buckets whose
+                # outstanding delta count crossed the bar — O(hot
+                # data) per fold under skewed ingest. Cold remnants
+                # keep some delta files alive, so a full fold at 4×
+                # the trigger bounds manifest size + residual read
+                # amplification.
+                if n_deltas >= 4 * compact_every:
                     t2.compact()
+                elif n_deltas >= compact_every:
+                    hot = t2.hot_buckets(min_deltas=compact_hot_min)
+                    if hot:
+                        t2.compact(buckets=hot)
+            elif n_deltas >= compact_every:
+                t2.compact()
         if rate_limiter is not None:
             rate_limiter.observe_rows(metrics["numRead"], batch_df)
         _sync_views()
@@ -398,6 +439,12 @@ def start_multi_table_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class MicroBatchAuditFailure(RuntimeError):
+    """A micro-batch failed its WAP audits; its staged snapshot was
+    abandoned and the query stops (re-delivery re-fails by design —
+    bad data needs an upstream fix or changed audits)."""
 
 
 class InBandFailure(RuntimeError):
@@ -664,6 +711,7 @@ def run_stream_to_completion(
     byte_rate_limit: int = -1,
     agg_views: list[dict] | None = None,
     restore_from_lineage: bool = False,
+    audits: list[dict] | None = None,
 ) -> None:
     events = read_binlog_stream(spark, binlog_dir, max_files_per_trigger)
     limiter = ByteRateLimiter(byte_rate_limit) if byte_rate_limit > 0 else None
@@ -671,6 +719,7 @@ def run_stream_to_completion(
         events, table_root, checkpoint_dir, job_id=job_id, mode=mode,
         trigger_available_now=True, rate_limiter=limiter,
         agg_views=agg_views, restore_from_lineage=restore_from_lineage,
+        audits=audits,
     )
     if not q.awaitTermination(timeout_sec):
         q.stop()

@@ -265,3 +265,55 @@ def test_expire_staged_drops_only_old_orphans(spark, tmp_root):
     # the fresh stage is still publishable
     t.publish_staged("fresh")
     assert "w3" in LakeTable.load(spark, table.root).committed_batches()
+
+
+def test_streaming_audits_gate_every_micro_batch(spark, tmp_root):
+    """audits= on the stream: passing batches publish (state == fold
+    oracle); a batch violating a forbid-predicate abandons its stage and
+    fails the query, leaving prior batches intact and no stage behind."""
+    from chunjun_spark.sources.binlog import write_binlog_files
+    from chunjun_spark.streaming.pipeline import (
+        MicroBatchAuditFailure,
+        read_binlog_stream,
+        start_replay_stream,
+    )
+    from tests.conftest import df_state, fold_oracle, sha256_state
+
+    events = generate_binlog(spark, 6000, n_keys=1200, dup_rate=0.05,
+                             delete_rate=0.1)
+    binlog_dir = os.path.join(tmp_root, "binlog")
+    write_binlog_files(events, binlog_dir, n_files=4)
+    table = _table(spark, tmp_root)
+    stream = read_binlog_stream(spark, binlog_dir, max_files_per_trigger=2)
+    q = start_replay_stream(
+        stream, table.root, os.path.join(tmp_root, "ckpt"),
+        audits=[{"type": "row_count_min", "value": 1},
+                {"type": "forbid", "predicate": "repo IS NULL"}],
+    )
+    assert q.awaitTermination(300)
+    t = LakeTable.load(spark, table.root)
+    got = df_state(t.read(), PK)
+    assert sha256_state(got) == sha256_state(fold_oracle(events.collect(), PK))
+    assert t.staged_ids() == []
+    assert len([b for b in t.committed_batches()]) >= 2
+
+    # second stream whose LAST window trips the audit: earlier batches
+    # stay published, the failing one is abandoned. Version 4 of a key
+    # (content contains "_v4(") first appears at eid >= 4800, i.e. only
+    # in the second 2-file micro-batch.
+    table2 = _table(spark, tmp_root, name="lake2")
+    stream2 = read_binlog_stream(spark, binlog_dir, max_files_per_trigger=2)
+    q2 = start_replay_stream(
+        stream2, table2.root, os.path.join(tmp_root, "ckpt2"),
+        audits=[{"type": "forbid", "predicate": "instr(content, '_v4(') > 0"}],
+    )
+    with pytest.raises(Exception) as ei:
+        q2.awaitTermination(300)
+    assert "failed its audits" in str(ei.value)
+    t2 = LakeTable.load(spark, table2.root)
+    assert t2.staged_ids() == []  # failing stage abandoned
+    n2 = t2.read().count()
+    assert n2 > 0  # batch 1 published (batch 2's deletes never applied,
+    # so n2 can exceed the full-stream fold — rejection is proven by the
+    # forbidden rows' absence below)
+    assert t2.read().filter("instr(content, '_v4(') > 0").count() == 0
