@@ -1,0 +1,93 @@
+"""Property-based lake maintenance: any interleaving of MOR ingest
+windows, partial (hot-bucket) compactions, full compactions, and
+rollbacks matches a trivial fold model.
+
+This is the round-3 feature set exercised TOGETHER: partial compaction
+must stay state-invariant whatever deltas/exclusions it finds, rollback
+must restore exactly the recorded state (including across earlier
+compactions — metadata-only, so the restored entries must still point
+at live files), ingest after either must fold cleanly, and a final
+``vacuum(keep_last=1)`` must never break the current state (pending
+history is dropped, referenced files survive).
+"""
+
+import os
+import uuid
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from chunjun_spark.operators.merge import replay
+from chunjun_spark.plans.lake import LakeTable
+from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA, generate_binlog
+
+from .conftest import df_state, sha256_state
+
+PK = ["repo", "path"]
+
+
+def _apply(state: dict, rows) -> dict:
+    """Keep-last fold of one window onto a key→payload state. Windows
+    arrive in ascending (op_ts, seq), so last write wins within the
+    sorted sweep; DELETE removes the key."""
+    out = dict(state)
+    for r in sorted(rows, key=lambda r: (r["op_ts"], r["seq"])):
+        img = r["before"] if r["op"] == "DELETE" else r["after"]
+        key = (img["repo"], img["path"])
+        if r["op"] == "DELETE":
+            out.pop(key, None)
+        else:
+            out[key] = img.asDict()
+    return out
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.sampled_from(["w", "pc", "fc", "rb"]),
+                min_size=3, max_size=7))
+def test_lake_op_interleavings_match_fold_model(spark, tmp_root, ops):
+    run = uuid.uuid4().hex[:8]
+    n, k = 4000, 500
+    ev = generate_binlog(spark, n, n_keys=k, seed=17, dup_rate=0.0,
+                         delete_rate=0.15).localCheckpoint(eager=True)
+    n_windows = max(1, sum(1 for o in ops if o == "w"))
+    bounds = [n * i // n_windows for i in range(n_windows + 1)]
+
+    root = os.path.join(tmp_root, f"lakeops_{run}")
+    LakeTable.create(spark, root, PAYLOAD_SCHEMA, pk=PK, n_buckets=8)
+    state: dict = {}
+    # model state per committed version (rollback targets)
+    states_by_version: dict[int, dict] = {0: {}}
+    wi = 0
+
+    for op in ops:
+        t = LakeTable.load(spark, root)
+        if op == "w" and wi < n_windows:
+            w = ev.filter((F.col("offset") >= bounds[wi]) &
+                          (F.col("offset") < bounds[wi + 1]))
+            replay(w, t, batch_id=f"w{run}{wi}", mode="mor")
+            state = _apply(state, w.collect())
+            wi += 1
+        elif op == "pc":
+            hot = t.hot_buckets(min_deltas=1)
+            t.compact(buckets=hot[: max(1, len(hot) // 2)] if hot else [])
+        elif op == "fc":
+            t.compact()
+        elif op == "rb":
+            versions = sorted(states_by_version)
+            target = versions[len(versions) // 2]
+            if target < t.manifest["version"]:
+                t.rollback(target)
+                state = dict(states_by_version[target])
+        t = LakeTable.load(spark, root)
+        states_by_version[t.manifest["version"]] = dict(state)
+        # invariant holds after EVERY op, not just at the end
+        assert sha256_state(df_state(t.read(), PK)) == sha256_state(state), (
+            f"diverged after {op} (ops={ops})"
+        )
+
+    t = LakeTable.load(spark, root)
+    t.vacuum(keep_last=1)
+    t = LakeTable.load(spark, root)
+    assert sha256_state(df_state(t.read(), PK)) == sha256_state(state)
