@@ -88,6 +88,12 @@ def replay_wap(
     from chunjun_spark.operators.merge import replay
 
     if batch_id in table.committed_batches():
+        # a crash between publish's pointer swap and its staged-file
+        # cleanup leaves a redundant stage behind; left alone it would
+        # pin its (now committed and separately referenced) data files
+        # against vacuum until expire_staged fires — finish the cleanup
+        if batch_id in table.staged_ids():
+            table.abandon_staged(batch_id)
         return {"outcome": "skipped", "batch_id": batch_id}
     spark = table.spark
     if batch_id in table.staged_ids():

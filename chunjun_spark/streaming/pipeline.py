@@ -275,6 +275,10 @@ def start_replay_stream(
             # replayed micro-batch after restart — already applied; the
             # views may still lag it (crash between commit and sync).
             # No admission pass: the batch was admitted when it committed.
+            if audits and bid in table.staged_ids():
+                # crash between publish's pointer swap and its cleanup:
+                # drop the redundant stage so it can't pin files
+                table.abandon_staged(bid)
             _sync_views()
             return
         # one fused narrow pre-pass (poison + DDL + FormatState offsets);

@@ -317,3 +317,31 @@ def test_streaming_audits_gate_every_micro_batch(spark, tmp_root):
     # so n2 can exceed the full-stream fold — rejection is proven by the
     # forbidden rows' absence below)
     assert t2.read().filter("instr(content, '_v4(') > 0").count() == 0
+
+
+def test_replay_wap_cleans_stage_orphaned_by_publish_crash(spark, tmp_root):
+    """Crash BETWEEN publish's pointer swap and its staged-file cleanup:
+    the batch is committed but the stage file survives. The re-run's
+    skip path must drop the redundant stage (it would otherwise pin
+    files until expire_staged)."""
+    import json as _json
+
+    table = _table(spark, tmp_root)
+    ev1 = generate_binlog(spark, 2000, n_keys=500, seed=3, dup_rate=0.0)
+    replay(ev1, table, batch_id="w1")
+    t = LakeTable.load(spark, table.root)
+    w2 = _w2(spark)
+    rep = replay_wap(w2, t, "w2", [{"type": "row_count_min", "value": 1}])
+    assert rep["outcome"] == "published"
+    # resurrect the staged file as the crashed publish would have left it
+    t = LakeTable.load(spark, table.root)
+    m = _json.load(open(os.path.join(
+        table.root, "_manifests", f"v{t.manifest['version']}.json")))
+    with open(os.path.join(table.root, "_manifests", "staged-w2.json"), "w") as f:
+        _json.dump(m, f)
+    assert t.staged_ids() == ["w2"]
+
+    rep2 = replay_wap(w2, LakeTable.load(spark, table.root), "w2",
+                      [{"type": "row_count_min", "value": 1}])
+    assert rep2["outcome"] == "skipped"
+    assert LakeTable.load(spark, table.root).staged_ids() == []
