@@ -387,6 +387,11 @@ def _write_lake(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
         rep = replay_wap(df, table, batch_id, p["audits"],
                          mode=mode, update_mode=update_mode)
         metrics["wapOutcome"] = rep["outcome"]
+        if not rep.get("ran_action"):
+            # skipped (batch already committed) or resumed from an
+            # existing stage: no action ever evaluated the observed
+            # input frame — run_job must not await the Observation
+            metrics["_noAction"] = True
         if rep["outcome"] == "abandoned":
             raise RuntimeError(
                 f"WAP audit failed; staged snapshot abandoned: "
@@ -397,6 +402,11 @@ def _write_lake(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
         return
     info = replay(df, table, batch_id=batch_id, mode=mode,
                   update_mode=update_mode)
+    if info.get("skipped"):
+        # replayed exactly-once batch: the merge wrote nothing and (for
+        # frames without a ddl column) ran no action over the observed
+        # input — same contract as the JDBC writer's skip path
+        metrics["_noAction"] = True
     metrics["numWrite"] = info.get("n_changes", 0)
     metrics["snapshotWrite"] = info.get("version", 0)
 
@@ -682,6 +692,14 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
     if "endLocation" in state:
         # incremental offset for the next run (restore/startLocation)
         metrics["endLocation"] = state["endLocation"]
+    if "shards" in state:
+        # distributedjdbcreader: per-shard endLocations — the next run's
+        # reader.parameter.startLocations (per-shard FormatState lineage)
+        metrics["endLocations"] = {
+            sid: st["endLocation"]
+            for sid, st in state["shards"].items()
+            if "endLocation" in st
+        }
     metrics.update(
         {
             "nErrors": n_dirty,

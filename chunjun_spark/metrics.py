@@ -79,7 +79,18 @@ _HELP = {
     "snapshotWrite": "rows written during checkpoint snapshot",
 }
 
+# metrics that are point-in-time readings, not monotone accumulations —
+# a wrong TYPE makes rate()/increase() over them silently meaningless
+_GAUGES = {
+    "active", "duration", "readDuration", "writeDuration",
+    "lastTriggerMs", "endLocation", "snapshotWrite",
+}
+
 _CAMEL = re.compile(r"(?<!^)(?=[A-Z])")
+
+
+def _prom_type(name: str) -> str:
+    return "gauge" if name in _GAUGES or name.startswith("last") else "counter"
 
 
 def _prom_name(name: str, prefix: str = "chunjun") -> str:
@@ -87,6 +98,21 @@ def _prom_name(name: str, prefix: str = "chunjun") -> str:
     the reference reporter exports Flink metric names verbatim; we follow
     the exposition-format naming rules instead)."""
     return f"{prefix}_{_CAMEL.sub('_', name).lower()}"
+
+
+def _render_labels(labels: dict[str, str] | None) -> str:
+    if not labels:
+        return ""
+    body = ",".join(
+        '{}="{}"'.format(
+            k,
+            str(v).replace("\\", r"\\").replace('"', r"\"").replace(
+                "\n", r"\n"
+            ),
+        )
+        for k, v in sorted(labels.items())
+    )
+    return "{" + body + "}"
 
 
 def render_prometheus(
@@ -105,18 +131,7 @@ def render_prometheus(
     and private (``_``-prefixed) entries are skipped. Labels (job_id,
     batch_id, ...) attach to every sample; values are escaped per the
     exposition spec."""
-    lab = ""
-    if labels:
-        body = ",".join(
-            '{}="{}"'.format(
-                k,
-                str(v).replace("\\", r"\\").replace('"', r"\"").replace(
-                    "\n", r"\n"
-                ),
-            )
-            for k, v in sorted(labels.items())
-        )
-        lab = "{" + body + "}"
+    lab = _render_labels(labels)
     lines = []
     for name in sorted(metrics):
         v = metrics[name]
@@ -127,7 +142,7 @@ def render_prometheus(
         pn = _prom_name(name, prefix)
         if name in _HELP:
             lines.append(f"# HELP {pn} {_HELP[name]}")
-        lines.append(f"# TYPE {pn} counter")
+        lines.append(f"# TYPE {pn} {_prom_type(name)}")
         lines.append(f"{pn}{lab} {v}")
     return "\n".join(lines) + "\n"
 
@@ -209,15 +224,29 @@ class StreamMetricsListener:
             return {qid: dict(d) for qid, d in self._queries.items()}
 
     def render(self, prefix: str = "chunjun_stream") -> str:
-        """One exposition block per query, labeled by query name/id."""
-        blocks = []
-        for qid, d in sorted(self.snapshot().items()):
-            metrics = {k: v for k, v in d.items() if k != "name"}
-            blocks.append(render_prometheus(
-                metrics, labels={"query": d["name"], "query_id": qid},
-                prefix=prefix,
-            ))
-        return "".join(blocks)
+        """Exposition samples grouped BY METRIC (one HELP/TYPE line per
+        metric name, then one labeled sample per query) — the format
+        rejects a second TYPE line for an already-seen metric, so the
+        per-query-block layout was invalid for >1 query."""
+        snap = sorted(self.snapshot().items())
+        names = sorted({
+            k for _, d in snap for k, v in d.items()
+            if k != "name" and not isinstance(v, bool)
+            and isinstance(v, (int, float))
+        })
+        lines = []
+        for name in names:
+            pn = _prom_name(name, prefix)
+            if name in _HELP:
+                lines.append(f"# HELP {pn} {_HELP[name]}")
+            lines.append(f"# TYPE {pn} {_prom_type(name)}")
+            for qid, d in snap:
+                if name in d:
+                    lab = _render_labels(
+                        {"query": d["name"], "query_id": qid}
+                    )
+                    lines.append(f"{pn}{lab} {d[name]}")
+        return "\n".join(lines) + "\n"
 
     @classmethod
     def attach(cls, spark: SparkSession) -> "StreamMetricsListener":

@@ -94,8 +94,10 @@ def replay_wap(
         # against vacuum until expire_staged fires — finish the cleanup
         if batch_id in table.staged_ids():
             table.abandon_staged(batch_id)
-        return {"outcome": "skipped", "batch_id": batch_id}
+        return {"outcome": "skipped", "batch_id": batch_id,
+                "ran_action": False}
     spark = table.spark
+    ran_action = False
     if batch_id in table.staged_ids():
         # resumed after a crash between stage and publish/abandon:
         # re-audit the existing staged snapshot instead of re-staging
@@ -104,6 +106,7 @@ def replay_wap(
         replay(events, table, batch_id=batch_id, mode=mode,
                update_mode=update_mode, wap_id=batch_id)
         staged = LakeTable.load_staged(spark, table.root, batch_id)
+        ran_action = True
     report = audit_snapshot(staged, checks)
     # both paths: the staged commit recorded its own lineage entry
     n_changes = (
@@ -111,10 +114,15 @@ def replay_wap(
         .get("metrics", {}).get("numWrite", 0)
     )
     t = table.refresh()
+    # ran_action tells callers observing the INPUT frame (run_job's
+    # numRead Observation) whether any Spark action evaluated it this
+    # call: the resume-from-stage path audits the staged snapshot
+    # instead and would leave such an observation waiting forever.
     if report["passed"]:
         res = t.publish_staged(batch_id)
         return {"outcome": "published", "version": res["version"],
-                "batch_id": batch_id, "n_changes": n_changes, **report}
+                "batch_id": batch_id, "n_changes": n_changes,
+                "ran_action": ran_action, **report}
     t.abandon_staged(batch_id)
     return {"outcome": "abandoned", "batch_id": batch_id,
-            "n_changes": n_changes, **report}
+            "n_changes": n_changes, "ran_action": ran_action, **report}

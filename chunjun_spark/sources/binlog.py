@@ -59,6 +59,7 @@ EVENT_SCHEMA = T.StructType(
 
 _LANGS = ["py", "java", "go", "rs", "md", "json"]
 _BASE_EPOCH_MS = 1_700_000_000_000  # fixed so runs are reproducible
+_MTIME_FLOOR = 0.0  # highest mtime stamped by write_binlog_files so far
 
 
 def _u01(*cols) -> F.Column:
@@ -195,10 +196,16 @@ def write_binlog_files(
     out = df.repartitionByRange(n_files, "seq") if order_by_partition else df.repartition(n_files)
     out.write.mode("overwrite").parquet(path)
     if order_by_partition:
+        global _MTIME_FLOOR
         parts = sorted(p for p in os.listdir(path) if p.startswith("part-"))
-        base = time.time() - len(parts) - 10
+        # monotonic across CALLS, not just within one: two windows
+        # written seconds apart must not interleave mtimes (the file
+        # source orders the whole watched dir by mtime — an overlap
+        # breaks the in-order delivery contract restore-mode relies on)
+        base = max(time.time() - len(parts) - 10, _MTIME_FLOOR + 1.0)
         for i, p in enumerate(parts):
             os.utime(os.path.join(path, p), (base + i, base + i))
+        _MTIME_FLOOR = base + max(len(parts) - 1, 0)
 
 
 def decode_snowflake(df: DataFrame, col: str = "snowflake_ts") -> DataFrame:

@@ -163,6 +163,14 @@ def read_jdbc(
 
         if split_column:
             raise ValueError("rownum_split and split_column are exclusive")
+        if inc_column is not None or start_location is not None:
+            # silently ignoring the incremental window would re-ingest
+            # the whole table AND return no endLocation to resume from
+            raise ValueError(
+                "rownum_split does not support incremental reads "
+                "(inc_column/start_location): ROW_NUMBER is not a stable "
+                "offset across runs — use a mod/range split instead"
+            )
         props = {"fetchsize": str(fetch_size)}
         if driver:
             props["driver"] = driver

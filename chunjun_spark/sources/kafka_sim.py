@@ -126,10 +126,24 @@ def produce(
     seg = f"seg-{max(int(e) for e in ends.values()):012d}-{uuid.uuid4().hex[:8]}"
     tmp = os.path.join(topic_dir, f"_stage_{seg}")
     out.repartition(n, F.col("partition")).write.mode("error").parquet(tmp)
+    spark = kafka_df.sparkSession
+    # log-end bump FIRST, from the staged segment: the offset range must
+    # be reserved durably BEFORE any segment file becomes visible, or a
+    # crash between publish and meta-save would hand the same offsets to
+    # the next produce (duplicate (partition, offset) pairs break every
+    # seek). A crash after the reserve leaves a gap instead — the
+    # un-acked produce is simply lost, exactly Kafka's contract.
+    seg_df = spark.read.schema(TOPIC_SCHEMA).parquet(tmp)
+    counts = {
+        r["partition"]: r["n"]
+        for r in seg_df.groupBy("partition").agg(F.count("*").alias("n")).collect()
+    }
+    for p, c in counts.items():
+        ends[str(p)] = int(ends[str(p)]) + int(c)
+    _save_meta(topic_dir, meta)
     # move part files into the flat data dir under the segment name so the
     # file stream source (which lists a flat dir) discovers them atomically
     data_dir = os.path.join(topic_dir, "data")
-    spark = kafka_df.sparkSession
     moved = 0
     for fn in sorted(os.listdir(tmp)):
         if fn.endswith(".parquet"):
@@ -140,18 +154,6 @@ def produce(
     for fn in os.listdir(tmp):
         os.remove(os.path.join(tmp, fn))
     os.rmdir(tmp)
-    # log-end bump: count per partition from the written segment (cheap —
-    # reads only the new segment's footers/partition column)
-    seg_df = spark.read.schema(TOPIC_SCHEMA).parquet(
-        os.path.join(data_dir, f"{seg}-*.parquet")
-    )
-    counts = {
-        r["partition"]: r["n"]
-        for r in seg_df.groupBy("partition").agg(F.count("*").alias("n")).collect()
-    }
-    for p, c in counts.items():
-        ends[str(p)] = int(ends[str(p)]) + int(c)
-    _save_meta(topic_dir, meta)
     return {int(p): int(e) for p, e in ends.items()}
 
 

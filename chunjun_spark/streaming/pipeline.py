@@ -410,7 +410,13 @@ def start_multi_table_stream(
         # one narrow aggregate: poison + per-table DDL + routing list +
         # per-table FormatState offsets
         batch_df, names, ddl_rows, offsets_by_table = admit_multi_batch(batch_df)
-        for name in names:
+        has_data = set(names)
+        # a table whose only rows this batch are DDL still needs the DDL
+        # applied NOW — the checkpoint commits this batch, so the DDL
+        # row never re-arrives (caught in round-3 review: the old
+        # data-only routing silently dropped such DDL forever)
+        ddl_only = sorted({r["table_name"] for r in ddl_rows} - has_data)
+        for name in [*names, *ddl_only]:
             root = os.path.join(lake_root, name)
             try:
                 table = LakeTable.load(spark, root)
@@ -419,6 +425,8 @@ def start_multi_table_stream(
             table_ddl = [r for r in ddl_rows if r["table_name"] == name]
             if table_ddl:
                 table = apply_ddl_events(table, table_ddl)
+            if name not in has_data:
+                continue  # DDL-only this batch: nothing to merge
             bid = f"{job_id}:{name}:{batch_id}"
             if bid in table.committed_batches():
                 continue
@@ -596,15 +604,21 @@ def admit_multi_batch(
             F.when(F.col("op") == "ERROR",
                    F.coalesce(F.col("ddl"), F.lit("source error")))
         ).alias("poison"),
-        # routing is by DATA events: a table seeing only DDL this
-        # batch is not created/routed (matches the split_ddl-era
-        # behavior); its DDL applies on first data sight
+        # has_data gates MERGE + offset recording; tables seeing only
+        # DDL this batch must still be routed by the caller for the DDL
+        # apply — the checkpoint commits the batch either way, so an
+        # unapplied DDL would be lost forever (later JSON payloads would
+        # silently decode against the stale schema)
         F.max(is_data).alias("has_data"),
         F.collect_list(ddl_struct).alias("ddls"),  # nulls are skipped
     ]
     if has_off:
         aggs += [
-            F.max(F.when(is_data, F.col("offset"))).alias("max_offset"),
+            # high-water includes consumed DDL offsets (a restore must
+            # not re-deliver a consumed DDL — same contract as the
+            # single-table admission); n counts data rows only (numRead)
+            F.max(F.when(F.col("op") != "ERROR", F.col("offset"))
+                  ).alias("max_offset"),
             F.count(F.when(is_data, 1)).alias("n"),
         ]
     ctrl = batch_df.groupBy(*group).agg(*aggs).collect()
@@ -693,7 +707,11 @@ def run_stream_with_failure_rate_restart(
             # slide the window: only failures inside the interval count
             fail_times = [t for t in fail_times
                           if now - t <= failure_interval_sec]
-            if len(fail_times) > max_failures_per_interval:
+            # give up AT the bound (Flink FailureRateRestartStrategy:
+            # the Nth failure inside the interval fails the job — the
+            # queue of the last N timestamps all landing within the
+            # interval means no restart), not at N+1
+            if len(fail_times) >= max_failures_per_interval:
                 raise RuntimeError(
                     f"stream failed {len(fail_times)} times within "
                     f"{failure_interval_sec}s (bound "

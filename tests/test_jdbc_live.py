@@ -473,3 +473,55 @@ def test_distributed_jdbc_reader_job_json(spark):
     n = query_scalar(spark, tgt, "SELECT COUNT(*) FROM tgt",
                      driver=DERBY_DRIVER)
     assert int(n) == 20
+
+
+def test_rownum_split_rejects_incremental(spark):
+    """rownum_split with inc_column/start_location must raise — silently
+    ignoring the window would re-ingest the whole table AND return no
+    endLocation to resume from."""
+    from chunjun_spark.sources.jdbc_live import read_jdbc
+
+    url = _db("rownuminc")
+    _seed(spark, url, "src", n=5)
+    with pytest.raises(ValueError, match="rownum_split does not support"):
+        read_jdbc(spark, url, "src", driver=DERBY_DRIVER,
+                  rownum_split=True, inc_column="id")
+    with pytest.raises(ValueError, match="rownum_split does not support"):
+        read_jdbc(spark, url, "src", driver=DERBY_DRIVER,
+                  rownum_split=True, start_location=3)
+
+
+def test_distributed_job_surfaces_per_shard_end_locations(spark):
+    """run_job must return the distributed reader's per-shard
+    endLocations — they are the next run's startLocations (per-shard
+    FormatState lineage); without them incremental resume through the
+    job surface is impossible."""
+    urls = [_db(f"endloc{i}") for i in range(2)]
+    for i, u in enumerate(urls):
+        _seed(spark, u, "src", n=10, start=i * 50)
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {
+                        "name": "distributedjdbcreader",
+                        "parameter": {
+                            "connection": [
+                                {"jdbcUrl": [u], "table": ["src"]}
+                                for u in urls
+                            ],
+                            "driver": DERBY_DRIVER,
+                            "increColumn": "id",
+                            "increColumnType": "int",
+                            "startLocations": {"0": -1, "1": -1},
+                        },
+                    },
+                    "writer": {"name": "streamwriter"},
+                }
+            ],
+            "setting": {"speed": {"channel": 2}},
+        }
+    }
+    m = run_job(spark, cfg)
+    assert m["numRead"] == 20
+    assert m["endLocations"] == {"0": 9, "1": 59}

@@ -189,3 +189,56 @@ def test_malformed_message_decodes_to_nulls(spark):
     out = decode_events(bad, ev.schema)
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["op"] is None
+
+
+def test_produce_crash_before_publish_never_reuses_offsets(
+    spark, tmp_root, monkeypatch
+):
+    """Durability ordering: produce reserves the offset range in the
+    topic meta BEFORE any segment file becomes visible. A crash between
+    publish and meta-save would otherwise hand the same (partition,
+    offset) pairs to the next produce — duplicate positions break every
+    seek. The crashed (un-acked) produce is lost — Kafka's contract —
+    leaving a gap, never a collision."""
+    ev = _events(spark, n=400, keys=80, seed=7)
+    w1 = ev.filter("seq % 2 = 0")
+    w2 = ev.filter("seq % 2 = 1")
+    topic = os.path.join(tmp_root, "tcrash")
+    ks.create_topic(topic, n_partitions=2)
+
+    import os as _os
+
+    real_replace = _os.replace
+
+    def crash_replace(src, dst):
+        if os.sep + "data" + os.sep in dst:
+            # crash only at segment publish — the meta save (also an
+            # os.replace, of the json file) must succeed first
+            raise OSError("injected crash during segment publish")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(ks.os, "replace", crash_replace)
+    with pytest.raises(OSError, match="injected crash"):
+        ks.produce(encode_events(w1, keep_cols=("op_ts", "seq")), topic)
+    monkeypatch.setattr(ks.os, "replace", real_replace)
+
+    # offsets were reserved; the lost window left a gap, zero visible rows
+    assert ks.read_topic_batch(spark, topic).count() == 0
+    ends_reserved = ks.topic_meta(topic)["ends"]
+    assert sum(int(e) for e in ends_reserved.values()) > 0
+
+    ends = ks.produce(encode_events(w2, keep_cols=("op_ts", "seq")), topic)
+    out = ks.read_topic_batch(spark, topic)
+    # no duplicate (partition, offset) pairs, and every visible offset
+    # sits at-or-above the crashed window's reserved log end
+    dup = (
+        out.groupBy("partition", "offset").count().filter("count > 1").count()
+    )
+    assert dup == 0
+    lows = {
+        r["partition"]: r["lo"]
+        for r in out.groupBy("partition").agg(F.min("offset").alias("lo")).collect()
+    }
+    for p, lo in lows.items():
+        assert lo >= int(ends_reserved[str(p)])
+        assert ends[p] >= int(ends_reserved[str(p)])

@@ -213,3 +213,28 @@ def test_job_json_restore_from_lineage(spark, tmp_root):
     final = LakeTable.load(spark, table.root)
     assert sha256_state(df_state(final.read(), PK)) == want
     assert m["numWrite"] >= 0
+
+
+def test_write_binlog_files_mtimes_monotonic_across_calls(spark, tmp_root):
+    """Two windows written seconds apart must not interleave mtimes: the
+    file source orders the WHOLE watched dir by mtime, so window 2's
+    first segment sorting before window 1's tail would deliver
+    higher-offset rows first — a mid-stream snapshot then isn't an
+    offset prefix and restore silently drops never-absorbed rows."""
+    import glob
+
+    from chunjun_spark.sources.binlog import generate_binlog
+
+    d1 = os.path.join(tmp_root, "w1")
+    d2 = os.path.join(tmp_root, "w2")
+    write_binlog_files(generate_binlog(spark, 200, n_keys=50, seed=1), d1,
+                       n_files=4)
+    write_binlog_files(generate_binlog(spark, 200, n_keys=50, seed=2), d2,
+                       n_files=4)
+    m1 = [os.path.getmtime(p) for p in glob.glob(os.path.join(d1, "part-*"))]
+    m2 = [os.path.getmtime(p) for p in glob.glob(os.path.join(d2, "part-*"))]
+    assert len(m1) == 4 and len(m2) == 4
+    assert max(m1) < min(m2), (m1, m2)
+    # and strictly increasing within each window
+    assert sorted(set(m1)) == sorted(m1)
+    assert sorted(set(m2)) == sorted(m2)

@@ -112,6 +112,52 @@ def test_multi_table_json_wire_heterogeneous_payloads(spark, tmp_root):
     assert o == {10: (9.5, "x")}
 
 
+def test_multi_table_ddl_only_batch_applies_ddl(spark, tmp_root):
+    """A micro-batch whose only rows for a table are DDL must still
+    apply that DDL: the checkpoint commits the batch, so the DDL row
+    never re-arrives — the old data-only routing dropped it forever
+    (later payloads would silently decode against the stale schema)."""
+    import json as _json
+
+    binlog = os.path.join(tmp_root, "dbinlog")
+    lake = os.path.join(tmp_root, "dlake")
+    ckpt = os.path.join(tmp_root, "dckpt")
+
+    # file 0: alpha data only; file 1: a gamma DDL ONLY (no gamma data);
+    # maxFilesPerTrigger=1 -> the DDL arrives in its own micro-batch
+    f0 = [_ev("INSERT", 1, "alpha", "r1", "a1")]
+    f1 = [_ev("DDL", 2, "gamma", None, None,
+              ddl=_json.dumps({"action": "add_column", "name": "stars",
+                               "type": "int"}))]
+    os.makedirs(binlog)
+    stage = os.path.join(tmp_root, "dstage")
+    spark.createDataFrame(f0, SCHEMA).coalesce(1).write.parquet(
+        os.path.join(stage, "b0"))
+    spark.createDataFrame(f1, SCHEMA).coalesce(1).write.parquet(
+        os.path.join(stage, "b1"))
+    import glob as _glob
+    import time as _time
+    flat = sorted(_glob.glob(os.path.join(stage, "b*", "part-*")))
+    for i, p in enumerate(flat):
+        dst = os.path.join(binlog, f"seg{i}.parquet")
+        os.replace(p, dst)
+        t = _time.time() - 10 + i
+        os.utime(dst, (t, t))
+
+    events = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1)
+        .parquet(binlog)
+    )
+    q = pl.start_multi_table_stream(events, lake, ckpt, job_id="ddlonly")
+    assert q.awaitTermination(120)
+
+    gamma = LakeTable.load(spark, os.path.join(lake, "gamma"))
+    assert "stars" in gamma.schema.names()  # created on DDL sight + evolved
+    assert gamma.read().count() == 0
+    alpha = LakeTable.load(spark, os.path.join(lake, "alpha"))
+    assert alpha.read().count() == 1
+
+
 def test_poison_pill_fails_stream(spark, tmp_root):
     binlog = os.path.join(tmp_root, "pbinlog")
     lake = os.path.join(tmp_root, "plake")
@@ -184,9 +230,11 @@ def test_failure_rate_restart_spread_failures_keep_restarting():
         calls["n"] += 1
         return FakeQuery(fail=calls["n"] < 6)
 
-    # failures land 30s apart: any 50s window holds at most 2 -> survives
+    # failures land 30s apart: any 25s window holds at most 1 < bound 2
+    # -> survives (at interval >= 30 two in-window failures WOULD trip
+    # the bound — the Nth in-window failure gives up, Flink semantics)
     out = pl.run_stream_with_failure_rate_restart(
-        start, max_failures_per_interval=2, failure_interval_sec=50.0,
+        start, max_failures_per_interval=2, failure_interval_sec=25.0,
         delay_sec=0.0, _clock=lambda: clock["t"],
     )
     assert out == {"restarts": 5, "gave_up": False}
@@ -214,7 +262,7 @@ def test_failure_rate_restart_burst_gives_up():
             start, max_failures_per_interval=3, failure_interval_sec=60.0,
             delay_sec=0.0, _clock=lambda: clock["t"],
         )
-    assert calls["n"] == 4  # 3 allowed in window, the 4th trips the bound
+    assert calls["n"] == 3  # the 3rd in-window failure trips the bound
 
 
 def test_files_per_trigger_for_rate():
@@ -463,8 +511,8 @@ def test_admit_batch_poison_raises_and_tolerates_missing_cols(spark):
 def test_admit_multi_batch_one_source_evaluation(spark):
     """Multi-table admission folds poison + per-table DDL + the routing
     list into one narrow aggregate (previously three separate scans); a
-    table seeing only DDL this batch is not routed (create-on-first-data,
-    as before)."""
+    table seeing only DDL this batch has has_data=False (no merge, no
+    offsets) but its DDL row still comes back for the caller to apply."""
     import json
 
     rows = [
@@ -483,14 +531,16 @@ def test_admit_multi_batch_one_source_evaluation(spark):
     assert acc.value == len(rows), (
         f"admission evaluated the source {acc.value / len(rows):.1f} times"
     )
-    assert names == ["ta", "tb"]  # tc had only DDL -> not routed
+    assert names == ["ta", "tb"]  # tc had only DDL -> no data to merge
     assert sorted(r["seq"] for r in ddl_rows) == [2, 4]
     assert sorted(r["seq"] for r in data.collect()) == [1, 3]
-    # per-table FormatState offsets ride the same single pass (data rows
-    # only, one channel in this fixture)
+    # per-table FormatState offsets ride the same single pass; counts are
+    # data rows only (numRead), but the high-water INCLUDES consumed DDL
+    # offsets — a restore must not re-deliver a consumed DDL
     assert set(offsets) == {"ta", "tb"}
     assert sum(v["n"] for v in offsets["ta"].values()) == 1
     assert sum(v["n"] for v in offsets["tb"].values()) == 1
+    assert offsets["ta"]["0"]["max_offset"] == 2  # ta's DDL rode offset 2
 
 
 def test_admit_multi_batch_poison(spark):
@@ -557,3 +607,40 @@ def test_stream_metrics_listener(spark, tmp_root):
         assert 'query_id="' in text
     finally:
         listener.detach(spark)
+
+
+def test_listener_render_valid_exposition_for_multiple_queries():
+    """The text exposition format rejects a second TYPE line for an
+    already-seen metric name, so >1 query must render grouped BY METRIC
+    (one TYPE line each, one labeled sample per query) — and point-in-
+    time readings (active, last*) must be gauges, not counters."""
+    from types import SimpleNamespace
+
+    from chunjun_spark.metrics import StreamMetricsListener
+
+    li = StreamMetricsListener()
+
+    def prog(qid, name, rows):
+        return SimpleNamespace(progress=SimpleNamespace(
+            id=qid, name=name, numInputRows=rows, inputRowsPerSecond=rows / 2,
+            processedRowsPerSecond=rows / 2.0,
+            durationMs={"triggerExecution": 7},
+        ))
+
+    li.onQueryProgress(prog("q-aaa", "alpha", 10))
+    li.onQueryProgress(prog("q-bbb", "beta", 20))
+    text = li.render()
+    lines = text.strip().split("\n")
+    type_names = [ln.split()[2] for ln in lines if ln.startswith("# TYPE ")]
+    assert len(type_names) == len(set(type_names)), type_names
+    types = {ln.split()[2]: ln.split()[3] for ln in lines
+             if ln.startswith("# TYPE ")}
+    assert types["chunjun_stream_active"] == "gauge"
+    assert types["chunjun_stream_last_input_rows_per_second"] == "gauge"
+    assert types["chunjun_stream_num_input_rows"] == "counter"
+    # one sample per query per metric, labeled
+    samples = [ln for ln in lines
+               if ln.startswith("chunjun_stream_num_input_rows{")]
+    assert len(samples) == 2
+    assert any('query="alpha"' in s for s in samples)
+    assert any('query="beta"' in s for s in samples)

@@ -214,6 +214,14 @@ def test_job_json_wap_audits(spark, tmp_root):
     assert "b1" in t.committed_batches()
     n = t.read().count()
 
+    # exactly-once re-run of the SAME batchId: replay_wap never runs an
+    # action over the observed input frame, so run_job must take the
+    # _noAction path instead of awaiting the Observation forever
+    m2 = run_job(spark, job("b1", [{"type": "row_count_min", "value": 1}]))
+    assert m2["wapOutcome"] == "skipped"
+    assert m2["numRead"] == 0 and m2["numWrite"] == 0
+    assert LakeTable.load(spark, root).read().count() == n
+
     with pytest.raises(RuntimeError, match="WAP audit failed"):
         run_job(spark, job("b2", [{"type": "row_count_max", "value": 1}]))
     t = LakeTable.load(spark, root)
