@@ -1656,6 +1656,22 @@ def _q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lake_projection(old.read())
 
 
+def _q_cdc_tagged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named snapshot refs (Iceberg tag analog, ``LakeTable.tag``):
+    pin the first window's commit under a tag and read through it —
+    the reproducible-training-snapshot contract ("the exact corpus
+    model A trained on"), protected from vacuum until the tag is
+    deleted. Same logical result as cdc_time_travel, resolved by REF
+    instead of version number. Source lake = the shared two-window
+    fixture (tagging is additive metadata; data untouched)."""
+    fx = _events_lake_2w(spark, sf_dir)
+    t = LakeTable.load(spark, fx["root"])
+    if "train-w1" not in t.tags():
+        t.tag("train-w1", version=fx["v1"], note="window-1 corpus")
+    old = LakeTable.load(spark, fx["root"], tag="train-w1")
+    return _lake_projection(old.read())
+
+
 _TIME_TRAVEL_SQL = """
 WITH r AS (
   SELECT *, row_number() OVER (PARTITION BY user_id
@@ -2564,6 +2580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation_pipeline,
         "cdc_changes_feed": _q_cdc_changes_feed,
         "cdc_time_travel": _q_cdc_time_travel,
+        "cdc_tagged_read": _q_cdc_tagged_read,
         "cdc_rollback": _q_cdc_rollback,
         "cdc_wap_publish": _q_cdc_wap_publish,
         "cdc_compact_reshard": _q_cdc_compact_reshard,
@@ -2648,6 +2665,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": _CURATION_SQL,
         "cdc_changes_feed": _CHANGES_FEED_SQL,
         "cdc_time_travel": _TIME_TRAVEL_SQL,
+        "cdc_tagged_read": _TIME_TRAVEL_SQL,
         "cdc_rollback": _TIME_TRAVEL_SQL,
         "cdc_wap_publish": _FINAL_2W_SQL,
         "cdc_compact_reshard": _REPLAY_LAKE_SQL,

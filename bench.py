@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "embedding_semantic_dedup",
     "minhash_index_sync",
     "cdc_time_travel",
+    "cdc_tagged_read",
     "cdc_rollback",
     "cdc_wap_publish",
     "cdc_compact_reshard",

@@ -297,7 +297,8 @@ def _read_lake(spark: SparkSession, cfg: JobConfig) -> DataFrame:
 
     Two modes:
     - snapshot (default): current state, or time travel via ``version``
-      — pairs with plain-frame sinks (file/jdbc/stream).
+      or a named ``tag`` (pinned training-snapshot read) — pairs with
+      plain-frame sinks (file/jdbc/stream).
     - incremental (``sinceVersion`` set, optional ``untilVersion``):
       ``LakeTable.read_changes`` re-emitted in the canonical changelog
       EVENT_SCHEMA shape, so the result feeds ``lakewriter`` directly —
@@ -310,7 +311,8 @@ def _read_lake(spark: SparkSession, cfg: JobConfig) -> DataFrame:
     from chunjun_spark.sources.changelog import to_changelog
 
     p = cfg.reader.parameter
-    table = LakeTable.load(spark, p["path"], version=p.get("version"))
+    table = LakeTable.load(spark, p["path"], version=p.get("version"),
+                           tag=p.get("tag"))
     if "sinceVersion" not in p:
         return table.read()
     ch = table.read_changes(

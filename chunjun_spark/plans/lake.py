@@ -280,15 +280,27 @@ class LakeTable:
 
     @classmethod
     def load(
-        cls, spark: SparkSession, root: str, version: int | None = None
+        cls,
+        spark: SparkSession,
+        root: str,
+        version: int | None = None,
+        tag: str | None = None,
     ) -> "LakeTable":
-        """Load the current snapshot, or time-travel to ``version``.
+        """Load the current snapshot, time-travel to ``version``, or
+        resolve a named ``tag`` (Iceberg tag-ref read analog).
 
         Every commit keeps its manifest (``_manifests/v{N}.json``), so any
         historical snapshot remains readable until garbage-collected —
         the Iceberg snapshot-id read analog. Writes against a historical
         snapshot are rejected by the optimistic ``_write_manifest`` check.
         """
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            tags = cls._load_tags(root)
+            if tag not in tags:
+                raise FileNotFoundError(f"no tag {tag!r} at {root}")
+            version = int(tags[tag]["version"])
         v = cls._current_version(root) if version is None else version
         if v is None:
             raise FileNotFoundError(f"no lake table at {root}")
@@ -1385,6 +1397,70 @@ class LakeTable:
             prev_batches = set(m["lineage"])
         return out
 
+    # -------------------------------------------------------------- tags
+    # Iceberg named-ref (tag) analog: a tag pins a snapshot version by
+    # name — "the corpus a model trained on" stays reproducibly readable
+    # (load(tag=...)) and its manifest + data survive vacuum until the
+    # tag is deleted. Tags are table-level metadata refs, not snapshots:
+    # they live in ONE atomically-replaced json beside the manifests, so
+    # creating/deleting a tag never touches the commit chain.
+
+    @staticmethod
+    def _tags_path(root: str) -> str:
+        return os.path.join(root, "_manifests", "_tags.json")
+
+    @classmethod
+    def _load_tags(cls, root: str) -> dict:
+        p = cls._tags_path(root)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def tags(self) -> dict:
+        """``{name: {"version": v, "created_ts": t, "note": ...}}``."""
+        return self._load_tags(self.root)
+
+    def tag(self, name: str, version: int | None = None,
+            note: str | None = None) -> dict:
+        """Pin ``version`` (default: current) under ``name``. Re-tagging
+        an existing name to the SAME version is a no-op; to a different
+        version it raises — delete the tag first (accidental retargeting
+        silently changes what a 'frozen' training snapshot means)."""
+        if not name or os.sep in name or name.startswith("_"):
+            raise ValueError(f"bad tag name {name!r}")
+        v = self._current_version(self.root) if version is None else int(version)
+        if not os.path.exists(os.path.join(self.root, "_manifests", f"v{v}.json")):
+            raise FileNotFoundError(f"no snapshot v{v} to tag at {self.root}")
+        tags = self._load_tags(self.root)
+        prior = tags.get(name)
+        if prior is not None:
+            if int(prior["version"]) == v:
+                return prior
+            raise ValueError(
+                f"tag {name!r} already pins v{prior['version']}; delete it "
+                f"before re-pointing to v{v}"
+            )
+        entry = {"version": v, "created_ts": time.time()}
+        if note:
+            entry["note"] = note
+        tags[name] = entry
+        tmp = self._tags_path(self.root) + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(tags, f, indent=1)
+        os.replace(tmp, self._tags_path(self.root))
+        return entry
+
+    def delete_tag(self, name: str) -> None:
+        tags = self._load_tags(self.root)
+        if name not in tags:
+            raise KeyError(f"no tag {name!r}")
+        del tags[name]
+        tmp = self._tags_path(self.root) + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(tags, f, indent=1)
+        os.replace(tmp, self._tags_path(self.root))
+
     def vacuum(self, keep_last: int = 10) -> dict:
         """Retention GC (VACUUM analog): drop all but the newest
         ``keep_last`` snapshot manifests, then delete every
@@ -1400,6 +1476,9 @@ class LakeTable:
             raise FileNotFoundError(f"no _current pointer at {self.root}")
         cutoff = cur - keep_last + 1
         mdir = os.path.join(self.root, "_manifests")
+        # tagged versions are pinned refs: their manifest AND data stay
+        # readable past the retention window until the tag is deleted
+        tagged = {int(e["version"]) for e in self._load_tags(self.root).values()}
         keep_paths: set[str] = set()
         removed_manifests = 0
         for name in sorted(os.listdir(mdir)):
@@ -1411,7 +1490,7 @@ class LakeTable:
             elif name.startswith("v") and name.endswith(".json"):
                 v = int(name[1:-5])
                 path = os.path.join(mdir, name)
-                if v < cutoff:
+                if v < cutoff and v not in tagged:
                     os.remove(path)
                     removed_manifests += 1
                     continue

@@ -628,3 +628,70 @@ def test_drop_cluster_column_rejected(spark, tmp_root):
         .withColumn("_op", F.lit("UPSERT"))
     t.merge(ch, batch_id="b1")
     assert {r["k"] for r in t.refresh().read().collect()} == {1}
+
+
+def test_tags_pin_snapshots_and_survive_vacuum(spark, tmp_root):
+    """Iceberg tag-ref analog: a named tag pins a version for
+    reproducible reads (the corpus a model trained on), protects its
+    manifest + data from vacuum until deleted, and refuses silent
+    re-pointing."""
+    root = os.path.join(tmp_root, "tags")
+    table = LakeTable.create(spark, root, PAYLOAD_SCHEMA,
+                             pk=["repo", "path"], n_buckets=4)
+    ev1 = generate_binlog(spark, n_events=2000, n_keys=500, seed=3)
+    replay(ev1, table, batch_id="b1")
+    t = LakeTable.load(spark, root)
+    v1 = t.manifest["version"]
+    n1 = t.read().count()
+    t.tag("train-v1", note="corpus for model A")
+    assert t.tags()["train-v1"]["version"] == v1
+
+    for i, seed in enumerate([4, 5, 6]):
+        ev = generate_binlog(spark, n_events=2000, n_keys=500, seed=seed)
+        replay(ev, LakeTable.load(spark, root), batch_id=f"b{i + 2}")
+    t = LakeTable.load(spark, root)
+
+    # read by tag == time travel to the pinned version
+    by_tag = LakeTable.load(spark, root, tag="train-v1")
+    assert by_tag.manifest["version"] == v1
+    assert by_tag.read().count() == n1
+
+    # vacuum keeps the tagged version even outside the retention window
+    info = t.vacuum(keep_last=1)
+    assert info["manifests_removed"] > 0
+    assert LakeTable.load(spark, root, tag="train-v1").read().count() == n1
+    # an untagged old version inside the removed range is gone
+    with pytest.raises(FileNotFoundError):
+        LakeTable.load(spark, root, version=v1 + 1)
+
+    # re-tag same name + same version: no-op; different version: refused
+    t.tag("train-v1", version=v1)
+    with pytest.raises(ValueError, match="already pins"):
+        t.tag("train-v1", version=t.manifest["version"])
+    with pytest.raises(ValueError):
+        t.tag("_bad")
+    with pytest.raises(FileNotFoundError):
+        t.tag("ghost", version=999)
+    with pytest.raises(FileNotFoundError):
+        LakeTable.load(spark, root, tag="nope")
+
+    # delete the tag -> next vacuum collects the pinned snapshot
+    t.delete_tag("train-v1")
+    with pytest.raises(KeyError):
+        t.delete_tag("train-v1")
+    t.refresh().vacuum(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        LakeTable.load(spark, root, version=v1)
+
+    # job surface: lakereader reads by tag
+    from chunjun_spark.job import run_job
+
+    t = LakeTable.load(spark, root)
+    t.tag("cur", note="current")
+    out = os.path.join(tmp_root, "tagout")
+    run_job(spark, {"job": {"content": [{
+        "reader": {"name": "lakereader",
+                   "parameter": {"path": root, "tag": "cur"}},
+        "writer": {"name": "parquetwriter", "parameter": {"path": out}},
+    }]}})
+    assert spark.read.parquet(out).count() == t.read().count()
