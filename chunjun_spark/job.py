@@ -228,6 +228,7 @@ def _write_jdbc(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
     transaction apply (data + batch marker atomically; a re-run with the
     same jobId/batchId is a no-op) — the XA two-phase-commit analog."""
     from chunjun_spark.sources.jdbc_live import (
+        apply_changelog_jdbc_exactly_once,
         batch_applied,
         ensure_audit_table,
         execute_sql,
@@ -242,7 +243,12 @@ def _write_jdbc(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
         "user": conn["user"],
         "password": conn["password"],
     }
-    if p.get("semantic") == "exactly-once":
+    # writeMode=cdc (changelog apply: DELETE winners delete, the rest
+    # upsert) is inherently audited — it implies exactly-once
+    exactly_once = (
+        p.get("semantic") == "exactly-once" or p.get("writeMode") == "cdc"
+    )
+    if exactly_once:
         # the exactly-once guarantee covers the side-effect SQL too: a
         # replayed batch must not re-run a non-idempotent preSql/postSql
         # (DELETE/TRUNCATE would mutate the target on every replay), so
@@ -259,19 +265,32 @@ def _write_jdbc(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
             return
     if p.get("preSql"):
         execute_sql(df.sparkSession, conn["url"], list(p["preSql"]), **common)
-    if p.get("semantic") == "exactly-once":
-        result = write_jdbc_exactly_once(
-            df,
-            conn["url"],
-            conn["table"],
-            job_id=str(p.get("jobId", "job")),
-            batch_id=str(p.get("batchId", "0")),
-            mode=p.get("writeMode", "insert"),
-            pk=p.get("updateKey") or p.get("pk"),
-            batch_size=int(p.get("batchSize", 1000)),
-            staging_table=p.get("stagingTable"),
-            **common,
-        )
+    if exactly_once:
+        if p.get("writeMode") == "cdc":
+            result = apply_changelog_jdbc_exactly_once(
+                df,
+                conn["url"],
+                conn["table"],
+                job_id=str(p.get("jobId", "job")),
+                batch_id=str(p.get("batchId", "0")),
+                pk=p.get("updateKey") or p.get("pk"),
+                batch_size=int(p.get("batchSize", 1000)),
+                staging_table=p.get("stagingTable"),
+                **common,
+            )
+        else:
+            result = write_jdbc_exactly_once(
+                df,
+                conn["url"],
+                conn["table"],
+                job_id=str(p.get("jobId", "job")),
+                batch_id=str(p.get("batchId", "0")),
+                mode=p.get("writeMode", "insert"),
+                pk=p.get("updateKey") or p.get("pk"),
+                batch_size=int(p.get("batchSize", 1000)),
+                staging_table=p.get("stagingTable"),
+                **common,
+            )
         metrics["jdbcBatchSkipped"] = bool(result.get("skipped"))
         if result.get("skipped"):
             # replayed batch: no write action ran, so the numRead

@@ -35,6 +35,7 @@ two-statement upsert as the default strategy.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from chunjun_spark.sources.jdbc import (
@@ -336,6 +337,14 @@ def _staging_types(df: DataFrame, varchar_len: int = 4000) -> str | None:
     return ", ".join(parts) if parts else None
 
 
+def _qid(name: str) -> str:
+    """Delimited identifier: the columns here come from our uppercased
+    staging frames, so quoting is always safe and keeps reserved words
+    (a source-code-repo row has a ``commit`` column!) usable — quoted
+    UPPER matches Derby/ANSI fold-to-upper unquoted DDL."""
+    return '"' + name.replace('"', '""') + '"'
+
+
 def staged_upsert_statements(
     table: str, staging: str, columns: list[str], pk: list[str]
 ) -> list[str]:
@@ -344,10 +353,10 @@ def staged_upsert_statements(
     per-row ON-DUPLICATE/MERGE loop (EWriteMode UPDATE), in two
     statements total."""
     non_pk = [c for c in columns if c not in pk]
-    on = " AND ".join(f"s.{c} = t.{c}" for c in pk)
+    on = " AND ".join(f"s.{_qid(c)} = t.{_qid(c)}" for c in pk)
     sets = ", ".join(
-        f"{c} = (SELECT s.{c} FROM {staging} s WHERE "
-        + " AND ".join(f"s.{k} = {table}.{k}" for k in pk)
+        f"{_qid(c)} = (SELECT s.{_qid(c)} FROM {staging} s WHERE "
+        + " AND ".join(f"s.{_qid(k)} = {table}.{_qid(k)}" for k in pk)
         + ")"
         for c in non_pk
     )
@@ -356,11 +365,11 @@ def staged_upsert_statements(
         stmts.append(
             f"UPDATE {table} SET {sets} WHERE EXISTS "
             f"(SELECT 1 FROM {staging} s WHERE "
-            + " AND ".join(f"s.{k} = {table}.{k}" for k in pk)
+            + " AND ".join(f"s.{_qid(k)} = {table}.{_qid(k)}" for k in pk)
             + ")"
         )
-    cols = ", ".join(columns)
-    sel = ", ".join(f"s.{c}" for c in columns)
+    cols = ", ".join(_qid(c) for c in columns)
+    sel = ", ".join(f"s.{_qid(c)}" for c in columns)
     stmts.append(
         f"INSERT INTO {table} ({cols}) SELECT {sel} FROM {staging} s "
         f"WHERE NOT EXISTS (SELECT 1 FROM {table} t WHERE {on})"
@@ -547,6 +556,90 @@ def write_jdbc_exactly_once(
         except Exception:
             pass  # stage left behind is harmless; next run overwrites it
     return {"skipped": False, "batch_id": batch_id, "n_statements": len(stmts)}
+
+
+def apply_changelog_jdbc_exactly_once(
+    events: DataFrame,
+    url: str,
+    table: str,
+    job_id: str,
+    batch_id: str,
+    pk: list[str],
+    driver: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    batch_size: int = 1000,
+    staging_table: str | None = None,
+) -> dict:
+    """CDC apply: fold a changelog window (EVENT_SCHEMA) to its net
+    per-key effect and land it in a JDBC target exactly once — the
+    reference's core binlog → JDBC restore-mode sync
+    (JdbcOutputFormat.java:290-390 insert/update/delete row loop under
+    the XA commit protocol), re-expressed set-based.
+
+    keep_last picks one winner per key over (op_ts, seq); DELETE winners
+    delete, everything else upserts. Both staged distributed, then
+    applied with the batch marker in ONE driver transaction — a replayed
+    batch_id is a no-op, so chained hops (binlog → lake → JDBC mart) are
+    each exactly-once.
+    """
+    from chunjun_spark.operators.dedup import keep_last
+    from chunjun_spark.operators.merge import events_with_pk
+
+    if not pk:
+        raise ValueError("changelog apply needs a pk (updateKey)")
+    spark = events.sparkSession
+    ensure_audit_table(spark, url, driver, user, password)
+    if batch_applied(spark, url, job_id, batch_id, driver, user, password):
+        return {"skipped": True, "batch_id": batch_id}
+
+    keyed = events_with_pk(events, pk)
+    winners = keep_last(keyed, pk=pk, order=("op_ts", "seq"))
+    # two consumers (upsert side, delete side) — cut the plan so the
+    # winner aggregate runs once, not once per staged write
+    winners = winners.localCheckpoint(eager=True)
+    is_del = F.col("op") == "DELETE"
+    upserts = winners.filter(~is_del).select("after.*")
+    deletes = winners.filter(is_del).select(*pk)
+
+    props = {"batchsize": str(batch_size)}
+    if driver:
+        props["driver"] = driver
+    if user is not None:
+        props["user"] = user
+        props["password"] = password or ""
+    staging = staging_table or f"{table}_cj_stage"
+    staging_del = f"{staging}_del"
+    _stage_frame(upserts, url, staging, props)
+    _stage_frame(deletes, url, staging_del, props)
+
+    cols = [c.upper() for c in upserts.columns]
+    pk_up = [c.upper() for c in pk]
+    on_del = " AND ".join(f"s.{_qid(k)} = {table}.{_qid(k)}" for k in pk_up)
+    stmts = [
+        f"DELETE FROM {table} WHERE EXISTS "
+        f"(SELECT 1 FROM {staging_del} s WHERE {on_del})"
+    ]
+    stmts += staged_upsert_statements(table, staging, cols, pk_up)
+    stmts.append(
+        f"INSERT INTO {AUDIT_TABLE} (JOB_ID, BATCH_ID) "
+        f"VALUES ({_qlit(job_id)}, {_qlit(batch_id)})"
+    )
+    try:
+        counts = execute_sql(spark, url, stmts, driver, user, password)
+    finally:
+        for st in (staging, staging_del):
+            try:
+                execute_sql(spark, url, [f"DROP TABLE {st}"],
+                            driver, user, password)
+            except Exception:
+                pass  # stage left behind is harmless; next run overwrites
+    return {
+        "skipped": False,
+        "batch_id": batch_id,
+        "n_deleted": max(counts[0], 0),
+        "n_statements": len(stmts),
+    }
 
 
 # --------------------------------------------------------------- polling

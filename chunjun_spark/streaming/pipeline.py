@@ -453,6 +453,107 @@ def start_multi_table_stream(
     )
 
 
+_RELAY_DDL_TYPES = {
+    "int": "INT", "integer": "INT", "bigint": "BIGINT", "long": "BIGINT",
+    "double": "DOUBLE", "float": "REAL", "boolean": "BOOLEAN",
+    "string": "VARCHAR(4000)", "timestamp": "TIMESTAMP", "date": "DATE",
+}
+
+
+def _relay_apply_ddl(
+    spark, url: str, table: str, ddl_rows: list[dict],
+    driver: str | None, user: str | None, password: str | None,
+) -> None:
+    """add_column DDL forwarded to the JDBC target as an idempotent
+    ALTER TABLE (existing column = replayed micro-batch → skip). Other
+    DDL raises loudly: the reference's JDBC writers sync DATA into
+    pre-created tables — silently dropping a rename/widen/drop would
+    desync relay and source schemas without anyone noticing."""
+    import json as _json
+
+    from chunjun_spark.sources.jdbc_live import execute_sql
+
+    reader = spark.read.format("jdbc").option("url", url).option(
+        "dbtable", table)
+    if driver:
+        reader = reader.option("driver", driver)
+    if user is not None:
+        reader = reader.option("user", user).option("password", password or "")
+    existing = {c.lower() for c in reader.load().columns}
+    for r in sorted(ddl_rows, key=lambda d: (d["op_ts"], d["seq"])):
+        spec = _json.loads(r["ddl"])
+        if spec["action"] != "add_column":
+            raise ValueError(
+                f"jdbc relay cannot apply DDL action {spec['action']!r} "
+                f"(only add_column); evolve the target out of band"
+            )
+        if spec["name"].lower() in existing:
+            continue
+        ddl_type = _RELAY_DDL_TYPES.get(spec["type"].lower())
+        if ddl_type is None:
+            raise ValueError(f"no JDBC type mapping for {spec['type']!r}")
+        execute_sql(
+            spark, url,
+            [f"ALTER TABLE {table} ADD COLUMN {spec['name'].upper()} "
+             f"{ddl_type}"],
+            driver, user, password,
+        )
+        existing.add(spec["name"].lower())
+
+
+def start_jdbc_relay_stream(
+    events: DataFrame,
+    url: str,
+    table: str,
+    checkpoint_dir: str,
+    job_id: str,
+    pk: list[str],
+    driver: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    batch_size: int = 1000,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous binlog → JDBC mart relay — the reference's primary
+    deployment shape (binlogreader → jdbcwriter under
+    ``semantic=exactly-once``; BinlogInputFormat → JdbcOutputFormat with
+    the XA commit protocol). Each micro-batch is admitted through the
+    fused narrow pre-pass, folded to its net per-key effect (keep_last
+    over (op_ts, seq)), and applied to the target database in ONE
+    audited transaction keyed by the micro-batch id: DELETE winners
+    delete, the rest upsert. A restart re-delivering a committed batch
+    hits the audit-marker skip — end-to-end exactly once without the
+    target being a lake.
+
+    add_column DDL is forwarded as an idempotent ALTER TABLE; any other
+    DDL action fails the query loudly (see _relay_apply_ddl).
+    """
+    from chunjun_spark.sources.jdbc_live import (
+        apply_changelog_jdbc_exactly_once,
+    )
+
+    spark = events.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df, ddl_rows, _offsets = admit_batch_with_offsets(batch_df)
+        if ddl_rows:
+            _relay_apply_ddl(spark, url, table, ddl_rows,
+                             driver, user, password)
+        apply_changelog_jdbc_exactly_once(
+            batch_df, url, table, job_id=job_id, batch_id=str(batch_id),
+            pk=pk, driver=driver, user=user, password=password,
+            batch_size=batch_size,
+        )
+
+    w = (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 class MicroBatchAuditFailure(RuntimeError):
     """A micro-batch failed its WAP audits; its staged snapshot was
     abandoned and the query stops (re-delivery re-fails by design —
