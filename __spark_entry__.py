@@ -9,6 +9,7 @@ rows-only entries, cross-verified in tests/ against exact counterparts.
 
 from __future__ import annotations
 
+import hashlib
 import tempfile
 from collections.abc import Callable
 
@@ -1656,6 +1657,71 @@ def _q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lake_projection(old.read())
 
 
+_RELAY_CALLS = {"n": 0}
+
+
+def _q_cdc_jdbc_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → JDBC mart relay (the reference's primary deployment:
+    binlogreader → jdbcwriter under semantic=exactly-once,
+    JdbcOutputFormat.java:290-390): fold the events changelog to its net
+    per-key effect and apply it to a LIVE embedded-Derby target in one
+    audited transaction — DELETE winners delete, the rest upsert
+    (apply_changelog_jdbc_exactly_once). The returned frame reads the
+    target back over JDBC, so the oracle checks the real round trip
+    through the database, not a Spark-side fold."""
+    from chunjun_spark.sources.jdbc_live import (
+        DERBY_DRIVER,
+        apply_changelog_jdbc_exactly_once,
+        execute_sql,
+    )
+
+    # one target db per sf_dir: stale keys from another scale factor's
+    # fold would otherwise survive in a shared mart (the fold only
+    # touches keys present in ITS changelog)
+    db = "cj_entry_relay_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    url = f"jdbc:derby:memory:{db};create=true"
+    try:
+        execute_sql(
+            spark, url,
+            ["CREATE TABLE mart (user_id BIGINT PRIMARY KEY, "
+             "event_type VARCHAR(64), value DOUBLE)"],
+            driver=DERBY_DRIVER,
+        )
+    except Exception:
+        pass  # table exists (same-session re-run); the apply converges
+    ch = events_changelog(_t(spark, sf_dir, "events"))
+    # fresh batch id per call so a best-of-2 bench pass times the real
+    # apply, not the audited-replay skip; re-applying the same complete
+    # fold converges to the same target state (deletes + upserts are
+    # set-based on the full key range)
+    _RELAY_CALLS["n"] += 1
+    apply_changelog_jdbc_exactly_once(
+        ch, url, "mart", job_id="relay-entry",
+        batch_id=f"{sf_dir}#{_RELAY_CALLS['n']}",
+        pk=["user_id"], driver=DERBY_DRIVER,
+    )
+    tgt = (
+        spark.read.format("jdbc").option("url", url)
+        .option("dbtable", "mart").option("driver", DERBY_DRIVER).load()
+    )
+    return tgt.select(
+        F.col("USER_ID").alias("user_id"),
+        F.col("EVENT_TYPE").alias("last_event_type"),
+        F.round("VALUE", 6).alias("last_value"),
+    )
+
+
+_RELAY_SQL = """
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_event_type, round(value, 6) AS last_value
+FROM r WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 def _q_cdc_tagged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Named snapshot refs (Iceberg tag analog, ``LakeTable.tag``):
     pin the first window's commit under a tag and read through it —
@@ -2581,6 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changes_feed": _q_cdc_changes_feed,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_tagged_read": _q_cdc_tagged_read,
+        "cdc_jdbc_relay": _q_cdc_jdbc_relay,
         "cdc_rollback": _q_cdc_rollback,
         "cdc_wap_publish": _q_cdc_wap_publish,
         "cdc_compact_reshard": _q_cdc_compact_reshard,
@@ -2666,6 +2733,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changes_feed": _CHANGES_FEED_SQL,
         "cdc_time_travel": _TIME_TRAVEL_SQL,
         "cdc_tagged_read": _TIME_TRAVEL_SQL,
+        "cdc_jdbc_relay": _RELAY_SQL,
         "cdc_rollback": _TIME_TRAVEL_SQL,
         "cdc_wap_publish": _FINAL_2W_SQL,
         "cdc_compact_reshard": _REPLAY_LAKE_SQL,

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "cdc_agg_incremental",
     "cdc_agg_view",
     "kafka_roundtrip_final_state",
+    "cdc_jdbc_relay",
     "cdc_max_incremental",
     "cdc_rollup_view",
 ]

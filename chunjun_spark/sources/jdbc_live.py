@@ -330,7 +330,9 @@ def _staging_types(df: DataFrame, varchar_len: int = 4000) -> str | None:
     embedded dialects (Derby) default strings to CLOB, which their own
     set-based SQL then chokes on."""
     parts = [
-        f"{f.name} VARCHAR({varchar_len})"
+        # backtick-quoted for Spark's DDL parser: column names out of
+        # the input_hint row shape include SQL reserved words (commit)
+        f"`{f.name}` VARCHAR({varchar_len})"
         for f in df.schema.fields
         if f.dataType.simpleString() == "string"
     ]

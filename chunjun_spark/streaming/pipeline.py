@@ -492,10 +492,12 @@ def _relay_apply_ddl(
         ddl_type = _RELAY_DDL_TYPES.get(spec["type"].lower())
         if ddl_type is None:
             raise ValueError(f"no JDBC type mapping for {spec['type']!r}")
+        from chunjun_spark.sources.jdbc_live import _qid
+
         execute_sql(
             spark, url,
-            [f"ALTER TABLE {table} ADD COLUMN {spec['name'].upper()} "
-             f"{ddl_type}"],
+            [f"ALTER TABLE {table} ADD COLUMN "
+             f"{_qid(spec['name'].upper())} {ddl_type}"],
             driver, user, password,
         )
         existing.add(spec["name"].lower())
