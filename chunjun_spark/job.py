@@ -584,6 +584,45 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
         # realtime path: binlog dir → Structured Streaming foreachBatch
         p = cfg.reader.parameter
         wp = cfg.writer.parameter
+        if cfg.writer.name in (
+            "jdbcwriter", "mysqlwriter", "postgresqlwriter",
+            "oraclewriter", "sqlserverwriter",
+        ):
+            # streaming CDC relay into a live database — the reference's
+            # primary realtime shape (binlogreader → jdbcwriter under
+            # semantic=exactly-once); every micro-batch lands in ONE
+            # audited transaction keyed by its batch id
+            from chunjun_spark.sources.jdbc_live import query_scalar
+            from chunjun_spark.streaming.pipeline import (
+                read_binlog_stream,
+                start_jdbc_relay_stream,
+            )
+
+            conn = _jdbc_conn_params(wp)
+            events = read_binlog_stream(spark, p["path"])
+            q = start_jdbc_relay_stream(
+                events, conn["url"], conn["table"],
+                checkpoint_dir=cfg.restore.checkpoint_dir
+                or conn["table"] + "_ckpt",
+                job_id=cfg.job_id,
+                pk=wp.get("updateKey") or wp.get("pk"),
+                driver=conn["driver"], user=conn["user"],
+                password=conn["password"],
+                batch_size=int(wp.get("batchSize", 1000)),
+            )
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError("relay stream did not drain in time")
+            n = query_scalar(
+                spark, conn["url"],
+                f"SELECT COUNT(*) FROM {conn['table']}",
+                conn["driver"], conn["user"], conn["password"],
+            )
+            return {
+                "numWrite": int(n),
+                "nErrors": 0,
+                "duration": round(time.time() - t0, 2),
+            }
         # create the sink table on demand (the batch path's _write_lake
         # does this; the stream's apply_batch only load()s) so a fresh
         # machine can run examples/binlog_stream_to_lake.json directly,

@@ -185,3 +185,35 @@ def test_relay_forwards_add_column_ddl_idempotently(spark, tmp_root):
             "ddl": _json.dumps({"action": "drop_column", "name": "stars"})}]
     with pytest.raises(ValueError, match="cannot apply DDL action"):
         _relay_apply_ddl(spark, url, "tgt", bad, DERBY_DRIVER, None, None)
+
+
+def test_streaming_relay_via_job_json(spark, tmp_root):
+    """setting.restore.isStream + jdbcwriter: the job JSON drives the
+    streaming relay end to end (the reference's realtime binlog →
+    database deployment in one config file)."""
+    from chunjun_spark.sources.binlog import write_binlog_files
+
+    url = _db("relay5")
+    _mk_target(spark, url)
+    ev = generate_binlog(spark, 2000, n_keys=300, seed=8, dup_rate=0.2)
+    binlog = os.path.join(tmp_root, "jbinlog")
+    write_binlog_files(ev, binlog, n_files=3)
+    want = _expected_final(spark, ev)
+
+    cfg = {"job": {"jobId": "jrelay", "content": [{
+        "reader": {"name": "binlogreader", "parameter": {"path": binlog}},
+        "writer": {"name": "jdbcwriter", "parameter": {
+            "url": url, "table": "tgt", "driver": DERBY_DRIVER,
+            "writeMode": "cdc", "updateKey": ["repo", "path"],
+        }},
+    }], "setting": {"restore": {
+        "isStream": True, "isRestore": True,
+        "checkpointDir": os.path.join(tmp_root, "jckpt"),
+    }}}}
+    m = run_job(spark, cfg)
+    assert m["numWrite"] == len(want)
+    assert _target_state(spark, url) == want
+    # re-run over the same checkpoint: replays are audited no-ops
+    m2 = run_job(spark, cfg)
+    assert m2["numWrite"] == len(want)
+    assert _target_state(spark, url) == want
