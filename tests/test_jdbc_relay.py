@@ -217,3 +217,53 @@ def test_streaming_relay_via_job_json(spark, tmp_root):
     m2 = run_job(spark, cfg)
     assert m2["numWrite"] == len(want)
     assert _target_state(spark, url) == want
+
+
+def test_property_relay_windows_fold_to_one_shot(spark):
+    """Property: ANY window split of the changelog, relayed sequentially
+    (with some windows crash-replayed), leaves the JDBC target equal to
+    the per-row fold model — the restore-mode expected output of
+    docs/restore.md applied to a live database."""
+    import uuid
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tests.conftest import fold_oracle, sha256_state
+
+    @settings(max_examples=4, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.integers(min_value=1, max_value=4), st.booleans())
+    def run(k, replay_middle):
+        run_id = uuid.uuid4().hex[:8]
+        url = _db(f"relayprop_{run_id}")
+        _mk_target(spark, url)
+        n = 2500
+        ev = generate_binlog(spark, n, n_keys=250, seed=17, dup_rate=0.2,
+                             ).localCheckpoint(eager=True)
+        bounds = [n * i // k for i in range(k + 1)]
+        for i in range(k):
+            w = ev.filter((F.col("offset") >= bounds[i]) &
+                          (F.col("offset") < bounds[i + 1]))
+            apply_changelog_jdbc_exactly_once(
+                w, url, "tgt", job_id="prop", batch_id=f"w{i}",
+                pk=["repo", "path"], driver=DERBY_DRIVER)
+            if replay_middle:
+                # crash-replay of the SAME window: audited no-op
+                apply_changelog_jdbc_exactly_once(
+                    w, url, "tgt", job_id="prop", batch_id=f"w{i}",
+                    pk=["repo", "path"], driver=DERBY_DRIVER)
+        want = fold_oracle(ev.collect())
+        df = (spark.read.format("jdbc").option("url", url)
+              .option("dbtable", "tgt").option("driver", DERBY_DRIVER)
+              .load())
+        got = {
+            (r["REPO"], r["PATH"]): {
+                "repo": r["REPO"], "path": r["PATH"], "commit": r["COMMIT"],
+                "lang": r["LANG"], "content": r["CONTENT"],
+            }
+            for r in df.collect()
+        }
+        assert sha256_state(got) == sha256_state(want)
+
+    run()
