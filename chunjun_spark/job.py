@@ -600,6 +600,7 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
 
             conn = _jdbc_conn_params(wp)
             events = read_binlog_stream(spark, p["path"])
+            stream_metrics: dict = {}
             q = start_jdbc_relay_stream(
                 events, conn["url"], conn["table"],
                 checkpoint_dir=cfg.restore.checkpoint_dir
@@ -609,6 +610,7 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
                 driver=conn["driver"], user=conn["user"],
                 password=conn["password"],
                 batch_size=int(wp.get("batchSize", 1000)),
+                metrics_out=stream_metrics,
             )
             if not q.awaitTermination(600):
                 q.stop()
@@ -619,6 +621,8 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
                 conn["driver"], conn["user"], conn["password"],
             )
             return {
+                "numRead": stream_metrics.get("numRead", 0),
+                "numBatches": stream_metrics.get("numBatches", 0),
                 "numWrite": int(n),
                 "nErrors": 0,
                 "duration": round(time.time() - t0, 2),

@@ -1403,7 +1403,11 @@ class LakeTable:
     # (load(tag=...)) and its manifest + data survive vacuum until the
     # tag is deleted. Tags are table-level metadata refs, not snapshots:
     # they live in ONE atomically-replaced json beside the manifests, so
-    # creating/deleting a tag never touches the commit chain.
+    # creating/deleting a tag never touches the commit chain. Tag
+    # mutations are read-modify-write on the single driver (no CAS):
+    # concurrent tag writers are last-writer-wins — the same
+    # single-operator assumption every catalog's ref surface makes;
+    # DATA commits keep their full optimistic-CAS protection.
 
     @staticmethod
     def _tags_path(root: str) -> str:

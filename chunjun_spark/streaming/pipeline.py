@@ -515,6 +515,7 @@ def start_jdbc_relay_stream(
     password: str | None = None,
     batch_size: int = 1000,
     trigger_available_now: bool = True,
+    metrics_out: dict | None = None,
 ) -> StreamingQuery:
     """Continuous binlog → JDBC mart relay — the reference's primary
     deployment shape (binlogreader → jdbcwriter under
@@ -537,15 +538,22 @@ def start_jdbc_relay_stream(
     spark = events.sparkSession
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df, ddl_rows, _offsets = admit_batch_with_offsets(batch_df)
+        batch_df, ddl_rows, offsets = admit_batch_with_offsets(batch_df)
         if ddl_rows:
             _relay_apply_ddl(spark, url, table, ddl_rows,
                              driver, user, password)
-        apply_changelog_jdbc_exactly_once(
+        res = apply_changelog_jdbc_exactly_once(
             batch_df, url, table, job_id=job_id, batch_id=str(batch_id),
             pk=pk, driver=driver, user=user, password=password,
             batch_size=batch_size,
         )
+        if metrics_out is not None:
+            # reference metric plane: numRead counts each batch once —
+            # a replayed (skipped) batch was already counted
+            metrics_out["numBatches"] = metrics_out.get("numBatches", 0) + 1
+            if not res.get("skipped"):
+                n = sum(v["n"] for v in offsets.values())
+                metrics_out["numRead"] = metrics_out.get("numRead", 0) + n
 
     w = (
         events.writeStream.foreachBatch(apply_batch)
@@ -733,7 +741,11 @@ def admit_multi_batch(
     offsets_by_table: dict = {}
     if has_off:
         for r in ctrl:
-            if r["has_data"]:
+            # keyed per (table, partition): a partition whose only row
+            # for this table is a DDL still contributes its consumed
+            # offset to the table's high-water (has_data alone would
+            # drop it and a restore would re-deliver the DDL)
+            if r["table_name"] in names and r["max_offset"] is not None:
                 offsets_by_table.setdefault(r["table_name"], {})[
                     str(r["partition_id"])
                 ] = {"max_offset": r["max_offset"], "n": r["n"]}

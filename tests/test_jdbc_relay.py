@@ -212,10 +212,12 @@ def test_streaming_relay_via_job_json(spark, tmp_root):
     }}}}
     m = run_job(spark, cfg)
     assert m["numWrite"] == len(want)
+    assert m["numRead"] == 2000 and m["numBatches"] >= 1
     assert _target_state(spark, url) == want
-    # re-run over the same checkpoint: replays are audited no-ops
+    # re-run over the same checkpoint: replays are audited no-ops and
+    # numRead counts each batch once (zero new reads on the rerun)
     m2 = run_job(spark, cfg)
-    assert m2["numWrite"] == len(want)
+    assert m2["numWrite"] == len(want) and m2["numRead"] == 0
     assert _target_state(spark, url) == want
 
 

@@ -543,6 +543,28 @@ def test_admit_multi_batch_one_source_evaluation(spark):
     assert offsets["ta"]["0"]["max_offset"] == 2  # ta's DDL rode offset 2
 
 
+def test_admit_multi_batch_ddl_only_partition_keeps_offset(spark):
+    """A table with data in one partition and ONLY a DDL in another must
+    record the DDL partition's consumed offset in its high-water — the
+    per-(table, partition) grouping otherwise drops it (has_data is
+    false for that group) and a restore would re-deliver the DDL."""
+    import json
+
+    rows = [
+        _ev("INSERT", 1, "ta", "r", "a"),  # partition 0, offset 1
+        _ev("DDL", 9, "ta", "r", None,
+            ddl=json.dumps({"action": "add_column", "name": "z",
+                            "type": "int"})),
+    ]
+    # move the DDL row to partition 1
+    rows[1] = rows[1][:5] + (1,) + rows[1][6:]
+    df = spark.createDataFrame(rows, SCHEMA)
+    _, names, ddl_rows, offsets = pl.admit_multi_batch(df)
+    assert names == ["ta"] and [r["seq"] for r in ddl_rows] == [9]
+    assert offsets["ta"]["0"] == {"max_offset": 1, "n": 1}
+    assert offsets["ta"]["1"] == {"max_offset": 9, "n": 0}
+
+
 def test_admit_multi_batch_poison(spark):
     rows = [_ev("INSERT", 1, "ta", "r", "a"),
             _ev("ERROR", 2, "tb", "r", None, ddl="kaput")]
