@@ -267,6 +267,16 @@ def _write_jdbc(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
         execute_sql(df.sparkSession, conn["url"], list(p["preSql"]), **common)
     if exactly_once:
         if p.get("writeMode") == "cdc":
+            # admit like the streaming relay: poison raises, DDL rows
+            # are forwarded (idempotent ALTER), only data rows fold —
+            # an un-admitted DDL/ERROR row would upsert a NULL pk
+            from chunjun_spark.sources.jdbc_live import relay_apply_ddl
+            from chunjun_spark.streaming.pipeline import admit_batch
+
+            df, ddl_rows = admit_batch(df)
+            if ddl_rows:
+                relay_apply_ddl(df.sparkSession, conn["url"],
+                                conn["table"], ddl_rows, **common)
             result = apply_changelog_jdbc_exactly_once(
                 df,
                 conn["url"],
@@ -276,6 +286,7 @@ def _write_jdbc(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
                 pk=p.get("updateKey") or p.get("pk"),
                 batch_size=int(p.get("batchSize", 1000)),
                 staging_table=p.get("stagingTable"),
+                _precheck_done=True,
                 **common,
             )
         else:
@@ -292,6 +303,9 @@ def _write_jdbc(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
                 **common,
             )
         metrics["jdbcBatchSkipped"] = bool(result.get("skipped"))
+        if "n_changes" in result:
+            # cdc apply reports rows actually touched (deletes+upserts)
+            metrics["numWrite"] = result["n_changes"]
         if result.get("skipped"):
             # replayed batch: no write action ran, so the numRead
             # observation riding it will never fire — tell run_job
@@ -592,38 +606,63 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
             # primary realtime shape (binlogreader → jdbcwriter under
             # semantic=exactly-once); every micro-batch lands in ONE
             # audited transaction keyed by its batch id
-            from chunjun_spark.sources.jdbc_live import query_scalar
+            import hashlib as _hashlib
+
+            from chunjun_spark.sources.jdbc_live import execute_sql
             from chunjun_spark.streaming.pipeline import (
                 read_binlog_stream,
                 start_jdbc_relay_stream,
             )
 
+            if wp.get("writeMode", "cdc") != "cdc":
+                # keep_last folding would silently drop all but the
+                # last event per key — refuse rather than reinterpret
+                raise ValueError(
+                    "streaming jdbcwriter supports writeMode='cdc' only "
+                    f"(got {wp.get('writeMode')!r}); run other write "
+                    "modes as batch jobs or sink to a lake"
+                )
+            if cfg.restore.from_lineage:
+                raise ValueError(
+                    "restoreFromLineage needs a lake sink (a JDBC target "
+                    "keeps batch markers, not per-partition offsets)"
+                )
             conn = _jdbc_conn_params(wp)
+            common = {"driver": conn["driver"], "user": conn["user"],
+                      "password": conn["password"]}
+            if wp.get("preSql"):
+                execute_sql(spark, conn["url"], list(wp["preSql"]),
+                            **common)
             events = read_binlog_stream(spark, p["path"])
             stream_metrics: dict = {}
+            # default checkpoint is derived from source path + target
+            # identity — a bare table name relative to cwd would make
+            # unrelated jobs silently share a file-source log
+            sink_id = _hashlib.md5(
+                (conn["url"] + "/" + conn["table"]).encode()
+            ).hexdigest()[:10]
             q = start_jdbc_relay_stream(
                 events, conn["url"], conn["table"],
                 checkpoint_dir=cfg.restore.checkpoint_dir
-                or conn["table"] + "_ckpt",
+                or f"{p['path'].rstrip('/')}_relay_ckpt_{sink_id}",
                 job_id=cfg.job_id,
                 pk=wp.get("updateKey") or wp.get("pk"),
-                driver=conn["driver"], user=conn["user"],
-                password=conn["password"],
                 batch_size=int(wp.get("batchSize", 1000)),
                 metrics_out=stream_metrics,
+                **common,
             )
             if not q.awaitTermination(600):
                 q.stop()
                 raise TimeoutError("relay stream did not drain in time")
-            n = query_scalar(
-                spark, conn["url"],
-                f"SELECT COUNT(*) FROM {conn['table']}",
-                conn["driver"], conn["user"], conn["password"],
-            )
+            if wp.get("postSql"):
+                execute_sql(spark, conn["url"], list(wp["postSql"]),
+                            **common)
             return {
                 "numRead": stream_metrics.get("numRead", 0),
                 "numBatches": stream_metrics.get("numBatches", 0),
-                "numWrite": int(n),
+                # rows actually touched by THIS run's applies — a rerun
+                # whose batches all replay-skip writes 0
+                "numWrite": stream_metrics.get("numWrite", 0),
                 "nErrors": 0,
                 "duration": round(time.time() - t0, 2),
             }

@@ -560,6 +560,57 @@ def write_jdbc_exactly_once(
     return {"skipped": False, "batch_id": batch_id, "n_statements": len(stmts)}
 
 
+_RELAY_DDL_TYPES = {
+    "int": "INT", "integer": "INT", "bigint": "BIGINT", "long": "BIGINT",
+    "double": "DOUBLE", "float": "REAL", "boolean": "BOOLEAN",
+    "string": "VARCHAR(4000)", "timestamp": "TIMESTAMP", "date": "DATE",
+}
+
+
+def relay_apply_ddl(
+    spark,
+    url: str,
+    table: str,
+    ddl_rows: list[dict],
+    driver: str | None,
+    user: str | None,
+    password: str | None,
+) -> None:
+    """add_column DDL forwarded to the JDBC target as an idempotent
+    ALTER TABLE (existing column = replayed batch → skip). Other DDL
+    raises loudly: the reference's JDBC writers sync DATA into
+    pre-created tables — silently dropping a rename/widen/drop would
+    desync relay and source schemas without anyone noticing."""
+    import json as _json
+
+    reader = spark.read.format("jdbc").option("url", url).option(
+        "dbtable", table)
+    if driver:
+        reader = reader.option("driver", driver)
+    if user is not None:
+        reader = reader.option("user", user).option("password", password or "")
+    existing = {c.lower() for c in reader.load().columns}
+    for r in sorted(ddl_rows, key=lambda d: (d["op_ts"], d["seq"])):
+        spec = _json.loads(r["ddl"])
+        if spec["action"] != "add_column":
+            raise ValueError(
+                f"jdbc relay cannot apply DDL action {spec['action']!r} "
+                f"(only add_column); evolve the target out of band"
+            )
+        if spec["name"].lower() in existing:
+            continue
+        ddl_type = _RELAY_DDL_TYPES.get(spec["type"].lower())
+        if ddl_type is None:
+            raise ValueError(f"no JDBC type mapping for {spec['type']!r}")
+        execute_sql(
+            spark, url,
+            [f"ALTER TABLE {table} ADD COLUMN "
+             f"{_qid(spec['name'].upper())} {ddl_type}"],
+            driver, user, password,
+        )
+        existing.add(spec["name"].lower())
+
+
 def apply_changelog_jdbc_exactly_once(
     events: DataFrame,
     url: str,
@@ -572,6 +623,7 @@ def apply_changelog_jdbc_exactly_once(
     password: str | None = None,
     batch_size: int = 1000,
     staging_table: str | None = None,
+    _precheck_done: bool = False,
 ) -> dict:
     """CDC apply: fold a changelog window (EVENT_SCHEMA) to its net
     per-key effect and land it in a JDBC target exactly once — the
@@ -591,10 +643,19 @@ def apply_changelog_jdbc_exactly_once(
     if not pk:
         raise ValueError("changelog apply needs a pk (updateKey)")
     spark = events.sparkSession
-    ensure_audit_table(spark, url, driver, user, password)
-    if batch_applied(spark, url, job_id, batch_id, driver, user, password):
-        return {"skipped": True, "batch_id": batch_id}
+    if not _precheck_done:
+        # callers that already ran the marker check (to guard preSql)
+        # pass _precheck_done to skip two redundant driver round trips
+        ensure_audit_table(spark, url, driver, user, password)
+        if batch_applied(spark, url, job_id, batch_id,
+                         driver, user, password):
+            return {"skipped": True, "batch_id": batch_id}
 
+    if "op" in events.columns:
+        # control rows are not data: an un-admitted frame (batch job
+        # path) folding a DDL/ERROR row would upsert a NULL-pk winner —
+        # callers that ran admit_batch already stripped these
+        events = events.filter(~F.col("op").isin("DDL", "ERROR"))
     keyed = events_with_pk(events, pk)
     winners = keep_last(keyed, pk=pk, order=("op_ts", "seq"))
     # two consumers (upsert side, delete side) — cut the plan so the
@@ -640,6 +701,9 @@ def apply_changelog_jdbc_exactly_once(
         "skipped": False,
         "batch_id": batch_id,
         "n_deleted": max(counts[0], 0),
+        # rows THIS apply touched (deletes + updates + inserts; the
+        # trailing audit-marker INSERT excluded) — the numWrite metric
+        "n_changes": sum(max(c, 0) for c in counts[:-1]),
         "n_statements": len(stmts),
     }
 

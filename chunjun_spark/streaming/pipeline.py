@@ -453,54 +453,12 @@ def start_multi_table_stream(
     )
 
 
-_RELAY_DDL_TYPES = {
-    "int": "INT", "integer": "INT", "bigint": "BIGINT", "long": "BIGINT",
-    "double": "DOUBLE", "float": "REAL", "boolean": "BOOLEAN",
-    "string": "VARCHAR(4000)", "timestamp": "TIMESTAMP", "date": "DATE",
-}
-
-
-def _relay_apply_ddl(
-    spark, url: str, table: str, ddl_rows: list[dict],
-    driver: str | None, user: str | None, password: str | None,
-) -> None:
-    """add_column DDL forwarded to the JDBC target as an idempotent
-    ALTER TABLE (existing column = replayed micro-batch → skip). Other
-    DDL raises loudly: the reference's JDBC writers sync DATA into
-    pre-created tables — silently dropping a rename/widen/drop would
-    desync relay and source schemas without anyone noticing."""
-    import json as _json
-
-    from chunjun_spark.sources.jdbc_live import execute_sql
-
-    reader = spark.read.format("jdbc").option("url", url).option(
-        "dbtable", table)
-    if driver:
-        reader = reader.option("driver", driver)
-    if user is not None:
-        reader = reader.option("user", user).option("password", password or "")
-    existing = {c.lower() for c in reader.load().columns}
-    for r in sorted(ddl_rows, key=lambda d: (d["op_ts"], d["seq"])):
-        spec = _json.loads(r["ddl"])
-        if spec["action"] != "add_column":
-            raise ValueError(
-                f"jdbc relay cannot apply DDL action {spec['action']!r} "
-                f"(only add_column); evolve the target out of band"
-            )
-        if spec["name"].lower() in existing:
-            continue
-        ddl_type = _RELAY_DDL_TYPES.get(spec["type"].lower())
-        if ddl_type is None:
-            raise ValueError(f"no JDBC type mapping for {spec['type']!r}")
-        from chunjun_spark.sources.jdbc_live import _qid
-
-        execute_sql(
-            spark, url,
-            [f"ALTER TABLE {table} ADD COLUMN "
-             f"{_qid(spec['name'].upper())} {ddl_type}"],
-            driver, user, password,
-        )
-        existing.add(spec["name"].lower())
+# re-exported for compatibility: DDL forwarding is JDBC-plane logic and
+# lives beside the changelog apply (both the batch writeMode=cdc path
+# and this streaming relay use it)
+from chunjun_spark.sources.jdbc_live import (  # noqa: E402
+    relay_apply_ddl as _relay_apply_ddl,
+)
 
 
 def start_jdbc_relay_stream(
@@ -554,6 +512,9 @@ def start_jdbc_relay_stream(
             if not res.get("skipped"):
                 n = sum(v["n"] for v in offsets.values())
                 metrics_out["numRead"] = metrics_out.get("numRead", 0) + n
+                metrics_out["numWrite"] = (
+                    metrics_out.get("numWrite", 0) + res.get("n_changes", 0)
+                )
 
     w = (
         events.writeStream.foreachBatch(apply_batch)
