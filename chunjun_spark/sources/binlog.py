@@ -201,8 +201,31 @@ def write_binlog_files(
         # monotonic across CALLS, not just within one: two windows
         # written seconds apart must not interleave mtimes (the file
         # source orders the whole watched dir by mtime — an overlap
-        # breaks the in-order delivery contract restore-mode relies on)
-        base = max(time.time() - len(parts) - 10, _MTIME_FLOOR + 1.0)
+        # breaks the in-order delivery contract restore-mode relies on).
+        # The floor is both in-process (fast path) AND derived from any
+        # sibling window dirs already on disk, so a RESTARTED producer
+        # writing the next window into the same parent cannot regress
+        # behind a previous process's stamps.
+        disk_floor = 0.0
+        abspath = os.path.abspath(path)
+        parent = os.path.dirname(abspath)
+        try:
+            for d in os.listdir(parent):
+                dp = os.path.join(parent, d)
+                # skip THIS window: its freshly-written parts carry
+                # now-ish mtimes and would push every stamp into the
+                # future, drifting unboundedly across calls
+                if dp == abspath or not os.path.isdir(dp):
+                    continue
+                for f in os.listdir(dp):
+                    if f.startswith("part-"):
+                        disk_floor = max(
+                            disk_floor, os.path.getmtime(os.path.join(dp, f))
+                        )
+        except OSError:
+            pass  # unreadable sibling: fall back to the process floor
+        base = max(time.time() - len(parts) - 10,
+                   _MTIME_FLOOR + 1.0, disk_floor + 1.0)
         for i, p in enumerate(parts):
             os.utime(os.path.join(path, p), (base + i, base + i))
         _MTIME_FLOOR = base + max(len(parts) - 1, 0)

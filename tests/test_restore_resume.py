@@ -238,3 +238,19 @@ def test_write_binlog_files_mtimes_monotonic_across_calls(spark, tmp_root):
     # and strictly increasing within each window
     assert sorted(set(m1)) == sorted(m1)
     assert sorted(set(m2)) == sorted(m2)
+
+    # restarted-producer case: a FRESH process has no in-memory floor —
+    # the on-disk sibling scan must still prevent interleaving
+    from chunjun_spark.sources import binlog as B
+
+    saved = B._MTIME_FLOOR
+    try:
+        B._MTIME_FLOOR = 0.0  # simulate a new process
+        d3 = os.path.join(tmp_root, "w3")
+        write_binlog_files(generate_binlog(spark, 200, n_keys=50, seed=3),
+                           d3, n_files=4)
+        m3 = [os.path.getmtime(p)
+              for p in glob.glob(os.path.join(d3, "part-*"))]
+        assert max(m2) < min(m3), (m2, m3)
+    finally:
+        B._MTIME_FLOOR = max(saved, B._MTIME_FLOOR)
