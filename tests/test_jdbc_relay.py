@@ -340,3 +340,70 @@ def test_streaming_jdbc_requires_cdc_write_mode(spark, tmp_root):
     }}}}
     with pytest.raises(ValueError, match="writeMode='cdc' only"):
         run_job(spark, cfg)
+
+
+def test_chained_binlog_to_lake_to_jdbc_mart(spark, tmp_root):
+    """Full chained pipeline, each hop exactly-once and each a job JSON:
+    binlog window → lake (lakewriter), then the lake's CHANGE FEED →
+    Derby mart (lakereader sinceVersion → jdbcwriter writeMode=cdc).
+    After each window the mart equals the lake's read-optimized state —
+    the reference's reader-feeds-next-writer chaining with a real
+    database at the end."""
+    from chunjun_spark.plans.lake import LakeTable
+
+    url = _db("relay8")
+    _mk_target(spark, url, "mart")
+    lake = os.path.join(tmp_root, "chainlake")
+
+    def lake_job(binlog, batch_id):
+        return {"job": {"jobId": "chain", "content": [{
+            "reader": {"name": "binlogreader", "parameter": {"path": binlog}},
+            "writer": {"name": "lakewriter", "parameter": {
+                "path": lake, "pk": ["repo", "path"], "batchId": batch_id,
+            }},
+        }]}}
+
+    def sync_job(since, until, batch_id):
+        return {"job": {"jobId": "chainsync", "content": [{
+            "reader": {"name": "lakereader", "parameter": {
+                "path": lake, "sinceVersion": since, "untilVersion": until,
+            }},
+            "writer": {"name": "jdbcwriter", "parameter": {
+                "url": url, "table": "mart", "driver": DERBY_DRIVER,
+                "writeMode": "cdc", "updateKey": ["repo", "path"],
+                "jobId": "chainsync", "batchId": batch_id,
+            }},
+        }]}}
+
+    def lake_state():
+        return sorted(
+            (r["repo"], r["path"], r["commit"])
+            for r in LakeTable.load(spark, lake).read().collect())
+
+    def mart_state():
+        return _target_state(spark, url, "mart")
+
+    # window 1: bootstrap the lake, then sync 0 -> v1 into the mart
+    ev1 = generate_binlog(spark, 2000, n_keys=300, seed=4, dup_rate=0.2)
+    b1 = os.path.join(tmp_root, "cb1")
+    ev1.write.mode("overwrite").parquet(b1)
+    run_job(spark, lake_job(b1, "w1"))
+    v1 = LakeTable.load(spark, lake).manifest["version"]
+    run_job(spark, sync_job(0, v1, "s1"))
+    assert mart_state() == lake_state()
+
+    # window 2: strictly-newer events into the lake, delta-sync v1 -> v2
+    ev2 = generate_binlog(spark, 2000, n_keys=300, seed=5, dup_rate=0.2)\
+        .withColumn("seq", F.col("seq") + 10_000_000)\
+        .withColumn("op_ts", F.col("op_ts") + F.expr("INTERVAL 1 HOUR"))
+    b2 = os.path.join(tmp_root, "cb2")
+    ev2.write.mode("overwrite").parquet(b2)
+    run_job(spark, lake_job(b2, "w2"))
+    v2 = LakeTable.load(spark, lake).manifest["version"]
+    m = run_job(spark, sync_job(v1, v2, "s2"))
+    assert mart_state() == lake_state()
+    # delta sync touched only the changed keys, not the whole table
+    assert 0 < m["numWrite"] < len(lake_state())
+    # replayed delta sync: audited no-op
+    m2 = run_job(spark, sync_job(v1, v2, "s2"))
+    assert m2["jdbcBatchSkipped"] and mart_state() == lake_state()
