@@ -2587,6 +2587,102 @@ def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", F.round("sim", 6).alias("sim"))
 
 
+def _q_cdc_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DELETE FROM lake WHERE predicate`` as an exactly-once CDF-visible
+    commit (SQL DELETE lifted onto LakeTable.merge): one resolved scan
+    finds matching live rows (MOR here — deltas resolve first), each emits
+    a tombstone carrying (stored_vts, stored_vseq+1) so it wins the
+    version guard; only touched buckets rewrite. Private lake (mutating).
+    Reference analog: per-op DELETE routing, JdbcOutputFormat.java:290-334."""
+    from chunjun_spark.operators.merge_into import delete_where
+
+    table = _build_lake(spark, sf_dir, "mor")
+    delete_where(table, "event_type = 'click'", batch_id="entry-delete-where")
+    return _lake_projection(table.refresh().read())
+
+
+_DELETE_WHERE_SQL = """
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_event_type, round(value, 6) AS last_value
+FROM r WHERE rn = 1 AND event_type <> 'error' AND event_type <> 'click'
+"""
+
+
+def _q_cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SQL MERGE INTO clause model over the lake (the reference ships
+    the upsert template only — BaseDatabaseMeta.java:124-162; this adds
+    ordered conditional clauses): matched rows whose stored event_type is
+    'click' are DELETEd (condition reads the TARGET via target_<col>),
+    other matches UPDATE to a marker row, unmatched source keys INSERT.
+    The source is derived from the target itself (the backfill self-join
+    shape — localCheckpoint cut inside merge_into). Private lake."""
+    from chunjun_spark.operators.merge_into import merge_into
+
+    table = _build_lake(spark, sf_dir, "cow")
+    src = (
+        table.read()
+        .filter(F.col("user_id") % 5 == 0)
+        .select(
+            "user_id",
+            F.lit("merged").alias("event_type"),
+            F.lit(-1.0).alias("value"),
+        )
+        .unionByName(
+            spark.range(1, 21).select(
+                (-F.col("id")).alias("user_id"),
+                F.lit("seeded").alias("event_type"),
+                (-F.col("id")).cast("double").alias("value"),
+            )
+        )
+    )
+    merge_into(
+        table,
+        src,
+        when_matched=[("target_event_type = 'click'", "delete"), (None, "update")],
+        when_not_matched="insert",
+        batch_id="entry-merge-into",
+    )
+    return _lake_projection(table.refresh().read())
+
+
+_MERGE_INTO_SQL = """
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+f AS (
+  SELECT user_id, event_type, value FROM r
+  WHERE rn = 1 AND event_type <> 'error'
+),
+src AS (
+  SELECT user_id, 'merged' AS event_type, CAST(-1.0 AS DOUBLE) AS value
+  FROM f WHERE user_id % 5 = 0
+  UNION ALL
+  SELECT CAST(-s AS BIGINT) AS user_id, 'seeded' AS event_type,
+         CAST(-s AS DOUBLE) AS value
+  FROM generate_series(1, 20) t(s)
+),
+merged AS (
+  SELECT f.* FROM f
+  WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.user_id = f.user_id)
+  UNION ALL
+  SELECT f.user_id, s.event_type, s.value
+  FROM f JOIN src s USING (user_id)
+  WHERE f.event_type <> 'click'
+  UNION ALL
+  SELECT s.user_id, s.event_type, s.value FROM src s
+  WHERE NOT EXISTS (SELECT 1 FROM f WHERE f.user_id = s.user_id)
+)
+SELECT user_id, event_type AS last_event_type, round(value, 6) AS last_value
+FROM merged
+"""
+
+
 # ----------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2618,6 +2714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_poll_catchup": _q_incremental_poll_catchup,
         "cdc_paved_events": _q_cdc_paved_events,
         "cdc_partial_update": _q_cdc_partial_update,
+        "cdc_delete_where": _q_cdc_delete_where,
+        "cdc_merge_into": _q_cdc_merge_into,
         "doc_dup_spans": _q_doc_dup_spans,
         "doc_dup_span_frac": _q_doc_dup_span_frac,
         "doc_length_quantiles": _q_doc_length_quantiles,
@@ -2703,6 +2801,8 @@ def oracle_sql() -> dict[str, str]:
         "incremental_poll_catchup": _POLL_CATCHUP_SQL,
         "cdc_paved_events": _PAVED_SQL,
         "cdc_partial_update": _PARTIAL_UPDATE_SQL,
+        "cdc_delete_where": _DELETE_WHERE_SQL,
+        "cdc_merge_into": _MERGE_INTO_SQL,
         "doc_dup_spans": _DUP_SPANS_SQL,
         "doc_dup_span_frac": _DUP_SPAN_FRAC_SQL,
         "doc_length_quantiles": _LENGTH_QUANTILES_SQL,

@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "doc_bm25_search",
     "corpus_sample_k",
     "cdc_partial_update",
+    "cdc_delete_where",
+    "cdc_merge_into",
     "cdc_schema_evolution",
     "cdc_idempotent_replay",
     "doc_dup_spans",

@@ -1,0 +1,238 @@
+"""Declarative MERGE INTO / DELETE WHERE over a :class:`LakeTable`.
+
+Reference analog: ChunJun ships the two halves of this separately — the
+ANSI upsert template ``MERGE INTO t USING s ON pk WHEN MATCHED THEN
+UPDATE ... WHEN NOT MATCHED THEN INSERT``
+(flinkx-rdb/.../BaseDatabaseMeta.java:124-162) and per-op DELETE routing
+for CDC rows (JdbcOutputFormat.java:290-334).  This module lifts both to
+the lake side as the full SQL MERGE clause model:
+
+    merge_into(table, source,
+               when_matched=[("target_kind = 'stale'", "delete"),
+                             (None, "update")],
+               when_not_matched="insert")
+
+compiled to ONE :meth:`LakeTable.merge` call — matched clauses evaluate
+in order (SQL first-match-wins), rows matching no clause are left
+untouched, and the whole statement is exactly-once under ``batch_id``
+like any other commit.
+
+Scale shape (what moves, at 10^10 rows):
+
+- the TARGET never shuffles: source keys hash to their bucket ids with
+  the table's own bucket expression (≤ ``n_buckets`` distinct values, one
+  tiny driver collect), and only those buckets are resolved — the
+  untouched rest of the table is carried by reference exactly as in
+  ``merge``;
+- the matched-row probe is an inner join that keeps the (comparatively
+  small) source on the broadcast/build side, mirroring ``merge``'s
+  stale-guard join; pass ``broadcast_source=False`` for a huge batch
+  source and AQE picks the strategy;
+- conditions may reference target columns as ``target_<col>`` — ONLY the
+  referenced columns are read from the target in the probe (parquet
+  column pruning keeps the pass narrow even on multi-KB payload tables).
+
+Version semantics (the correctness core): every emitted change row
+carries the probed row's own ``(_vts, _vseq + 1)``, so it is strictly
+newer than the stored version and survives ``merge``'s stale-drop guard —
+including inserts over a TOMBSTONE (SQL says a deleted key is NOT
+MATCHED, but the tombstone still holds the key's latest version, and an
+epoch-versioned insert would be silently dropped as stale).  Keys new to
+the table take the epoch version (nothing stored competes).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from chunjun_spark.plans.lake import (
+    DELETED_COL,
+    OP_COL,
+    VSEQ_COL,
+    VTS_COL,
+    LakeTable,
+)
+
+_TARGET_REF = re.compile(r"\btarget_([A-Za-z_][A-Za-z0-9_]*)\b")
+
+_EPOCH_TS = "1970-01-01 00:00:00"
+
+
+def _normalize_matched(when_matched) -> list[tuple[str | None, str]]:
+    if when_matched is None:
+        return []
+    if isinstance(when_matched, str):
+        when_matched = [(None, when_matched)]
+    out = []
+    for cond, action in when_matched:
+        if action not in ("update", "delete"):
+            raise ValueError(f"when_matched action must be update|delete, got {action!r}")
+        out.append((cond, action))
+    return out
+
+
+def _referenced_target_cols(conditions: list[str | None], table: LakeTable) -> list[str]:
+    names = set()
+    for c in conditions:
+        if c:
+            names.update(_TARGET_REF.findall(c))
+    known = set(table.schema.names())
+    bad = sorted(n for n in names if n not in known)
+    if bad:
+        raise ValueError(f"conditions reference unknown target columns: {bad}")
+    return sorted(names)
+
+
+def _probe(table: LakeTable, source: DataFrame, target_cols: list[str],
+           broadcast_source: bool) -> DataFrame:
+    """source LEFT-enriched with the target's per-key version + requested
+    target columns, without ever shuffling the target.
+
+    Two joins replace the naive ``source LEFT JOIN target``: Spark can
+    only broadcast the NON-preserved side of an outer join, so a direct
+    left join would shuffle the full target.  Instead (1) an inner join
+    prunes the resolved target to source keys with the source on the
+    build side, then (2) the (≤ |source|-row) probe result left-joins
+    back onto the source — both sides small.
+    """
+    pk = table.pk
+    # bucket pruning: ≤ n_buckets distinct hash values, no table IO
+    buckets = None
+    if all(c in source.columns for c in table.bucket_cols):
+        rows = (
+            source.select(table._bucket_expr(source).alias("_b"))
+            .distinct()
+            .collect()
+        )
+        buckets = sorted(r["_b"] for r in rows)
+    resolved = table._resolve(buckets).select(
+        *pk,
+        F.col(VTS_COL).alias("_t_vts"),
+        F.col(VSEQ_COL).alias("_t_vseq"),
+        F.coalesce(F.col(DELETED_COL), F.lit(False)).alias("_t_del"),
+        *[F.col(c).alias(f"target_{c}") for c in target_cols],
+    )
+    src_keys = source.select(*pk).distinct()
+    probe = resolved.join(
+        F.broadcast(src_keys) if broadcast_source else src_keys, on=pk, how="inner"
+    )
+    return source.join(
+        F.broadcast(probe) if broadcast_source else probe, on=pk, how="left"
+    )
+
+
+def merge_into(
+    table: LakeTable,
+    source: DataFrame,
+    when_matched=None,
+    when_not_matched: str | None = "insert",
+    not_matched_condition: str | None = None,
+    batch_id: str | None = None,
+    update_mode: str = "replace",
+    broadcast_source: bool = True,
+    **merge_kw,
+) -> dict:
+    """SQL MERGE INTO compiled onto :meth:`LakeTable.merge`.
+
+    ``when_matched``: ``"update"`` / ``"delete"`` shorthand, or an ordered
+    list of ``(condition_sql | None, action)`` clauses — first matching
+    clause wins, exactly like SQL.  Conditions are Spark SQL expressions
+    over the source columns by name and target columns as
+    ``target_<col>``.  ``when_not_matched``: ``"insert"`` or ``None``,
+    optionally gated by ``not_matched_condition`` (source columns only —
+    there is no target row).  Rows matching no clause are dropped from the
+    change set, i.e. left untouched in the table.
+
+    One row per key in ``source`` is a MERGE precondition (SQL raises on
+    duplicate matches); duplicate keys here fold arbitrarily.
+
+    ``update_mode="patch"`` gives SQL's ``UPDATE SET c = coalesce(s.c,
+    t.c)`` — a null source column means "keep the stored value"
+    (JdbcOutputFormat.java:290-334 update mode).  With the default
+    ``"replace"`` the source must carry the full payload: absent columns
+    write NULL.
+    """
+    clauses = _normalize_matched(when_matched)
+    if when_not_matched not in ("insert", None):
+        raise ValueError(f"when_not_matched must be insert|None, got {when_not_matched!r}")
+    if not clauses and when_not_matched is None:
+        raise ValueError("merge_into with no clauses is a no-op; refuse loudly")
+    missing = [c for c in table.pk if c not in source.columns]
+    if missing:
+        raise ValueError(f"source missing pk columns {missing}")
+
+    target_cols = _referenced_target_cols([c for c, _ in clauses], table)
+    # pin one physical row set BEFORE the self-join-prone probe: a source
+    # derived from this very table would otherwise duplicate the lake
+    # read plan under the join (quadratic optimizer passes + two scans)
+    source = source.localCheckpoint(eager=True)
+    j = _probe(table, source, target_cols, broadcast_source)
+
+    matched = F.col("_t_vseq").isNotNull() & ~F.coalesce(
+        F.col("_t_del"), F.lit(True)
+    )
+    op = F.lit(None).cast("string")
+    branches = []
+    for cond, action in clauses:
+        c = matched & (F.expr(cond) if cond else F.lit(True))
+        branches.append((c, F.lit("DELETE" if action == "delete" else "UPSERT")))
+    if when_not_matched == "insert":
+        c = ~matched & (
+            F.expr(not_matched_condition) if not_matched_condition else F.lit(True)
+        )
+        branches.append((c, F.lit("UPSERT")))
+    for c, action in branches:
+        op = F.coalesce(op, F.when(c, action))
+
+    payload = [c for c in table.schema.names() if c not in table.pk and c in source.columns]
+    changes = (
+        j.withColumn(OP_COL, op)
+        .filter(F.col(OP_COL).isNotNull())
+        .select(
+            *table.pk,
+            *payload,
+            OP_COL,
+            # strictly-newer per key: beat the stored version (tombstones
+            # included) by one sequence step; fresh keys take the epoch
+            F.coalesce(F.col("_t_vts"), F.lit(_EPOCH_TS).cast("timestamp")).alias(VTS_COL),
+            F.coalesce(F.col("_t_vseq") + F.lit(1), F.lit(0)).alias(VSEQ_COL),
+        )
+    )
+    return table.merge(
+        changes, batch_id=batch_id, update_mode=update_mode, **merge_kw
+    )
+
+
+def delete_where(
+    table: LakeTable,
+    predicate: str,
+    batch_id: str | None = None,
+    **merge_kw,
+) -> dict:
+    """``DELETE FROM table WHERE predicate`` as a CDF-visible commit.
+
+    One resolved scan finds the matching live rows (parquet predicate
+    pushdown + row-group stats prune the read; the predicate is any Spark
+    SQL expression over the table's columns), each emits a DELETE change
+    carrying the row's own ``(_vts, _vseq + 1)`` — strictly newer than the
+    stored version, so the tombstone wins the merge's version guard and a
+    later re-insert of the key wins over the tombstone in turn.  The merge
+    rewrites only the touched buckets; ``read_changes`` across the commit
+    emits ``delete`` rows (preimage-complete), so maintained views retract
+    the deleted contribution instead of recomputing.
+    """
+    live = table._resolve().filter(
+        ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+    ).filter(F.expr(predicate))
+    payload = [c for c in table.schema.names() if c not in table.pk]
+    changes = live.select(
+        *table.pk,
+        *payload,
+        F.lit("DELETE").alias(OP_COL),
+        F.col(VTS_COL).alias(VTS_COL),
+        (F.col(VSEQ_COL) + F.lit(1)).alias(VSEQ_COL),
+    )
+    return table.merge(changes, batch_id=batch_id, **merge_kw)

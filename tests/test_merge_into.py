@@ -1,0 +1,200 @@
+"""Declarative MERGE INTO / DELETE WHERE over the lake.
+
+Covers the SQL clause model (first-match-wins, conditional clauses,
+insert gating), the version-guard interplay (insert over a tombstone must
+beat the tombstone's version), exactly-once delete commits, patch-mode
+updates, and MOR tables with unresolved deltas.
+"""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from chunjun_spark.operators.merge import replay
+from chunjun_spark.operators.merge_into import delete_where, merge_into
+from chunjun_spark.plans.lake import LakeTable
+from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA, generate_binlog
+
+
+def _mk_table(spark, tmp_root, rows=None):
+    tbl = LakeTable.create(
+        spark,
+        os.path.join(tmp_root, "mi"),
+        spark.createDataFrame([], "k long, kind string, v double").schema,
+        pk=["k"],
+        n_buckets=4,
+    )
+    if rows:
+        tbl.merge(spark.createDataFrame(rows, "k long, kind string, v double"),
+                  batch_id="seed")
+    return tbl.refresh()
+
+
+def _state(tbl):
+    return {r["k"]: (r["kind"], r["v"]) for r in tbl.refresh().read().collect()}
+
+
+def test_merge_into_full_clause_model(spark, tmp_root):
+    tbl = _mk_table(
+        spark, tmp_root,
+        [(1, "stale", 1.0), (2, "stale", 2.0), (3, "live", 3.0), (4, "live", 4.0)],
+    )
+    src = spark.createDataFrame(
+        [(1, "src", 9.9), (3, "src", 9.9), (7, "src", 7.7)],
+        "k long, kind string, v double",
+    )
+    res = merge_into(
+        tbl, src,
+        when_matched=[("target_kind = 'stale'", "delete"), (None, "update")],
+        when_not_matched="insert",
+        batch_id="m1",
+    )
+    assert res["n_changes"] == 3
+    st = _state(tbl)
+    assert 1 not in st                      # matched stale → deleted
+    assert st[2] == ("stale", 2.0)          # stale but not in source → kept
+    assert st[3] == ("src", 9.9)            # matched live → updated
+    assert st[4] == ("live", 4.0)           # untouched
+    assert st[7] == ("src", 7.7)            # not matched → inserted
+
+
+def test_merge_into_first_match_wins(spark, tmp_root):
+    tbl = _mk_table(spark, tmp_root, [(1, "stale", 1.0)])
+    src = spark.createDataFrame([(1, "src", 9.9)], "k long, kind string, v double")
+    # update listed FIRST: the stale-delete clause must never fire
+    merge_into(
+        tbl, src,
+        when_matched=[(None, "update"), ("target_kind = 'stale'", "delete")],
+        when_not_matched=None,
+        batch_id="m1",
+    )
+    assert _state(tbl) == {1: ("src", 9.9)}
+
+
+def test_merge_into_insert_over_tombstone_beats_version_guard(spark, tmp_root):
+    tbl = _mk_table(spark, tmp_root, [(5, "live", 5.0), (6, "live", 6.0)])
+    delete_where(tbl, "k = 5", batch_id="d1")
+    tbl = tbl.refresh()
+    assert 5 not in _state(tbl)
+    # SQL: a deleted key is NOT MATCHED → insert. The tombstone still owns
+    # the key's latest version; an epoch-versioned insert would be dropped
+    # as stale by merge's guard — the carried (_t_vseq + 1) must win.
+    src = spark.createDataFrame([(5, "reborn", 0.5)], "k long, kind string, v double")
+    merge_into(tbl, src, when_matched="update", when_not_matched="insert",
+               batch_id="m2")
+    assert _state(tbl)[5] == ("reborn", 0.5)
+
+
+def test_merge_into_no_matching_clause_touches_nothing(spark, tmp_root):
+    tbl = _mk_table(spark, tmp_root, [(1, "live", 1.0)])
+    v0 = tbl.manifest["version"]
+    src = spark.createDataFrame([(1, "src", 9.9)], "k long, kind string, v double")
+    res = merge_into(
+        tbl, src,
+        when_matched=[("target_kind = 'absent'", "delete")],
+        when_not_matched=None,
+        batch_id="m1",
+    )
+    assert res["n_changes"] == 0
+    assert _state(tbl) == {1: ("live", 1.0)}
+    assert tbl.refresh().manifest["version"] > v0  # still a (empty) commit
+
+
+def test_merge_into_not_matched_condition_gates_insert(spark, tmp_root):
+    tbl = _mk_table(spark, tmp_root, [(1, "live", 1.0)])
+    src = spark.createDataFrame(
+        [(8, "src", 8.0), (9, "src", -9.0)], "k long, kind string, v double"
+    )
+    merge_into(tbl, src, when_matched=None, when_not_matched="insert",
+               not_matched_condition="v > 0", batch_id="m1")
+    st = _state(tbl)
+    assert 8 in st and 9 not in st
+
+
+def test_merge_into_patch_mode_keeps_stored_nulls(spark, tmp_root):
+    tbl = _mk_table(spark, tmp_root, [(1, "live", 1.0)])
+    src = spark.createDataFrame([(1, "patched", None)], "k long, kind string, v double")
+    merge_into(tbl, src, when_matched="update", when_not_matched=None,
+               update_mode="patch", batch_id="m1")
+    assert _state(tbl)[1] == ("patched", 1.0)  # null v → stored value kept
+
+
+def test_merge_into_validates_inputs(spark, tmp_root):
+    tbl = _mk_table(spark, tmp_root, [(1, "live", 1.0)])
+    src = spark.createDataFrame([(1, "src", 9.9)], "k long, kind string, v double")
+    with pytest.raises(ValueError, match="unknown target columns"):
+        merge_into(tbl, src, when_matched=[("target_nope = 1", "delete")])
+    with pytest.raises(ValueError, match="missing pk"):
+        merge_into(tbl, src.select("kind"), when_matched="update")
+    with pytest.raises(ValueError, match="no-op"):
+        merge_into(tbl, src, when_matched=None, when_not_matched=None)
+    with pytest.raises(ValueError, match="update|delete"):
+        merge_into(tbl, src, when_matched=[(None, "upsert")])
+
+
+def test_delete_where_cdf_and_exactly_once(spark, tmp_root):
+    tbl = _mk_table(
+        spark, tmp_root,
+        [(1, "stale", 1.0), (2, "live", 2.0), (3, "stale", 3.0)],
+    )
+    v0 = tbl.manifest["version"]
+    res = delete_where(tbl, "kind = 'stale'", batch_id="d1")
+    assert res["n_changes"] == 2
+    tbl = tbl.refresh()
+    assert _state(tbl) == {2: ("live", 2.0)}
+    # replay of the same batch is a no-op
+    res2 = delete_where(tbl, "kind = 'stale'", batch_id="d1")
+    assert res2["skipped"]
+    # the commit is CDF-visible as deletes
+    ch = tbl.read_changes(v0, until_version=tbl.manifest["version"])
+    ops = {(r["k"], r["_change_type"]) for r in ch.collect()}
+    assert (1, "delete") in ops and (3, "delete") in ops
+    assert not any(k == 2 for k, _ in ops)
+
+
+def test_delete_where_then_reinsert_wins(spark, tmp_root):
+    tbl = _mk_table(spark, tmp_root, [(1, "live", 1.0)])
+    delete_where(tbl, "k = 1", batch_id="d1")
+    tbl = tbl.refresh()
+    # a later changelog upsert for the key must beat the tombstone: the
+    # tombstone carries (stored_vts, stored_vseq+1), so the new write
+    # needs a genuinely newer version, as any later binlog event has
+    src = spark.createDataFrame([(1, "back", 11.0)], "k long, kind string, v double")
+    merge_into(tbl, src, when_matched="update", when_not_matched="insert",
+               batch_id="m1")
+    assert _state(tbl) == {1: ("back", 11.0)}
+
+
+def test_delete_where_on_mor_table_with_deltas(spark, tmp_root):
+    root = os.path.join(tmp_root, "mor")
+    tbl = LakeTable.create(spark, root, PAYLOAD_SCHEMA,
+                           pk=["repo", "path"], n_buckets=4)
+    replay(generate_binlog(spark, n_events=3000, n_keys=600, seed=11),
+           tbl, batch_id="b1", mode="mor")
+    tbl = tbl.refresh()
+    assert tbl.manifest["deltas"], "fixture must exercise unresolved deltas"
+    pred = "pmod(abs(hash(path)), 2) = 0"
+    live = tbl.read()
+    expect_gone = live.filter(F.expr(pred)).count()
+    expect_kept = live.count() - expect_gone
+    res = delete_where(tbl, pred, batch_id="d1")
+    assert res["n_changes"] == expect_gone
+    after = tbl.refresh().read()
+    assert after.count() == expect_kept
+    assert after.filter(F.expr(pred)).count() == 0
+
+
+def test_merge_into_source_derived_from_target(spark, tmp_root):
+    """The self-join shape every backfill job hits: source computed FROM
+    the target table itself (here: retag every 'stale' row)."""
+    tbl = _mk_table(
+        spark, tmp_root, [(1, "stale", 1.0), (2, "live", 2.0)]
+    )
+    src = (
+        tbl.read().filter(F.col("kind") == "stale")
+        .select("k", F.lit("retagged").alias("kind"), "v")
+    )
+    merge_into(tbl, src, when_matched="update", when_not_matched=None,
+               batch_id="m1")
+    assert _state(tbl) == {1: ("retagged", 1.0), 2: ("live", 2.0)}
