@@ -41,22 +41,31 @@ def hashed_tfidf(
     Empty documents (no tokens after normalization) are omitted, matching
     the other corpus operators.
     """
-    toks = _doc_tokens(df, text_col, id_col)
+    # token strings leave the plan at the explode: everything downstream
+    # (two aggregations + the tf×df join) keys on the 64-bit token hash —
+    # long lanes shuffle and hash-aggregate cheaper than multi-byte
+    # strings (the MinHash shingle_hashes rule applied to the tf-idf
+    # path; neutral on the synthetic corpus' tiny vocab, pays off on a
+    # real heavy-tail vocabulary). Hash collisions fold two tokens into
+    # one feature — the hashing trick's contract anyway.
+    toks = _doc_tokens(df, text_col, id_col).select(
+        F.col(id_col), F.xxhash64("tok").alias("_th")
+    )
     n_docs = df.select(id_col).distinct().count()
 
-    h = F.xxhash64(F.col("tok"), F.lit(seed))
+    h = F.xxhash64(F.col("_th"), F.lit(seed))
     bucket = F.pmod(h, F.lit(dim)).cast("int")
     # independent sign hash (different seed) — unbiased collisions
     sign = F.when(
-        F.pmod(F.xxhash64(F.col("tok"), F.lit(seed + 1)), F.lit(2)) == 0,
+        F.pmod(F.xxhash64(F.col("_th"), F.lit(seed + 1)), F.lit(2)) == 0,
         F.lit(1.0),
     ).otherwise(F.lit(-1.0))
 
     # tf per (doc, token) and df per token, then weight and bucket-reduce
-    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("_tf"))
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    tf = toks.groupBy(id_col, "_th").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("_th").agg(F.count(F.lit(1)).alias("_df"))
     weighted = (
-        tf.join(dfreq, on="tok")
+        tf.join(dfreq, on="_th")
         .select(
             F.col(id_col),
             bucket.alias("_b"),
@@ -69,23 +78,27 @@ def hashed_tfidf(
         .groupBy(id_col, "_b")
         .agg(F.sum("_w").alias("_w"))
     )
+    # The L2 norm comes out of the AGGREGATE (codegen, one pass over the
+    # non-zero bucket weights — zeros contribute nothing), NOT from a
+    # post-hoc `F.aggregate` HOF over the assembled array: HOFs evaluate
+    # interpreted with no subexpression reuse, so a norm nested inside the
+    # normalizing `transform` lambda re-evaluated the O(dim) sum — and the
+    # O(dim·lookup) array under it — once PER ELEMENT, i.e. O(dim²·m) per
+    # row (measured: 22 s → 2 s at sf0.1 for 5000 docs × dim=128).
     assembled = weighted.groupBy(id_col).agg(
-        F.map_from_entries(F.collect_list(F.struct("_b", "_w"))).alias("_m")
+        F.map_from_entries(F.collect_list(F.struct("_b", "_w"))).alias("_m"),
+        F.sqrt(F.sum(F.col("_w") * F.col("_w"))).alias("_n"),
+    )
+    div = (
+        F.when(F.col("_n") > 0, F.col("_n")).otherwise(F.lit(1.0))
+        if normalize
+        else F.lit(1.0)
     )
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.coalesce(F.col("_m")[i.cast("int")], F.lit(0.0)),
+        lambda i: F.coalesce(F.col("_m")[i.cast("int")], F.lit(0.0)) / div,
     )
-    if normalize:
-        sq = F.aggregate(
-            vec, F.lit(0.0), lambda acc, x: acc + x * x
-        )
-        out_vec = F.when(
-            sq > 0, F.transform(vec, lambda x: x / F.sqrt(sq))
-        ).otherwise(vec)
-    else:
-        out_vec = vec
-    return assembled.select(F.col(id_col), out_vec.alias("vector"))
+    return assembled.select(F.col(id_col), vec.alias("vector"))
 
 
 def text_near_dups(
@@ -106,7 +119,13 @@ def text_near_dups(
         train_ivf_centroids,
     )
 
+    # materialize ONCE: both consumers below run an action over the vecs
+    # (the centroid trainer collects a bounded sample, the pairwise pass
+    # scans all rows), and each would otherwise re-run the token-granular
+    # tfidf shuffles. Rows are narrow (id + dim doubles) — localCheckpoint
+    # is the plan cut, never .cache() (measured rule, CLAUDE.md).
     vecs = hashed_tfidf(df, dim=dim, text_col=text_col, id_col=id_col)
+    vecs = vecs.localCheckpoint(eager=True)
     cents = train_ivf_centroids(
         vecs, n_lists=n_lists, vec_col="vector", id_col=id_col
     )

@@ -21,9 +21,13 @@ def test_tfidf_matches_hand_model(spark):
         )
         .select(
             "tok",
-            F.pmod(F.xxhash64("tok", F.lit(seed)), F.lit(dim)).cast("int").alias("b"),
+            # the operator hashes tokens to longs at the explode and keys
+            # everything on that hash — bucket/sign derive from it too
+            F.pmod(F.xxhash64(F.xxhash64("tok"), F.lit(seed)), F.lit(dim))
+            .cast("int").alias("b"),
             F.when(
-                F.pmod(F.xxhash64("tok", F.lit(seed + 1)), F.lit(2)) == 0, 1.0
+                F.pmod(F.xxhash64(F.xxhash64("tok"), F.lit(seed + 1)), F.lit(2)) == 0,
+                1.0,
             ).otherwise(-1.0).alias("s"),
         )
         .collect()
