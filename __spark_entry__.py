@@ -1322,12 +1322,12 @@ WHERE (CASE WHEN alen >= 2.0 AND alen <= 12.0 THEN 0.5 ELSE 0.0 END)
 
 
 def _q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: winnowing-style rolling window fingerprints (xxhash64)
+    # rows-only: winnowing-style rolling window fingerprints (xxhash64);
+    # the token array is staged in its own projection so the window
+    # transform iterates an attribute, never re-tokenizing per window
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.explode(TX.rolling_fingerprints(F.col("text"), 8)).alias("window_fp"),
-    )
+    return TX.winnow_fingerprints(docs, text_col="text", id_col="doc_id",
+                                  window_tokens=8)
 
 
 # --------------------------------------------- repetition / redaction / paras

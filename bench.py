@@ -91,6 +91,35 @@ BENCH_QUERIES = [
     "cdc_jdbc_relay",
     "cdc_max_incremental",
     "cdc_rollup_view",
+    # round-3 widening: the remaining capability-distinct entries. Still
+    # excluded, deliberately: cdc_replay_lake_mor/_patch and
+    # cdc_keep_last_salted (the replay section and cdc_keep_last already
+    # time those exact modes), cdc_distinct_view (wall = 4 view-commit
+    # fixed costs, the sync operator itself is timed by cdc_agg_view).
+    "cdc_point_lookup",
+    "cdc_keep_last_window",
+    "cdc_paved_events",
+    "end_location_max",
+    "snowflake_roundtrip",
+    "dirty_classify",
+    "offset_lineage",
+    "projection_filter",
+    "incremental_poll_catchup",
+    "skew_two_phase_agg",
+    "doc_token_count",
+    "doc_lang_id",
+    "doc_quality_filter",
+    "doc_dup_span_frac",
+    "doc_winnow_fingerprints",
+    "para_dedup_groups",
+    "doc_tfidf_near_dups",
+    "binary_meta",
+    "content_sha256",
+    "embedding_norms",
+    "events_window_counts",
+    "ann_topk_lsh",
+    "ann_topk_pruned",
+    "ann_topk_ivf",
 ]
 
 

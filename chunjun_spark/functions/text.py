@@ -225,11 +225,17 @@ def secret_count(col: Column) -> Column:
     return F.regexp_count(redact_secrets(col), F.lit(_MARKER_RE))
 
 
-def rolling_fingerprints(col: Column, window_tokens: int = 8) -> Column:
-    """Array of window fingerprints: hash of each ``window_tokens``-token
-    sliding window over the normalized text (winnowing-style document
-    fingerprinting). Native exprs: transform over a sequence of offsets."""
-    toks = F.split(normalized(col), " ")
+def rolling_fingerprints_from_tokens(
+    toks: Column, window_tokens: int = 8
+) -> Column:
+    """Window fingerprints over an ALREADY-MATERIALIZED token array
+    column.  ``toks`` must be a plain attribute reference (stage
+    ``split(normalized(text), ' ')`` in its own projection first):
+    interpreted HOF lambdas re-evaluate captured EXPRESSIONS once per
+    element, so capturing the split-normalize tree here costs
+    O(windows × full-text regex) per row — measured 10× on the winnowing
+    entry (10.6 s → 1.0 s at sf0.1).  Captured attribute references just
+    read the row value and are cheap."""
     n = F.size(toks)
     n_windows = F.greatest(n - F.lit(window_tokens - 1), F.lit(0))
     idx = F.sequence(F.lit(1), n_windows)
@@ -239,6 +245,44 @@ def rolling_fingerprints(col: Column, window_tokens: int = 8) -> Column:
             F.concat_ws(" ", F.slice(toks, i, window_tokens))
         ),
     )).otherwise(F.array().cast("array<bigint>"))
+
+
+def rolling_fingerprints(col: Column, window_tokens: int = 8) -> Column:
+    """Array of window fingerprints: hash of each ``window_tokens``-token
+    sliding window over the normalized text (winnowing-style document
+    fingerprinting). Native exprs: transform over a sequence of offsets.
+
+    Column-level convenience for small frames/tests.  In a hot path use
+    :func:`winnow_fingerprints` (or stage the token array yourself and
+    call :func:`rolling_fingerprints_from_tokens`) — this form captures
+    the tokenize tree inside the lambda and re-tokenizes per window."""
+    return rolling_fingerprints_from_tokens(
+        F.split(normalized(col), " "), window_tokens
+    )
+
+
+def winnow_fingerprints(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 8,
+) -> "DataFrame":
+    """(id, window_fp) exploded winnowing fingerprints, with the token
+    array staged in its own projection so the window transform iterates
+    over an attribute (see :func:`rolling_fingerprints_from_tokens`).
+    CollapseProject leaves the staging projection alone (non-cheap
+    expression, multiple references), so the split-normalize runs once
+    per document."""
+    staged = df.select(
+        F.col(id_col),
+        F.split(normalized(F.col(text_col)), " ").alias("_toks"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.explode(
+            rolling_fingerprints_from_tokens(F.col("_toks"), window_tokens)
+        ).alias("window_fp"),
+    )
 
 
 # ---------------------------------------------------------------- markup
