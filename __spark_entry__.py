@@ -972,7 +972,10 @@ def _q_incremental_poll_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
          "ts_ms BIGINT, event_type VARCHAR(64), value DOUBLE)"],
         driver=DERBY_DRIVER,
     )
-    props = {"driver": DERBY_DRIVER, "batchsize": "5000"}
+    # 50k executeBatch chunks: embedded Derby ingest is round-trip bound
+    # (measured 13.1 s @ 5k vs 8.5 s @ 50k for 500k rows); the fixture
+    # ingest dominates this entry's wall, not the poll operator
+    props = {"driver": DERBY_DRIVER, "batchsize": "50000"}
     ev.filter(F.col("EVENT_ID") <= mid).write.jdbc(
         url, "src", mode="append", properties=props
     )
