@@ -317,6 +317,44 @@ def _q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial-snapshot bootstrap → overlapping CDC catch-up (the
+    full-sync → increment-sync handoff; ChunJun's two-job migration
+    recipe, binlogreader start.timestamp position resolution; Debezium
+    initial consistent snapshot). A consistent read of the source at the
+    cut — keep-last fold of the pre-cut changelog, live rows carrying
+    their last-mutation (op_ts, seq) — seeds a fresh lake via
+    ``bootstrap_from_snapshot``; the catch-up stream then replays the
+    ENTIRE history (maximal overlap): every pre-cut event must lose to
+    the carried per-row versions and every post-cut event must win, so
+    the oracle is the plain keep-last fold over all events."""
+    from chunjun_spark.operators.bootstrap import bootstrap_from_snapshot
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    ch_a = events_changelog(ev.filter(F.col("ts") <= cut))
+    keyed = events_with_pk(ch_a, ["user_id"])
+    last = keep_last(keyed, pk=["user_id"], order=("op_ts", "seq"))
+    snap = to_changes(last).filter(F.col("_op") != "DELETE").select(
+        "user_id", "event_type", "value",
+        F.col("_vts").alias("last_ts"), F.col("_vseq").alias("last_seq"),
+    )
+    root = tempfile.mkdtemp(prefix="cj_entry_boot_")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table = LakeTable.create(spark, root, schema, pk=["user_id"], n_buckets=8)
+    bootstrap_from_snapshot(
+        snap, table, batch_id="boot", vts_col="last_ts", vseq_col="last_seq"
+    )
+    replay(events_changelog(ev), LakeTable.load(spark, root), batch_id="catchup")
+    return _lake_projection(LakeTable.load(spark, root).read())
+
+
 def _q_cdc_idempotent_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once semantics in the correctness gate: the full changelog
     is applied, then (a) RE-DELIVERED under the same batch_id (lineage
@@ -2705,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_lake_patch": _q_cdc_replay_lake_patch,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
         "cdc_idempotent_replay": _q_cdc_idempotent_replay,
+        "cdc_snapshot_bootstrap": _q_cdc_snapshot_bootstrap,
         "minhash_index_sync": _q_minhash_index_sync,
         "cdc_point_lookup": _q_cdc_point_lookup,
         "incremental_read": _q_incremental_read,
@@ -2793,6 +2832,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_lake_patch": _REPLAY_PATCH_SQL,
         "cdc_schema_evolution": _SCHEMA_EVOLUTION_SQL,
         "cdc_idempotent_replay": _REPLAY_LAKE_SQL,
+        "cdc_snapshot_bootstrap": _REPLAY_LAKE_SQL,
         "cdc_point_lookup": _POINT_LOOKUP_SQL,
         "incremental_read": _INCREMENTAL_SQL,
         "mod_split_channels": _MOD_SPLIT_SQL,

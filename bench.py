@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "ann_topk_lsh",
     "ann_topk_pruned",
     "ann_topk_ivf",
+    "cdc_snapshot_bootstrap",
 ]
 
 

@@ -1,0 +1,141 @@
+"""Initial-snapshot bootstrap → CDC switchover (the full-sync handoff).
+
+Reference analog: ChunJun's two-job migration recipe — a full-sync job
+(jdbcreader without an increment filter) loads the target once, then an
+increment-sync job tails changes from the position the snapshot was
+taken at (binlogreader ``start.timestamp``/``start.seq`` position
+resolution, flinkx-binlog/.../BinlogInputFormat.java:129-176; jdbcreader
+``startLocation`` = the full job's surfaced endLocation, flinkx-rdb/...
+/JdbcInputFormat.java:367-514). Debezium calls the same shape the
+initial consistent snapshot.
+
+Both modes ride ``LakeTable.merge``'s strictly-newer ``(op_ts, seq)``
+version guard, so the bootstrap is a plain exactly-once merge and the
+switchover needs no lock between snapshot and stream:
+
+- **carried per-row versions** (``vts_col``/``vseq_col`` columns in the
+  snapshot — a source that records last-modified metadata): the catch-up
+  stream may start at ANY position at or below the snapshot position.
+  Re-delivered events at-or-below a row's carried version are dropped by
+  the guard row-by-row; newer ones win. Overlap costs duplicate work,
+  never wrong state.
+- **uniform snapshot position** (``snapshot_vts``/``snapshot_vseq`` — a
+  consistent read at binlog position P with no per-row metadata; the
+  common real-source case): every row is stamped at P, so every event
+  at-or-below P loses to the stamp and every event after P wins. Start
+  the stream at the first position after P for zero waste; a stream
+  replaying from EARLIER than P still converges — a pre-P event either
+  loses to the stamp (its key is in the snapshot) or re-inserts a key
+  deleted before P and is re-tombstoned by that key's own later pre-P
+  DELETE as the stream passes P (transiently visible, final state
+  exact — ``tests/test_bootstrap.py`` proves both overlap shapes).
+
+Scale shape: the bootstrap is ONE merge of |table| UPSERT rows — the
+same bucketed plan as any replay batch (the winner aggregation is
+skipped via ``assume_unique_keys``, payload moves once into the
+bucket-partitioned write); the carried-position probe is a narrow
+two-column aggregate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL, LakeTable
+
+
+def snapshot_to_changes(
+    snapshot: DataFrame,
+    *,
+    vts_col: str | None = None,
+    vseq_col: str | None = None,
+    snapshot_vts=None,
+    snapshot_vseq: int | None = None,
+) -> DataFrame:
+    """Full source-table snapshot → merge input (every row an UPSERT).
+
+    Pass exactly one version mode: carried per-row positions
+    (``vts_col`` + ``vseq_col`` naming snapshot columns) or a uniform
+    consistent-read position (``snapshot_vts`` + ``snapshot_vseq``
+    literals). The version columns are stripped from the payload —
+    they become the merge's ``(_vts, _vseq)`` guard pair.
+    """
+    carried = vts_col is not None or vseq_col is not None
+    uniform = snapshot_vts is not None or snapshot_vseq is not None
+    if carried == uniform:
+        raise ValueError(
+            "pass exactly one of (vts_col, vseq_col) or "
+            "(snapshot_vts, snapshot_vseq)"
+        )
+    if carried:
+        if vts_col is None or vseq_col is None:
+            raise ValueError("carried mode needs BOTH vts_col and vseq_col")
+        payload = [c for c in snapshot.columns if c not in (vts_col, vseq_col)]
+        return snapshot.select(
+            *payload,
+            F.lit("UPSERT").alias(OP_COL),
+            F.col(vts_col).cast("timestamp").alias(VTS_COL),
+            F.col(vseq_col).cast("long").alias(VSEQ_COL),
+        )
+    if snapshot_vts is None or snapshot_vseq is None:
+        raise ValueError("uniform mode needs BOTH snapshot_vts and snapshot_vseq")
+    return snapshot.select(
+        "*",
+        F.lit("UPSERT").alias(OP_COL),
+        F.lit(snapshot_vts).cast("timestamp").alias(VTS_COL),
+        F.lit(int(snapshot_vseq)).cast("long").alias(VSEQ_COL),
+    )
+
+
+def bootstrap_from_snapshot(
+    snapshot: DataFrame,
+    table: LakeTable,
+    *,
+    batch_id: str = "bootstrap",
+    vts_col: str | None = None,
+    vseq_col: str | None = None,
+    snapshot_vts=None,
+    snapshot_vseq: int | None = None,
+    wap_id: str | None = None,
+) -> dict:
+    """Load a full source snapshot into the lake as one exactly-once
+    merge, and report the binlog position the catch-up stream should
+    start after (``result["position"] = {"vts", "vseq"}``).
+
+    The snapshot must hold one row per primary key (a consistent table
+    read does) — the merge runs with ``assume_unique_keys=True``, i.e.
+    no dedup pass. Re-running with the same ``batch_id`` is a no-op
+    (``result["skipped"]``), so a crashed bootstrap is safely retried.
+
+    Switchover: feed ``position["vseq"]`` to
+    ``read_binlog_stream(start_seq=...)`` (exclusive) or a jdbcreader
+    ``startLocation``. With carried per-row versions any earlier start
+    is also safe (see module doc).
+    """
+    changes = snapshot_to_changes(
+        snapshot,
+        vts_col=vts_col,
+        vseq_col=vseq_col,
+        snapshot_vts=snapshot_vts,
+        snapshot_vseq=snapshot_vseq,
+    )
+    if vts_col is not None:
+        # narrow two-column max; SortAggregate over an 80-bit struct is
+        # fine for a one-off driver scalar (see operators/dedup.py notes)
+        p = snapshot.agg(
+            F.max(
+                F.struct(
+                    F.col(vts_col).cast("timestamp").alias("vts"),
+                    F.col(vseq_col).cast("long").alias("vseq"),
+                )
+            ).alias("p")
+        ).head()["p"]
+        position = {"vts": p["vts"], "vseq": p["vseq"]} if p is not None else None
+    else:
+        position = {"vts": snapshot_vts, "vseq": int(snapshot_vseq)}
+    info = table.merge(
+        changes, batch_id=batch_id, assume_unique_keys=True, wap_id=wap_id
+    )
+    info["position"] = position
+    return info

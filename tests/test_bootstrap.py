@@ -1,0 +1,198 @@
+"""Initial-snapshot bootstrap → CDC switchover (operators/bootstrap.py).
+
+The full-sync handoff: a consistent snapshot of the source table seeds
+the lake, then the binlog stream catches up from (or overlapping) the
+snapshot position. Every case must converge to the fold of the FULL
+event history — the merge's strictly-newer version guard is what makes
+the handoff lock-free.
+"""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from chunjun_spark.operators.bootstrap import (
+    bootstrap_from_snapshot,
+    snapshot_to_changes,
+)
+from chunjun_spark.operators.dedup import keep_last
+from chunjun_spark.operators.merge import events_with_pk, replay
+from chunjun_spark.plans.lake import LakeTable
+from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA, generate_binlog, write_binlog_files
+from chunjun_spark.streaming.pipeline import read_binlog_stream, start_replay_stream
+
+from .conftest import df_state, fold_oracle, sha256_state
+
+PK = ["repo", "path"]
+
+
+def _source_state(spark, events):
+    """The source table's live rows at the end of ``events``, each
+    carrying its last-mutation position — what a consistent read of a
+    source that tracks last-modified metadata returns."""
+    keyed = events_with_pk(events, PK)
+    surv = keep_last(keyed, pk=PK, order=("op_ts", "seq"))
+    live = surv.filter(F.col("op") != "DELETE")
+    payload = [f.name for f in PAYLOAD_SCHEMA.fields]
+    return live.select(
+        *[F.col(f"after.{c}").alias(c) for c in payload],
+        F.col("op_ts").alias("last_ts"),
+        F.col("seq").alias("last_seq"),
+    )
+
+
+def _windows(spark):
+    """Window A (snapshot era) and window B (post-snapshot traffic) with
+    disjoint, ordered (op_ts, seq) ranges — the shared two-window rule
+    (CLAUDE.md): a second generate_binlog call must shift seq and op_ts
+    or keys tie and the keep-last winner flaps."""
+    a = generate_binlog(spark, 4000, n_keys=300, seed=11, delete_rate=0.25)
+    b = (
+        generate_binlog(spark, 3000, n_keys=300, seed=12, delete_rate=0.25)
+        .withColumn("seq", F.col("seq") + 10_000_000)
+        .withColumn("op_ts", F.col("op_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return a, b
+
+
+def _mk_table(spark, tmp_root, name):
+    return LakeTable.create(
+        spark, os.path.join(tmp_root, name), PAYLOAD_SCHEMA, pk=PK, n_buckets=4
+    )
+
+
+def test_carried_versions_positioned_catchup(spark, tmp_root):
+    """Bootstrap with per-row carried versions, then apply only the
+    post-snapshot window — equals the fold of the full history."""
+    a, b = _windows(spark)
+    table = _mk_table(spark, tmp_root, "lake")
+    snap = _source_state(spark, a)
+    info = bootstrap_from_snapshot(
+        snap, table, batch_id="boot", vts_col="last_ts", vseq_col="last_seq"
+    )
+    assert not info.get("skipped")
+    pos = info["position"]
+    assert pos["vseq"] == a.agg(F.max("seq")).head()[0]
+    # snapshot alone == fold of window A (deleted-before-P keys absent)
+    got = df_state(table.refresh().read(), PK)
+    assert sha256_state(got) == sha256_state(fold_oracle(a.collect(), PK))
+
+    replay(b.filter(F.col("seq") > pos["vseq"]), table.refresh(), batch_id="w2")
+    got = df_state(table.refresh().read(), PK)
+    want = fold_oracle(a.unionByName(b).collect(), PK)
+    assert sha256_state(got) == sha256_state(want)
+
+
+def test_carried_versions_full_overlap(spark, tmp_root):
+    """With carried versions the stream may start at ANY earlier
+    position: replaying the ENTIRE history over the snapshot converges
+    (stale events lose to each row's carried version row-by-row)."""
+    a, b = _windows(spark)
+    table = _mk_table(spark, tmp_root, "lake")
+    bootstrap_from_snapshot(
+        _source_state(spark, a), table,
+        batch_id="boot", vts_col="last_ts", vseq_col="last_seq",
+    )
+    replay(a.unionByName(b), table.refresh(), batch_id="w-all")
+    got = df_state(table.refresh().read(), PK)
+    want = fold_oracle(a.unionByName(b).collect(), PK)
+    assert sha256_state(got) == sha256_state(want)
+
+
+def test_uniform_stamp_positioned_catchup(spark, tmp_root):
+    """The common real-source case: the snapshot is a consistent read at
+    position P with no per-row metadata — every row stamped at P, stream
+    starts strictly after P."""
+    a, b = _windows(spark)
+    table = _mk_table(spark, tmp_root, "lake")
+    p_ts, p_seq = a.agg(F.max("op_ts"), F.max("seq")).head()
+    snap = _source_state(spark, a).drop("last_ts", "last_seq")
+    info = bootstrap_from_snapshot(
+        snap, table, batch_id="boot", snapshot_vts=p_ts, snapshot_vseq=p_seq
+    )
+    assert info["position"] == {"vts": p_ts, "vseq": p_seq}
+    replay(b, table.refresh(), batch_id="w2")
+    got = df_state(table.refresh().read(), PK)
+    want = fold_oracle(a.unionByName(b).collect(), PK)
+    assert sha256_state(got) == sha256_state(want)
+
+
+def test_uniform_stamp_full_overlap_converges(spark, tmp_root):
+    """Uniform stamp + a stream replaying from BEFORE the snapshot
+    position: pre-P events for snapshot keys lose to the stamp; a key
+    deleted before P re-inserts transiently and is re-tombstoned by its
+    own later pre-P DELETE — final state exact. Replaying window A in
+    two micro-batch-sized slices exercises the transient explicitly."""
+    a, b = _windows(spark)
+    table = _mk_table(spark, tmp_root, "lake")
+    p_ts, p_seq = a.agg(F.max("op_ts"), F.max("seq")).head()
+    # the fixture must contain keys deleted before P or the interesting
+    # branch is untested
+    dead = fold_oracle(a.collect(), PK)
+    all_keys = {
+        tuple(r[c] for c in PK)
+        for r in events_with_pk(a, PK).select(*PK).distinct().collect()
+    }
+    assert all_keys - set(dead), "fixture has no deleted-before-P keys"
+    snap = _source_state(spark, a).drop("last_ts", "last_seq")
+    bootstrap_from_snapshot(
+        snap, table, batch_id="boot", snapshot_vts=p_ts, snapshot_vseq=p_seq
+    )
+    half = a.agg(F.expr("percentile_approx(seq, 0.5)")).head()[0]
+    replay(a.filter(F.col("seq") <= half), table.refresh(), batch_id="s1")
+    replay(a.filter(F.col("seq") > half), table.refresh(), batch_id="s2")
+    replay(b, table.refresh(), batch_id="s3")
+    got = df_state(table.refresh().read(), PK)
+    want = fold_oracle(a.unionByName(b).collect(), PK)
+    assert sha256_state(got) == sha256_state(want)
+
+
+def test_bootstrap_idempotent_and_validation(spark, tmp_root):
+    a, _ = _windows(spark)
+    table = _mk_table(spark, tmp_root, "lake")
+    snap = _source_state(spark, a)
+    info = bootstrap_from_snapshot(
+        snap, table, batch_id="boot", vts_col="last_ts", vseq_col="last_seq"
+    )
+    info2 = bootstrap_from_snapshot(
+        snap, table.refresh(), batch_id="boot",
+        vts_col="last_ts", vseq_col="last_seq",
+    )
+    assert info2["skipped"] and info2["position"] == info["position"]
+
+    with pytest.raises(ValueError, match="exactly one"):
+        snapshot_to_changes(snap)
+    with pytest.raises(ValueError, match="exactly one"):
+        snapshot_to_changes(
+            snap, vts_col="last_ts", vseq_col="last_seq",
+            snapshot_vts="2024-01-01", snapshot_vseq=1,
+        )
+    with pytest.raises(ValueError, match="BOTH"):
+        snapshot_to_changes(snap, vts_col="last_ts")
+    with pytest.raises(ValueError, match="BOTH"):
+        snapshot_to_changes(snap, snapshot_vseq=5)
+
+
+def test_streaming_switchover(spark, tmp_root):
+    """End-to-end handoff: bootstrap the lake from the window-A source
+    state, write window B as binlog segments, tail them with
+    read_binlog_stream(start_seq=position) → start_replay_stream —
+    final state equals the full-history fold."""
+    a, b = _windows(spark)
+    table = _mk_table(spark, tmp_root, "lake")
+    info = bootstrap_from_snapshot(
+        _source_state(spark, a), table,
+        batch_id="boot", vts_col="last_ts", vseq_col="last_seq",
+    )
+    binlog_dir = os.path.join(tmp_root, "binlog")
+    write_binlog_files(b, binlog_dir, n_files=3)
+    stream = read_binlog_stream(
+        spark, binlog_dir, max_files_per_trigger=1,
+        start_seq=info["position"]["vseq"],
+    )
+    q = start_replay_stream(stream, table.root, os.path.join(tmp_root, "ckpt"))
+    q.awaitTermination(240)
+    got = df_state(LakeTable.load(spark, table.root).read(), PK)
+    want = fold_oracle(a.unionByName(b).collect(), PK)
+    assert sha256_state(got) == sha256_state(want)
