@@ -399,6 +399,43 @@ def _write_lake(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
     spark = df.sparkSession
     pk = p.get("pk") or ["repo", "path"]
     root = p["path"]
+    if p.get("writeMode") == "bootstrap":
+        # initial-snapshot bootstrap (operators/bootstrap.py): the reader
+        # delivered a FLAT full-table snapshot (e.g. a jdbcreader full
+        # read), not a changelog. vtsCol/vseqCol name carried per-row
+        # last-mutation columns; snapshotVts/snapshotVseq stamp a uniform
+        # consistent-read position. The switchover position for the next
+        # (increment) job surfaces as metrics["bootstrapPosition"].
+        from chunjun_spark.operators.bootstrap import bootstrap_from_snapshot
+
+        vts_col, vseq_col = p.get("vtsCol"), p.get("vseqCol")
+        try:
+            table = LakeTable.load(spark, root)
+        except FileNotFoundError:
+            version_cols = {c for c in (vts_col, vseq_col) if c}
+            schema = T.StructType(
+                [f for f in df.schema.fields if f.name not in version_cols]
+            )
+            table = LakeTable.create(
+                spark, root, schema, pk=pk, n_buckets=int(p.get("nBuckets", 16))
+            )
+        info = bootstrap_from_snapshot(
+            df, table, batch_id=p.get("batchId", f"{cfg.job_id}-bootstrap"),
+            vts_col=vts_col, vseq_col=vseq_col,
+            snapshot_vts=p.get("snapshotVts"), snapshot_vseq=p.get("snapshotVseq"),
+        )
+        if info.get("skipped") and vts_col is None:
+            # uniform-stamp skip ran no action over the observed frame;
+            # the carried-version path always runs the position aggregate
+            metrics["_noAction"] = True
+        metrics["numWrite"] = info.get("n_changes", 0)
+        metrics["snapshotWrite"] = info.get("version", 0)
+        pos = info.get("position")
+        if pos is not None:
+            metrics["bootstrapPosition"] = {
+                "vts": str(pos["vts"]), "vseq": pos["vseq"]
+            }
+        return
     try:
         table = LakeTable.load(spark, root)
     except FileNotFoundError:

@@ -654,3 +654,70 @@ def test_prometheus_exposition_from_job_metrics(spark):
         if ln.startswith("# TYPE "):
             name = ln.split()[2]
             assert lines[i + 1].startswith(name)
+
+
+def test_job_json_snapshot_bootstrap_switchover(spark, tmp_root):
+    """Two-job full-sync -> increment-sync handoff through the JSON
+    surface (the reference's migration recipe): hdfsreader over a flat
+    snapshot with carried version columns -> lakewriter
+    writeMode=bootstrap surfaces metrics["bootstrapPosition"]; the
+    increment job feeds it to binlogreader start.seq and catches up to
+    the full-history fold. Re-running the bootstrap job is a no-op."""
+    import pyspark.sql.functions as F
+
+    from chunjun_spark.operators.dedup import keep_last
+    from chunjun_spark.operators.merge import events_with_pk
+    from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA, generate_binlog
+
+    from .conftest import df_state, fold_oracle, sha256_state
+
+    pk = ("repo", "path")
+    a = generate_binlog(spark, 3000, n_keys=250, seed=21, delete_rate=0.25)
+    b = (
+        generate_binlog(spark, 2000, n_keys=250, seed=22, delete_rate=0.25)
+        .withColumn("seq", F.col("seq") + 10_000_000)
+        .withColumn("op_ts", F.col("op_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    payload = [f.name for f in PAYLOAD_SCHEMA.fields]
+    surv = keep_last(events_with_pk(a, list(pk)), pk=list(pk),
+                     order=("op_ts", "seq"))
+    snap = surv.filter(F.col("op") != "DELETE").select(
+        *[F.col(f"after.{c}").alias(c) for c in payload],
+        F.col("op_ts").alias("last_ts"), F.col("seq").alias("last_seq"),
+    )
+    snap_dir = os.path.join(tmp_root, "snap")
+    snap.write.parquet(snap_dir)
+    binlog_dir = os.path.join(tmp_root, "binlog")
+    a.unionByName(b).write.parquet(binlog_dir)  # the full retained binlog
+    lake = os.path.join(tmp_root, "lake")
+
+    boot_cfg = {"job": {"jobId": "full-sync", "content": [{
+        "reader": {"name": "hdfsreader", "parameter": {"path": snap_dir}},
+        "writer": {"name": "lakewriter", "parameter": {
+            "path": lake, "pk": list(pk), "writeMode": "bootstrap",
+            "vtsCol": "last_ts", "vseqCol": "last_seq", "batchId": "boot",
+        }},
+    }], "setting": {"speed": {"channel": 2}}}}
+    m1 = run_job(spark, boot_cfg)
+    pos = m1["bootstrapPosition"]
+    assert pos["vseq"] == a.agg(F.max("seq")).head()[0]
+    assert m1["numWrite"] > 0
+
+    m2 = run_job(spark, {"job": {"jobId": "increment-sync", "content": [{
+        "reader": {"name": "binlogreader", "parameter": {
+            "path": binlog_dir, "start": {"seq": pos["vseq"]}}},
+        "writer": {"name": "lakewriter", "parameter": {
+            "path": lake, "pk": list(pk), "batchId": "catchup"}},
+    }], "setting": {"speed": {"channel": 2}}}})
+    assert m2["numRead"] == b.count()  # start.seq pruned window A entirely
+
+    got = df_state(LakeTable.load(spark, lake).read(), pk)
+    want = fold_oracle(a.unionByName(b).collect(), pk)
+    assert sha256_state(got) == sha256_state(want)
+
+    # replayed bootstrap job: exactly-once no-op, position still surfaced
+    m3 = run_job(spark, boot_cfg)
+    assert m3["numWrite"] == 0
+    assert m3["bootstrapPosition"]["vseq"] == pos["vseq"]
+    assert sha256_state(df_state(LakeTable.load(spark, lake).read(), pk)) \
+        == sha256_state(want)
