@@ -196,3 +196,76 @@ def test_streaming_switchover(spark, tmp_root):
     got = df_state(LakeTable.load(spark, table.root).read(), PK)
     want = fold_oracle(a.unionByName(b).collect(), PK)
     assert sha256_state(got) == sha256_state(want)
+
+
+# ---------------------------------------------------------------- property
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.sampled_from(["c", "s"]), min_size=2, max_size=8),
+       st.integers(min_value=2, max_value=4))
+def test_chunked_bootstrap_stream_interleavings(spark, tmp_root, ops, n_chunks):
+    """DBLog-style chunked snapshot concurrent with the live stream: the
+    snapshot is split into key-hash chunks, each bootstrapped as its own
+    exactly-once merge WITH carried per-row versions, interleaved in any
+    order with stream windows that may overlap the snapshot era AND
+    delete snapshot keys. Every interleaving must converge to the fold
+    of the full history — a late chunk must not resurrect a key a
+    stream window already deleted (the tombstone's newer version wins),
+    and an early chunk must lose to any newer stream image row-by-row."""
+    import uuid
+
+    run = uuid.uuid4().hex[:8]
+    a = generate_binlog(spark, 3000, n_keys=250, seed=31, delete_rate=0.25)
+    b = (
+        generate_binlog(spark, 2000, n_keys=250, seed=32, delete_rate=0.25)
+        .withColumn("seq", F.col("seq") + 10_000_000)
+        .withColumn("op_ts", F.col("op_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    snap = _source_state(spark, a).localCheckpoint(eager=True)
+    # stream = overlapping tail of the snapshot era + all of window B,
+    # sliced into as many windows as the interleaving asks for
+    half = a.agg(F.expr("percentile_approx(seq, 0.5)")).head()[0]
+    stream_ev = a.filter(F.col("seq") > half).unionByName(b)\
+        .localCheckpoint(eager=True)
+    n_s = max(1, sum(1 for o in ops if o == "s"))
+    seqs = sorted(r["seq"] for r in stream_ev.select("seq").collect())
+    cuts = [seqs[len(seqs) * i // n_s] for i in range(1, n_s)]
+    lo = [None] + cuts
+    hi = cuts + [None]
+    slices = []
+    for i in range(n_s):
+        s = stream_ev
+        if lo[i] is not None:
+            s = s.filter(F.col("seq") > lo[i])
+        if hi[i] is not None:
+            s = s.filter(F.col("seq") <= hi[i])
+        slices.append(s)
+
+    table = LakeTable.create(
+        spark, os.path.join(tmp_root, f"boot_{run}"),
+        PAYLOAD_SCHEMA, pk=PK, n_buckets=4,
+    )
+    chunks = list(range(n_chunks))
+    si = ci = 0
+    for op in ops + ["c"] * n_chunks + ["s"] * n_s:  # drain leftovers
+        if op == "c" and ci < n_chunks:
+            chunk = snap.filter(
+                F.pmod(F.xxhash64("repo", "path"), F.lit(n_chunks)) == chunks[ci]
+            )
+            bootstrap_from_snapshot(
+                chunk, table.refresh(), batch_id=f"boot-{run}-{ci}",
+                vts_col="last_ts", vseq_col="last_seq",
+            )
+            ci += 1
+        elif op == "s" and si < n_s:
+            replay(slices[si], table.refresh(), batch_id=f"w-{run}-{si}")
+            si += 1
+    got = df_state(table.refresh().read(), PK)
+    want = fold_oracle(a.unionByName(b).collect(), PK)
+    assert sha256_state(got) == sha256_state(want)
