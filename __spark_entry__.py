@@ -2068,6 +2068,35 @@ GROUP BY event_type
 
 # -------------------------------------------------- temporal / decontam
 
+def _q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 fold of the changelog: one row
+    per key VERSION with its validity interval — the history-table
+    consumer of a CDC deployment (vs keep-last's final state). One
+    per-key window shuffle; DELETEs close intervals without emitting."""
+    from chunjun_spark.operators.temporal import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    hist = scd2_history(events_changelog(ev), pk=["user_id"])
+    return hist.select(
+        "user_id", "event_type", F.round("value", 6).alias("value"),
+        "valid_from_seq", "valid_to_seq", "is_current",
+    )
+
+
+_SCD2_SQL = """
+WITH k AS (
+  SELECT user_id, event_type, value, ts, event_id,
+         lead(event_id) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS to_seq
+  FROM events
+)
+SELECT user_id, event_type, round(value, 6) AS value,
+       event_id AS valid_from_seq, to_seq AS valid_to_seq,
+       to_seq IS NULL AS is_current
+FROM k WHERE event_type <> 'error'
+"""
+
+
 def _q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASOF join (Spark has none natively): every error event picks up
     the most recent preceding-or-equal purchase of the same user via
@@ -2796,6 +2825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_max_incremental": _q_cdc_max_incremental,
         "cdc_distinct_view": _q_cdc_distinct_view,
         "cdc_rollup_view": _q_cdc_rollup_view,
+        "cdc_scd2_history": _q_cdc_scd2_history,
         "events_asof_join": _q_events_asof_join,
         "events_sessionize": _q_events_sessionize,
         "doc_decontaminate": _q_doc_decontaminate,
@@ -2885,6 +2915,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_max_incremental": _MAX_INCREMENTAL_SQL,
         "cdc_distinct_view": _DISTINCT_VIEW_SQL,
         "cdc_rollup_view": _ROLLUP_VIEW_SQL,
+        "cdc_scd2_history": _SCD2_SQL,
         "events_asof_join": _ASOF_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
         "doc_decontaminate": _DECONTAM_SQL,

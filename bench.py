@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "ann_topk_pruned",
     "ann_topk_ivf",
     "cdc_snapshot_bootstrap",
+    "cdc_scd2_history",
 ]
 
 

@@ -166,3 +166,45 @@ def test_asof_join_matches_bruteforce_on_random_input(spark):
                 if ru == u and rts <= lts]
         expect = max(cand)[2] if cand else None
         assert got[lid] == expect, (lid, got[lid], expect)
+
+
+def test_scd2_history_intervals(spark):
+    """Hand-built changelog: update chain, delete closing an interval,
+    re-insert opening a new current one, and an exact duplicate
+    re-delivery (same seq) collapsing to one version row."""
+    from chunjun_spark.operators.temporal import scd2_history
+    from chunjun_spark.sources.changelog import to_changelog
+
+    rows = [
+        # (user, v, op, second, seq)
+        (1, 10.0, "INSERT", 1, 1),
+        (1, 11.0, "UPDATE", 2, 2),
+        (1, 11.0, "UPDATE", 2, 2),   # duplicate re-delivery
+        (1, None, "DELETE", 3, 3),
+        (1, 12.0, "INSERT", 4, 4),   # re-insert after delete
+        (2, 20.0, "INSERT", 1, 5),
+    ]
+    base = spark.createDataFrame(
+        [(u, v, op, f"2024-01-01 00:00:{s:02d}", q) for u, v, op, s, q in rows],
+        "user_id long, v double, op_in string, t string, seq_in long",
+    )
+    ev = to_changelog(
+        base,
+        op=F.col("op_in"),
+        op_ts=F.col("t").cast("timestamp"),
+        seq=F.col("seq_in"),
+        payload={"user_id": F.col("user_id"), "v": F.col("v")},
+        pk=["user_id"],
+        partition_id=F.lit(0),
+    )
+    got = {
+        (r["user_id"], r["valid_from_seq"]):
+            (r["v"], r["valid_to_seq"], r["is_current"])
+        for r in scd2_history(ev, pk=["user_id"]).collect()
+    }
+    assert got == {
+        (1, 1): (10.0, 2, False),   # closed by the update
+        (1, 2): (11.0, 3, False),   # closed by the delete; dup collapsed
+        (1, 4): (12.0, None, True), # re-insert is the current version
+        (2, 5): (20.0, None, True),
+    }
