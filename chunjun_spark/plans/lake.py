@@ -285,22 +285,45 @@ class LakeTable:
         root: str,
         version: int | None = None,
         tag: str | None = None,
+        as_of=None,
     ) -> "LakeTable":
-        """Load the current snapshot, time-travel to ``version``, or
-        resolve a named ``tag`` (Iceberg tag-ref read analog).
+        """Load the current snapshot, time-travel to ``version``, resolve
+        a named ``tag`` (Iceberg tag-ref read analog), or time-travel to
+        a wall-clock instant with ``as_of`` (``TIMESTAMP AS OF`` analog:
+        the newest snapshot whose commit stamp is at or before it;
+        accepts epoch seconds or a datetime).
 
         Every commit keeps its manifest (``_manifests/v{N}.json``), so any
         historical snapshot remains readable until garbage-collected —
         the Iceberg snapshot-id read analog. Writes against a historical
         snapshot are rejected by the optimistic ``_write_manifest`` check.
         """
+        if sum(x is not None for x in (version, tag, as_of)) > 1:
+            raise ValueError("pass at most one of version, tag, as_of")
         if tag is not None:
-            if version is not None:
-                raise ValueError("pass version OR tag, not both")
             tags = cls._load_tags(root)
             if tag not in tags:
                 raise FileNotFoundError(f"no tag {tag!r} at {root}")
             version = int(tags[tag]["version"])
+        if as_of is not None:
+            cut = as_of.timestamp() if hasattr(as_of, "timestamp") else float(as_of)
+            mdir = os.path.join(root, "_manifests")
+            best = None
+            for n in sorted(os.listdir(mdir)):
+                if not (n.startswith("v") and n.endswith(".json")):
+                    continue
+                p = os.path.join(mdir, n)
+                with open(p) as f:
+                    m = json.load(f)
+                # pre-stamp manifests: the write mtime is the commit time
+                committed = m.get("committed_ts") or os.path.getmtime(p)
+                if committed <= cut and (best is None or m["version"] > best):
+                    best = m["version"]
+            if best is None:
+                raise FileNotFoundError(
+                    f"no snapshot at or before as_of={as_of!r} at {root}"
+                )
+            version = best
         v = cls._current_version(root) if version is None else version
         if v is None:
             raise FileNotFoundError(f"no lake table at {root}")
@@ -864,6 +887,10 @@ class LakeTable:
                 f"manifest moved: expected v{expected_parent}, found v{cur}"
             )
         v = manifest["version"]
+        # wall-clock commit stamp: the AS-OF timestamp read resolves
+        # against it (load(as_of=...)); stamped at visibility time, so a
+        # WAP stage published later reads as of its publish, not its write
+        manifest["committed_ts"] = time.time()
         path = os.path.join(mdir, f"v{v}.json")
         with open(path, "w") as f:
             json.dump(manifest, f, indent=1)

@@ -695,3 +695,41 @@ def test_tags_pin_snapshots_and_survive_vacuum(spark, tmp_root):
         "writer": {"name": "parquetwriter", "parameter": {"path": out}},
     }]}})
     assert spark.read.parquet(out).count() == t.read().count()
+
+
+def test_as_of_timestamp_read(spark, tmp_root):
+    """load(as_of=...) resolves the newest snapshot committed at or
+    before the instant (TIMESTAMP AS OF analog), is mutually exclusive
+    with version/tag, and rejects instants before the first commit."""
+    import datetime as dt
+
+    root = os.path.join(tmp_root, "asof")
+    table = LakeTable.create(spark, root, PAYLOAD_SCHEMA,
+                             pk=["repo", "path"], n_buckets=4)
+    ev1 = generate_binlog(spark, n_events=2000, n_keys=500, seed=3)
+    replay(ev1, table, batch_id="b1")
+    t1 = LakeTable.load(spark, root)
+    v1, n1 = t1.manifest["version"], t1.read().count()
+    ts_between = t1.manifest["committed_ts"] + 1e-4
+
+    ev2 = generate_binlog(spark, n_events=2000, n_keys=500, seed=4)\
+        .withColumn("seq", F.col("seq") + 10_000_000)\
+        .withColumn("op_ts", F.col("op_ts") + F.expr("INTERVAL 1 HOUR"))
+    replay(ev2, LakeTable.load(spark, root), batch_id="b2")
+    t2 = LakeTable.load(spark, root)
+
+    old = LakeTable.load(spark, root, as_of=ts_between)
+    assert old.manifest["version"] == v1
+    assert old.read().count() == n1
+    # datetime input; "now" resolves to the current snapshot
+    now = LakeTable.load(spark, root, as_of=dt.datetime.now())
+    assert now.manifest["version"] == t2.manifest["version"]
+    # before the first commit: no snapshot
+    first_ts = min(
+        LakeTable.load(spark, root, version=v).manifest["committed_ts"]
+        for v in range(0, v1 + 1)
+    )
+    with pytest.raises(FileNotFoundError):
+        LakeTable.load(spark, root, as_of=first_ts - 10.0)
+    with pytest.raises(ValueError, match="at most one"):
+        LakeTable.load(spark, root, version=v1, as_of=ts_between)
