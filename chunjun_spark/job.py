@@ -329,8 +329,9 @@ def _read_lake(spark: SparkSession, cfg: JobConfig) -> DataFrame:
     """lakereader: consume a lake table as a source.
 
     Two modes:
-    - snapshot (default): current state, or time travel via ``version``
-      or a named ``tag`` (pinned training-snapshot read) — pairs with
+    - snapshot (default): current state, or time travel via ``version``,
+      a named ``tag`` (pinned training-snapshot read), or a wall-clock
+      ``asOf`` instant (epoch seconds; TIMESTAMP AS OF) — pairs with
       plain-frame sinks (file/jdbc/stream).
     - incremental (``sinceVersion`` set, optional ``untilVersion``):
       ``LakeTable.read_changes`` re-emitted in the canonical changelog
@@ -345,7 +346,7 @@ def _read_lake(spark: SparkSession, cfg: JobConfig) -> DataFrame:
 
     p = cfg.reader.parameter
     table = LakeTable.load(spark, p["path"], version=p.get("version"),
-                           tag=p.get("tag"))
+                           tag=p.get("tag"), as_of=p.get("asOf"))
     if "sinceVersion" not in p:
         return table.read()
     ch = table.read_changes(

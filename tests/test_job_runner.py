@@ -721,3 +721,35 @@ def test_job_json_snapshot_bootstrap_switchover(spark, tmp_root):
     assert m3["bootstrapPosition"]["vseq"] == pos["vseq"]
     assert sha256_state(df_state(LakeTable.load(spark, lake).read(), pk)) \
         == sha256_state(want)
+
+
+def test_lakereader_as_of(spark, tmp_root):
+    """lakereader asOf param: wall-clock time travel through the JSON
+    surface (TIMESTAMP AS OF analog)."""
+    import pyspark.sql.functions as F
+
+    from chunjun_spark.operators.merge import replay
+    from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA, generate_binlog
+
+    root = os.path.join(tmp_root, "lake")
+    table = LakeTable.create(spark, root, PAYLOAD_SCHEMA,
+                             pk=["repo", "path"], n_buckets=4)
+    replay(generate_binlog(spark, 1500, n_keys=300, seed=41), table,
+           batch_id="b1")
+    t1 = LakeTable.load(spark, root)
+    cut = t1.manifest["committed_ts"] + 1e-4
+    n1 = t1.read().count()
+    ev2 = generate_binlog(spark, 1500, n_keys=300, seed=42)\
+        .withColumn("seq", F.col("seq") + 10_000_000)\
+        .withColumn("op_ts", F.col("op_ts") + F.expr("INTERVAL 1 HOUR"))
+    replay(ev2, t1, batch_id="b2")
+    assert LakeTable.load(spark, root).read().count() != n1
+
+    out_dir = os.path.join(tmp_root, "out")
+    run_job(spark, {"job": {"content": [{
+        "reader": {"name": "lakereader",
+                   "parameter": {"path": root, "asOf": cut}},
+        "writer": {"name": "hdfswriter",
+                   "parameter": {"path": out_dir, "fileType": "parquet"}},
+    }], "setting": {"speed": {"channel": 2}}}})
+    assert spark.read.parquet(out_dir).count() == n1
