@@ -74,6 +74,7 @@ def replay_wap(
     checks: list[dict],
     mode: str = "cow",
     update_mode: str = "replace",
+    rebase: bool = False,
 ) -> dict:
     """One-call write-audit-publish replay: stage the window under
     ``wap_id=batch_id``, audit the staged snapshot, publish on pass /
@@ -84,7 +85,12 @@ def replay_wap(
     publish it leaves an invisible staged snapshot, and the re-run
     detects it (``staged_ids``) and resumes at the audit step instead of
     re-staging; after publish the batch-id guard makes the whole re-run
-    a no-op."""
+    a no-op.
+
+    ``rebase=True`` (with ``mode='mor'``) lets concurrent writers WAP
+    the same table: a publish that loses the ``_current`` CAS replays
+    the staged delta-append on the new current metadata-only
+    (``LakeTable.publish_staged(rebase=True)``) instead of failing."""
     from chunjun_spark.operators.merge import replay
 
     if batch_id in table.committed_batches():
@@ -119,10 +125,16 @@ def replay_wap(
     # call: the resume-from-stage path audits the staged snapshot
     # instead and would leave such an observation waiting forever.
     if report["passed"]:
-        res = t.publish_staged(batch_id)
+        res = t.publish_staged(batch_id, rebase=rebase)
+        if res.get("skipped"):
+            # a concurrent writer landed this very batch id between the
+            # stage and the publish — exactly-once degrades to the skip
+            return {"outcome": "skipped", "batch_id": batch_id,
+                    "ran_action": ran_action, **report}
         return {"outcome": "published", "version": res["version"],
                 "batch_id": batch_id, "n_changes": n_changes,
-                "ran_action": ran_action, **report}
+                "ran_action": ran_action, "rebased": bool(res.get("rebased")),
+                **report}
     t.abandon_staged(batch_id)
     return {"outcome": "abandoned", "batch_id": batch_id,
             "n_changes": n_changes, "ran_action": ran_action, **report}

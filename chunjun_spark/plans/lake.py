@@ -1689,13 +1689,31 @@ class LakeTable:
             if n.startswith("staged-") and n.endswith(".json")
         )
 
-    def publish_staged(self, wap_id: str) -> dict:
+    def publish_staged(self, wap_id: str, rebase: bool = False,
+                       max_retries: int = 3) -> dict:
         """Atomically make a staged snapshot the current one. The CAS
         requires ``_current`` to still be the staged snapshot's parent —
         a commit that landed in between fails the publish (re-stage
         against the new current instead of silently dropping its
         effects). Idempotent across a crash between the pointer swap and
-        the staged-file cleanup."""
+        the staged-file cleanup.
+
+        ``rebase=True`` adds Iceberg-style fast-append conflict
+        resolution (BaseTransaction commit retry / fast-append manifest
+        replay): when the CAS loses AND the stage is a pure delta-append
+        over its parent (no COW bucket rewrites, no DDL — the
+        ``append_delta(wap_id=...)`` shape), the staged DATA FILES are
+        reused and only the manifest edit is replayed on top of the new
+        current — a metadata-only retry, no recompute of the write. This
+        is sound because delta-append is order-free: resolution folds
+        every version of a key by its ``(_vts, _vseq)`` stamp, so two
+        appends commute even when they touch the same keys. The rebase
+        aborts (ConcurrentCommitError) when the stage rewrote buckets or
+        changed schema (re-stage instead), or when the bucket layout
+        evolved under it (a concurrent ``compact(evolve_bucket_cols)``
+        makes the staged ``_bucket`` values stale). A batch id that a
+        concurrent writer already committed is dropped from the rebase
+        (exactly-once degrades to the skip path, as in ``merge``)."""
         spath = os.path.join(self.root, "_manifests", f"staged-{wap_id}.json")
         if not os.path.exists(spath):
             raise FileNotFoundError(f"no staged snapshot {wap_id!r} at {self.root}")
@@ -1712,9 +1730,90 @@ class LakeTable:
                     self.manifest = m
                     return {"version": m["version"], "wap_id": wap_id,
                             "already_published": True}
-        self._write_manifest(m, expected_parent=m["parent"])
-        os.remove(spath)
-        return {"version": m["version"], "wap_id": wap_id}
+        if not rebase or cur == m["parent"]:
+            self._write_manifest(m, expected_parent=m["parent"])
+            os.remove(spath)
+            return {"version": m["version"], "wap_id": wap_id}
+        return self._publish_rebased(wap_id, m, max_retries)
+
+    def _stage_delta_diff(self, staged: dict) -> list[dict] | None:
+        """The staged snapshot's change set iff it is a pure delta-append
+        over its parent: the new delta entries. None when the stage also
+        rewrote buckets, ran DDL, or changed the table spec — those
+        shapes don't commute with concurrent commits and must re-stage."""
+        ppath = os.path.join(self.root, "_manifests",
+                             f"v{staged['parent']}.json")
+        if not os.path.exists(ppath):
+            return None
+        with open(ppath) as f:
+            parent = json.load(f)
+        same = all(
+            staged.get(k) == parent.get(k)
+            for k in ("buckets", "schemas", "schema_version", "pk",
+                      "n_buckets", "bucket_cols", "cluster_cols")
+        )
+        pd = parent["deltas"]
+        if not same or staged["deltas"][: len(pd)] != pd:
+            return None
+        return staged["deltas"][len(pd):]
+
+    def _publish_rebased(self, wap_id: str, staged: dict,
+                         max_retries: int) -> dict:
+        spath = os.path.join(self.root, "_manifests", f"staged-{wap_id}.json")
+        new_deltas = self._stage_delta_diff(staged)
+        if new_deltas is None:
+            raise ConcurrentCommitError(
+                f"stage {wap_id!r} is not a pure delta-append over "
+                f"v{staged['parent']} — cannot rebase, re-stage against "
+                "the new current"
+            )
+        for attempt in range(max_retries + 1):
+            t = LakeTable.load(self.spark, self.root)
+            nm = t._next_manifest()
+            if (nm["n_buckets"] != staged["n_buckets"]
+                    or nm["bucket_cols"] != staged["bucket_cols"]
+                    or nm["pk"] != staged["pk"]):
+                raise ConcurrentCommitError(
+                    f"bucket layout evolved under stage {wap_id!r} "
+                    "(staged _bucket values are stale) — re-stage"
+                )
+            if str(staged["schema_version"]) not in nm["schemas"]:
+                # a rollback chain that predates the stage's schema —
+                # the delta files' field-id projection would dangle
+                raise ConcurrentCommitError(
+                    f"schema v{staged['schema_version']} of stage "
+                    f"{wap_id!r} is unknown to the current chain — re-stage"
+                )
+            committed = t.committed_batches()
+            applied = []
+            for d in new_deltas:
+                bid = d.get("batch_id")
+                if bid is not None and bid in committed:
+                    continue  # a concurrent writer already landed it
+                nm["deltas"].append(json.loads(json.dumps(d)))
+                applied.append(d)
+                entry = staged.get("lineage", {}).get(bid)
+                if bid is not None and entry is not None:
+                    self._record_lineage(
+                        nm, bid, entry.get("offsets"),
+                        entry.get("metrics", {}).get("numWrite", 0),
+                        {k: v for k, v in entry.get("metrics", {}).items()
+                         if k != "numWrite"},
+                    )
+            if not applied:
+                os.remove(spath)
+                self.manifest = t.manifest
+                return {"wap_id": wap_id, "skipped": True,
+                        "version": t.manifest["version"]}
+            try:
+                self._write_manifest(nm, expected_parent=nm["parent"])
+            except ConcurrentCommitError:
+                if attempt == max_retries:
+                    raise
+                continue
+            os.remove(spath)
+            return {"version": nm["version"], "wap_id": wap_id,
+                    "rebased": True, "onto": nm["parent"]}
 
     def abandon_staged(self, wap_id: str) -> dict:
         """Drop a staged snapshot. Its data files become unreferenced

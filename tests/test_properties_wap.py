@@ -85,3 +85,47 @@ def test_wap_interleavings_fold_to_published_windows(spark, tmp_root,
     assert got == want
     t.vacuum(keep_last=1)
     assert sha256_state(df_state(LakeTable.load(spark, root).read(), PK)) == got
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.permutations(list(range(4))))
+def test_concurrent_staged_appends_commute_under_rebase(spark, tmp_root,
+                                                        order):
+    """K writers stage delta-appends off the SAME parent; publishing in
+    ANY order with rebase=True converges to the fold of all windows —
+    the first publish wins the CAS, every later one replays its manifest
+    edit on the moved current (fast-append commutativity)."""
+    run = uuid.uuid4().hex[:8]
+    n = 2000
+    ev = generate_binlog(spark, n, n_keys=250, seed=29, dup_rate=0.0,
+                         delete_rate=0.1).localCheckpoint(eager=True)
+    k = 4
+    bounds = [n * i // k for i in range(k + 1)]
+    root = os.path.join(tmp_root, f"wapconc_{run}")
+    LakeTable.create(spark, root, PAYLOAD_SCHEMA, pk=PK, n_buckets=4)
+
+    handles = [LakeTable.load(spark, root) for _ in range(k)]
+    windows = []
+    for i, t in enumerate(handles):
+        w = ev.filter((F.col("offset") >= bounds[i]) &
+                      (F.col("offset") < bounds[i + 1]))
+        windows.append(w)
+        replay(w, t, batch_id=f"c{run}{i}", mode="mor", wap_id=f"S{run}{i}")
+
+    rebased = 0
+    for j, i in enumerate(order):
+        res = handles[i].publish_staged(f"S{run}{i}", rebase=True)
+        rebased += bool(res.get("rebased"))
+        assert res.get("skipped") is None
+    assert rebased == k - 1  # only the first publish wins the plain CAS
+
+    t = LakeTable.load(spark, root)
+    assert t.staged_ids() == []
+    assert {f"c{run}{i}" for i in range(k)} <= t.committed_batches()
+    union = windows[0]
+    for w in windows[1:]:
+        union = union.unionByName(w)
+    assert sha256_state(df_state(t.read(), PK)) == sha256_state(
+        fold_oracle(union.collect(), PK)
+    )

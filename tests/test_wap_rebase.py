@@ -1,0 +1,175 @@
+"""Concurrent writers: fast-append rebase on publish.
+
+Iceberg analog: SnapshotProducer commit retry / fast-append manifest
+replay — a staged delta-append that loses the ``_current`` CAS reuses
+its DATA FILES and replays only the manifest edit on the new current.
+Sound because delta-append is order-free under the (op_ts, seq) /
+(_vts, _vseq) keep-last fold: two appends commute even on the same keys.
+Reference analog: two ChunJun channels writing the same sink table rely
+on the DB's own row versioning; here the lake's version stamps play
+that role (JdbcOutputFormat.java:290-390 writes under XA but takes no
+table lock across writers).
+"""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from chunjun_spark.operators.merge import replay
+from chunjun_spark.plans.lake import ConcurrentCommitError, LakeTable
+from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA, generate_binlog
+
+from .conftest import df_state, sha256_state
+
+PK = ["repo", "path"]
+
+
+def _table(spark, tmp_root, name="lake"):
+    return LakeTable.create(
+        spark, os.path.join(tmp_root, name), PAYLOAD_SCHEMA, pk=PK, n_buckets=4
+    )
+
+
+def _win(spark, seed, shift=0, n=2000, n_keys=500):
+    """A change window; ``shift`` disambiguates the shared seq range so
+    overlapping keys between windows never tie on (op_ts, seq)."""
+    ev = generate_binlog(spark, n, n_keys=n_keys, seed=seed, dup_rate=0.0)
+    if shift:
+        ev = ev.withColumn("seq", F.col("seq") + F.lit(shift * 10_000_000)).withColumn(
+            "op_ts", F.col("op_ts") + F.expr(f"INTERVAL {shift} HOUR")
+        )
+    return ev
+
+
+def _expected_state(spark, tmp_root, windows):
+    """Sequential (single-writer) replay of the same windows → the state
+    any publish order must converge to."""
+    model = _table(spark, tmp_root, name="model")
+    for i, ev in enumerate(windows):
+        replay(ev, model, batch_id=f"m{i}", mode="mor")
+        model = model.refresh()
+    return sha256_state(df_state(model.read(), PK))
+
+
+def test_rebase_publish_after_concurrent_commit(spark, tmp_root):
+    table = _table(spark, tmp_root)
+    w0, wa, wb = _win(spark, 3), _win(spark, 9, shift=1), _win(spark, 17, shift=2)
+    replay(w0, table, batch_id="w0", mode="mor")
+
+    # two writers stage delta-appends off the SAME parent
+    ta = LakeTable.load(spark, table.root)
+    tb = LakeTable.load(spark, table.root)
+    ra = replay(wa, ta, batch_id="wa", mode="mor", wap_id="A")
+    rb = replay(wb, tb, batch_id="wb", mode="mor", wap_id="B")
+    assert ra["staged"] and rb["staged"]
+
+    ta.publish_staged("A")
+    # plain publish loses the CAS…
+    with pytest.raises(ConcurrentCommitError):
+        tb.publish_staged("B")
+    # …rebase reuses B's staged files and replays the manifest edit
+    res = tb.publish_staged("B", rebase=True)
+    assert res["rebased"] and res["onto"] == ta.manifest["version"]
+
+    t = LakeTable.load(spark, table.root)
+    assert {"w0", "wa", "wb"} <= t.committed_batches()
+    assert t.staged_ids() == []
+    assert sha256_state(df_state(t.read(), PK)) == _expected_state(
+        spark, tmp_root, [w0, wa, wb]
+    )
+
+
+def test_rebase_chain_of_three_writers(spark, tmp_root):
+    table = _table(spark, tmp_root)
+    w0 = _win(spark, 5)
+    replay(w0, table, batch_id="w0", mode="mor")
+    wins = [_win(spark, 20 + i, shift=i + 1, n=800, n_keys=300) for i in range(3)]
+
+    handles = [LakeTable.load(spark, table.root) for _ in wins]
+    for i, (h, ev) in enumerate(zip(handles, wins)):
+        replay(ev, h, batch_id=f"c{i}", mode="mor", wap_id=f"S{i}")
+    # publish in reverse stage order; every one after the first rebases
+    handles[2].publish_staged("S2")
+    assert handles[1].publish_staged("S1", rebase=True)["rebased"]
+    assert handles[0].publish_staged("S0", rebase=True)["rebased"]
+
+    t = LakeTable.load(spark, table.root)
+    assert sha256_state(df_state(t.read(), PK)) == _expected_state(
+        spark, tmp_root, [w0] + wins
+    )
+
+
+def test_rebase_skips_batch_already_committed_elsewhere(spark, tmp_root):
+    table = _table(spark, tmp_root)
+    replay(_win(spark, 3), table, batch_id="w0", mode="mor")
+    wx = _win(spark, 9, shift=1)
+
+    ta = LakeTable.load(spark, table.root)
+    tb = LakeTable.load(spark, table.root)
+    replay(wx, ta, batch_id="wx", mode="mor", wap_id="A")
+    replay(wx, tb, batch_id="wx", mode="mor", wap_id="B")  # same batch id
+
+    ta.publish_staged("A")
+    after_a = LakeTable.load(spark, table.root)
+    state_a = sha256_state(df_state(after_a.read(), PK))
+
+    res = tb.publish_staged("B", rebase=True)
+    assert res.get("skipped") is True  # exactly-once degrades to skip
+    t = LakeTable.load(spark, table.root)
+    assert t.manifest["version"] == after_a.manifest["version"]  # no new commit
+    assert t.staged_ids() == []
+    assert sha256_state(df_state(t.read(), PK)) == state_a
+
+
+def test_cow_stage_is_not_rebaseable(spark, tmp_root):
+    table = _table(spark, tmp_root)
+    replay(_win(spark, 3), table, batch_id="w0", mode="mor")
+
+    tb = LakeTable.load(spark, table.root)
+    replay(_win(spark, 9, shift=1), tb, batch_id="wb", mode="cow", wap_id="B")
+    # an unrelated commit lands
+    t = LakeTable.load(spark, table.root)
+    replay(_win(spark, 17, shift=2), t, batch_id="wc", mode="mor")
+
+    with pytest.raises(ConcurrentCommitError, match="not a pure delta-append"):
+        tb.publish_staged("B", rebase=True)
+    # the stage is still there for replay_wap/abandon to handle
+    assert LakeTable.load(spark, table.root).staged_ids() == ["B"]
+
+
+def test_bucket_evolution_under_stage_aborts_rebase(spark, tmp_root):
+    table = _table(spark, tmp_root)
+    replay(_win(spark, 3), table, batch_id="w0", mode="mor")
+
+    tb = LakeTable.load(spark, table.root)
+    replay(_win(spark, 9, shift=1), tb, batch_id="wb", mode="mor", wap_id="B")
+    # concurrent bucket-spec evolution: staged _bucket values are stale
+    t = LakeTable.load(spark, table.root)
+    t.compact(new_bucket_cols=PK, new_n_buckets=8)
+
+    with pytest.raises(ConcurrentCommitError, match="bucket layout evolved"):
+        tb.publish_staged("B", rebase=True)
+
+
+def test_replay_wap_rebase_passthrough(spark, tmp_root):
+    """Two writers run the full write-audit-publish flow concurrently;
+    the loser's publish rebases instead of failing."""
+    from chunjun_spark.operators.wap import replay_wap
+
+    table = _table(spark, tmp_root)
+    replay(_win(spark, 3), table, batch_id="w0", mode="mor")
+    checks = [{"type": "row_count_min", "value": 1}]
+
+    ta = LakeTable.load(spark, table.root)
+    tb = LakeTable.load(spark, table.root)
+    # stage both off the same parent, then run the WAP flows; A's flow
+    # resumes its stage and publishes first, B's must rebase
+    replay(_win(spark, 9, shift=1), ta, batch_id="wa", mode="mor", wap_id="wa")
+    replay(_win(spark, 17, shift=2), tb, batch_id="wb", mode="mor", wap_id="wb")
+    ra = replay_wap(None, ta, "wa", checks, mode="mor", rebase=True)
+    rb = replay_wap(None, tb, "wb", checks, mode="mor", rebase=True)
+    assert ra["outcome"] == "published" and not ra["rebased"]
+    assert rb["outcome"] == "published" and rb["rebased"]
+    t = LakeTable.load(spark, table.root)
+    assert {"w0", "wa", "wb"} <= t.committed_batches()
