@@ -103,6 +103,40 @@ FROM r WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def _q_cdc_cat_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binlogreader ``cat`` subscription filter (binlogreader.md,
+    BinlogInputFormat.java:89-143): keep only insert/update categories —
+    DELETEs never enter the pipeline, so a key whose LAST event is a
+    delete survives with its last non-delete version (vs
+    cdc_final_state, where the delete wins keep-last and drops the key)."""
+    from chunjun_spark.sources.binlog import filter_events
+
+    ev = _t(spark, sf_dir, "events")
+    ch = filter_events(events_changelog(ev), cat="insert,update")
+    keyed = events_with_pk(ch, ["user_id"])
+    last = keep_last(keyed, pk=["user_id"], order=("op_ts", "seq"))
+    changes = to_changes(last)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 6).alias("last_value"),
+        F.col("_vseq").alias("last_seq"),
+    )
+
+
+_CAT_FILTERED_SQL = """
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WHERE event_type <> 'error'
+)
+SELECT user_id, event_type AS last_event_type,
+       round(value, 6) AS last_value, event_id AS last_seq
+FROM r WHERE rn = 1
+"""
+
+
 def _build_lake(spark: SparkSession, sf_dir: str, mode: str):
     ev = _t(spark, sf_dir, "events")
     ch = events_changelog(ev)
@@ -2766,6 +2800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_keep_last": _q_cdc_keep_last,
         "cdc_keep_last_salted": _q_cdc_keep_last_salted,
         "cdc_final_state": _q_cdc_final_state,
+        "cdc_cat_filtered": _q_cdc_cat_filtered,
         "cdc_replay_lake": _q_cdc_replay_lake,
         "cdc_replay_lake_mor": _q_cdc_replay_lake_mor,
         "kafka_roundtrip_final_state": _q_kafka_roundtrip_final_state,
@@ -2856,6 +2891,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_keep_last": _KEEP_LAST_SQL,
         "cdc_keep_last_salted": _KEEP_LAST_SQL,
         "cdc_final_state": _FINAL_STATE_SQL,
+        "cdc_cat_filtered": _CAT_FILTERED_SQL,
         "cdc_replay_lake": _REPLAY_LAKE_SQL,
         "cdc_replay_lake_mor": _REPLAY_LAKE_SQL,
         "kafka_roundtrip_final_state": _REPLAY_LAKE_SQL,

@@ -81,7 +81,14 @@ def _read_binlog(spark: SparkSession, cfg: JobConfig) -> DataFrame:
         df = df.filter(F.col("op_ts") >= F.lit(start["timestamp"]).cast("timestamp"))
     if start.get("seq") is not None:
         df = df.filter(F.col("seq") > int(start["seq"]))
-    return df
+    # subscription filters (binlogreader.md cat / table / filter):
+    # op categories, exact table list, table-name regex
+    from chunjun_spark.sources.binlog import filter_events
+
+    return filter_events(
+        df, cat=p.get("cat"), table=p.get("table"),
+        table_filter=p.get("filter"),
+    )
 
 
 def _read_file(spark: SparkSession, cfg: JobConfig) -> DataFrame:

@@ -239,3 +239,48 @@ def decode_snowflake(df: DataFrame, col: str = "snowflake_ts") -> DataFrame:
     return df.withColumn("sf_epoch_ms", F.shiftright(F.col(col), 22)).withColumn(
         "sf_seq", F.col(col).bitwiseAND(F.lit((1 << 22) - 1))
     )
+
+
+DATA_OPS = ("INSERT", "UPDATE", "DELETE")
+
+
+def filter_events(
+    df: DataFrame,
+    cat: str | list[str] | None = None,
+    table: str | list[str] | None = None,
+    table_filter: str | None = None,
+) -> DataFrame:
+    """The reference binlogreader's subscription filters, as row-local
+    codegen predicates that push into the scan:
+
+    - ``cat``: operation categories to keep, comma-separated or a list
+      (``"insert,update"``); empty keeps all. Applies only to DATA ops —
+      control rows (DDL / ERROR poison) always pass, mirroring the
+      reference where DDL parses on a separate path from the category
+      check (BinlogInputFormat.java:89-90 builds the list, :143
+      ``categories.isEmpty() || categories.contains(type)``).
+    - ``table``: exact table name(s); a name matches either the bare
+      ``table_name`` or the qualified ``schema.table``. When set, the
+      regex ``table_filter`` is ignored (binlogreader.md: "指定此参数后
+      filter参数将无效").
+    - ``table_filter``: regex over the qualified ``schema.table`` name
+      (the canal AviaterRegexFilter subscription,
+      BinlogInputFormat.java:110-118), e.g. ``"canal\\..*"``.
+    """
+    if cat:
+        cats = [
+            c.strip().upper()
+            for c in (cat.split(",") if isinstance(cat, str) else cat)
+            if c.strip()
+        ]
+        if cats:
+            df = df.filter(
+                F.col("op").isin(cats) | ~F.col("op").isin(list(DATA_OPS))
+            )
+    qual = F.concat_ws(".", F.col("schema_name"), F.col("table_name"))
+    if table:
+        names = [table] if isinstance(table, str) else list(table)
+        df = df.filter(qual.isin(names) | F.col("table_name").isin(names))
+    elif table_filter:
+        df = df.filter(qual.rlike(table_filter))
+    return df

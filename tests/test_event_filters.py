@@ -1,0 +1,82 @@
+"""binlogreader subscription filters: cat (op categories), table (exact
+list), filter (table-name regex) — docs/realTime/reader/binlogreader.md,
+BinlogInputFormat.java:89-143 (categories) and :110-118 (canal regex
+subscription)."""
+
+import pyspark.sql.functions as F
+
+from chunjun_spark.config import JobConfig
+from chunjun_spark.sources.binlog import EVENT_SCHEMA, filter_events
+
+
+def _events(spark):
+    rows = [
+        ("INSERT", "lake", "t1"),
+        ("UPDATE", "lake", "t1"),
+        ("DELETE", "lake", "t2"),
+        ("DDL", "lake", "t2"),
+        ("ERROR", "other", "t3"),
+    ]
+    return spark.createDataFrame(
+        [
+            {"op": op, "schema_name": s, "table_name": t, "seq": i}
+            for i, (op, s, t) in enumerate(rows)
+        ],
+        schema="op string, schema_name string, table_name string, seq long",
+    )
+
+
+def _ops(df):
+    return sorted(r["op"] for r in df.collect())
+
+
+def test_cat_filters_data_ops_only(spark):
+    ev = _events(spark)
+    # control rows (DDL / ERROR poison) always pass the category check
+    assert _ops(filter_events(ev, cat="insert")) == ["DDL", "ERROR", "INSERT"]
+    assert _ops(filter_events(ev, cat="INSERT,update")) == [
+        "DDL", "ERROR", "INSERT", "UPDATE",
+    ]
+    assert _ops(filter_events(ev, cat=["delete"])) == ["DDL", "DELETE", "ERROR"]
+    # empty = keep all (reference: categories.isEmpty() short-circuit)
+    assert filter_events(ev, cat="").count() == 5
+    assert filter_events(ev).count() == 5
+
+
+def test_table_exact_list_and_regex(spark):
+    ev = _events(spark)
+    assert {r["table_name"] for r in filter_events(ev, table="t1").collect()} == {"t1"}
+    # qualified names match too
+    assert filter_events(ev, table="lake.t2").count() == 2
+    assert filter_events(ev, table=["t1", "t3"]).count() == 3
+    # regex over schema.table
+    assert filter_events(ev, table_filter=r"lake\..*").count() == 4
+    assert filter_events(ev, table_filter=r"other\..*").count() == 1
+    assert filter_events(ev, table_filter=r"nope\..*").count() == 0
+    # table wins over filter (binlogreader.md: filter ignored when table set)
+    assert filter_events(ev, table="t1", table_filter=r"nope\..*").count() == 2
+
+
+def test_binlogreader_job_surface_applies_filters(spark, tmp_root):
+    ev = _events(spark)
+    path = f"{tmp_root}/evfilter"
+    ev.write.parquet(path)
+    raw = {
+        "job": {
+            "content": [{
+                "reader": {
+                    "name": "binlogreader",
+                    "parameter": {"path": path, "cat": "insert,update",
+                                  "filter": r"lake\..*"},
+                },
+                "writer": {"name": "streamwriter", "parameter": {}},
+            }],
+            "setting": {"speed": {"channel": 1}},
+        }
+    }
+    cfg = JobConfig.parse(raw)
+    from chunjun_spark.job import READERS
+
+    out = READERS["binlogreader"](spark, cfg)
+    # lake.* only, data ops restricted to insert/update, DDL passes
+    assert _ops(out) == ["DDL", "INSERT", "UPDATE"]
