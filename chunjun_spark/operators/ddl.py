@@ -64,29 +64,58 @@ def ddl_event(
     }
 
 
+def final_column_name(name: str, later_specs: list) -> str | None:
+    """Resolve what a column named ``name`` is called AFTER the rest of
+    an ordered DDL window runs: follow renames, ``None`` if dropped.
+    This is how re-delivery idempotence handles an action whose column a
+    LATER action in the same window renamed — the action's effect is
+    checked under its final name, not the (now vanished) original."""
+    for s in later_specs:
+        if s["action"] == "rename_column" and s["old"] == name:
+            name = s["new"]
+        elif s["action"] == "drop_column" and s["name"] == name:
+            return None
+    return name
+
+
 def apply_ddl_events(table: LakeTable, ddl_rows: list) -> LakeTable:
     """Apply collected DDL rows in (op_ts, seq) order; idempotent —
     an action that is already reflected in the current schema (same
     column present / already renamed / already widened) is skipped, so a
     replayed micro-batch cannot fail on its second delivery."""
     rows = sorted(ddl_rows, key=lambda r: (r["op_ts"], r["seq"]))
-    for r in rows:
-        spec = json.loads(r["ddl"])
+    specs = [json.loads(r["ddl"]) for r in rows]
+    for i, r in enumerate(rows):
+        spec = specs[i]
         action = spec["action"]
         names = table.schema.names()
         try:
             if action == "add_column":
-                if spec["name"] in names:
+                # idempotence under whole-window re-delivery: the added
+                # column may have been renamed by a LATER action in this
+                # same window — check presence under its FINAL name. A
+                # final name of None (added then dropped in one window)
+                # is a net no-op on both deliveries: DDL all applies
+                # before the data merge, so nothing can reference it.
+                final = final_column_name(spec["name"], specs[i + 1:])
+                if final is None or final in names:
                     continue
                 table.apply_ddl("add_column", name=spec["name"], type=spec["type"])
             elif action == "rename_column":
-                if spec["new"] in names and spec["old"] not in names:
+                # old gone = already applied (and possibly renamed AGAIN
+                # by a later action in this same ordered window, so new
+                # may be gone too) — in a totally-ordered changelog a
+                # vanished source column always means superseded; the
+                # first delivery would have failed on corrupt DDL
+                if spec["old"] not in names:
                     continue
                 table.apply_ddl("rename_column", old=spec["old"], new=spec["new"])
             elif action == "widen_type":
                 cur = {f["name"]: f["type"] for f in table.schema.fields}
                 if cur.get(spec["name"]) == spec["type"]:
                     continue
+                if spec["name"] not in cur:
+                    continue  # superseded by a later rename/drop (above)
                 table.apply_ddl("widen_type", name=spec["name"], type=spec["type"])
             elif action == "drop_column":
                 if spec["name"] not in names:

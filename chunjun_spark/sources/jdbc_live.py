@@ -576,39 +576,129 @@ def relay_apply_ddl(
     user: str | None,
     password: str | None,
 ) -> None:
-    """add_column DDL forwarded to the JDBC target as an idempotent
-    ALTER TABLE (existing column = replayed batch → skip). Other DDL
-    raises loudly: the reference's JDBC writers sync DATA into
-    pre-created tables — silently dropping a rename/widen/drop would
+    """Schema-evolution DDL forwarded to the JDBC target as idempotent
+    statements (an action already reflected in the target schema is a
+    replayed batch → skip): add_column / rename_column / drop_column
+    directly; widen_type via the portable add-copy-drop-rename recipe
+    (Derby's ALTER COLUMN SET DATA TYPE only grows VARCHARs, so numeric
+    widening must rebuild the column — the same rewrite MySQL's ALTER
+    does behind the scenes). Each widen step is individually resumable:
+    a crash between statements leaves a state the re-run recognizes and
+    finishes. Unknown actions raise loudly: silently dropping DDL would
     desync relay and source schemas without anyone noticing."""
     import json as _json
 
-    reader = spark.read.format("jdbc").option("url", url).option(
-        "dbtable", table)
-    if driver:
-        reader = reader.option("driver", driver)
-    if user is not None:
-        reader = reader.option("user", user).option("password", password or "")
-    existing = {c.lower() for c in reader.load().columns}
-    for r in sorted(ddl_rows, key=lambda d: (d["op_ts"], d["seq"])):
+    from pyspark.sql import types as _T
+
+    _SPARK_TYPES = {
+        "int": _T.IntegerType(), "integer": _T.IntegerType(),
+        "bigint": _T.LongType(), "long": _T.LongType(),
+        "double": _T.DoubleType(), "float": _T.FloatType(),
+        "boolean": _T.BooleanType(), "string": _T.StringType(),
+        "timestamp": _T.TimestampType(), "date": _T.DateType(),
+    }
+
+    def _schema():
+        reader = spark.read.format("jdbc").option("url", url).option(
+            "dbtable", table)
+        if driver:
+            reader = reader.option("driver", driver)
+        if user is not None:
+            reader = reader.option("user", user).option(
+                "password", password or "")
+        return {f.name.lower(): f.dataType for f in reader.load().schema.fields}
+
+    def _sql(stmts):
+        execute_sql(spark, url, stmts, driver, user, password)
+
+    def _ddl_type(name):
+        t = _RELAY_DDL_TYPES.get(name.lower())
+        if t is None:
+            raise ValueError(f"no JDBC type mapping for {name!r}")
+        return t
+
+    from chunjun_spark.operators.ddl import final_column_name
+
+    existing = _schema()
+    rows = sorted(ddl_rows, key=lambda d: (d["op_ts"], d["seq"]))
+    specs = [{k: (v.lower() if isinstance(v, str) else v)
+              for k, v in _json.loads(r["ddl"]).items()} for r in rows]
+    for i, r in enumerate(rows):
         spec = _json.loads(r["ddl"])
-        if spec["action"] != "add_column":
+        action = spec["action"]
+        if action == "add_column":
+            # re-delivery idempotence: a LATER action in this same
+            # ordered window may have renamed (or dropped) the added
+            # column — check presence under its FINAL name (None =
+            # added-then-dropped, a net no-op either delivery)
+            final = final_column_name(spec["name"].lower(), specs[i + 1:])
+            if final is None or final in existing:
+                continue
+            _sql([f"ALTER TABLE {table} ADD COLUMN "
+                  f"{_qid(spec['name'].upper())} {_ddl_type(spec['type'])}"])
+            existing[spec["name"].lower()] = _SPARK_TYPES[spec["type"].lower()]
+        elif action == "rename_column":
+            old, new = spec["old"].lower(), spec["new"].lower()
+            if old not in existing:
+                # replayed batch: already renamed — possibly renamed
+                # AGAIN by a later action in this same ordered window,
+                # so `new` may be gone too. A vanished source column in
+                # a totally-ordered changelog always means superseded
+                # (the first delivery would have failed on corrupt DDL).
+                continue
+            _sql([f"RENAME COLUMN {table}.{_qid(old.upper())} "
+                  f"TO {_qid(new.upper())}"])
+            existing[new] = existing.pop(old)
+        elif action == "drop_column":
+            name = spec["name"].lower()
+            if name not in existing:
+                continue
+            _sql([f"ALTER TABLE {table} DROP COLUMN "
+                  f"{_qid(name.upper())} RESTRICT"])
+            del existing[name]
+        elif action == "widen_type":
+            name = spec["name"].lower()
+            target = _SPARK_TYPES[spec["type"].lower()]
+            tmp = f"{name}__widen".lower()
+            if existing.get(name) == target:
+                # replayed batch — but finish a crash-orphaned tmp first
+                if tmp in existing:
+                    _sql([f"ALTER TABLE {table} DROP COLUMN "
+                          f"{_qid(tmp.upper())} RESTRICT"])
+                    del existing[tmp]
+                continue
+            if name not in existing and tmp in existing:
+                # crashed between DROP old and RENAME: values live in tmp
+                _sql([f"RENAME COLUMN {table}.{_qid(tmp.upper())} "
+                      f"TO {_qid(name.upper())}"])
+                existing[name] = existing.pop(tmp)
+                continue
+            if name not in existing:
+                # replayed batch whose column a LATER action in this
+                # ordered window renamed/dropped — superseded, skip
+                continue
+            stmts = []
+            if tmp in existing:  # crashed mid-copy: redo from scratch
+                stmts.append(f"ALTER TABLE {table} DROP COLUMN "
+                             f"{_qid(tmp.upper())} RESTRICT")
+            stmts += [
+                f"ALTER TABLE {table} ADD COLUMN "
+                f"{_qid(tmp.upper())} {_ddl_type(spec['type'])}",
+                f"UPDATE {table} SET {_qid(tmp.upper())} = "
+                f"{_qid(name.upper())}",
+                f"ALTER TABLE {table} DROP COLUMN "
+                f"{_qid(name.upper())} RESTRICT",
+                f"RENAME COLUMN {table}.{_qid(tmp.upper())} "
+                f"TO {_qid(name.upper())}",
+            ]
+            _sql(stmts)
+            existing.pop(tmp, None)
+            existing[name] = target
+        else:
             raise ValueError(
-                f"jdbc relay cannot apply DDL action {spec['action']!r} "
-                f"(only add_column); evolve the target out of band"
+                f"jdbc relay cannot apply DDL action {action!r}; "
+                f"evolve the target out of band"
             )
-        if spec["name"].lower() in existing:
-            continue
-        ddl_type = _RELAY_DDL_TYPES.get(spec["type"].lower())
-        if ddl_type is None:
-            raise ValueError(f"no JDBC type mapping for {spec['type']!r}")
-        execute_sql(
-            spark, url,
-            [f"ALTER TABLE {table} ADD COLUMN "
-             f"{_qid(spec['name'].upper())} {ddl_type}"],
-            driver, user, password,
-        )
-        existing.add(spec["name"].lower())
 
 
 def apply_changelog_jdbc_exactly_once(

@@ -182,9 +182,132 @@ def test_relay_forwards_add_column_ddl_idempotently(spark, tmp_root):
     _relay_apply_ddl(spark, url, "tgt", rows, DERBY_DRIVER, None, None)
 
     bad = [{"op_ts": ts, "seq": 2,
-            "ddl": _json.dumps({"action": "drop_column", "name": "stars"})}]
+            "ddl": _json.dumps({"action": "truncate_table"})}]
     with pytest.raises(ValueError, match="cannot apply DDL action"):
         _relay_apply_ddl(spark, url, "tgt", bad, DERBY_DRIVER, None, None)
+
+
+def test_relay_forwards_rename_widen_drop_ddl(spark, tmp_root):
+    """The full schema-evolution surface reaches the JDBC target:
+    rename via RENAME COLUMN, numeric widen via the portable
+    add-copy-drop-rename rebuild (Derby can't widen INT in place), drop
+    via DROP COLUMN — each idempotent under micro-batch re-delivery."""
+    import datetime
+    import json as _json
+
+    from chunjun_spark.sources.jdbc_live import relay_apply_ddl
+
+    url = _db("relay_ddl2")
+    _mk_target(spark, url)
+    execute_sql(spark, url,
+                ["ALTER TABLE tgt ADD COLUMN stars INT",
+                 "INSERT INTO tgt (repo, path, stars) "
+                 "VALUES ('r1', 'a.py', 41), ('r1', 'b.py', 7)"],
+                driver=DERBY_DRIVER)
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        {"op_ts": ts, "seq": 1,
+         "ddl": _json.dumps({"action": "widen_type", "name": "stars",
+                             "type": "bigint"})},
+        {"op_ts": ts, "seq": 2,
+         "ddl": _json.dumps({"action": "rename_column", "old": "stars",
+                             "new": "rating"})},
+        {"op_ts": ts, "seq": 3,
+         "ddl": _json.dumps({"action": "add_column", "name": "notes",
+                             "type": "string"})},
+        {"op_ts": ts, "seq": 4,
+         "ddl": _json.dumps({"action": "drop_column", "name": "lang"})},
+    ]
+    relay_apply_ddl(spark, url, "tgt", rows, DERBY_DRIVER, None, None)
+
+    def _load():
+        return (spark.read.format("jdbc").option("url", url)
+                .option("dbtable", "tgt").option("driver", DERBY_DRIVER)
+                .load())
+
+    df = _load()
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types["RATING"] == "bigint" and "STARS" not in types
+    assert "NOTES" in types and "LANG" not in types
+    # widen preserved the data through the column rebuild
+    got = sorted((r["PATH"], r["RATING"]) for r in df.collect())
+    assert got == [("a.py", 41), ("b.py", 7)]
+    # full re-delivery of the same DDL window: every action skips
+    relay_apply_ddl(spark, url, "tgt", rows, DERBY_DRIVER, None, None)
+    assert _load().count() == 2
+
+
+def test_relay_add_then_rename_window_redelivery(spark, tmp_root):
+    """An add_column whose column a LATER action in the same ordered
+    window renames: on re-delivery the add must recognize its effect
+    under the FINAL name and skip — not re-add the pre-rename name and
+    then die when the rename hits 'new already exists'."""
+    import datetime
+    import json as _json
+
+    from chunjun_spark.sources.jdbc_live import relay_apply_ddl
+
+    url = _db("relay_ddl4")
+    _mk_target(spark, url)
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        {"op_ts": ts, "seq": 1,
+         "ddl": _json.dumps({"action": "add_column", "name": "grade",
+                             "type": "int"})},
+        {"op_ts": ts, "seq": 2,
+         "ddl": _json.dumps({"action": "rename_column", "old": "grade",
+                             "new": "score"})},
+    ]
+    relay_apply_ddl(spark, url, "tgt", rows, DERBY_DRIVER, None, None)
+    relay_apply_ddl(spark, url, "tgt", rows, DERBY_DRIVER, None, None)
+    df = (spark.read.format("jdbc").option("url", url)
+          .option("dbtable", "tgt").option("driver", DERBY_DRIVER).load())
+    assert "SCORE" in df.columns and "GRADE" not in df.columns
+
+
+def test_relay_widen_resumes_from_crash_states(spark, tmp_root):
+    """A crash between the widen recipe's statements leaves a state the
+    re-run recognizes: an orphaned tmp column (mid-copy) is rebuilt; a
+    missing original with tmp present (post-drop) is just renamed."""
+    import datetime
+    import json as _json
+
+    from chunjun_spark.sources.jdbc_live import relay_apply_ddl
+
+    ts = datetime.datetime(2024, 1, 1)
+    widen = [{"op_ts": ts, "seq": 1,
+              "ddl": _json.dumps({"action": "widen_type", "name": "stars",
+                                  "type": "bigint"})}]
+
+    # state A: crashed after ADD tmp, before the copy finished
+    url = _db("relay_ddl3a")
+    _mk_target(spark, url)
+    execute_sql(spark, url,
+                ["ALTER TABLE tgt ADD COLUMN stars INT",
+                 "INSERT INTO tgt (repo, path, stars) VALUES ('r', 'p', 5)",
+                 'ALTER TABLE tgt ADD COLUMN "STARS__WIDEN" BIGINT'],
+                driver=DERBY_DRIVER)
+    relay_apply_ddl(spark, url, "tgt", widen, DERBY_DRIVER, None, None)
+    df = (spark.read.format("jdbc").option("url", url)
+          .option("dbtable", "tgt").option("driver", DERBY_DRIVER).load())
+    assert {f.name for f in df.schema.fields} >= {"STARS"}
+    assert "STARS__WIDEN" not in df.columns
+    assert df.first()["STARS"] == 5
+    assert dict((f.name, f.dataType.simpleString())
+                for f in df.schema.fields)["STARS"] == "bigint"
+
+    # state B: crashed after DROP old, before RENAME — values live in tmp
+    url = _db("relay_ddl3b")
+    _mk_target(spark, url)
+    execute_sql(spark, url,
+                ['ALTER TABLE tgt ADD COLUMN "STARS__WIDEN" BIGINT',
+                 "INSERT INTO tgt (repo, path, \"STARS__WIDEN\") "
+                 "VALUES ('r', 'p', 9)"],
+                driver=DERBY_DRIVER)
+    relay_apply_ddl(spark, url, "tgt", widen, DERBY_DRIVER, None, None)
+    df = (spark.read.format("jdbc").option("url", url)
+          .option("dbtable", "tgt").option("driver", DERBY_DRIVER).load())
+    assert df.first()["STARS"] == 9 and "STARS__WIDEN" not in df.columns
 
 
 def test_streaming_relay_via_job_json(spark, tmp_root):

@@ -123,6 +123,29 @@ def test_ddl_idempotent_reapply(spark, tmp_root):
     assert table.manifest["schema_version"] == sv
 
 
+def test_ddl_idempotent_reapply_superseding_window(spark, tmp_root):
+    """Re-delivery of a window whose LATER actions rename/widen/drop the
+    columns EARLIER actions touch: each action must recognize its effect
+    under the column's FINAL name and skip — the add must not re-add the
+    pre-rename name, the rename must not fail on 'new already exists'."""
+    root = os.path.join(tmp_root, "lake3b")
+    table = LakeTable.create(spark, root, _payload(), pk=["k"], n_buckets=4)
+    rows = [
+        ddl_event(1, TS, "add_column", name="stars", type="int"),
+        ddl_event(2, TS, "widen_type", name="stars", type="bigint"),
+        ddl_event(3, TS, "rename_column", old="stars", new="rating"),
+        ddl_event(4, TS, "add_column", name="tmpc", type="int"),
+        ddl_event(5, TS, "drop_column", name="tmpc"),
+    ]
+    table = apply_ddl_events(table, rows)
+    names = table.schema.names()
+    assert "rating" in names and "stars" not in names and "tmpc" not in names
+    sv = table.manifest["schema_version"]
+    table = apply_ddl_events(table, rows)  # crash re-delivery
+    assert table.manifest["schema_version"] == sv
+    assert table.schema.names() == names
+
+
 def test_ddl_drop_column_no_resurrect(spark, tmp_root):
     """Drop hides the column from reads of OLD data files; re-adding a
     column with the same name allocates a fresh field id, so the dropped
