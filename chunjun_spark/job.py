@@ -679,6 +679,13 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
                 execute_sql(spark, conn["url"], list(wp["preSql"]),
                             **common)
             events = read_binlog_stream(spark, p["path"])
+            if p.get("cat") or p.get("table") or p.get("filter"):
+                from chunjun_spark.sources.binlog import filter_events
+
+                events = filter_events(
+                    events, cat=p.get("cat"), table=p.get("table"),
+                    table_filter=p.get("filter"),
+                )
             stream_metrics: dict = {}
             # default checkpoint is derived from source path + target
             # identity — a bare table name relative to cwd would make
@@ -752,10 +759,15 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
                     "group_cols": list(v["groupCols"]),
                     "value_col": v["valueCol"],
                 })
+        subscription = None
+        if p.get("cat") or p.get("table") or p.get("filter"):
+            subscription = {"cat": p.get("cat"), "table": p.get("table"),
+                            "table_filter": p.get("filter")}
         run_stream_to_completion(
             spark,
             binlog_dir=p["path"],
             table_root=wp["path"],
+            subscription=subscription,
             checkpoint_dir=cfg.restore.checkpoint_dir or wp["path"] + "_ckpt",
             job_id=cfg.job_id,
             mode=wp.get("mode", "cow"),

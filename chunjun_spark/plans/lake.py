@@ -1725,11 +1725,16 @@ class LakeTable:
             # committed manifest IS this staged one — finish the cleanup
             vpath = os.path.join(self.root, "_manifests", f"v{m['version']}.json")
             with open(vpath) as f:
-                if json.load(f) == m:
-                    os.remove(spath)
-                    self.manifest = m
-                    return {"version": m["version"], "wap_id": wap_id,
-                            "already_published": True}
+                committed = json.load(f)
+            # committed_ts is stamped at publish time by _write_manifest,
+            # so the committed copy NEVER equals the staged bytes on it —
+            # compare identity without the stamp
+            if {k: v for k, v in committed.items() if k != "committed_ts"} \
+                    == {k: v for k, v in m.items() if k != "committed_ts"}:
+                os.remove(spath)
+                self.manifest = committed
+                return {"version": m["version"], "wap_id": wap_id,
+                        "already_published": True}
         if not rebase or cur == m["parent"]:
             self._write_manifest(m, expected_parent=m["parent"])
             os.remove(spath)

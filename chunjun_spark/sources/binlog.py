@@ -278,9 +278,15 @@ def filter_events(
                 F.col("op").isin(cats) | ~F.col("op").isin(list(DATA_OPS))
             )
     qual = F.concat_ws(".", F.col("schema_name"), F.col("table_name"))
+    # poison rows always pass the table subscription: an in-band failure
+    # event is source-global (table_name may be NULL) and dropping it
+    # turns fail-loudly into silent partial success
+    poison = F.col("op") == "ERROR"
     if table:
         names = [table] if isinstance(table, str) else list(table)
-        df = df.filter(qual.isin(names) | F.col("table_name").isin(names))
+        df = df.filter(
+            qual.isin(names) | F.col("table_name").isin(names) | poison
+        )
     elif table_filter:
-        df = df.filter(qual.rlike(table_filter))
+        df = df.filter(qual.rlike(table_filter) | poison)
     return df

@@ -536,7 +536,9 @@ def write_jdbc_exactly_once(
     _stage_frame(df, url, staging, props)
     cols = [c.upper() for c in df.columns]
     if mode == "insert":
-        collist = ", ".join(cols)
+        # delimited identifiers: the input row shape carries reserved
+        # words ("commit"), same as staged_upsert_statements
+        collist = ", ".join(_qid(c) for c in cols)
         stmts = [
             f"INSERT INTO {table} ({collist}) "
             f"SELECT {collist} FROM {staging}"

@@ -810,8 +810,16 @@ def run_stream_to_completion(
     agg_views: list[dict] | None = None,
     restore_from_lineage: bool = False,
     audits: list[dict] | None = None,
+    subscription: dict | None = None,
 ) -> None:
     events = read_binlog_stream(spark, binlog_dir, max_files_per_trigger)
+    if subscription:
+        # binlogreader cat/table/filter apply on the STREAM too — they
+        # are row-local predicates, so they push into the file-source
+        # scan of every micro-batch (same semantics as the batch path)
+        from chunjun_spark.sources.binlog import filter_events
+
+        events = filter_events(events, **subscription)
     limiter = ByteRateLimiter(byte_rate_limit) if byte_rate_limit > 0 else None
     q = start_replay_stream(
         events, table_root, checkpoint_dir, job_id=job_id, mode=mode,

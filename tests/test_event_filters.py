@@ -45,16 +45,24 @@ def test_cat_filters_data_ops_only(spark):
 
 def test_table_exact_list_and_regex(spark):
     ev = _events(spark)
-    assert {r["table_name"] for r in filter_events(ev, table="t1").collect()} == {"t1"}
-    # qualified names match too
-    assert filter_events(ev, table="lake.t2").count() == 2
+    # ERROR (poison) rows are source-global and ALWAYS pass the table
+    # subscription — dropping one would turn fail-loudly into silent
+    # partial success
+    assert {r["table_name"] for r in filter_events(ev, table="t1").collect()} \
+        == {"t1", "t3"}
+    assert _ops(filter_events(ev, table="t1")) == [
+        "ERROR", "INSERT", "UPDATE",
+    ]
+    # qualified names match too (+ the poison row)
+    assert filter_events(ev, table="lake.t2").count() == 3
     assert filter_events(ev, table=["t1", "t3"]).count() == 3
     # regex over schema.table
-    assert filter_events(ev, table_filter=r"lake\..*").count() == 4
+    assert filter_events(ev, table_filter=r"lake\..*").count() == 5
     assert filter_events(ev, table_filter=r"other\..*").count() == 1
-    assert filter_events(ev, table_filter=r"nope\..*").count() == 0
+    # no data/DDL row matches, but the poison row still surfaces
+    assert _ops(filter_events(ev, table_filter=r"nope\..*")) == ["ERROR"]
     # table wins over filter (binlogreader.md: filter ignored when table set)
-    assert filter_events(ev, table="t1", table_filter=r"nope\..*").count() == 2
+    assert filter_events(ev, table="t1", table_filter=r"nope\..*").count() == 3
 
 
 def test_binlogreader_job_surface_applies_filters(spark, tmp_root):
@@ -78,5 +86,6 @@ def test_binlogreader_job_surface_applies_filters(spark, tmp_root):
     from chunjun_spark.job import READERS
 
     out = READERS["binlogreader"](spark, cfg)
-    # lake.* only, data ops restricted to insert/update, DDL passes
-    assert _ops(out) == ["DDL", "INSERT", "UPDATE"]
+    # lake.* only, data ops restricted to insert/update; DDL passes the
+    # category check, poison passes the table subscription
+    assert _ops(out) == ["DDL", "ERROR", "INSERT", "UPDATE"]

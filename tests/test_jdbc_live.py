@@ -525,3 +525,37 @@ def test_distributed_job_surfaces_per_shard_end_locations(spark):
     m = run_job(spark, cfg)
     assert m["numRead"] == 20
     assert m["endLocations"] == {"0": 9, "1": 59}
+
+
+def test_exactly_once_insert_quotes_reserved_word_columns(spark):
+    """The input-hint row shape carries a COMMIT column — an SQL reserved
+    word (Derby 42X01). Exactly-once insert mode must emit delimited
+    identifiers like the upsert path already does."""
+    from chunjun_spark.sources.jdbc_live import write_jdbc_exactly_once
+
+    url = _db("xoncereserved")
+    execute_sql(
+        spark, url,
+        ['CREATE TABLE repos (repo VARCHAR(64), path VARCHAR(64), '
+         '"COMMIT" VARCHAR(40), lang VARCHAR(16), content VARCHAR(256))'],
+        driver=DERBY_DRIVER,
+    )
+    out = spark.range(4).selectExpr(
+        "concat('r', id) as repo", "concat('p', id) as path",
+        "md5(cast(id as string)) as commit", "'py' as lang",
+        "repeat('x', 10) as content",
+    )
+    r1 = write_jdbc_exactly_once(
+        out, url, "repos", job_id="j", batch_id="b1", mode="insert",
+        driver=DERBY_DRIVER,
+    )
+    assert not r1["skipped"]
+    n = query_scalar(spark, url, "SELECT COUNT(*) FROM repos",
+                     driver=DERBY_DRIVER)
+    assert int(n) == 4
+    got = query_scalar(
+        spark, url,
+        "SELECT COUNT(DISTINCT \"COMMIT\") FROM repos",
+        driver=DERBY_DRIVER,
+    )
+    assert int(got) == 4

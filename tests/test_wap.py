@@ -353,3 +353,37 @@ def test_replay_wap_cleans_stage_orphaned_by_publish_crash(spark, tmp_root):
                       [{"type": "row_count_min", "value": 1}])
     assert rep2["outcome"] == "skipped"
     assert LakeTable.load(spark, table.root).staged_ids() == []
+
+
+def test_publish_idempotent_over_original_staged_bytes(spark, tmp_root):
+    """A real crash between the pointer swap and the cleanup leaves the
+    ORIGINAL staged manifest (no committed_ts) on disk; the committed
+    copy carries the publish-time committed_ts stamp, so a byte-equality
+    check never matches and the re-publish used to fall through to the
+    CAS and abort. The idempotence check must compare identity modulo
+    the stamp."""
+    import shutil
+
+    table = _table(spark, tmp_root)
+    ev1 = generate_binlog(spark, 2000, n_keys=500, seed=3, dup_rate=0.0)
+    replay(ev1, table, batch_id="w1")
+    t = LakeTable.load(spark, table.root)
+    res = replay(_w2(spark), t, batch_id="w2", wap_id="wap-w2")
+    spath = os.path.join(table.root, "_manifests", "staged-wap-w2.json")
+    saved = spath + ".crashcopy"
+    shutil.copy(spath, saved)
+
+    pub = t.publish_staged("wap-w2")
+    assert pub["version"] == res["version"]
+    # crash left the original staged bytes behind
+    shutil.move(saved, spath)
+
+    t2 = LakeTable.load(spark, table.root)
+    pub2 = t2.publish_staged("wap-w2")
+    assert pub2["already_published"] and pub2["version"] == res["version"]
+    assert not os.path.exists(spath)
+    # the handle's manifest is the COMMITTED copy (committed_ts intact)
+    assert t2.manifest.get("committed_ts")
+    # third publish: stage is gone
+    with pytest.raises(FileNotFoundError):
+        t2.publish_staged("wap-w2")
