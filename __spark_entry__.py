@@ -2677,6 +2677,47 @@ GROUP BY 1, 2
 """
 
 
+def _q_events_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema lookup enrichment (operators/lookup.py — the
+    successor-family side/lookup-table deployment shape): the events
+    fact picks up a 3-hop dimension chain customer → nation → region,
+    then rolls up per (region, market segment). Every hop is a forced
+    broadcast of the column-pruned dim — the fact side never shuffles
+    until the final tiny aggregate (plan-audited
+    §lookup_enrich_broadcast_only)."""
+    from chunjun_spark.operators.lookup import lookup_enrich
+
+    ev = _t(spark, sf_dir, "events")
+    e = lookup_enrich(
+        ev, _t(spark, sf_dir, "customer"), on={"user_id": "c_custkey"},
+        cols=["c_mktsegment", "c_nationkey"],
+    )
+    e = lookup_enrich(
+        e, _t(spark, sf_dir, "nation"), on={"c_nationkey": "n_nationkey"},
+        cols=["n_regionkey"],
+    )
+    e = lookup_enrich(
+        e, _t(spark, sf_dir, "region"), on={"n_regionkey": "r_regionkey"},
+        cols=["r_name"],
+    )
+    return e.groupBy("r_name", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _exact_sum("value", 4).alias("sum_value"),
+    )
+
+
+_DIM_ENRICH_SQL = f"""
+SELECT r_name, c_mktsegment,
+       count(*) AS n_events,
+       {_sql_exact_sum('value')} AS sum_value
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+"""
+
+
 def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: IVF (inverted-file) ANN — spherical-k-means centroids on a
     # bounded deterministic sample, store written partitionBy(ivf_list),
@@ -2878,6 +2919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pruned": _q_ann_topk_pruned,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "events_window_counts": _q_events_window_counts,
+        "events_dim_enrich": _q_events_dim_enrich,
         "embedding_norms": _q_embedding_norms,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -2921,6 +2963,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_token_count": _TOKEN_COUNT_SQL,
         "doc_bpe_token_count": _BPE_TOKEN_SQL,
         "events_window_counts": _WINDOW_COUNTS_SQL,
+        "events_dim_enrich": _DIM_ENRICH_SQL,
         "doc_quality": _QUALITY_SQL,
         "doc_lang_id": _LANG_ID_SQL,
         "doc_fingerprint": _FINGERPRINT_SQL,

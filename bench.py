@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "ann_topk_ivf",
     "cdc_snapshot_bootstrap",
     "cdc_scd2_history",
+    "events_dim_enrich",
 ]
 
 

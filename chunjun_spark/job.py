@@ -608,8 +608,40 @@ def _tf_dedup_minhash(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _tf_lookup(df: DataFrame, p: dict) -> DataFrame:
+    """Dimension lookup enrichment (successor-family side/lookup table,
+    cache=ALL shape): broadcast-join a small dim read from parquet
+    (``path``) or a live JDBC table (``url`` + ``table``)."""
+    from chunjun_spark.operators.lookup import lookup_enrich
+
+    spark = df.sparkSession
+    if p.get("path"):
+        dim = spark.read.parquet(p["path"])
+    elif p.get("url") and p.get("table"):
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", p["url"]).option("dbtable", p["table"])
+        )
+        if p.get("driver"):
+            reader = reader.option("driver", p["driver"])
+        for k in ("user", "password"):
+            if p.get(k):
+                reader = reader.option(k, p[k])
+        dim = reader.load()
+        if p.get("lowercaseColumns", True):
+            # Derby/Oracle fold unquoted identifiers to UPPER; fact-side
+            # configs are written lowercase
+            dim = dim.select(*[F.col(c).alias(c.lower()) for c in dim.columns])
+    else:
+        raise ValueError("lookup transform needs 'path' or 'url'+'table'")
+    return lookup_enrich(
+        df, dim, on=p["on"], cols=p.get("cols"), how=p.get("how", "left")
+    )
+
+
 TRANSFORMS = {
     "filter": _tf_filter,
+    "lookup": _tf_lookup,
     "sql": _tf_sql,
     "quality_filter": _tf_quality_filter,
     "lang_filter": _tf_lang_filter,

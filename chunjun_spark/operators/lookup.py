@@ -1,0 +1,113 @@
+"""Dimension lookup enrichment — broadcast-join a fact/changelog frame
+against small dimension tables.
+
+The reference has no lookup operator (rovo98/chunjun is a pure
+reader→writer sync core); its successor family added "side/lookup
+tables" for exactly this deployment shape: a CDC or event stream
+enriched with slowly-changing dimension attributes before landing.
+Spark-first translation: the dim side is ALWAYS the broadcast/build
+side (dimensions are small by contract — refuse rather than silently
+shuffle the fact payload), the projection is pruned to the requested
+columns before the join so the broadcast carries only what lands, and
+chained lookups stay one Catalyst plan (N BroadcastHashJoins, zero
+extra exchanges on the fact side — plan-audited
+§lookup_enrich_broadcast_only).
+
+Streaming form (:class:`DimCache`): the reference family's lookup
+caches are per-record LRU (cache=LRU) or full-table (cache=ALL) with a
+TTL. Per-record lookups are a row-at-a-time anti-pattern on Spark; the
+ALL-cache maps exactly onto "re-read + re-broadcast the dim every K
+micro-batches", which is what DimCache does — the dim loader runs at
+most once per ``refresh_batches`` triggers, the cached frame is
+localCheckpointed so each batch's join reuses materialized rows instead
+of re-running the load plan.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def lookup_enrich(
+    df: DataFrame,
+    dim: DataFrame,
+    on: dict[str, str] | str,
+    cols: list[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Enrich ``df`` with columns from a small dimension table.
+
+    ``on`` maps fact column -> dim key column (a bare string means the
+    same name on both sides). ``cols`` is the dimension projection to
+    carry (default: everything except the join keys). The dim side is
+    column-pruned FIRST and broadcast ALWAYS — at 10^10 fact rows the
+    one unacceptable plan is a fact-side shuffle for a 10^3-row dim.
+
+    ``how``: 'left' keeps unmatched facts (NULL dim attrs), 'inner'
+    drops them. Other join types are refused — a right/outer join by a
+    dimension inverts the build side.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"lookup_enrich supports left|inner, got {how!r}")
+    if isinstance(on, str):
+        on = {on: on}
+    if not on:
+        raise ValueError("lookup_enrich needs at least one join key")
+    dim_keys = list(on.values())
+    missing = [c for c in dim_keys if c not in dim.columns]
+    if missing:
+        raise ValueError(f"dim is missing join key column(s) {missing}")
+    carry = cols if cols is not None else [
+        c for c in dim.columns if c not in dim_keys
+    ]
+    clash = [c for c in carry if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"enrichment column(s) {clash} already exist on the fact side "
+            "— project or rename before the lookup"
+        )
+    pruned = dim.select(*dim_keys, *[c for c in carry if c not in dim_keys])
+    cond = None
+    for fc, dc in on.items():
+        c = df[fc] == pruned[dc]
+        cond = c if cond is None else (cond & c)
+    joined = df.join(F.broadcast(pruned), cond, how)
+    return joined.select(*[df[c] for c in df.columns],
+                         *[pruned[c] for c in carry])
+
+
+class DimCache:
+    """ALL-cache dimension with batch-count TTL for streaming lookups.
+
+    ``loader`` re-reads the dimension (JDBC, parquet, lake snapshot);
+    :meth:`get` returns a materialized snapshot of it, re-running the
+    loader only when ``refresh_batches`` triggers have elapsed since
+    the last load. ``refresh_batches=0`` reloads every batch (always
+    current, one dim read per trigger); large values amortize the read
+    for slowly-changing dims.
+    """
+
+    def __init__(self, loader: Callable[[], DataFrame],
+                 refresh_batches: int = 10):
+        if refresh_batches < 0:
+            raise ValueError("refresh_batches must be >= 0")
+        self.loader = loader
+        self.refresh_batches = refresh_batches
+        self._dim: DataFrame | None = None
+        self._age = 0
+        self.loads = 0  # observability + test hook
+
+    def get(self) -> DataFrame:
+        if self._dim is None or self._age >= self.refresh_batches:
+            # localCheckpoint materializes the snapshot: every batch in
+            # the TTL window joins against the same rows (consistent
+            # enrichment) without re-running the load plan
+            self._dim = self.loader().localCheckpoint(eager=True)
+            self._age = 0
+            self.loads += 1
+        else:
+            self._age += 1
+        return self._dim

@@ -1,0 +1,175 @@
+"""Dimension lookup enrichment: broadcast-only join plan, left/inner
+semantics, streaming ALL-cache TTL (DimCache), and the job-JSON
+``lookup`` transform over parquet and live-Derby dims."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from chunjun_spark.operators.lookup import DimCache, lookup_enrich
+
+
+def _fact(spark, n=1000):
+    return spark.range(n).selectExpr(
+        "id as event_id", "cast(id % 37 as long) as user_id",
+        "id * 1.5 as value",
+    )
+
+
+def _dim(spark, n=30):
+    # deliberately SMALLER than the fact key domain (ids 30..36 unmatched)
+    return spark.range(n).selectExpr(
+        "id as c_custkey", "concat('cust', id) as c_name",
+        "cast(id % 5 as long) as c_nationkey",
+    )
+
+
+def test_left_lookup_keeps_unmatched_and_matches_values(spark):
+    out = lookup_enrich(
+        _fact(spark), _dim(spark), on={"user_id": "c_custkey"},
+        cols=["c_name"],
+    )
+    assert out.columns == ["event_id", "user_id", "value", "c_name"]
+    assert out.count() == 1000
+    rows = {r["event_id"]: r["c_name"] for r in out.collect()}
+    assert rows[5] == "cust5"
+    assert rows[36] is None          # user_id 36 has no dim row
+    assert rows[37] == "cust0"       # 37 % 37 == 0
+
+
+def test_inner_lookup_drops_unmatched(spark):
+    out = lookup_enrich(
+        _fact(spark), _dim(spark), on={"user_id": "c_custkey"},
+        cols=["c_name"], how="inner",
+    )
+    # user_id in 0..36; only 0..29 match; each key appears ceil-ish times
+    expected = _fact(spark).filter(F.col("user_id") < 30).count()
+    assert out.count() == expected
+
+
+def test_default_cols_drop_join_key_and_clash_refused(spark):
+    out = lookup_enrich(_fact(spark), _dim(spark), on={"user_id": "c_custkey"})
+    assert set(out.columns) == {
+        "event_id", "user_id", "value", "c_name", "c_nationkey",
+    }
+    with pytest.raises(ValueError, match="already exist"):
+        lookup_enrich(
+            _fact(spark).withColumn("c_name", F.lit("x")),
+            _dim(spark), on={"user_id": "c_custkey"},
+        )
+    with pytest.raises(ValueError, match="missing join key"):
+        lookup_enrich(_fact(spark), _dim(spark), on={"user_id": "nope"})
+    with pytest.raises(ValueError, match="left|inner"):
+        lookup_enrich(_fact(spark), _dim(spark),
+                      on={"user_id": "c_custkey"}, how="full")
+
+
+def test_chained_lookups_broadcast_only(spark):
+    """N chained lookups = N BroadcastHashJoins, ZERO shuffle of the
+    fact side — the 10^10-row contract."""
+    nation = spark.range(5).selectExpr(
+        "id as n_nationkey", "concat('nation', id) as n_name",
+        "cast(id % 2 as long) as n_regionkey",
+    )
+    region = spark.range(2).selectExpr(
+        "id as r_regionkey", "concat('region', id) as r_name",
+    )
+    out = lookup_enrich(
+        _fact(spark), _dim(spark), on={"user_id": "c_custkey"},
+        cols=["c_nationkey"],
+    )
+    out = lookup_enrich(out, nation, on={"c_nationkey": "n_nationkey"},
+                        cols=["n_regionkey"])
+    out = lookup_enrich(out, region, on={"n_regionkey": "r_regionkey"},
+                        cols=["r_name"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    # and the values compose across the chain
+    row = out.filter(F.col("event_id") == 7).collect()[0]
+    assert row["r_name"] == f"region{(7 % 5) % 2}"
+
+
+def test_dim_cache_ttl_counts_loads(spark):
+    loads = []
+
+    def loader():
+        loads.append(1)
+        return spark.range(3).selectExpr("id as k", "id * 10 as v")
+
+    cache = DimCache(loader, refresh_batches=2)
+    d1 = cache.get()   # load
+    cache.get()        # age 1
+    cache.get()        # age 2 -> still cached? no: age reaches ttl on NEXT
+    assert cache.loads == 1
+    cache.get()        # age hit ttl -> reload
+    assert cache.loads == 2
+    assert d1.count() == 3
+
+    always = DimCache(loader, refresh_batches=0)
+    always.get()
+    always.get()
+    assert always.loads == 2
+    with pytest.raises(ValueError):
+        DimCache(loader, refresh_batches=-1)
+
+
+def test_dim_cache_serves_consistent_snapshot_within_ttl(spark, tmp_root):
+    """Within a TTL window every batch joins the SAME dim rows even if
+    the backing store changed — the cache=ALL consistency contract."""
+    path = f"{tmp_root}/dim"
+    spark.range(3).selectExpr("id as k", "id as v").write.parquet(path)
+    cache = DimCache(lambda: spark.read.parquet(path), refresh_batches=5)
+    assert cache.get().count() == 3
+    spark.range(10).selectExpr("id as k", "id as v").write.mode(
+        "overwrite").parquet(path)
+    assert cache.get().count() == 3     # still the snapshot
+    cache._age = cache.refresh_batches  # fast-forward the TTL
+    assert cache.get().count() == 10    # refresh picks up the new rows
+
+
+def test_job_json_lookup_transform_parquet_and_jdbc(spark, tmp_root):
+    from chunjun_spark.config import JobConfig
+    from chunjun_spark.job import READERS, apply_transforms
+    from chunjun_spark.sources.jdbc_live import DERBY_DRIVER, execute_sql
+
+    fact_path = f"{tmp_root}/fact"
+    _fact(spark, 200).write.parquet(fact_path)
+    dim_path = f"{tmp_root}/dim"
+    _dim(spark).write.parquet(dim_path)
+
+    url = "jdbc:derby:memory:lookupdim;create=true"
+    execute_sql(
+        spark, url,
+        ["CREATE TABLE segs (c_nationkey BIGINT, seg VARCHAR(16))"]
+        + [f"INSERT INTO segs VALUES ({i}, 'seg{i}')" for i in range(5)],
+        driver=DERBY_DRIVER,
+    )
+
+    raw = {
+        "job": {
+            "content": [{
+                "reader": {"name": "hdfsreader",
+                           "parameter": {"path": fact_path,
+                                         "fileType": "parquet"}},
+                "transformer": [
+                    {"name": "lookup",
+                     "parameter": {"path": dim_path,
+                                   "on": {"user_id": "c_custkey"},
+                                   "cols": ["c_name", "c_nationkey"]}},
+                    {"name": "lookup",
+                     "parameter": {"url": url, "table": "segs",
+                                   "driver": DERBY_DRIVER,
+                                   "on": {"c_nationkey": "c_nationkey"},
+                                   "cols": ["seg"]}},
+                ],
+                "writer": {"name": "streamwriter", "parameter": {}},
+            }],
+            "setting": {"speed": {"channel": 2}},
+        }
+    }
+    cfg = JobConfig.parse(raw)
+    df = apply_transforms(READERS["hdfsreader"](spark, cfg), cfg)
+    rows = {r["event_id"]: r for r in df.collect()}
+    assert rows[5]["c_name"] == "cust5" and rows[5]["seg"] == "seg0"
+    assert rows[36]["c_name"] is None and rows[36]["seg"] is None
