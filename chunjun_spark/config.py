@@ -186,6 +186,10 @@ class JobConfig:
     # between reader and writer (each maps to a declarative DataFrame op,
     # so Catalyst still fuses the whole reader→transforms→writer plan)
     transforms: list[EndpointConfig] = field(default_factory=list)
+    # content[0].writer given as a LIST → streaming fan-out: one source
+    # read applied to every sink, each exactly-once. ``writer`` stays the
+    # first entry for single-sink code paths.
+    writers: list[EndpointConfig] = field(default_factory=list)
 
     @classmethod
     def parse(cls, raw: dict | str) -> "JobConfig":
@@ -199,15 +203,20 @@ class JobConfig:
         job = raw.get("job", raw)
         content = job["content"][0]
         setting = job.get("setting", {})
+        wr = content["writer"]
+        writers = [
+            EndpointConfig(name=w["name"], parameter=w.get("parameter", {}))
+            for w in (wr if isinstance(wr, list) else [wr])
+        ]
+        if not writers:
+            raise ValueError("job needs at least one writer")
         return cls(
             reader=EndpointConfig(
                 name=content["reader"]["name"],
                 parameter=content["reader"].get("parameter", {}),
             ),
-            writer=EndpointConfig(
-                name=content["writer"]["name"],
-                parameter=content["writer"].get("parameter", {}),
-            ),
+            writer=writers[0],
+            writers=writers,
             speed=SpeedConfig.parse(setting.get("speed", {})),
             restore=RestoreConfig.parse(setting.get("restore", {})),
             error_limit=ErrorLimitConfig.parse(setting.get("errorLimit", {})),

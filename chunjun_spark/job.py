@@ -665,6 +665,87 @@ def apply_transforms(df: DataFrame, cfg: JobConfig) -> DataFrame:
 # ------------------------------------------------------------------ runner
 
 
+_JDBC_WRITER_NAMES = (
+    "jdbcwriter", "mysqlwriter", "postgresqlwriter", "oraclewriter",
+    "sqlserverwriter",
+)
+
+
+def _run_fanout_stream(spark: SparkSession, cfg: JobConfig, t0: float) -> dict:
+    """Streaming fan-out: content[0].writer given as a LIST. One binlog
+    read + one keep_last fold land in every sink, each exactly-once
+    (start_fanout_stream). Lake sinks take the lakewriter parameter
+    shape; jdbcwriter-family sinks take the relay shape (writeMode=cdc
+    implied — fan-out IS the changelog apply)."""
+    import hashlib as _hashlib
+
+    from chunjun_spark.streaming.pipeline import (
+        read_binlog_stream,
+        start_fanout_stream,
+    )
+
+    p = cfg.reader.parameter
+    sinks = []
+    for w in cfg.writers:
+        wp = w.parameter
+        if w.name in _JDBC_WRITER_NAMES:
+            if wp.get("writeMode", "cdc") != "cdc":
+                raise ValueError(
+                    "fan-out jdbc sinks apply the changelog (writeMode="
+                    f"'cdc'); got {wp.get('writeMode')!r}"
+                )
+            conn = _jdbc_conn_params(wp)
+            sinks.append({
+                "type": "jdbc", "url": conn["url"], "table": conn["table"],
+                "pk": wp.get("updateKey") or wp.get("pk"),
+                "driver": conn["driver"], "user": conn["user"],
+                "password": conn["password"],
+                "batch_size": int(wp.get("batchSize", 1000)),
+                "staging_table": wp.get("stagingTable"),
+            })
+        else:
+            sinks.append({
+                "type": "lake", "root": wp["path"],
+                "mode": wp.get("mode", "cow"),
+                "update_mode": wp.get("updateMode", "replace"),
+            })
+    events = read_binlog_stream(spark, p["path"])
+    if p.get("cat") or p.get("table") or p.get("filter"):
+        from chunjun_spark.sources.binlog import filter_events
+
+        events = filter_events(
+            events, cat=p.get("cat"), table=p.get("table"),
+            table_filter=p.get("filter"),
+        )
+    sink_id = _hashlib.md5(
+        "|".join(
+            s.get("root") or f"{s['url']}/{s['table']}" for s in sinks
+        ).encode()
+    ).hexdigest()[:10]
+    metrics: dict = {}
+    q = start_fanout_stream(
+        events, sinks,
+        checkpoint_dir=cfg.restore.checkpoint_dir
+        or f"{p['path'].rstrip('/')}_fanout_ckpt_{sink_id}",
+        job_id=cfg.job_id,
+        metrics_out=metrics,
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("fan-out stream did not drain in time")
+    # relay metrics contract: numRead/numWrite count THIS run's applied
+    # batches — replay-skips and lifetime lineage totals add zero
+    return {
+        "numRead": metrics.get("numRead", 0),
+        "numBatches": metrics.get("numBatches", 0),
+        "nErrors": 0,
+        "duration": round(time.time() - t0, 2),
+        "numWrite": sum(
+            v for k, v in metrics.items() if k.startswith("numWrite_")
+        ),
+    }
+
+
 def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
     """Execute one sync job; returns the reference-named metric map
     (docs/statistics.md: numRead, numWrite, nErrors, duration, ...)."""
@@ -675,6 +756,8 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
         # realtime path: binlog dir → Structured Streaming foreachBatch
         p = cfg.reader.parameter
         wp = cfg.writer.parameter
+        if len(cfg.writers) > 1:
+            return _run_fanout_stream(spark, cfg, t0)
         if cfg.writer.name in (
             "jdbcwriter", "mysqlwriter", "postgresqlwriter",
             "oraclewriter", "sqlserverwriter",

@@ -716,6 +716,7 @@ def apply_changelog_jdbc_exactly_once(
     batch_size: int = 1000,
     staging_table: str | None = None,
     _precheck_done: bool = False,
+    pre_folded: bool = False,
 ) -> dict:
     """CDC apply: fold a changelog window (EVENT_SCHEMA) to its net
     per-key effect and land it in a JDBC target exactly once — the
@@ -743,16 +744,22 @@ def apply_changelog_jdbc_exactly_once(
                          driver, user, password):
             return {"skipped": True, "batch_id": batch_id}
 
-    if "op" in events.columns:
-        # control rows are not data: an un-admitted frame (batch job
-        # path) folding a DDL/ERROR row would upsert a NULL-pk winner —
-        # callers that ran admit_batch already stripped these
-        events = events.filter(~F.col("op").isin("DDL", "ERROR"))
-    keyed = events_with_pk(events, pk)
-    winners = keep_last(keyed, pk=pk, order=("op_ts", "seq"))
-    # two consumers (upsert side, delete side) — cut the plan so the
-    # winner aggregate runs once, not once per staged write
-    winners = winners.localCheckpoint(eager=True)
+    if pre_folded:
+        # fan-out path: the caller folded ONCE (keep_last over
+        # events_with_pk, already materialized) and shares the winners
+        # across sinks — don't re-fold or re-checkpoint here
+        winners = events
+    else:
+        if "op" in events.columns:
+            # control rows are not data: an un-admitted frame (batch job
+            # path) folding a DDL/ERROR row would upsert a NULL-pk winner
+            # — callers that ran admit_batch already stripped these
+            events = events.filter(~F.col("op").isin("DDL", "ERROR"))
+        keyed = events_with_pk(events, pk)
+        winners = keep_last(keyed, pk=pk, order=("op_ts", "seq"))
+        # two consumers (upsert side, delete side) — cut the plan so the
+        # winner aggregate runs once, not once per staged write
+        winners = winners.localCheckpoint(eager=True)
     is_del = F.col("op") == "DELETE"
     upserts = winners.filter(~is_del).select("after.*")
     deletes = winners.filter(is_del).select(*pk)

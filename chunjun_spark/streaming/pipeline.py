@@ -525,6 +525,175 @@ def start_jdbc_relay_stream(
     return w.start()
 
 
+def start_fanout_stream(
+    events: DataFrame,
+    sinks: list[dict],
+    checkpoint_dir: str,
+    job_id: str,
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+    metrics_out: dict | None = None,
+) -> StreamingQuery:
+    """One source read → N sinks, each exactly-once.
+
+    The reference runs one reader → one writer per job; a deployment
+    that lands the same changelog in a lake AND a serving mart runs two
+    jobs and pays the source scan + the keep_last fold twice. At 10^10
+    events that doubled source I/O is the dominant cost, so the fan-out
+    shares everything shareable per micro-batch:
+
+    - ONE fused narrow admission pass (poison + DDL + offsets),
+    - ONE keep_last fold per distinct pk, ``localCheckpoint``-ed so
+      every sink consumes materialized winner rows (the wide payload is
+      evaluated once, not once per sink),
+
+    then applies the sinks IN ORDER, each behind its own idempotence
+    guard (lake: batch-id in lineage; jdbc: audit-marker row). A crash
+    after sink k re-delivers the batch: sinks 1..k skip via their
+    guards, sinks k+1.. apply — exactly-once on every sink without any
+    cross-sink transaction.
+
+    Sink specs:
+      {"type": "lake", "root": ..., "mode": "cow"|"mor",
+       "update_mode": "replace"|"patch"}
+      {"type": "jdbc", "url": ..., "table": ..., "pk": [...],
+       "driver": ..., "user": ..., "password": ..., "batch_size": N}
+
+    DDL routing per sink type: lake sinks run the full schema-evolution
+    set (idempotent ``apply_ddl_events``); jdbc sinks forward
+    add_column as ALTER TABLE and fail loudly on anything else
+    (``relay_apply_ddl``). Events must be the nested wire format.
+    """
+    from chunjun_spark.operators.dedup import keep_last
+    from chunjun_spark.operators.merge import events_with_pk, to_changes
+    from chunjun_spark.sources.jdbc_live import (
+        apply_changelog_jdbc_exactly_once,
+    )
+
+    if not sinks:
+        raise ValueError("fan-out needs at least one sink")
+    for s in sinks:
+        if s.get("type") not in ("lake", "jdbc"):
+            raise ValueError(f"unknown fan-out sink type {s.get('type')!r}")
+        if s["type"] == "jdbc" and not s.get("pk"):
+            raise ValueError("jdbc fan-out sink needs a pk")
+        if (s["type"] == "lake" and s.get("update_mode") == "patch"
+                and s.get("mode", "cow") != "cow"):
+            raise ValueError("update_mode='patch' requires mode='cow'")
+    spark = events.sparkSession
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from chunjun_spark.operators.ddl import apply_ddl_events
+
+        bid = f"{job_id}:{batch_id}"
+        # open the per-sink lake handles first: if EVERY sink already
+        # committed this batch (replay after a clean run), skip the
+        # admission pass entirely — zero source evaluations
+        lake_handles: dict[int, LakeTable] = {}
+        pending = []
+        for i, s in enumerate(sinks):
+            if s["type"] == "lake":
+                t = LakeTable.load(spark, s["root"])
+                lake_handles[i] = t
+                if bid not in t.committed_batches():
+                    pending.append(i)
+            else:
+                pending.append(i)  # jdbc guard is a driver round-trip
+        if not pending:
+            return
+        batch_df, ddl_rows, offsets = admit_batch_with_offsets(batch_df)
+        n_read = sum(v["n"] for v in offsets.values())
+
+        # fold once per distinct pk; every sink with that pk shares the
+        # materialized winners
+        winners_by_pk: dict[tuple, DataFrame] = {}
+
+        def winners_for(pk: list[str]) -> DataFrame:
+            key = tuple(pk)
+            got = winners_by_pk.get(key)
+            if got is None:
+                got = keep_last(
+                    events_with_pk(batch_df, list(pk)), pk=list(pk),
+                    order=("op_ts", "seq"),
+                ).localCheckpoint(eager=True)
+                winners_by_pk[key] = got
+            return got
+
+        applied_any = False
+        for i, s in enumerate(sinks):
+            if s["type"] == "lake":
+                table = lake_handles[i]
+                if bid in table.committed_batches():
+                    continue
+                if ddl_rows:
+                    table = apply_ddl_events(table, ddl_rows)
+                patch = s.get("update_mode", "replace") == "patch"
+                if patch:
+                    # patch folds inside the merge (earlier events still
+                    # contribute the columns only they set) — a keep_last
+                    # pre-fold would drop them
+                    changes = to_changes(events_with_pk(batch_df, table.pk))
+                else:
+                    changes = to_changes(winners_for(table.pk))
+                if s.get("mode", "cow") == "cow":
+                    res = table.merge(
+                        changes, batch_id=bid, offsets=offsets,
+                        extra_metrics={"numRead": n_read},
+                        assume_unique_keys=not patch,
+                        update_mode=s.get("update_mode", "replace"),
+                    )
+                else:
+                    res = table.append_delta(
+                        changes, batch_id=bid, offsets=offsets,
+                        extra_metrics={"numRead": n_read},
+                    )
+                applied_any = True
+                if metrics_out is not None and not res.get("skipped"):
+                    metrics_out[f"numWrite_lake_{i}"] = (
+                        metrics_out.get(f"numWrite_lake_{i}", 0)
+                        + res.get("n_changes", 0)
+                    )
+            else:
+                if ddl_rows:
+                    _relay_apply_ddl(
+                        spark, s["url"], s["table"], ddl_rows,
+                        s.get("driver"), s.get("user"), s.get("password"),
+                    )
+                res = apply_changelog_jdbc_exactly_once(
+                    winners_for(list(s["pk"])),
+                    s["url"], s["table"], job_id=job_id,
+                    batch_id=str(batch_id), pk=list(s["pk"]),
+                    driver=s.get("driver"), user=s.get("user"),
+                    password=s.get("password"),
+                    batch_size=int(s.get("batch_size", 1000)),
+                    staging_table=s.get("staging_table"),
+                    pre_folded=True,
+                )
+                if not res.get("skipped"):
+                    applied_any = True
+                    if metrics_out is not None:
+                        metrics_out[f"numWrite_jdbc_{i}"] = (
+                            metrics_out.get(f"numWrite_jdbc_{i}", 0)
+                            + res.get("n_changes", 0)
+                        )
+        if metrics_out is not None:
+            metrics_out["numBatches"] = metrics_out.get("numBatches", 0) + 1
+            if applied_any:
+                metrics_out["numRead"] = (
+                    metrics_out.get("numRead", 0) + n_read
+                )
+
+    w = (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    elif processing_time:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()
+
+
 class MicroBatchAuditFailure(RuntimeError):
     """A micro-batch failed its WAP audits; its staged snapshot was
     abandoned and the query stops (re-delivery re-fails by design —
