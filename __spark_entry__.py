@@ -1904,6 +1904,40 @@ def _q_cdc_compact_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lake_projection(table.refresh().read())
 
 
+def _q_cdc_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order compaction under the correctness gate (plans/zorder.py —
+    Delta/Iceberg OPTIMIZE ZORDER BY analog): the MOR-ingested table is
+    rewritten with an interleaved-bit Morton layout over (event_type,
+    value), giving every parquet row group a narrow min/max on BOTH
+    columns so pushed filters skip row groups for predicates on either
+    (layout measured in tests/test_zorder.py). Read-back state must
+    equal the plain keep-last fold: layout, never semantics."""
+    table = _build_lake(spark, sf_dir, "mor")
+    table.compact(zorder_cols=["event_type", "value"])
+    return _lake_projection(table.refresh().read())
+
+
+def _q_cdc_mirror_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake → lake replication over the CDF (operators/mirror.py): a
+    replica catches up window-by-window — O(changes) per sync through
+    one exactly-once merge (batch_id = the window), source version
+    stamps carried so overlapping re-delivery converges. Two syncs here
+    (to v1, then v1→v2) exercise the incremental resume; the replica's
+    final state must equal the oracle's direct keep-last fold over the
+    whole history. Source lake = the shared two-window fixture
+    (read-only; the replica is private)."""
+    from chunjun_spark.operators.mirror import create_mirror, sync_mirror
+
+    fx = _events_lake_2w(spark, sf_dir)
+    src_v1 = LakeTable.load(spark, fx["root"], version=fx["v1"])
+    src_v2 = LakeTable.load(spark, fx["root"], version=fx["v2"])
+    root = tempfile.mkdtemp(prefix="cj_entry_mirror_")
+    mir = create_mirror(spark, root, src_v1)
+    sync_mirror(src_v1, mir)
+    sync_mirror(src_v2, mir.refresh())
+    return _lake_projection(mir.refresh().read())
+
+
 def _q_cdc_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance: a per-event_type (count, sum)
     aggregate is materialized after the first replay window by full
@@ -2896,6 +2930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rollback": _q_cdc_rollback,
         "cdc_wap_publish": _q_cdc_wap_publish,
         "cdc_compact_reshard": _q_cdc_compact_reshard,
+        "cdc_zorder_compact": _q_cdc_zorder_compact,
+        "cdc_mirror_sync": _q_cdc_mirror_sync,
         "cdc_agg_incremental": _q_cdc_agg_incremental,
         "cdc_agg_view": _q_cdc_agg_view,
         "cdc_max_incremental": _q_cdc_max_incremental,
@@ -2989,6 +3025,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_rollback": _TIME_TRAVEL_SQL,
         "cdc_wap_publish": _FINAL_2W_SQL,
         "cdc_compact_reshard": _REPLAY_LAKE_SQL,
+        "cdc_zorder_compact": _REPLAY_LAKE_SQL,
+        "cdc_mirror_sync": _REPLAY_LAKE_SQL,
         "cdc_agg_incremental": _AGG_INCREMENTAL_SQL,
         "cdc_agg_view": _AGG_INCREMENTAL_SQL,
         "cdc_max_incremental": _MAX_INCREMENTAL_SQL,

@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "cdc_snapshot_bootstrap",
     "cdc_scd2_history",
     "events_dim_enrich",
+    "cdc_zorder_compact",
+    "cdc_mirror_sync",
 ]
 
 

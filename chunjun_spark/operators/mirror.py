@@ -1,0 +1,119 @@
+"""Lake → lake table replication over the change-data-feed.
+
+The row-level sibling of the aggregate views in ``operators/ivm.py``:
+a downstream replica (another region, a serving copy, a dev snapshot)
+catches up to the source table by consuming ``read_changes`` windows —
+O(changes) per sync, never a full re-copy — and applying them through
+one exactly-once merge. Reference analog: ChunJun's whole deployment
+pattern IS source→replica sync (docs/restore.md incremental restore,
+JdbcInputFormat.java:640-757 ``col > startLocation`` re-reads); here the
+committed snapshots themselves feed the replica, so the source database
+is never re-read.
+
+Guarantees, inherited rather than reinvented:
+
+- exactly-once: batch_id ``mirror:{a}->{b}`` in the replica's lineage —
+  a re-delivered window skips; mis-anchored windows (start ≠ synced
+  version while end advances) are rejected, same contract as
+  ``sync_agg_view``.
+- ordering: changes carry the SOURCE's ``(_vts, _vseq)`` version stamps
+  through the merge, so the replica's strictly-newer guard makes even
+  overlapping manual windows converge instead of corrupting.
+- chaining: the replica is an ordinary LakeTable — its own CDF feeds
+  the next hop (multi-region fan-out is mirror-of-mirror).
+
+Schema evolution: additive DDL (new columns, widened types) replicates
+automatically — the CDF projects to the source's NEW schema, and the
+sync applies the corresponding add_column/widen to the replica before
+merging. A replica column missing from the source (upstream drop or
+rename) fails loudly: name-diffing cannot distinguish rename from
+drop+add, and guessing silently forks the two tables.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from chunjun_spark.operators.ivm import view_synced_version
+
+
+def create_mirror(spark, root: str, source, n_buckets: int | None = None):
+    """An empty replica with the source's CURRENT schema, pk, and (by
+    default) bucket spec."""
+    from chunjun_spark.plans.lake import LakeTable
+
+    return LakeTable.create(
+        spark, root, source.schema.to_struct(), pk=list(source.pk),
+        n_buckets=n_buckets or source.n_buckets,
+        bucket_cols=list(source.bucket_cols),
+    )
+
+
+def _evolve_to_source(mirror, source):
+    """Additive schema replication: add/widen the replica to the source's
+    current field set. Returns the (possibly refreshed) mirror handle."""
+    src = {f["name"]: f["type"] for f in source.schema.fields}
+    dst = {f["name"]: f["type"] for f in mirror.schema.fields}
+    orphans = [c for c in dst if c not in src]
+    if orphans:
+        raise ValueError(
+            f"mirror column(s) {orphans} no longer exist on the source — "
+            "an upstream drop/rename must be applied to the mirror "
+            "manually (name-diffing cannot tell rename from drop+add)"
+        )
+    for name, typ in src.items():
+        if name not in dst:
+            mirror.apply_ddl("add_column", name=name, type=typ)
+            mirror = mirror.refresh()
+        elif dst[name] != typ:
+            mirror.apply_ddl("widen_type", name=name, type=typ)
+            mirror = mirror.refresh()
+    return mirror
+
+
+def sync_mirror(source, mirror, since_version: int | None = None) -> dict:
+    """Catch the replica up to the source's current snapshot, exactly
+    once. Default resumes from the replica's own lineage; explicit
+    windows must anchor at the synced boundary (the ``sync_agg_view``
+    contract — relative deltas double-apply otherwise)."""
+    end = source.manifest["version"]
+    synced = view_synced_version(mirror)
+    if since_version is None:
+        since_version = synced if synced is not None else 0
+    elif synced is None and since_version != 0:
+        raise ValueError(
+            f"window [{since_version}->{end}] on a never-synced mirror "
+            "must start at 0; a partial delta would miss the base state"
+        )
+    elif synced is not None and since_version != synced and end > synced:
+        raise ValueError(
+            f"window [{since_version}->{end}] does not start at the "
+            f"mirror's synced version {synced}; relative deltas would "
+            "double-apply"
+        )
+    if end == since_version or (synced is not None and end <= synced):
+        return {"merge": {"skipped": True}, "version": end}
+
+    mirror = _evolve_to_source(mirror, source)
+    from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL
+
+    ch = source.read_changes(since_version, end, with_internal=True)
+    payload = source.schema.names()
+    batch = ch.filter(
+        F.col("_change_type").isin("insert", "update_postimage", "delete")
+    ).select(
+        *payload,
+        F.when(F.col("_change_type") == "delete", F.lit("DELETE"))
+        .otherwise(F.lit("UPSERT"))
+        .alias(OP_COL),
+        F.col(VTS_COL),
+        F.col(VSEQ_COL),
+    )
+    info = mirror.merge(
+        batch,
+        batch_id=f"mirror:{since_version}->{end}",
+        offsets={"source_version": end},
+        assume_unique_keys=True,  # CDF emits one net row per key
+    )
+    return {"merge": info, "version": end,
+            "window": [since_version, end]}

@@ -404,15 +404,34 @@ class LakeTable:
     def cluster_cols(self) -> list[str]:
         return self.manifest.get("cluster_cols", [])
 
-    def _clustered(self, df: DataFrame) -> DataFrame:
+    def _clustered(self, df: DataFrame, manifest: dict | None = None) -> DataFrame:
         """Apply the table's sort order inside each bucket task before a
         partitioned write; no-op without cluster_cols. Must follow the
         repartition-by-bucket (sortWithinPartitions sorts the TASK's
-        rows, and a bucket is exactly one task there)."""
-        if not self.cluster_cols:
+        rows, and a bucket is exactly one task there).
+
+        ``cluster_kind='zorder'``: sort by the interleaved-bit Morton
+        key over cluster_cols instead of lexicographically — every
+        parquet row group then has a narrow min/max range on ALL the
+        cluster columns at once, so ordinary pushed filters skip row
+        groups for predicates on any of them (plans/zorder.py). Bounds
+        come from the manifest (harvested at compact time); layout is
+        advisory, so stale bounds only cost skipping efficiency.
+
+        ``manifest``: the in-flight next manifest when the caller is
+        changing the cluster spec in the same commit (compact)."""
+        m = manifest if manifest is not None else self.manifest
+        ccols = m.get("cluster_cols", [])
+        if not ccols:
             return df
+        if m.get("cluster_kind") == "zorder" and m.get("zorder_bounds"):
+            from chunjun_spark.plans.zorder import zorder_key
+
+            return df.sortWithinPartitions(
+                _BUCKET_COL, zorder_key(m["zorder_bounds"])
+            )
         return df.sortWithinPartitions(
-            _BUCKET_COL, *[F.col(c) for c in self.cluster_cols]
+            _BUCKET_COL, *[F.col(c) for c in ccols]
         )
 
     # ------------------------------------------------------------- read
@@ -1188,6 +1207,7 @@ class LakeTable:
         new_n_buckets: int | None = None,
         new_bucket_cols: list[str] | None = None,
         buckets: list[int] | None = None,
+        zorder_cols: list[str] | None = None,
     ) -> dict:
         """Fold all deltas into the base; afterwards read() is a pure scan.
 
@@ -1227,9 +1247,12 @@ class LakeTable:
         commit. Must be a subset of the pk (DELETE rows route by key).
         """
         if buckets is not None:
-            if new_n_buckets is not None or new_bucket_cols is not None:
+            if (new_n_buckets is not None or new_bucket_cols is not None
+                    or zorder_cols is not None):
                 raise ValueError(
-                    "partial compaction cannot reshard or evolve bucket cols"
+                    "partial compaction cannot reshard, evolve bucket "
+                    "cols, or change the z-order spec (it keeps the "
+                    "stored layout)"
                 )
             return self._compact_partial(sorted({int(b) for b in buckets}),
                                          purge_tombstones)
@@ -1251,13 +1274,39 @@ class LakeTable:
         rebucket = F.pmod(
             F.xxhash64(*[F.col(c) for c in bcols]), F.lit(n_out)
         ).cast("int")
+        if zorder_cols is not None:
+            # OPTIMIZE ZORDER BY analog: adopt (or re-spec) the z-order
+            # layout in this rewrite. Bounds are harvested here (one
+            # narrow agg over data being rewritten anyway) and stored so
+            # later COW merge rewrites re-apply the same layout.
+            from chunjun_spark.plans.zorder import harvest_bounds
+
+            live = resolved.filter(
+                ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+            )
+            m["cluster_cols"] = list(zorder_cols)
+            m["cluster_kind"] = "zorder"
+            m["zorder_bounds"] = harvest_bounds(
+                live.select(*zorder_cols), list(zorder_cols)
+            )
+        elif m.get("cluster_kind") == "zorder":
+            # plain full compact of a z-ordered table: refresh the
+            # bounds — the rewrite pays the scan anyway, and fresher
+            # bounds keep row-group skipping sharp as the domain drifts
+            from chunjun_spark.plans.zorder import harvest_bounds
+
+            zc = m["cluster_cols"]
+            live = resolved.filter(
+                ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+            )
+            m["zorder_bounds"] = harvest_bounds(live.select(*zc), zc)
         rel = os.path.join("data", f"v{m['version']}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.root, rel)
         with_bucket = resolved.select(*self.schema.names(), *_HIDDEN).withColumn(
             _BUCKET_COL, rebucket
         )
         self._clustered(
-            with_bucket.repartition(n_out, F.col(_BUCKET_COL))
+            with_bucket.repartition(n_out, F.col(_BUCKET_COL)), manifest=m
         ).write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out_dir)
         found = self._discover_bucket_dirs(out_dir)
         stats = self._harvest_stats(out_dir, found)
@@ -1588,6 +1637,29 @@ class LakeTable:
         else:
             raise ValueError(f"unknown ddl op {ddl_op}")
         m = self._next_manifest()
+        if ddl_op == "rename_column":
+            # every manifest structure keyed by column NAME must follow
+            # the rename, or the next merge/scan/compact references a
+            # column that no longer exists (same failure family as the
+            # protected-drop rule above): pk, bucket/cluster/stats specs,
+            # z-order bounds, and the per-bucket harvested stats maps
+            old, new = kw["old"], kw["new"]
+
+            def _ren(names: list[str]) -> list[str]:
+                return [new if c == old else c for c in names]
+
+            for key in ("pk", "bucket_cols", "cluster_cols", "stats_cols"):
+                if m.get(key):
+                    m[key] = _ren(m[key])
+            if m.get("zorder_bounds") and old in m["zorder_bounds"]:
+                m["zorder_bounds"] = {
+                    (new if c == old else c): v
+                    for c, v in m["zorder_bounds"].items()
+                }
+            for e in m["buckets"].values():
+                st = e.get("stats")
+                if st and old in st:
+                    st[new] = st.pop(old)
         # allocate schema ids append-only (max historical + 1), never
         # current+1: after a rollback the CURRENT schema_version can be
         # older than ids already registered in the map, and reusing one

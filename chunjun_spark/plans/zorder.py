@@ -1,0 +1,127 @@
+"""Z-order (Morton) clustering for lake files — the Delta/Iceberg
+OPTIMIZE ZORDER BY analog.
+
+Why it matters here: the lake hash-buckets rows by pk for co-located
+CDC merges, so within a bucket every NON-key column is uniformly mixed
+and parquet row-group min/max stats skip nothing for analytic filters.
+Sorting each bucket's rewrite by an interleaved-bit key over the chosen
+columns gives every row group a narrow range on ALL of them at once, so
+Spark's ordinary pushed filters (PushedFilters on the scan) skip row
+groups for predicates on any zorder column — no reader change needed.
+
+The z-value is built from ordinary codegen expressions (shift/or/and —
+no UDF): each column is binned to 16 bits against bounds harvested at
+``compact(zorder_cols=...)`` time and stored in the manifest; later COW
+merge rewrites re-apply the SAME layout using the stored bounds (layout
+is advisory — correctness never depends on it — so slightly stale
+bounds just cost a little skipping efficiency until the next compact
+refreshes them).
+
+Strings are binned by their first-4-bytes big-endian value (prefix
+locality); numerics/timestamps by linear scaling. NULL bins to 0.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+BITS = 16  # bins per column; 4 cols max -> 64-bit z fits a long
+MAX_COLS = 4
+
+_NUMERIC_KINDS = {"long", "double"}
+
+
+def morton_interleave(bins: list[int], bits: int = BITS) -> int:
+    """Reference (driver-side) interleave — bit b of column j lands at
+    z-bit ``b * n + j``. Used by tests to pin the Column expression."""
+    z = 0
+    n = len(bins)
+    for j, v in enumerate(bins):
+        for b in range(bits):
+            z |= ((v >> b) & 1) << (b * n + j)
+    return z
+
+
+def column_kind(dtype: str) -> str:
+    """Bin strategy for a Spark simpleString dtype. Raises on types with
+    no meaningful linear order (arrays, maps, binary, booleans)."""
+    if dtype in ("tinyint", "smallint", "int", "bigint", "float", "double",
+                 "date") or dtype.startswith("decimal"):
+        return "long" if dtype in ("tinyint", "smallint", "int", "bigint",
+                                   "date") else "double"
+    if dtype.startswith("timestamp"):
+        return "timestamp"
+    if dtype == "string":
+        return "string"
+    raise ValueError(f"cannot z-order a {dtype} column")
+
+
+def _orderable(col: str, kind: str) -> Column:
+    """Map the column to a double that preserves its order."""
+    c = F.col(col)
+    if kind == "string":
+        # big-endian value of the first 4 bytes: prefix locality, fits a
+        # double exactly (< 2^32)
+        return F.conv(F.hex(F.substring(c, 1, 4)), 16, 10).cast("double")
+    if kind == "timestamp":
+        return F.unix_micros(c.cast("timestamp")).cast("double")
+    return c.cast("double")
+
+
+def harvest_bounds(df: DataFrame, cols: list[str]) -> dict:
+    """One narrow agg over the frame being compacted: {col: [lo, hi,
+    kind]} in orderable-double space. Columns that are entirely NULL
+    get a degenerate [0, 0] range (binned constant — harmless)."""
+    kinds = {
+        f.name: column_kind(f.dataType.simpleString())
+        for f in df.schema.fields if f.name in cols
+    }
+    missing = [c for c in cols if c not in kinds]
+    if missing:
+        raise ValueError(f"zorder column(s) {missing} not in schema")
+    aggs = []
+    for c in cols:
+        o = _orderable(c, kinds[c])
+        aggs += [F.min(o).alias(f"_lo_{c}"), F.max(o).alias(f"_hi_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    return {
+        c: [float(row[f"_lo_{c}"] or 0.0), float(row[f"_hi_{c}"] or 0.0),
+            kinds[c]]
+        for c in cols
+    }
+
+
+def zorder_key(bounds: dict) -> Column:
+    """The interleaved sort key as one codegen expression tree.
+
+    ``bounds``: {col: [lo, hi, kind]} as stored in the manifest
+    (insertion order = bit-significance order). Each column bins to
+    ``BITS`` bits by linear scaling into [0, 2^BITS); bit b of column j
+    lands at z-bit ``b * n + j`` (matches :func:`morton_interleave`).
+    """
+    cols = list(bounds)
+    n = len(cols)
+    if not 2 <= n <= MAX_COLS:
+        raise ValueError(f"zorder needs 2-{MAX_COLS} columns, got {n}")
+    top = (1 << BITS) - 1
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        lo, hi, kind = bounds[c]
+        span = hi - lo
+        o = _orderable(c, kind)
+        if span <= 0:
+            binned = F.lit(0).cast("long")
+        else:
+            scaled = F.floor((o - F.lit(lo)) / F.lit(span) * F.lit(top + 1))
+            binned = F.coalesce(
+                F.greatest(F.lit(0), F.least(F.lit(top), scaled)), F.lit(0)
+            ).cast("long")
+        for b in range(BITS):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(binned, b).bitwiseAND(F.lit(1)),
+                    b * n + j,
+                )
+            )
+    return z.alias("_zorder")

@@ -1,0 +1,130 @@
+"""Lake → lake replication over the CDF (operators/mirror.py): O(changes)
+sync windows, exactly-once, additive schema evolution, chainable."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from chunjun_spark.operators.merge import replay
+from chunjun_spark.operators.mirror import create_mirror, sync_mirror
+from chunjun_spark.plans.lake import LakeTable
+from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA, generate_binlog
+
+from .conftest import df_state, sha256_state
+
+PK = ["repo", "path"]
+
+
+def _source(spark, tmp_root):
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "src"), PAYLOAD_SCHEMA, pk=PK,
+        n_buckets=4,
+    )
+    ev1 = generate_binlog(spark, 3000, n_keys=500, seed=5, dup_rate=0.2)
+    replay(ev1, t, batch_id="w1")
+    return t.refresh()
+
+
+def _w2(spark):
+    return (
+        generate_binlog(spark, 2000, n_keys=500, seed=5, dup_rate=0.2)
+        .withColumn("seq", F.col("seq") + F.lit(10_000_000))
+        .withColumn("op_ts", F.col("op_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+
+
+def _state_hash(t):
+    return sha256_state(df_state(t.read(), PK))
+
+
+def test_mirror_sync_converges_and_skips(spark, tmp_root):
+    src = _source(spark, tmp_root)
+    mir = create_mirror(spark, os.path.join(tmp_root, "mir"), src)
+    r1 = sync_mirror(src, mir)
+    mir = mir.refresh()
+    assert _state_hash(mir) == _state_hash(src)
+    assert not r1["merge"].get("skipped")
+
+    # window 2: deletes + updates replicate incrementally
+    replay(_w2(spark), src, batch_id="w2")
+    src = src.refresh()
+    v_before = mir.manifest["version"]
+    r2 = sync_mirror(src, mir)
+    mir = mir.refresh()
+    assert _state_hash(mir) == _state_hash(src)
+    assert r2["window"][0] == r1["version"]  # resumed from own lineage
+    # nothing new: skip, version unchanged
+    r3 = sync_mirror(src, mir.refresh())
+    assert r3["merge"]["skipped"]
+    assert mir.refresh().manifest["version"] == v_before + 1
+
+    # replaying the identical window is a batch-id no-op
+    r4 = sync_mirror(src, mir.refresh(), since_version=r2["window"][0])
+    assert r4["merge"].get("skipped") or \
+        mir.refresh().manifest["version"] == v_before + 1
+
+
+def test_mirror_window_anchoring_rejected(spark, tmp_root):
+    src = _source(spark, tmp_root)
+    mir = create_mirror(spark, os.path.join(tmp_root, "mir"), src)
+    with pytest.raises(ValueError, match="never-synced"):
+        sync_mirror(src, mir, since_version=1)
+    sync_mirror(src, mir)
+    replay(_w2(spark), src, batch_id="w2")
+    src = src.refresh()
+    with pytest.raises(ValueError, match="double-apply"):
+        sync_mirror(src, mir.refresh(), since_version=0)
+
+
+def test_mirror_additive_ddl_replicates(spark, tmp_root):
+    src = _source(spark, tmp_root)
+    mir = create_mirror(spark, os.path.join(tmp_root, "mir"), src)
+    sync_mirror(src, mir)
+
+    src.apply_ddl("add_column", name="stars", type="bigint")
+    src = src.refresh()
+    up = (src.read().limit(50)
+          .selectExpr("repo", "path", "cast(7 as bigint) as stars",
+                      "cast(5e15 as long) as _vseq",
+                      "timestamp'2031-01-01' as _vts"))
+    src.merge(up, batch_id="w2")
+    src = src.refresh()
+
+    mir = mir.refresh()
+    sync_mirror(src, mir)
+    mir = mir.refresh()
+    assert "stars" in mir.schema.names()
+    assert mir.read().filter("stars = 7").count() == 50
+    assert _state_hash(mir) == _state_hash(src)
+
+    # upstream drop: loud failure, never a silent fork
+    src.apply_ddl("add_column", name="tmp", type="string")
+    mir2 = mir.refresh()
+    src = src.refresh()
+    src.merge(src.read().limit(1).selectExpr(
+        "repo", "path", "cast(6e15 as long) as _vseq",
+        "timestamp'2032-01-01' as _vts", "'x' as tmp"), batch_id="w3")
+    src = src.refresh()
+    sync_mirror(src, mir2)
+    src.apply_ddl("drop_column", name="tmp")
+    src = src.refresh()
+    src.merge(src.read().limit(1).selectExpr(
+        "repo", "path", "cast(7e15 as long) as _vseq",
+        "timestamp'2033-01-01' as _vts"), batch_id="w4")
+    with pytest.raises(ValueError, match="no longer exist"):
+        sync_mirror(src.refresh(), mir2.refresh())
+
+
+def test_mirror_chain_two_hops(spark, tmp_root):
+    src = _source(spark, tmp_root)
+    hop1 = create_mirror(spark, os.path.join(tmp_root, "hop1"), src)
+    sync_mirror(src, hop1)
+    hop2 = create_mirror(spark, os.path.join(tmp_root, "hop2"),
+                         hop1.refresh())
+    sync_mirror(hop1.refresh(), hop2)
+    replay(_w2(spark), src, batch_id="w2")
+    src = src.refresh()
+    sync_mirror(src, hop1.refresh())
+    sync_mirror(hop1.refresh(), hop2.refresh())
+    assert _state_hash(hop2.refresh()) == _state_hash(src)

@@ -1,0 +1,213 @@
+"""Z-order clustering (OPTIMIZE ZORDER BY analog): Morton-key layout
+inside hash buckets gives parquet row groups narrow min/max on ALL the
+cluster columns, so pushed filters skip row groups on any of them.
+Plus the rename-remap fix it depends on (manifest col-name structures
+must follow rename_column)."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from chunjun_spark.plans.lake import LakeTable
+from chunjun_spark.plans.zorder import (
+    BITS,
+    harvest_bounds,
+    morton_interleave,
+    zorder_key,
+)
+
+
+def _mk_table(spark, tmp_root, cluster_cols=None, name="zlake"):
+    import pyspark.sql.types as T
+
+    schema = T.StructType().add("k", "long").add("x", "long").add("y", "long")
+    return LakeTable.create(
+        spark, os.path.join(tmp_root, name), schema, pk=["k"], n_buckets=2,
+        cluster_cols=cluster_cols,
+    )
+
+
+def _payload(spark, n=60_000):
+    # x and y independent — the worst case for single-column clustering
+    return spark.range(n).selectExpr(
+        "id as k",
+        "pmod(xxhash64(id, 1), 1000) as x",
+        "pmod(xxhash64(id, 2), 1000) as y",
+    )
+
+
+def _rowgroup_ranges(root, manifest, col):
+    """Per-row-group (min, max) of ``col`` across all base files."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for e in manifest["buckets"].values():
+        bdir = os.path.join(root, e["path"])
+        for name in os.listdir(bdir):
+            if not name.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(bdir, name)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is not None and st.has_min_max:
+                    out.append((st.min, st.max))
+    return out
+
+
+def _avg_span_frac(ranges, lo=0, hi=999):
+    return sum(b - a for a, b in ranges) / len(ranges) / (hi - lo)
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    bounds = {"x": [0.0, 255.0, "long"], "y": [0.0, 255.0, "long"]}
+    df = spark.createDataFrame(
+        [(a, b) for a in (0, 1, 37, 128, 255) for b in (0, 2, 99, 255)],
+        "x long, y long",
+    )
+    got = {(r["x"], r["y"]): r["_zorder"]
+           for r in df.select("x", "y", zorder_key(bounds)).collect()}
+    top = (1 << BITS) - 1
+    for (a, b), z in got.items():
+        bins = [min(top, (v * (top + 1)) // 255) for v in (a, b)]
+        assert z == morton_interleave(bins), (a, b)
+    # z-order is NOT lexicographic: (1, 0) sorts before (0, 2)
+    assert got[(1, 0)] < got[(0, 2)]
+
+
+def test_zorder_key_validation_and_nulls(spark):
+    with pytest.raises(ValueError, match="2-4 columns"):
+        zorder_key({"x": [0, 1, "long"]})
+    with pytest.raises(ValueError, match="2-4 columns"):
+        zorder_key({c: [0, 1, "long"] for c in "abcde"})
+    df = spark.createDataFrame([(None, 5)], "x long, y long")
+    z = df.select(zorder_key({"x": [0.0, 9.0, "long"],
+                              "y": [0.0, 9.0, "long"]})).collect()[0][0]
+    assert z is not None  # NULL bins to 0, never poisons the sort key
+    with pytest.raises(ValueError, match="not in schema"):
+        harvest_bounds(df, ["x", "nope"])
+
+
+def test_compact_zorder_balances_rowgroup_ranges(spark, tmp_root):
+    """The measurable contract: after compact(zorder_cols=[x, y]) every
+    row group covers a narrow slice of BOTH x and y; linear clustering
+    by x leaves y at ~full range per row group."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", str(64 * 1024))  # force many row groups
+    try:
+        lin = _mk_table(spark, tmp_root, cluster_cols=["x"], name="linear")
+        lin.merge(_payload(spark), batch_id="b0")
+        lin = lin.refresh()
+        lin.compact()
+        lin = lin.refresh()
+        zt = _mk_table(spark, tmp_root, name="zorder")
+        zt.merge(_payload(spark), batch_id="b0")
+        zt = zt.refresh()
+        info = zt.compact(zorder_cols=["x", "y"])
+        zt = zt.refresh()
+        assert zt.manifest["cluster_kind"] == "zorder"
+        assert set(zt.manifest["zorder_bounds"]) == {"x", "y"}
+
+        lin_y = _rowgroup_ranges(lin.root, lin.manifest, "y")
+        z_x = _rowgroup_ranges(zt.root, zt.manifest, "x")
+        z_y = _rowgroup_ranges(zt.root, zt.manifest, "y")
+        assert len(z_y) >= 4, "need multiple row groups to measure layout"
+        # linear-by-x leaves y unclustered: ~full range per row group
+        assert _avg_span_frac(lin_y) > 0.8
+        # z-order: BOTH dims narrow per row group
+        assert _avg_span_frac(z_x) < 0.5
+        assert _avg_span_frac(z_y) < 0.5
+        # the data itself is unchanged by layout
+        assert zt.read().count() == lin.read().count() == 60_000
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
+
+
+def test_merge_after_zorder_keeps_layout_and_correctness(spark, tmp_root):
+    t = _mk_table(spark, tmp_root)
+    t.merge(_payload(spark, 20_000), batch_id="b0")
+    t = t.refresh()
+    t.compact(zorder_cols=["x", "y"])
+    t = t.refresh()
+    # a later merge rewrites touched buckets using the STORED bounds
+    # (_vseq stamped above every auto-assigned id so the strictly-newer
+    # guard admits the update)
+    upd = spark.range(500).selectExpr(
+        "id as k", "cast(1 as long) as x", "cast(2 as long) as y",
+        "cast(1e15 + id as long) as _vseq",
+    )
+    t.merge(upd, batch_id="b1")
+    t = t.refresh()
+    assert t.manifest["cluster_kind"] == "zorder"  # spec survives merges
+    got = {r["k"]: (r["x"], r["y"])
+           for r in t.read().filter(F.col("k") < 500).collect()}
+    assert all(v == (1, 2) for v in got.values()) and len(got) == 500
+    # plain full compact refreshes the bounds: delete every row with
+    # x >= 100, then the harvested x-range must shrink to the survivors
+    dels = (t.read().filter("x >= 100")
+            .selectExpr("k", "cast(null as long) as x",
+                        "cast(null as long) as y", "'DELETE' as _op",
+                        "cast(2e15 + k as long) as _vseq"))
+    t.merge(dels, batch_id="b2")
+    t = t.refresh()
+    t.compact(purge_tombstones=True)
+    t = t.refresh()
+    assert t.manifest["cluster_kind"] == "zorder"
+    assert t.manifest["zorder_bounds"]["x"][1] < 100
+    # partial compaction keeps the stored spec and refuses a re-spec
+    with pytest.raises(ValueError, match="partial compaction"):
+        t.compact(buckets=[0], zorder_cols=["x", "y"])
+
+
+def test_rename_column_remaps_manifest_structures(spark, tmp_root):
+    import pyspark.sql.types as T
+
+    schema = (T.StructType().add("k", "long").add("x", "long")
+              .add("y", "long"))
+    t = LakeTable.create(
+        spark, os.path.join(tmp_root, "ren"), schema, pk=["k"], n_buckets=2,
+        stats_cols=["x"], cluster_cols=["x"],
+    )
+    t.merge(_payload(spark, 2_000), batch_id="b0")
+    t = t.refresh()
+    assert any("stats" in e for e in t.manifest["buckets"].values())
+
+    t.apply_ddl("rename_column", old="x", new="x2")
+    t = t.refresh()
+    assert t.stats_cols == ["x2"] and t.cluster_cols == ["x2"]
+    for e in t.manifest["buckets"].values():
+        st = e.get("stats")
+        if st:
+            assert "x2" in st and "x" not in st
+    # the table still merges and compacts after the rename
+    upd = spark.range(100).selectExpr(
+        "id as k", "cast(7 as long) as x2", "cast(8 as long) as y",
+        "cast(1e15 + id as long) as _vseq")
+    t.merge(upd, batch_id="b1")
+    t = t.refresh()
+    t.compact()
+    t = t.refresh()
+    assert t.read().filter("x2 = 7").count() == 100
+
+    # pk rename keeps the table writable under the NEW key name
+    t.apply_ddl("rename_column", old="k", new="kid")
+    t = t.refresh()
+    assert t.pk == ["kid"]
+    upd2 = spark.range(50).selectExpr(
+        "id + 100000 as kid", "cast(1 as long) as x2", "cast(1 as long) as y")
+    t.merge(upd2, batch_id="b2")
+    t = t.refresh()
+    assert t.read().filter("kid >= 100000").count() == 50
+
+    # zorder_bounds keys follow the rename too
+    t.compact(zorder_cols=["x2", "y"])
+    t = t.refresh()
+    t.apply_ddl("rename_column", old="y", new="y2")
+    t = t.refresh()
+    assert set(t.manifest["zorder_bounds"]) == {"x2", "y2"}
+    assert t.cluster_cols == ["x2", "y2"]
