@@ -874,6 +874,20 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
                     "group_cols": list(v["groupCols"]),
                     "value_col": v["valueCol"],
                 })
+        mirrors = None
+        if wp.get("mirrors"):
+            # writer.parameter.mirrors: replica roots that follow the
+            # sink continuously (operators/mirror.py); created on first
+            # use with the sink table's schema/pk/bucket spec
+            from chunjun_spark.operators.mirror import create_mirror
+
+            mirrors = [str(m) for m in wp["mirrors"]]
+            for mroot in mirrors:
+                try:
+                    LakeTable.load(spark, mroot)
+                except FileNotFoundError:
+                    create_mirror(spark, mroot,
+                                  LakeTable.load(spark, wp["path"]))
         subscription = None
         if p.get("cat") or p.get("table") or p.get("filter"):
             subscription = {"cat": p.get("cat"), "table": p.get("table"),
@@ -897,6 +911,7 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
             # writer.parameter.audits gates every micro-batch through
             # write-audit-publish on the stream path too
             audits=wp.get("audits"),
+            mirrors=mirrors,
         )
         table = LakeTable.load(spark, wp["path"])
         totals = table.lineage_totals()  # exact even past lineage eviction

@@ -171,8 +171,16 @@ def start_replay_stream(
     agg_views: list[dict] | None = None,
     restore_from_lineage: bool = False,
     audits: list[dict] | None = None,
+    mirrors: list[str] | None = None,
 ) -> StreamingQuery:
     """Start the micro-batch apply loop.
+
+    ``mirrors``: replica table roots (operators/mirror.py) that follow
+    the sink continuously — after each micro-batch commit every replica
+    syncs its own CDF window (O(changes), exactly-once, resumes from
+    the REPLICA's lineage). Like ``agg_views``, the sync also runs on
+    the replayed-batch skip path, so a crash between the table commit
+    and a replica sync just catches up on the next batch.
 
     ``audits``: declarative checks (operators/wap.py shapes) gating
     EVERY micro-batch through write-audit-publish — the batch stages
@@ -254,16 +262,22 @@ def start_replay_stream(
         events = restore_filter(events, t0.resume_offsets())
 
     def _sync_views() -> None:
-        if not agg_views:
+        if not agg_views and not mirrors:
             return
-        from chunjun_spark.operators.ivm import sync_agg_view
-
         t = LakeTable.load(spark, table_root)
-        for v in agg_views:
-            sync_agg_view(
-                t, LakeTable.load(spark, v["root"]),
-                v["group_cols"], v["value_col"],
-            )
+        if agg_views:
+            from chunjun_spark.operators.ivm import sync_agg_view
+
+            for v in agg_views:
+                sync_agg_view(
+                    t, LakeTable.load(spark, v["root"]),
+                    v["group_cols"], v["value_col"],
+                )
+        if mirrors:
+            from chunjun_spark.operators.mirror import sync_mirror
+
+            for mroot in mirrors:
+                sync_mirror(t, LakeTable.load(spark, mroot))
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         from chunjun_spark.operators.ddl import apply_ddl_events
@@ -980,6 +994,7 @@ def run_stream_to_completion(
     restore_from_lineage: bool = False,
     audits: list[dict] | None = None,
     subscription: dict | None = None,
+    mirrors: list[str] | None = None,
 ) -> None:
     events = read_binlog_stream(spark, binlog_dir, max_files_per_trigger)
     if subscription:
@@ -994,7 +1009,7 @@ def run_stream_to_completion(
         events, table_root, checkpoint_dir, job_id=job_id, mode=mode,
         trigger_available_now=True, rate_limiter=limiter,
         agg_views=agg_views, restore_from_lineage=restore_from_lineage,
-        audits=audits,
+        audits=audits, mirrors=mirrors,
     )
     if not q.awaitTermination(timeout_sec):
         q.stop()

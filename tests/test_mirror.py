@@ -128,3 +128,46 @@ def test_mirror_chain_two_hops(spark, tmp_root):
     sync_mirror(src, hop1.refresh())
     sync_mirror(hop1.refresh(), hop2.refresh())
     assert _state_hash(hop2.refresh()) == _state_hash(src)
+
+
+def test_stream_job_with_attached_mirror(spark, tmp_root):
+    """writer.parameter.mirrors: the replica follows the streaming sink
+    continuously — synced after every micro-batch, caught up again on
+    the next run's windows."""
+    from chunjun_spark.sources.binlog import write_binlog_files
+
+    ev1 = generate_binlog(spark, 3000, n_keys=400, seed=8, dup_rate=0.1)
+    binlog = os.path.join(tmp_root, "binlog")
+    write_binlog_files(ev1, binlog, n_files=3)
+    lake = os.path.join(tmp_root, "lake")
+    mroot = os.path.join(tmp_root, "replica")
+    job = {
+        "job": {
+            "content": [{
+                "reader": {"name": "binlogreader",
+                           "parameter": {"path": binlog}},
+                "writer": {"name": "hudiwriter",
+                           "parameter": {"path": lake, "mode": "mor",
+                                         "mirrors": [mroot]}},
+            }],
+            "setting": {"speed": {"channel": 2},
+                        "restore": {"isStream": True}},
+        }
+    }
+    from chunjun_spark.job import run_job
+
+    run_job(spark, job)
+    src = LakeTable.load(spark, lake)
+    mir = LakeTable.load(spark, mroot)
+    assert _state_hash(mir) == _state_hash(src)
+
+    # second window arrives; the rerun syncs the replica through again
+    w2 = (generate_binlog(spark, 1500, n_keys=400, seed=8, dup_rate=0.1)
+          .withColumn("seq", F.col("seq") + F.lit(10_000_000))
+          .withColumn("op_ts", F.col("op_ts") + F.expr("INTERVAL 1 HOUR")))
+    write_binlog_files(w2, binlog, n_files=2)
+    run_job(spark, job)
+    src = src.refresh()
+    mir = mir.refresh()
+    assert _state_hash(mir) == _state_hash(src)
+    assert src.read().count() > 0
