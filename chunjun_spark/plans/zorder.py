@@ -104,7 +104,11 @@ def zorder_key(bounds: dict) -> Column:
     n = len(cols)
     if not 2 <= n <= MAX_COLS:
         raise ValueError(f"zorder needs 2-{MAX_COLS} columns, got {n}")
-    top = (1 << BITS) - 1
+    # total interleaved bits must stay below 63: bit 63 is the long's
+    # SIGN bit, and a z-key that crosses it sorts negatives first —
+    # inverting the curve halfway through the last column's range
+    bits = min(BITS, 63 // n)
+    top = (1 << bits) - 1
     z = F.lit(0).cast("long")
     for j, c in enumerate(cols):
         lo, hi, kind = bounds[c]
@@ -117,7 +121,7 @@ def zorder_key(bounds: dict) -> Column:
             binned = F.coalesce(
                 F.greatest(F.lit(0), F.least(F.lit(top), scaled)), F.lit(0)
             ).cast("long")
-        for b in range(BITS):
+        for b in range(bits):
             z = z.bitwiseOR(
                 F.shiftleft(
                     F.shiftright(binned, b).bitwiseAND(F.lit(1)),

@@ -211,3 +211,20 @@ def test_rename_column_remaps_manifest_structures(spark, tmp_root):
     t = t.refresh()
     assert set(t.manifest["zorder_bounds"]) == {"x2", "y2"}
     assert t.cluster_cols == ["x2", "y2"]
+
+
+def test_zorder_four_columns_never_sets_the_sign_bit(spark):
+    """4 × 16 bits would put the last column's top bit at position 63 —
+    the long's SIGN bit — inverting the curve halfway. Bits per column
+    cap at 63 // n; the max-corner key must stay positive and maximal."""
+    bounds = {c: [0.0, 9.0, "long"] for c in ("a", "b", "c", "d")}
+    rows = [(0, 0, 0, 0), (9, 9, 9, 9), (9, 0, 0, 0), (0, 9, 9, 9)]
+    df = spark.createDataFrame(rows, "a long, b long, c long, d long")
+    got = {tuple(r)[:4]: r["_zorder"]
+           for r in df.select("a", "b", "c", "d",
+                              zorder_key(bounds)).collect()}
+    assert all(z >= 0 for z in got.values())
+    assert got[(9, 9, 9, 9)] == max(got.values())
+    assert got[(0, 0, 0, 0)] == 0
+    # the curve still orders by interleaved significance, not sign flips
+    assert got[(0, 9, 9, 9)] < got[(9, 9, 9, 9)]
