@@ -635,7 +635,8 @@ def _tf_lookup(df: DataFrame, p: dict) -> DataFrame:
     else:
         raise ValueError("lookup transform needs 'path' or 'url'+'table'")
     return lookup_enrich(
-        df, dim, on=p["on"], cols=p.get("cols"), how=p.get("how", "left")
+        df, dim, on=p["on"], cols=p.get("cols"), how=p.get("how", "left"),
+        broadcast=bool(p.get("broadcast", True)),
     )
 
 

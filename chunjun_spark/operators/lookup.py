@@ -37,6 +37,7 @@ def lookup_enrich(
     on: dict[str, str] | str,
     cols: list[str] | None = None,
     how: str = "left",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Enrich ``df`` with columns from a small dimension table.
 
@@ -49,6 +50,12 @@ def lookup_enrich(
     ``how``: 'left' keeps unmatched facts (NULL dim attrs), 'inner'
     drops them. Other join types are refused — a right/outer join by a
     dimension inverts the build side.
+
+    ``broadcast=False`` is the escape hatch for a dimension too big to
+    build driver-side (the measured ceiling on this engine is ~8M rows
+    per the keep_last broadcast rule): the join falls back to Spark's
+    planner (sort-merge/shuffled-hash), paying a fact-side shuffle —
+    correct, explicit, never an executor OOM.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"lookup_enrich supports left|inner, got {how!r}")
@@ -74,7 +81,7 @@ def lookup_enrich(
     for fc, dc in on.items():
         c = df[fc] == pruned[dc]
         cond = c if cond is None else (cond & c)
-    joined = df.join(F.broadcast(pruned), cond, how)
+    joined = df.join(F.broadcast(pruned) if broadcast else pruned, cond, how)
     return joined.select(*[df[c] for c in df.columns],
                          *[pruned[c] for c in carry])
 

@@ -173,3 +173,14 @@ def test_job_json_lookup_transform_parquet_and_jdbc(spark, tmp_root):
     rows = {r["event_id"]: r for r in df.collect()}
     assert rows[5]["c_name"] == "cust5" and rows[5]["seg"] == "seg0"
     assert rows[36]["c_name"] is None and rows[36]["seg"] is None
+
+
+def test_broadcast_false_still_correct(spark):
+    """The big-dim escape hatch: broadcast=False hands the join to the
+    planner (a fact-side shuffle) — same rows, no forced build side."""
+    out = lookup_enrich(
+        _fact(spark), _dim(spark), on={"user_id": "c_custkey"},
+        cols=["c_name"], broadcast=False,
+    )
+    rows = {r["event_id"]: r["c_name"] for r in out.collect()}
+    assert rows[5] == "cust5" and rows[36] is None and len(rows) == 1000
