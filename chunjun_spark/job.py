@@ -893,6 +893,17 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
         if p.get("cat") or p.get("table") or p.get("filter"):
             subscription = {"cat": p.get("cat"), "table": p.get("table"),
                             "table_filter": p.get("filter")}
+        stream_dirty = None
+        if cfg.dirty.path or cfg.error_limit.record is not None or \
+                cfg.error_limit.percentage is not None:
+            # setting.dirty + setting.errorLimit on the STREAM path:
+            # DLQ capture requires a path; limits without one still
+            # fail the query on malformed rows (capture dir derived)
+            stream_dirty = {
+                "path": cfg.dirty.path or wp["path"] + "_dirty",
+                "max_errors": cfg.error_limit.record,
+                "max_ratio": cfg.error_limit.percentage,
+            }
         run_stream_to_completion(
             spark,
             binlog_dir=p["path"],
@@ -913,6 +924,7 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
             # write-audit-publish on the stream path too
             audits=wp.get("audits"),
             mirrors=mirrors,
+            dirty=stream_dirty,
         )
         table = LakeTable.load(spark, wp["path"])
         totals = table.lineage_totals()  # exact even past lineage eviction

@@ -172,8 +172,21 @@ def start_replay_stream(
     restore_from_lineage: bool = False,
     audits: list[dict] | None = None,
     mirrors: list[str] | None = None,
+    dirty: dict | None = None,
 ) -> StreamingQuery:
     """Start the micro-batch apply loop.
+
+    ``dirty``: streaming dead-letter queue + error limiter —
+    ``{"path": dir, "max_errors": N, "max_ratio": f}`` (limits optional
+    = unlimited capture). A data row whose effective key has a NULL
+    component (DirtyDataManager's ERR_NULL_POINTER class — the realistic
+    CDC malformation) is diverted to a side parquet table in the
+    DirtyDataManager line shape instead of folding a NULL-pk winner into
+    the lake (which would upsert junk under a NULL key). Detection rides
+    the fused admission aggregate (no extra source evaluation); the
+    diverted rows are only re-scanned on the non-zero path. Cumulative
+    count/ratio over the QUERY's lifetime crossing a limit fails the
+    query (ErrorLimiter.java:62-97 semantics).
 
     ``mirrors``: replica table roots (operators/mirror.py) that follow
     the sink continuously — after each micro-batch commit every replica
@@ -261,6 +274,29 @@ def start_replay_stream(
             )
         events = restore_filter(events, t0.resume_offsets())
 
+    dirty_totals = {"dirty": 0, "read": 0}
+
+    def _capture_dirty(batch_df: DataFrame, pk: list[str],
+                       n_dirty: int) -> None:
+        from chunjun_spark.operators.dirty import (
+            ERR_NULL,
+            check_error_limit,
+        )
+
+        rows = batch_df.filter(_null_pk_pred(pk)).select(
+            F.lit(ERR_NULL).alias("error_class"),
+            F.to_json(F.struct(*[F.col(c) for c in batch_df.columns]))
+            .alias("content"),
+            F.current_timestamp().alias("captured_at"),
+        )
+        rows.write.mode("append").parquet(dirty["path"])
+        dirty_totals["dirty"] += n_dirty
+        check_error_limit(
+            dirty_totals["dirty"], dirty_totals["read"],
+            max_errors=dirty.get("max_errors"),
+            max_ratio=dirty.get("max_ratio"),
+        )
+
     def _sync_views() -> None:
         if not agg_views and not mirrors:
             return
@@ -295,9 +331,19 @@ def start_replay_stream(
                 table.abandon_staged(bid)
             _sync_views()
             return
-        # one fused narrow pre-pass (poison + DDL + FormatState offsets);
-        # the write below is the one wide evaluation of the batch
-        batch_df, ddl_rows, offsets = admit_batch_with_offsets(batch_df)
+        # one fused narrow pre-pass (poison + DDL + FormatState offsets +
+        # the dirty-row count); the write below is the one wide
+        # evaluation of the batch
+        batch_df, ddl_rows, offsets, n_dirty = admit_batch_with_offsets(
+            batch_df, dirty_pk=table.pk if dirty else None
+        )
+        if dirty:
+            # the error RATIO is over the query's lifetime reads, so the
+            # denominator advances on clean batches too
+            dirty_totals["read"] += sum(v["n"] for v in offsets.values())
+        if n_dirty:
+            _capture_dirty(batch_df, table.pk, n_dirty)
+            batch_df = batch_df.filter(~_null_pk_pred(table.pk))
         if ddl_rows:
             # DDLs first: all evolution ops are backward compatible, and
             # apply_ddl_events is idempotent under micro-batch re-delivery
@@ -510,7 +556,7 @@ def start_jdbc_relay_stream(
     spark = events.sparkSession
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df, ddl_rows, offsets = admit_batch_with_offsets(batch_df)
+        batch_df, ddl_rows, offsets, _ = admit_batch_with_offsets(batch_df)
         if ddl_rows:
             _relay_apply_ddl(spark, url, table, ddl_rows,
                              driver, user, password)
@@ -615,7 +661,7 @@ def start_fanout_stream(
                 pending.append(i)  # jdbc guard is a driver round-trip
         if not pending:
             return
-        batch_df, ddl_rows, offsets = admit_batch_with_offsets(batch_df)
+        batch_df, ddl_rows, offsets, _ = admit_batch_with_offsets(batch_df)
         n_read = sum(v["n"] for v in offsets.values())
 
         # fold once per distinct pk; every sink with that pk shares the
@@ -730,9 +776,24 @@ def raise_on_poison(batch_df: DataFrame) -> None:
         raise InBandFailure(f"in-band source failure event: {msg}")
 
 
+def _null_pk_pred(pk: list[str]):
+    """Data row whose effective key (before-image for DELETE, after-image
+    otherwise — the events_with_pk convention) has a NULL component.
+    Struct-field access only, so nested schema pruning keeps this
+    narrow."""
+    is_del = F.col("op") == "DELETE"
+    pred = F.lit(False)
+    for c in pk:
+        eff = F.when(is_del, F.col(f"before.{c}")).otherwise(
+            F.col(f"after.{c}"))
+        pred = pred | eff.isNull()
+    return pred & ~F.col("op").isin("ERROR", "DDL")
+
+
 def admit_batch_with_offsets(
     batch_df: DataFrame,
-) -> tuple[DataFrame, list[dict], dict]:
+    dirty_pk: list[str] | None = None,
+) -> tuple[DataFrame, list[dict], dict, int]:
     """Fused micro-batch admission + FormatState offsets: ONE narrow
     aggregation job yields the per-partition (max offset, count), the
     poison/DDL control rows, and therefore numRead — where
@@ -742,6 +803,12 @@ def admit_batch_with_offsets(
     narrow pass + keep_last's winner-agg side + the one wide payload
     pass the write performs) — measured via StreamingQueryListener
     numInputRows, which counts every source re-read in a trigger.
+
+    ``dirty_pk``: also count data rows whose effective key has a NULL
+    component (the DirtyDataManager ERR_NULL_POINTER class) — riding the
+    SAME fused aggregate, so the dirty detector costs no extra source
+    evaluation. The rows themselves are only re-scanned by the caller
+    when the count is non-zero (the rare path).
 
     Falls back to the two-pass path for frames without the
     partition_id/offset columns. Offsets here include control rows'
@@ -753,22 +820,27 @@ def admit_batch_with_offsets(
         from chunjun_spark.operators.merge import partition_offsets
 
         df, ddl_rows = admit_batch(batch_df)
-        return df, ddl_rows, partition_offsets(df)
+        n_dirty = (
+            df.filter(_null_pk_pred(dirty_pk)).count() if dirty_pk else 0
+        )
+        return df, ddl_rows, partition_offsets(df), n_dirty
     narrow = [c for c in ("op", "table_name", "op_ts", "seq", "ddl")
               if c in cols]
     is_ctrl = F.col("op").isin("ERROR", "DDL")
-    rows = (
-        batch_df.groupBy("partition_id")
-        .agg(
-            F.max("offset").alias("max_offset"),
-            F.count(F.lit(1)).alias("n"),
-            F.count(F.when(is_ctrl, 1)).alias("n_ctrl"),
-            F.collect_list(
-                F.when(is_ctrl, F.struct(*[F.col(c) for c in narrow]))
-            ).alias("ctrl"),
+    aggs = [
+        F.max("offset").alias("max_offset"),
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(is_ctrl, 1)).alias("n_ctrl"),
+        F.collect_list(
+            F.when(is_ctrl, F.struct(*[F.col(c) for c in narrow]))
+        ).alias("ctrl"),
+    ]
+    if dirty_pk:
+        aggs.append(
+            F.count(F.when(_null_pk_pred(dirty_pk), 1)).alias("n_dirty")
         )
-        .collect()
-    )
+    rows = batch_df.groupBy("partition_id").agg(*aggs).collect()
+    n_dirty = sum(r["n_dirty"] for r in rows) if dirty_pk else 0
     offsets = {
         str(r["partition_id"]): {
             "max_offset": r["max_offset"], "n": r["n"] - r["n_ctrl"]
@@ -786,7 +858,7 @@ def admit_batch_with_offsets(
             )
     ddl_rows = [c for c in ctrl if c["op"] == "DDL"]
     data = batch_df.filter(F.col("op") != "DDL") if ddl_rows else batch_df
-    return data, ddl_rows, offsets
+    return data, ddl_rows, offsets, n_dirty
 
 
 def admit_batch(batch_df: DataFrame) -> tuple[DataFrame, list[dict]]:
@@ -995,6 +1067,7 @@ def run_stream_to_completion(
     audits: list[dict] | None = None,
     subscription: dict | None = None,
     mirrors: list[str] | None = None,
+    dirty: dict | None = None,
 ) -> None:
     events = read_binlog_stream(spark, binlog_dir, max_files_per_trigger)
     if subscription:
@@ -1009,7 +1082,7 @@ def run_stream_to_completion(
         events, table_root, checkpoint_dir, job_id=job_id, mode=mode,
         trigger_available_now=True, rate_limiter=limiter,
         agg_views=agg_views, restore_from_lineage=restore_from_lineage,
-        audits=audits, mirrors=mirrors,
+        audits=audits, mirrors=mirrors, dirty=dirty,
     )
     if not q.awaitTermination(timeout_sec):
         q.stop()

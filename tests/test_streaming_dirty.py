@@ -1,0 +1,129 @@
+"""Streaming dead-letter queue + error limiter: malformed (NULL-pk)
+change events divert to a side parquet table in the DirtyDataManager
+line shape instead of folding a NULL-key winner into the lake; the
+cumulative count/ratio crossing the configured limit fails the query
+(ErrorLimiter.java:62-97 on the stream path). Detection rides the fused
+admission aggregate — no extra source evaluation on clean batches."""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from chunjun_spark.plans.lake import LakeTable
+from chunjun_spark.sources.binlog import (
+    PAYLOAD_SCHEMA,
+    generate_binlog,
+    write_binlog_files,
+)
+from chunjun_spark.streaming.pipeline import (
+    read_binlog_stream,
+    start_replay_stream,
+)
+
+PK = ["repo", "path"]
+
+
+def _events_with_nulls(spark, n=4000, every=40):
+    ev = generate_binlog(spark, n, n_keys=500, seed=31, dup_rate=0.1)
+    malform = (F.col("seq") % every == 0) & (F.col("op") != "DELETE")
+    return ev.withColumn(
+        "after",
+        F.when(malform,
+               F.col("after").withField("repo",
+                                        F.lit(None).cast("string")))
+        .otherwise(F.col("after")),
+    )
+
+
+def _clean_fold_count(spark, ev):
+    from chunjun_spark.operators.dedup import keep_last
+    from chunjun_spark.operators.merge import events_with_pk
+
+    is_del = F.col("op") == "DELETE"
+    eff_null = F.lit(False)
+    for c in PK:
+        eff_null = eff_null | F.when(
+            is_del, F.col(f"before.{c}")).otherwise(F.col(f"after.{c}")).isNull()
+    clean = ev.filter(~eff_null)
+    w = keep_last(events_with_pk(clean, PK), pk=PK, order=("op_ts", "seq"))
+    return w.filter(F.col("op") != "DELETE").count()
+
+
+def test_null_pk_rows_divert_to_dlq_not_the_lake(spark, tmp_root):
+    ev = _events_with_nulls(spark)
+    n_bad = ev.filter(
+        F.col("after.repo").isNull() & (F.col("op") != "DELETE")).count()
+    assert n_bad > 0
+    binlog = os.path.join(tmp_root, "binlog")
+    write_binlog_files(ev, binlog, n_files=3)
+    lake = os.path.join(tmp_root, "lake")
+    dlq = os.path.join(tmp_root, "dlq")
+    LakeTable.create(spark, lake, PAYLOAD_SCHEMA, pk=PK, n_buckets=4)
+
+    q = start_replay_stream(
+        read_binlog_stream(spark, binlog, max_files_per_trigger=2),
+        lake, os.path.join(tmp_root, "ck"), job_id="dlq",
+        dirty={"path": dlq},
+    )
+    assert q.awaitTermination(300)
+
+    t = LakeTable.load(spark, lake)
+    state = t.read()
+    assert state.filter(F.col("repo").isNull()).count() == 0
+    assert state.count() == _clean_fold_count(spark, ev)
+    captured = spark.read.parquet(dlq)
+    assert captured.count() == n_bad
+    assert {r["error_class"] for r in
+            captured.select("error_class").distinct().collect()} \
+        == {"nullErrors"}
+    # the DLQ line carries the full original row content as JSON
+    one = captured.limit(1).collect()[0]
+    assert '"op"' in one["content"]
+
+
+def test_error_limit_fails_the_query(spark, tmp_root):
+    ev = _events_with_nulls(spark, every=20)
+    binlog = os.path.join(tmp_root, "binlog")
+    write_binlog_files(ev, binlog, n_files=2)
+    lake = os.path.join(tmp_root, "lake")
+    LakeTable.create(spark, lake, PAYLOAD_SCHEMA, pk=PK, n_buckets=4)
+
+    q = start_replay_stream(
+        read_binlog_stream(spark, binlog, max_files_per_trigger=1),
+        lake, os.path.join(tmp_root, "ck"), job_id="dlqfail",
+        dirty={"path": os.path.join(tmp_root, "dlq"), "max_errors": 3},
+    )
+    with pytest.raises(Exception, match="dirty rows > limit"):
+        q.awaitTermination(300)
+        q.processAllAvailable()
+
+
+def test_job_json_stream_dirty_plane(spark, tmp_root):
+    from chunjun_spark.job import run_job
+
+    ev = _events_with_nulls(spark, n=2000)
+    binlog = os.path.join(tmp_root, "binlog")
+    write_binlog_files(ev, binlog, n_files=2)
+    lake = os.path.join(tmp_root, "lake")
+    dlq = os.path.join(tmp_root, "dlq")
+    job = {
+        "job": {
+            "content": [{
+                "reader": {"name": "binlogreader",
+                           "parameter": {"path": binlog}},
+                "writer": {"name": "hudiwriter",
+                           "parameter": {"path": lake}},
+            }],
+            "setting": {
+                "speed": {"channel": 2},
+                "restore": {"isStream": True},
+                "dirty": {"path": dlq},
+                "errorLimit": {"percentage": 50},
+            },
+        }
+    }
+    run_job(spark, job)
+    assert spark.read.parquet(dlq).count() > 0
+    t = LakeTable.load(spark, lake)
+    assert t.read().filter(F.col("repo").isNull()).count() == 0
