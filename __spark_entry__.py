@@ -2264,6 +2264,68 @@ FROM f WHERE is_left = 1
 """
 
 
+def _q_events_versioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-dimension temporal join: each click event picks up the
+    SCD2 dimension version (operators/temporal.py scd2_history →
+    versioned_join) valid strictly BEFORE its own (ts, event_id)
+    position — NULLs inside delete holes (the user's row was DELETEd by
+    an error event and not re-inserted yet) and before the first
+    version. Facts shuffle once; the dimension moves as narrow
+    open/close markers swept with last(ignorenulls)."""
+    from chunjun_spark.operators.temporal import scd2_history, versioned_join
+
+    ev = _t(spark, sf_dir, "events")
+    hist = scd2_history(events_changelog(ev), pk=["user_id"])
+    facts = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    j = versioned_join(
+        facts, hist, by=["user_id"], ts="ts", seq="event_id",
+        value_cols=["event_type", "value"],
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("event_type_v").alias("state_event_type"),
+        F.round("value_v", 6).alias("state_value"),
+    )
+
+
+# the oracle reconstructs the same semantics directly from the raw
+# events: non-error events are "open" markers (kind 1, carrying the
+# version values), error events are delete "close" markers (kind 0);
+# the swept kind at each fact says whether the last marker opened or
+# closed a version, and value sweeps skip the close markers' NULLs so
+# they are only read when kind = 1
+_VERSIONED_JOIN_SQL = """
+WITH m AS (
+  SELECT user_id, ts, event_id, 0 AS is_fact,
+         CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END AS kind,
+         CASE WHEN event_type <> 'error' THEN value END AS v,
+         CASE WHEN event_type <> 'error' THEN event_type END AS et
+  FROM events
+), f AS (
+  SELECT user_id, ts, event_id, 1 AS is_fact,
+         NULL::INT AS kind, NULL::DOUBLE AS v, NULL::VARCHAR AS et
+  FROM events WHERE event_type = 'click'
+), u AS (
+  SELECT * FROM m UNION ALL SELECT * FROM f
+), s AS (
+  SELECT *,
+    last_value(kind IGNORE NULLS) OVER w AS k_,
+    last_value(v IGNORE NULLS) OVER w AS v_,
+    last_value(et IGNORE NULLS) OVER w AS et_
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id, is_fact DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       CASE WHEN k_ = 1 THEN et_ END AS state_event_type,
+       CASE WHEN k_ = 1 THEN round(v_, 6) END AS state_value
+FROM s WHERE is_fact = 1
+"""
+
+
 _SESSION_GAP_S = 21_600  # 6 h
 
 
@@ -2985,6 +3047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rollup_view": _q_cdc_rollup_view,
         "cdc_scd2_history": _q_cdc_scd2_history,
         "events_asof_join": _q_events_asof_join,
+        "events_versioned_join": _q_events_versioned_join,
         "events_sessionize": _q_events_sessionize,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_topk_ngrams": _q_doc_topk_ngrams,
@@ -3081,6 +3144,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_rollup_view": _ROLLUP_VIEW_SQL,
         "cdc_scd2_history": _SCD2_SQL,
         "events_asof_join": _ASOF_SQL,
+        "events_versioned_join": _VERSIONED_JOIN_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
         "doc_decontaminate": _DECONTAM_SQL,
         "doc_topk_ngrams": _TOPK_NGRAMS_SQL,

@@ -144,6 +144,108 @@ def session_stats(
     return s.groupBy(*by, "session_seq").agg(*aggs)
 
 
+def versioned_join(
+    facts: DataFrame,
+    history: DataFrame,
+    by: list[str],
+    ts: str,
+    seq: str,
+    value_cols: list[str],
+    suffix: str = "_v",
+    strict: bool = True,
+) -> DataFrame:
+    """Temporal (versioned-dimension) join: attach to every fact row the
+    :func:`scd2_history` dimension VERSION valid at the fact's
+    ``(ts, seq)`` position — ``valid_from <= pos < valid_to`` — with
+    NULLs inside delete holes (the key was deleted and not yet
+    re-inserted) and before the first version. ``strict`` joins the
+    state just BEFORE the fact's own position (a fact that is itself a
+    change event sees its predecessor, not itself).
+
+    Plan shape: the history collapses to NARROW markers — an "open"
+    marker per version carrying ``value_cols`` as one struct, plus a
+    "close" marker (same struct, all-NULL fields) at every interval end
+    NOT continued by a successor version, i.e. a delete closure (lead
+    over the same (by, valid_from) window scd2_history already
+    partitioned/sorted by, so Catalyst reuses that Exchange+Sort).
+    Facts + markers union-sweep with ``last(_vstate, ignorenulls)`` —
+    the fact payload crosses the network exactly once, the dimension
+    twice as narrow marker rows; no range join, no per-key collect.
+    A close marker is a NON-null struct of NULL fields, which is what
+    lets the sweep overwrite state where ignorenulls could never write
+    a plain NULL column.
+
+    Reference analog: ChunJun feeds versioned mirrors (jdbcwriter
+    insert mode consumers); the temporal probe over that history is
+    left to SQL there — here it is a first-class operator.
+    """
+    from pyspark.sql import types as T
+
+    vtypes = {c: history.schema[c].dataType for c in value_cols}
+    struct_t = T.StructType(
+        [T.StructField(c, vtypes[c]) for c in value_cols]
+    )
+    hw = Window.partitionBy(*by).orderBy("valid_from_ts", "valid_from_seq")
+    h = history.withColumn(
+        "_next_from_seq", F.lead("valid_from_seq").over(hw)
+    )
+    open_m = h.select(
+        *by,
+        F.col("valid_from_ts").alias(ts),
+        F.col("valid_from_seq").alias(seq),
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_vstate"),
+    )
+    null_state = F.struct(
+        *[F.lit(None).cast(vtypes[c]).alias(c) for c in value_cols]
+    )
+    close_m = h.filter(
+        F.col("valid_to_seq").isNotNull()
+        & (
+            F.col("_next_from_seq").isNull()
+            | (F.col("valid_to_seq") != F.col("_next_from_seq"))
+        )
+    ).select(
+        *by,
+        F.col("valid_to_ts").alias(ts),
+        F.col("valid_to_seq").alias(seq),
+        null_state.alias("_vstate"),
+    )
+    markers = open_m.unionByName(close_m)
+
+    fact_extra = [c for c in facts.columns if c not in set(by + [ts, seq])]
+    f_tag = facts.select(
+        *by, ts, seq, *fact_extra,
+        F.lit(1).alias("_is_fact"),
+        F.lit(None).cast(struct_t).alias("_vstate"),
+    )
+    m_tag = markers.select(
+        *by, ts, seq,
+        *[F.lit(None).cast(facts.schema[c].dataType).alias(c)
+          for c in fact_extra],
+        F.lit(0).alias("_is_fact"),
+        F.col("_vstate"),
+    )
+    u = f_tag.unionByName(m_tag)
+    # strict: at an equal (ts, seq) the fact sorts BEFORE its own
+    # marker (sees the predecessor state); non-strict: marker first
+    order = [
+        F.col(ts).asc(), F.col(seq).asc(),
+        F.col("_is_fact").desc() if strict else F.col("_is_fact").asc(),
+    ]
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "*", F.last("_vstate", ignorenulls=True).over(w).alias("_f")
+    )
+    return filled.filter(F.col("_is_fact") == 1).select(
+        *facts.columns,
+        *[F.col(f"_f.{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )
+
+
 def scd2_history(
     events: DataFrame,
     pk: list[str],

@@ -208,3 +208,104 @@ def test_scd2_history_intervals(spark):
         (1, 4): (12.0, None, True), # re-insert is the current version
         (2, 5): (20.0, None, True),
     }
+
+
+def _versioned_fixture(spark):
+    from chunjun_spark.operators.temporal import scd2_history
+    from chunjun_spark.sources.changelog import to_changelog
+
+    rows = [
+        # (user, v, op, second, seq)
+        (1, 10.0, "INSERT", 1, 1),
+        (1, 11.0, "UPDATE", 3, 2),
+        (1, None, "DELETE", 5, 3),
+        (1, 12.0, "INSERT", 9, 4),   # re-insert after a 4 s hole
+        (2, 20.0, "INSERT", 2, 5),
+    ]
+    base = spark.createDataFrame(
+        [(u, v, op, f"2024-01-01 00:00:{s:02d}", q) for u, v, op, s, q in rows],
+        "user_id long, v double, op_in string, t string, seq_in long",
+    )
+    ev = to_changelog(
+        base,
+        op=F.col("op_in"),
+        op_ts=F.col("t").cast("timestamp"),
+        seq=F.col("seq_in"),
+        payload={"user_id": F.col("user_id"), "v": F.col("v")},
+        pk=["user_id"],
+        partition_id=F.lit(0),
+    )
+    return scd2_history(ev, pk=["user_id"])
+
+
+def test_versioned_join_delete_holes_and_bounds(spark):
+    """Facts probe before the first version, inside live intervals,
+    inside the delete hole, and after the re-insert."""
+    from chunjun_spark.operators.temporal import versioned_join
+
+    facts = spark.createDataFrame(
+        [(1, f"2024-01-01 00:00:{s:02d}", 100 + i)
+         for i, s in enumerate([0, 2, 4, 6, 9, 11])]
+        + [(2, "2024-01-01 00:00:01", 200), (2, "2024-01-01 00:00:03", 201)],
+        "user_id long, t string, fact_id long",
+    ).select("user_id", F.col("t").cast("timestamp").alias("ts"), "fact_id")
+    got = {
+        r["fact_id"]: r["v_v"]
+        for r in versioned_join(
+            facts, _versioned_fixture(spark), by=["user_id"], ts="ts",
+            seq="fact_id", value_cols=["v"],
+        ).collect()
+    }
+    assert got == {
+        100: None,    # before the first version
+        101: 10.0,    # inside [1, 3)
+        102: 11.0,    # inside [3, 5)
+        103: None,    # delete hole [5, 9)
+        104: 12.0,    # at the re-insert boundary (from <= pos)
+        105: 12.0,    # current version
+        200: None,    # user 2 before insert
+        201: 20.0,
+    }
+
+
+def test_versioned_join_strict_vs_nonstrict_at_change_position(spark):
+    """A fact at EXACTLY a change position: strict sees the predecessor
+    (the state the change found), non-strict the new version; at a
+    delete position both see NULL (validity is [from, to))."""
+    from chunjun_spark.operators.temporal import versioned_join
+
+    hist = _versioned_fixture(spark)
+    # fact seqs EQUAL to the change seqs at the change timestamps
+    facts = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:03", 2), (1, "2024-01-01 00:00:05", 3),
+         (1, "2024-01-01 00:00:09", 4)],
+        "user_id long, t string, fid long",
+    ).select("user_id", F.col("t").cast("timestamp").alias("ts"), "fid")
+    strict = {
+        r["fid"]: r["v_v"]
+        for r in versioned_join(facts, hist, by=["user_id"], ts="ts",
+                                seq="fid", value_cols=["v"]).collect()
+    }
+    assert strict == {2: 10.0, 3: 11.0, 4: None}
+    loose = {
+        r["fid"]: r["v_v"]
+        for r in versioned_join(facts, hist, by=["user_id"], ts="ts",
+                                seq="fid", value_cols=["v"],
+                                strict=False).collect()
+    }
+    assert loose == {2: 11.0, 3: None, 4: 12.0}
+
+
+def test_versioned_join_fact_payload_rides_once(spark):
+    """Extra fact columns survive the sweep unchanged."""
+    from chunjun_spark.operators.temporal import versioned_join
+
+    facts = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:04", 7, "x")],
+        "user_id long, t string, fid long, tag string",
+    ).select("user_id", F.col("t").cast("timestamp").alias("ts"),
+             "fid", "tag")
+    out = versioned_join(facts, _versioned_fixture(spark),
+                         by=["user_id"], ts="ts", seq="fid",
+                         value_cols=["v"]).collect()
+    assert len(out) == 1 and out[0]["tag"] == "x" and out[0]["v_v"] == 11.0
