@@ -286,6 +286,73 @@ def _q_kafka_roundtrip_final_state(spark: SparkSession, sf_dir: str) -> DataFram
     return _lake_projection(table.refresh().read())
 
 
+def _q_cdc_fanout_topic_relay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fan-out with a Kafka-shaped sink leg: one topic-stream
+    read feeds a lake sink AND a topic relay in the same micro-batch
+    loop (streaming/pipeline.py start_fanout_stream) — the relay
+    produces each batch's folded winners through the
+    transactional-producer analog (kafka_sim.produce_exactly_once), so
+    replays and crash-recovery never duplicate offsets. The returned
+    state is reconstructed FROM THE RELAYED TOPIC (decode → keep-last →
+    drop deletes), checking the sink leg end-to-end against the
+    oracle's direct fold. Reference: one reader fanning into multiple
+    writers generalizes the reference's single reader→writer channel
+    pipeline (Main.java dataReader→dataWriter wiring)."""
+    from chunjun_spark.operators.dedup import keep_last
+    from chunjun_spark.operators.merge import events_with_pk
+    from chunjun_spark.sources import kafka_sim as ks
+    from chunjun_spark.sources.kafka import decode_events, encode_events
+    from chunjun_spark.streaming.pipeline import start_fanout_stream
+
+    ev = _t(spark, sf_dir, "events")
+    ch = events_changelog(ev).withColumn(
+        "op_ts", F.col("op_ts").cast("timestamp")
+    )
+    root = tempfile.mkdtemp(prefix="cj_entry_fanout_")
+    src_topic, out_topic = f"{root}/src", f"{root}/out"
+    ks.create_topic(src_topic, n_partitions=4)
+    ks.create_topic(out_topic, n_partitions=4)
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    for pred in (F.col("op_ts") <= cut, F.col("op_ts") > cut):
+        ks.produce(
+            encode_events(ch.filter(pred), key_cols=["user_id"],
+                          keep_cols=("op_ts", "seq")),
+            src_topic,
+        )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    LakeTable.create(spark, f"{root}/lake", schema,
+                     pk=["user_id"], n_buckets=8)
+    stream = ks.read_topic_stream(spark, src_topic, max_files_per_trigger=4)
+    q = start_fanout_stream(
+        decode_events(stream, ch.schema),
+        sinks=[
+            {"type": "lake", "root": f"{root}/lake"},
+            {"type": "kafka", "topic_dir": out_topic, "pk": ["user_id"]},
+        ],
+        checkpoint_dir=f"{root}/cp",
+        job_id="fanout-entry",
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("fan-out stream did not drain")
+    relayed = decode_events(ks.read_topic_batch(spark, out_topic), ch.schema)
+    final = keep_last(
+        events_with_pk(relayed, ["user_id"]), pk=["user_id"],
+        order=("op_ts", "seq"),
+    ).filter(F.col("op") != "DELETE")
+    return final.select(
+        F.col("after.user_id").alias("user_id"),
+        F.col("after.event_type").alias("last_event_type"),
+        F.round(F.col("after.value"), 6).alias("last_value"),
+    )
+
+
 def _q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDL-driven schema evolution inside the correctness gate: replay
     the events changelog in TWO batches with an add_column DDL riding the
@@ -2993,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_index_sync": _q_minhash_index_sync,
         "cdc_point_lookup": _q_cdc_point_lookup,
         "cdc_bloom_lookup": _q_cdc_bloom_lookup,
+        "cdc_fanout_topic_relay": _q_cdc_fanout_topic_relay,
         "incremental_read": _q_incremental_read,
         "mod_split_channels": _q_mod_split_channels,
         "end_location_max": _q_end_location_max,
@@ -3088,6 +3156,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_snapshot_bootstrap": _REPLAY_LAKE_SQL,
         "cdc_point_lookup": _POINT_LOOKUP_SQL,
         "cdc_bloom_lookup": _BLOOM_LOOKUP_SQL,
+        "cdc_fanout_topic_relay": _REPLAY_LAKE_SQL,
         "incremental_read": _INCREMENTAL_SQL,
         "mod_split_channels": _MOD_SPLIT_SQL,
         "end_location_max": _END_LOCATION_SQL,

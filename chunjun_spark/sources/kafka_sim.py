@@ -157,6 +157,131 @@ def produce(
     return {int(p): int(e) for p, e in ends.items()}
 
 
+_TXN_RETENTION = 1000
+
+
+def produce_exactly_once(
+    kafka_df: DataFrame,
+    topic_dir: str,
+    producer_id: str,
+    batch_id: str,
+    order_cols: list[str] | tuple[str, ...] = ("op_ts", "seq"),
+) -> dict:
+    """Transactional-producer analog of :func:`produce`: a re-delivered
+    ``(producer_id, batch_id)`` is a no-op, and a crash mid-produce can
+    never duplicate or interleave offsets.
+
+    Kafka's transactional producer reserves a txn, writes, then commits
+    a marker; here the topic meta file is the transaction log:
+
+    1. committed (producer, batch) → return ``skipped`` immediately;
+    2. stage the segment out-of-band (invisible to readers);
+    3. ONE atomic meta save reserves the offset range AND records the
+       txn as ``prepared`` with its staged path — from this point the
+       batch's offsets are burned whatever happens (a lost produce
+       leaves a gap, never a duplicate — Kafka's contract);
+    4. move the staged files into the data dir (target names derive
+       from the SOURCE part-file names, so a crash mid-move re-runs
+       idempotently — a counter-based rename would clobber already
+       moved files on recovery);
+    5. meta save marks the txn ``committed``.
+
+    Every call first completes this producer's dangling ``prepared``
+    txns (finish the move if the staged dir survives, then commit) —
+    the recovery a restarted exactly-once stream needs before it can
+    skip its replayed batch. Committed batch ids are retained FIFO up
+    to 1000 per producer — far past Structured Streaming's one-batch
+    replay window (same bound rationale as LakeTable.lineage_retention).
+    """
+    meta = topic_meta(topic_dir)
+    producers = meta.setdefault("producers", {})
+    state = producers.setdefault(producer_id, {"txns": {}, "order": []})
+    _recover_producer(topic_dir, state)
+    txn = state["txns"].get(batch_id)
+    if txn is not None and txn["state"] == "committed":
+        _save_meta(topic_dir, meta)  # persist any recovery that just ran
+        return {"skipped": True,
+                "ends": {int(p): int(e) for p, e in meta["ends"].items()}}
+
+    n = meta["n_partitions"]
+    ends = meta["ends"]
+    base = F.create_map(
+        *[x for p, e in sorted(ends.items())
+          for x in (F.lit(int(p)), F.lit(int(e)))]
+    )
+    part = partition_for("key", n)
+    w = Window.partitionBy("partition").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    out = (
+        kafka_df.withColumn("partition", part)
+        .withColumn(
+            "offset",
+            base[F.col("partition")] + F.row_number().over(w) - F.lit(1),
+        )
+        .select(
+            "key", "value", F.lit(meta["name"]).alias("topic"),
+            "partition", "offset",
+            F.current_timestamp().alias("timestamp"),
+        )
+    )
+    seg = f"seg-{max(int(e) for e in ends.values()):012d}-{uuid.uuid4().hex[:8]}"
+    tmp = os.path.join(topic_dir, f"_stage_{seg}")
+    out.repartition(n, F.col("partition")).write.mode("error").parquet(tmp)
+    spark = kafka_df.sparkSession
+    seg_df = spark.read.schema(TOPIC_SCHEMA).parquet(tmp)
+    counts = {
+        r["partition"]: r["n"]
+        for r in seg_df.groupBy("partition").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    for p, c in counts.items():
+        ends[str(p)] = int(ends[str(p)]) + int(c)
+    state["txns"][batch_id] = {"state": "prepared", "seg": seg}
+    state["order"].append(batch_id)
+    while len(state["order"]) > _TXN_RETENTION:
+        state["txns"].pop(state["order"].pop(0), None)
+    _save_meta(topic_dir, meta)  # atomic: reserve + prepare
+
+    _move_staged(topic_dir, tmp, seg)
+    state["txns"][batch_id] = {"state": "committed", "seg": seg}
+    _save_meta(topic_dir, meta)
+    return {"skipped": False,
+            "n_produced": int(sum(counts.values())),
+            "ends": {int(p): int(e) for p, e in ends.items()}}
+
+
+def _move_staged(topic_dir: str, tmp: str, seg: str) -> None:
+    """Publish a staged segment; idempotent under partial completion
+    (source-derived target names, os.replace)."""
+    data_dir = os.path.join(topic_dir, "data")
+    if not os.path.isdir(tmp):
+        return  # fully moved before a crash
+    for fn in sorted(os.listdir(tmp)):
+        if fn.endswith(".parquet"):
+            os.replace(
+                os.path.join(tmp, fn), os.path.join(data_dir, f"{seg}-{fn}")
+            )
+    for fn in os.listdir(tmp):
+        os.remove(os.path.join(tmp, fn))
+    os.rmdir(tmp)
+
+
+def _recover_producer(topic_dir: str, state: dict) -> None:
+    """Finish dangling prepared txns: their offsets are already
+    reserved, so completing the move (or finding it already complete)
+    and committing is the only safe direction — re-producing would
+    duplicate offsets."""
+    for bid, txn in state["txns"].items():
+        if txn["state"] == "prepared":
+            _move_staged(
+                topic_dir, os.path.join(topic_dir, f"_stage_{txn['seg']}"),
+                txn["seg"],
+            )
+            txn["state"] = "committed"
+
+
 def _offset_filter(starting_offsets: dict | None):
     if not starting_offsets:
         return None

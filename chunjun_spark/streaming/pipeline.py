@@ -633,10 +633,12 @@ def start_fanout_stream(
     if not sinks:
         raise ValueError("fan-out needs at least one sink")
     for s in sinks:
-        if s.get("type") not in ("lake", "jdbc"):
+        if s.get("type") not in ("lake", "jdbc", "kafka"):
             raise ValueError(f"unknown fan-out sink type {s.get('type')!r}")
-        if s["type"] == "jdbc" and not s.get("pk"):
-            raise ValueError("jdbc fan-out sink needs a pk")
+        if s["type"] in ("jdbc", "kafka") and not s.get("pk"):
+            raise ValueError(f"{s['type']} fan-out sink needs a pk")
+        if s["type"] == "kafka" and not s.get("topic_dir"):
+            raise ValueError("kafka fan-out sink needs a topic_dir")
         if (s["type"] == "lake" and s.get("update_mode") == "patch"
                 and s.get("mode", "cow") != "cow"):
             raise ValueError("update_mode='patch' requires mode='cow'")
@@ -656,6 +658,15 @@ def start_fanout_stream(
                 t = LakeTable.load(spark, s["root"])
                 lake_handles[i] = t
                 if bid not in t.committed_batches():
+                    pending.append(i)
+            elif s["type"] == "kafka":
+                from chunjun_spark.sources.kafka_sim import topic_meta
+
+                txns = (
+                    topic_meta(s["topic_dir"]).get("producers", {})
+                    .get(s.get("producer_id", job_id), {}).get("txns", {})
+                )
+                if txns.get(bid, {}).get("state") != "committed":
                     pending.append(i)
             else:
                 pending.append(i)  # jdbc guard is a driver round-trip
@@ -713,6 +724,47 @@ def start_fanout_stream(
                         metrics_out.get(f"numWrite_lake_{i}", 0)
                         + res.get("n_changes", 0)
                     )
+            elif s["type"] == "kafka":
+                # changelog → topic relay: the folded winners (and this
+                # batch's DDL control rows, reconstructed to the wire
+                # shape so downstream consumers can evolve their schema)
+                # produce through the transactional-producer analog —
+                # a replayed batch or a crash mid-produce never
+                # duplicates offsets (kafka_sim.produce_exactly_once)
+                from chunjun_spark.sources.kafka import encode_events
+                from chunjun_spark.sources.kafka_sim import (
+                    produce_exactly_once,
+                )
+
+                wn = winners_for(list(s["pk"]))
+                relay = wn
+                if ddl_rows:
+                    dicts = [
+                        r if isinstance(r, dict) else r.asDict()
+                        for r in ddl_rows
+                    ]
+                    ctrl = spark.createDataFrame(
+                        [tuple(d.get(c) for c in wn.columns)
+                         for d in dicts],
+                        wn.schema,
+                    )
+                    relay = relay.unionByName(ctrl)
+                enc = encode_events(
+                    relay, key_cols=list(s["pk"]),
+                    keep_cols=("op_ts", "seq"),
+                )
+                res = produce_exactly_once(
+                    enc, s["topic_dir"],
+                    producer_id=s.get("producer_id", job_id),
+                    batch_id=bid,
+                )
+                if not res.get("skipped"):
+                    applied_any = True
+                    if metrics_out is not None:
+                        metrics_out[f"numWrite_kafka_{i}"] = (
+                            metrics_out.get(f"numWrite_kafka_{i}", 0)
+                            + res.get("n_produced", 0)
+                        )
             else:
                 if ddl_rows:
                     _relay_apply_ddl(

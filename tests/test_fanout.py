@@ -157,9 +157,15 @@ def test_fanout_validation(spark, tmp_root):
     with pytest.raises(ValueError, match="at least one sink"):
         start_fanout_stream(ev, [], tmp_root + "/c", "j")
     with pytest.raises(ValueError, match="unknown fan-out sink"):
-        start_fanout_stream(ev, [{"type": "kafka"}], tmp_root + "/c", "j")
+        start_fanout_stream(ev, [{"type": "pulsar"}], tmp_root + "/c", "j")
     with pytest.raises(ValueError, match="needs a pk"):
         start_fanout_stream(ev, [{"type": "jdbc", "url": "u", "table": "t"}],
+                            tmp_root + "/c", "j")
+    with pytest.raises(ValueError, match="needs a pk"):
+        start_fanout_stream(ev, [{"type": "kafka", "topic_dir": "d"}],
+                            tmp_root + "/c", "j")
+    with pytest.raises(ValueError, match="needs a topic_dir"):
+        start_fanout_stream(ev, [{"type": "kafka", "pk": PK}],
                             tmp_root + "/c", "j")
     with pytest.raises(ValueError, match="requires mode='cow'"):
         start_fanout_stream(
@@ -212,3 +218,60 @@ def test_fanout_job_json_two_lakes_and_mart(spark, tmp_root):
     assert _jdbc_state(spark, url, "mart") == _expected_final(spark, ev)
     assert m["numRead"] == ev.count()
     assert m["nErrors"] == 0
+
+
+def test_fanout_kafka_topic_leg_roundtrips_and_skips_replay(spark, tmp_root):
+    """Lake + kafka-topic fan-out: the topic receives the per-batch
+    folded changelog through the transactional-producer analog; a full
+    re-run of the stream (fresh checkpoint, same job id) leaves the
+    topic byte-identical, and replaying the topic into a fresh lake
+    reproduces the source final state."""
+    from chunjun_spark.operators.merge import replay
+    from chunjun_spark.sources import kafka_sim as ks
+    from chunjun_spark.sources.kafka import decode_events
+
+    ev, binlog = _fixture(spark, tmp_root)
+    lake_root = os.path.join(tmp_root, "lake")
+    LakeTable.create(spark, lake_root, PAYLOAD_SCHEMA, pk=PK, n_buckets=4)
+    topic = os.path.join(tmp_root, "topic")
+    ks.create_topic(topic, n_partitions=4)
+    sinks = [
+        {"type": "lake", "root": lake_root},
+        {"type": "kafka", "topic_dir": topic, "pk": PK},
+    ]
+    metrics: dict = {}
+    q = start_fanout_stream(
+        read_binlog_stream(spark, binlog, max_files_per_trigger=2),
+        sinks=sinks, checkpoint_dir=os.path.join(tmp_root, "ckpt"),
+        job_id="fan", metrics_out=metrics,
+    )
+    assert q.awaitTermination(300)
+    want = _expected_final(spark, ev)
+
+    ends1 = ks.topic_meta(topic)["ends"]
+    n1 = ks.read_topic_batch(spark, topic).count()
+    assert n1 > 0 and sum(int(e) for e in ends1.values()) == n1
+    assert sum(v for k, v in metrics.items()
+               if k.startswith("numWrite_kafka")) == n1
+
+    # replay the TOPIC into a fresh lake: winners-of-winners == source
+    dec = decode_events(ks.read_topic_batch(spark, topic), ev.schema)
+    lake2 = os.path.join(tmp_root, "lake2")
+    t2 = LakeTable.create(spark, lake2, PAYLOAD_SCHEMA, pk=PK, n_buckets=4)
+    replay(dec, t2, batch_id="from-topic")
+    got = sorted(
+        (r["repo"], r["path"], r["commit"])
+        for r in t2.refresh().read().select("repo", "path", "commit").collect()
+    )
+    assert got == want
+
+    # full stream re-run (fresh checkpoint, SAME job id → same batch
+    # ids): every sink skips; the topic must not grow
+    q2 = start_fanout_stream(
+        read_binlog_stream(spark, binlog, max_files_per_trigger=2),
+        sinks=sinks, checkpoint_dir=os.path.join(tmp_root, "ckpt2"),
+        job_id="fan",
+    )
+    assert q2.awaitTermination(300)
+    assert ks.topic_meta(topic)["ends"] == ends1
+    assert ks.read_topic_batch(spark, topic).count() == n1

@@ -242,3 +242,68 @@ def test_produce_crash_before_publish_never_reuses_offsets(
     for p, lo in lows.items():
         assert lo >= int(ends_reserved[str(p)])
         assert ends[p] >= int(ends_reserved[str(p)])
+
+
+def test_produce_exactly_once_skips_redelivery(spark, tmp_root):
+    ev = _events(spark, n=2000, keys=400)
+    topic = os.path.join(tmp_root, "txn1")
+    ks.create_topic(topic, n_partitions=4)
+    kv = encode_events(ev, keep_cols=("op_ts", "seq"))
+    r1 = ks.produce_exactly_once(kv, topic, producer_id="p1", batch_id="b1")
+    assert not r1["skipped"] and r1["n_produced"] == ev.count()
+    n1 = ks.read_topic_batch(spark, topic).count()
+    # replayed micro-batch: same (producer, batch) is a no-op
+    r2 = ks.produce_exactly_once(kv, topic, producer_id="p1", batch_id="b1")
+    assert r2["skipped"] and r2["ends"] == r1["ends"]
+    assert ks.read_topic_batch(spark, topic).count() == n1
+    # a DIFFERENT batch appends after the reserved range, no overlap
+    r3 = ks.produce_exactly_once(kv, topic, producer_id="p1", batch_id="b2")
+    assert not r3["skipped"]
+    out = ks.read_topic_batch(spark, topic)
+    assert out.count() == 2 * n1
+    dup = (out.groupBy("partition", "offset").count()
+           .filter("count > 1").count())
+    assert dup == 0  # offsets never duplicated across batches
+
+
+def test_produce_exactly_once_crash_recovery(spark, tmp_root):
+    """Crash between the prepare save and the file move: the offsets are
+    burned; recovery completes the move exactly once (never re-produces,
+    never clobbers already-moved files)."""
+    import json as _json
+
+    ev = _events(spark, n=1000, keys=200)
+    topic = os.path.join(tmp_root, "txn2")
+    ks.create_topic(topic, n_partitions=2)
+    kv = encode_events(ev, keep_cols=("op_ts", "seq"))
+    ks.produce_exactly_once(kv, topic, producer_id="p1", batch_id="b1")
+    n1 = ks.read_topic_batch(spark, topic).count()
+
+    # simulate the crash window: rewind the committed marker to
+    # "prepared" and move the segment files BACK into a staged dir —
+    # exactly the on-disk state a crash after the prepare save leaves
+    meta = ks.topic_meta(topic)
+    txn = meta["producers"]["p1"]["txns"]["b1"]
+    txn["state"] = "prepared"
+    seg = txn["seg"]
+    staged = os.path.join(topic, f"_stage_{seg}")
+    os.makedirs(staged)
+    data_dir = os.path.join(topic, "data")
+    moved_back = 0
+    for fn in sorted(os.listdir(data_dir)):
+        if fn.startswith(seg):
+            os.replace(os.path.join(data_dir, fn),
+                       os.path.join(staged, fn[len(seg) + 1:]))
+            moved_back += 1
+    assert moved_back > 0
+    ks._save_meta(topic, meta)
+
+    # the next produce (any batch) recovers the dangling txn first
+    r2 = ks.produce_exactly_once(kv, topic, producer_id="p1", batch_id="b1")
+    assert r2["skipped"]
+    out = ks.read_topic_batch(spark, topic)
+    assert out.count() == n1
+    assert (out.groupBy("partition", "offset").count()
+            .filter("count > 1").count()) == 0
+    assert ks.topic_meta(topic)["producers"]["p1"]["txns"]["b1"][
+        "state"] == "committed"
