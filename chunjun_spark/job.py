@@ -704,6 +704,15 @@ def _run_fanout_stream(spark: SparkSession, cfg: JobConfig, t0: float) -> dict:
                 "batch_size": int(wp.get("batchSize", 1000)),
                 "staging_table": wp.get("stagingTable"),
             })
+        elif w.name == "kafkawriter":
+            # topic relay leg (KafkaOutputFormat analog over the
+            # file-backed transport): folded winners + DDL control rows
+            # produce exactly-once per micro-batch
+            sinks.append({
+                "type": "kafka", "topic_dir": wp["topic"],
+                "pk": wp.get("updateKey") or wp.get("pk"),
+                "producer_id": wp.get("producerId"),
+            })
         else:
             sinks.append({
                 "type": "lake", "root": wp["path"],
@@ -720,7 +729,8 @@ def _run_fanout_stream(spark: SparkSession, cfg: JobConfig, t0: float) -> dict:
         )
     sink_id = _hashlib.md5(
         "|".join(
-            s.get("root") or f"{s['url']}/{s['table']}" for s in sinks
+            s.get("root") or s.get("topic_dir")
+            or f"{s['url']}/{s['table']}" for s in sinks
         ).encode()
     ).hexdigest()[:10]
     metrics: dict = {}

@@ -176,6 +176,8 @@ def test_fanout_validation(spark, tmp_root):
 def test_fanout_job_json_two_lakes_and_mart(spark, tmp_root):
     """writer as a LIST in the job JSON: lake (cow) + lake (mor) + JDBC
     mart, one source read."""
+    from chunjun_spark.sources import kafka_sim as ks
+
     ev, binlog = _fixture(spark, tmp_root, n=3000, n_keys=400)
     url = _db("fanout3")
     _mk_target(spark, url, "mart")
@@ -183,6 +185,8 @@ def test_fanout_job_json_two_lakes_and_mart(spark, tmp_root):
     mor_root = os.path.join(tmp_root, "mor")
     for root in (cow_root, mor_root):
         LakeTable.create(spark, root, PAYLOAD_SCHEMA, pk=PK, n_buckets=4)
+    topic = os.path.join(tmp_root, "topic")
+    ks.create_topic(topic, n_partitions=2)
 
     job = {
         "job": {
@@ -197,6 +201,8 @@ def test_fanout_job_json_two_lakes_and_mart(spark, tmp_root):
                      "parameter": {"url": url, "table": "mart",
                                    "driver": DERBY_DRIVER,
                                    "updateKey": PK}},
+                    {"name": "kafkawriter",
+                     "parameter": {"topic": topic, "updateKey": PK}},
                 ],
             }],
             "setting": {
@@ -218,6 +224,11 @@ def test_fanout_job_json_two_lakes_and_mart(spark, tmp_root):
     assert _jdbc_state(spark, url, "mart") == _expected_final(spark, ev)
     assert m["numRead"] == ev.count()
     assert m["nErrors"] == 0
+    # the kafkawriter leg relayed every batch's winners to the topic
+    from chunjun_spark.sources.kafka import decode_events
+
+    relayed = decode_events(ks.read_topic_batch(spark, topic), ev.schema)
+    assert _expected_final(spark, relayed) == _expected_final(spark, ev)
 
 
 def test_fanout_kafka_topic_leg_roundtrips_and_skips_replay(spark, tmp_root):
