@@ -2393,6 +2393,45 @@ FROM s WHERE is_fact = 1
 """
 
 
+def _q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (time-range) join: every error event pairs with each
+    purchase of the same user in the preceding 30 minutes — the batch
+    face of the stream-stream join operator (streaming/joins.py
+    interval_join; the SAME builder runs watermarked on two live
+    streams, tested in tests/test_stream_joins.py). State in the
+    streaming form is bounded by rate × window, not history."""
+    from chunjun_spark.streaming.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = interval_join(
+        errors, purchases, by=["user_id"], left_ts="ts", right_ts="ts",
+        lower_s=-1800, upper_s=0,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_r").alias("purchase_event_id"),
+        F.round("value_r", 6).alias("purchase_value"),
+    )
+
+
+_INTERVAL_JOIN_SQL = """
+SELECT l.event_id AS event_id, l.user_id AS user_id,
+       r.event_id AS purchase_event_id, round(r.value, 6) AS purchase_value
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'error' AND r.event_type = 'purchase'
+ AND r.ts >= l.ts - INTERVAL 1800 SECOND
+ AND r.ts <= l.ts
+"""
+
+
 _SESSION_GAP_S = 21_600  # 6 h
 
 
@@ -3116,6 +3155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_history": _q_cdc_scd2_history,
         "events_asof_join": _q_events_asof_join,
         "events_versioned_join": _q_events_versioned_join,
+        "events_interval_join": _q_events_interval_join,
         "events_sessionize": _q_events_sessionize,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_topk_ngrams": _q_doc_topk_ngrams,
@@ -3214,6 +3254,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_scd2_history": _SCD2_SQL,
         "events_asof_join": _ASOF_SQL,
         "events_versioned_join": _VERSIONED_JOIN_SQL,
+        "events_interval_join": _INTERVAL_JOIN_SQL,
         "events_sessionize": _SESSIONIZE_SQL,
         "doc_decontaminate": _DECONTAM_SQL,
         "doc_topk_ngrams": _TOPK_NGRAMS_SQL,

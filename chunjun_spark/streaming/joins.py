@@ -1,0 +1,79 @@
+"""Stream-stream interval join: correlate two (change) event streams on
+a key within an event-time window, with watermark-bounded state.
+
+Reference analog: ChunJun pipelines are single reader → writer; joining
+two live changelogs (e.g. matching a repo's CI failure events to the
+commits that landed shortly before) is left to downstream systems.
+Spark Structured Streaming supports it natively — the operator's whole
+job is to build the join CORRECTLY: both sides watermarked (state for a
+key/time range is dropped once the watermark passes ``upper``), the
+time-range predicate shaped so Spark can derive the state eviction
+bound, and output columns disambiguated.
+
+Scale shape: a stream-stream join keys its state store by the join key
+— per-partition state is bounded by (event rate × window span), not by
+history length, because the watermark evicts expired rows. The same
+builder works on BATCH frames (no watermark, plain range-condition
+join) so the exact semantics are testable against a batch oracle.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower_s: float,
+    upper_s: float,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+    watermark_s: float | None = None,
+) -> DataFrame:
+    """Inner-join ``left`` to every ``right`` row of the same ``by`` key
+    with ``left_ts + lower_s <= right_ts <= left_ts + upper_s``
+    (seconds; negative bounds look back). Returns all left columns plus
+    ``right_cols`` (default: right's non-key, non-ts columns) suffixed.
+
+    For STREAMING inputs pass ``watermark_s``: both sides get an
+    event-time watermark of that delay (timestamps are cast to
+    TIMESTAMP first — ``withWatermark`` rejects TIMESTAMP_NTZ and the
+    session is UTC, so the cast is stable), which lets Spark bound the
+    join state: a buffered right row is dropped once the left watermark
+    passes ``right_ts - lower_s``, and vice versa. Omit it for batch
+    frames — same plan minus the eviction metadata.
+    """
+    if upper_s < lower_s:
+        raise ValueError(f"empty interval [{lower_s}, {upper_s}]")
+    lcols = list(left.columns)
+    right_cols = (
+        right_cols
+        if right_cols is not None
+        else [c for c in right.columns if c not in set(by + [right_ts])]
+    )
+    l = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).cast("timestamp").alias("_l_ts"),
+    )
+    r = right.select(
+        *[F.col(c).alias(f"_r_{c}") for c in by],
+        F.col(right_ts).cast("timestamp").alias("_r_ts"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    if watermark_s is not None:
+        l = l.withWatermark("_l_ts", f"{int(watermark_s)} seconds")
+        r = r.withWatermark("_r_ts", f"{int(watermark_s)} seconds")
+    cond = F.lit(True)
+    for c in by:
+        cond = cond & (F.col(c) == F.col(f"_r_{c}"))
+    cond = (
+        cond
+        & (F.col("_r_ts") >= F.col("_l_ts") + F.expr(f"INTERVAL {lower_s} SECOND"))
+        & (F.col("_r_ts") <= F.col("_l_ts") + F.expr(f"INTERVAL {upper_s} SECOND"))
+    )
+    out = l.join(r, on=cond, how="inner")
+    return out.select(*lcols, *[f"{c}{suffix}" for c in right_cols])

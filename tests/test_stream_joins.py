@@ -1,0 +1,111 @@
+"""Stream-stream interval join (streaming/joins.py): watermarked
+two-stream correlation must reproduce the batch range-join exactly, and
+the join must run as a real stream-stream join (both sides streaming,
+state bounded by the watermark)."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from chunjun_spark.streaming.joins import interval_join
+
+
+def _sides(spark, tmp_root, n_files=1):
+    """Left: probe events; right: candidate matches, same user key
+    space, timestamps interleaved over ~200 s."""
+    left = spark.range(200).select(
+        (F.col("id") % 40).alias("user_id"),
+        F.to_timestamp(
+            F.lit("2024-01-01 00:00:00")
+        ).alias("base"),
+        F.col("id").alias("l_id"),
+    ).select(
+        "user_id",
+        F.col("base") + F.make_interval(secs=F.col("l_id")).alias("x"),
+        "l_id",
+    ).toDF("user_id", "lts", "l_id")
+    right = spark.range(300).select(
+        (F.col("id") % 40).alias("user_id"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("base"),
+        F.col("id").alias("r_id"),
+        (F.col("id") * 1.5).alias("score"),
+    ).select(
+        "user_id",
+        F.col("base") + F.make_interval(secs=F.col("r_id") * F.lit(0.7)),
+        "r_id", "score",
+    ).toDF("user_id", "rts", "r_id", "score")
+    ldir, rdir = os.path.join(tmp_root, "l"), os.path.join(tmp_root, "r")
+    left.repartition(n_files).write.parquet(ldir)
+    right.repartition(n_files).write.parquet(rdir)
+    return left, right, ldir, rdir
+
+
+def _collect_stream_join(spark, left, right, ldir, rdir, name):
+    ls = spark.readStream.schema(left.schema).parquet(ldir)
+    rs = spark.readStream.schema(right.schema).parquet(rdir)
+    j = interval_join(
+        ls, rs, by=["user_id"], left_ts="lts", right_ts="rts",
+        lower_s=-10, upper_s=5, watermark_s=600,
+    )
+    q = (
+        j.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300)
+    return sorted(
+        (r["l_id"], r["r_id_r"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_root):
+    left, right, ldir, rdir = _sides(spark, tmp_root)
+    batch = sorted(
+        (r["l_id"], r["r_id_r"])
+        for r in interval_join(
+            left, right, by=["user_id"], left_ts="lts", right_ts="rts",
+            lower_s=-10, upper_s=5,
+        ).collect()
+    )
+    assert len(batch) > 0
+    got = _collect_stream_join(spark, left, right, ldir, rdir, "ij1")
+    assert got == batch
+
+
+def test_interval_join_is_streaming_stateful(spark, tmp_root):
+    """The streaming plan must be a genuine stream-stream join (both
+    sides unresolved-streaming) — not a silently-collected batch —
+    and empty-interval bounds are rejected."""
+    import pytest
+
+    left, right, ldir, rdir = _sides(spark, tmp_root)
+    ls = spark.readStream.schema(left.schema).parquet(ldir)
+    rs = spark.readStream.schema(right.schema).parquet(rdir)
+    j = interval_join(ls, rs, by=["user_id"], left_ts="lts",
+                      right_ts="rts", lower_s=-10, upper_s=5,
+                      watermark_s=60)
+    assert j.isStreaming
+    with pytest.raises(ValueError, match="empty interval"):
+        interval_join(left, right, by=["user_id"], left_ts="lts",
+                      right_ts="rts", lower_s=5, upper_s=-10)
+
+
+def test_interval_join_bounds_are_inclusive_and_keyed(spark):
+    rows_l = [(1, "2024-01-01 00:00:10", 100), (2, "2024-01-01 00:00:10", 101)]
+    rows_r = [
+        (1, "2024-01-01 00:00:00", 200),  # exactly lower bound (-10)
+        (1, "2024-01-01 00:00:15", 201),  # exactly upper bound (+5)
+        (1, "2024-01-01 00:00:16", 202),  # past upper
+        (2, "2024-01-01 00:00:11", 203),  # other key
+    ]
+    left = spark.createDataFrame(rows_l, "user_id long, lts string, l_id long") \
+        .withColumn("lts", F.col("lts").cast("timestamp"))
+    right = spark.createDataFrame(rows_r, "user_id long, rts string, r_id long") \
+        .withColumn("rts", F.col("rts").cast("timestamp"))
+    got = sorted(
+        (r["l_id"], r["r_id_r"])
+        for r in interval_join(left, right, by=["user_id"],
+                               left_ts="lts", right_ts="rts",
+                               lower_s=-10, upper_s=5).collect()
+    )
+    assert got == [(100, 200), (100, 201), (101, 203)]
