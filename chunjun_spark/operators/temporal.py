@@ -189,28 +189,45 @@ def versioned_join(
     h = history.withColumn(
         "_next_from_seq", F.lead("valid_from_seq").over(hw)
     )
-    open_m = h.select(
-        *by,
-        F.col("valid_from_ts").alias(ts),
-        F.col("valid_from_seq").alias(seq),
-        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_vstate"),
-    )
+    # both markers explode out of ONE pass over the history — a
+    # union of two branches would duplicate the scd2 window subtree
+    # (second Exchange+Sort over the same rows; measured 3 exchanges
+    # total vs 2 with the explode form)
+    open_state = F.struct(*[F.col(c).alias(c) for c in value_cols])
     null_state = F.struct(
         *[F.lit(None).cast(vtypes[c]).alias(c) for c in value_cols]
     )
-    close_m = h.filter(
-        F.col("valid_to_seq").isNotNull()
-        & (
-            F.col("_next_from_seq").isNull()
-            | (F.col("valid_to_seq") != F.col("_next_from_seq"))
+    closure = F.col("valid_to_seq").isNotNull() & (
+        F.col("_next_from_seq").isNull()
+        | (F.col("valid_to_seq") != F.col("_next_from_seq"))
+    )
+
+    def _mk(ts_c: str, seq_c: str, state) -> F.Column:
+        return F.struct(
+            F.col(ts_c).alias("_mts"),
+            F.col(seq_c).alias("_mseq"),
+            state.alias("_vstate"),
         )
+
+    markers = h.select(
+        *by,
+        F.explode(
+            F.array_compact(
+                F.array(
+                    _mk("valid_from_ts", "valid_from_seq", open_state),
+                    F.when(
+                        closure,
+                        _mk("valid_to_ts", "valid_to_seq", null_state),
+                    ),
+                )
+            )
+        ).alias("_m"),
     ).select(
         *by,
-        F.col("valid_to_ts").alias(ts),
-        F.col("valid_to_seq").alias(seq),
-        null_state.alias("_vstate"),
+        F.col("_m._mts").alias(ts),
+        F.col("_m._mseq").alias(seq),
+        F.col("_m._vstate").alias("_vstate"),
     )
-    markers = open_m.unionByName(close_m)
 
     fact_extra = [c for c in facts.columns if c not in set(by + [ts, seq])]
     f_tag = facts.select(
