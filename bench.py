@@ -125,6 +125,12 @@ BENCH_QUERIES = [
     "events_dim_enrich",
     "cdc_zorder_compact",
     "cdc_mirror_sync",
+    # round-3 continuation: bloom-index lookup, temporal/interval joins,
+    # fan-out topic relay
+    "cdc_bloom_lookup",
+    "events_versioned_join",
+    "events_interval_join",
+    "cdc_fanout_topic_relay",
 ]
 
 

@@ -176,9 +176,12 @@ def refresh_index(
         new_manifest.pop("bloom_index", None)
         return
 
-    data = spark.read.parquet(out_dir)
-    fresh = build_rows(data, new_manifest, bucket_col)
-    frames = [fresh] if fresh is not None else []
+    frames = []
+    if rewritten:
+        data = spark.read.parquet(out_dir)
+        fresh = build_rows(data, new_manifest, bucket_col)
+        if fresh is not None:
+            frames.append(fresh)
     covered = set(rewritten) - set(removed)
     fids = fresh_fids
 

@@ -217,3 +217,15 @@ def test_bloom_rollback_restores_matching_index(spark, tmp_path):
     assert t.manifest["bloom_index"]["path"] == p1
     assert t.scan(eq={"commit": "c42"}).count() == 1
     assert t.scan(eq={"commit": "x300"}).count() == 0
+
+
+def test_bloom_compact_of_empty_table_is_noop(spark, tmp_path):
+    """Full compact of an EMPTY bloom-configured table must not try to
+    read a rowless out_dir (found by the interleaving property test)."""
+    t = _mk(spark, tmp_path)
+    t.compact()
+    t = t.refresh()
+    assert "bloom_index" not in t.manifest
+    t.merge(_rows(spark, 100), batch_id="b1")
+    t = t.refresh()
+    assert t.scan(eq={"commit": "c5"}).count() == 1

@@ -1,0 +1,96 @@
+"""Property-based bloom-index soundness: under ANY interleaving of
+COW merges, MOR appends, partial and full compactions, and DDL renames,
+an equality scan on the bloom-indexed column must return exactly the
+rows a full-scan filter returns — for values that exist, values that
+were overwritten away, and values that never existed (where pruning may
+skip buckets but must never lose a row)."""
+
+import os
+import uuid
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from chunjun_spark.plans.lake import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _window(spark, wi: int, n=400, keys=120):
+    """Deterministic window wi: keys cycle, commit values are unique per
+    (window, key) so later windows overwrite earlier commits."""
+    return spark.range(n).select(
+        (F.col("id") % keys).alias("k"),
+        F.concat(F.lit(f"w{wi}c"), F.col("id")).alias("commit"),
+        (F.col("id") + wi).alias("n"),
+        F.lit(f"2024-01-0{wi + 1} 00:00:00").cast("timestamp").alias("_vts"),
+        (F.col("id") + F.lit(wi * 1_000_000)).alias("_vseq"),
+    )
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.sampled_from(["w", "d", "pc", "fc", "ren"]),
+                min_size=3, max_size=6))
+def test_bloom_scan_equals_full_filter_under_interleavings(
+    spark, tmp_root, ops
+):
+    run = uuid.uuid4().hex[:8]
+    root = os.path.join(tmp_root, f"bloomprop_{run}")
+    LakeTable.create(spark, root, SCHEMA, pk=["k"], n_buckets=8,
+                     bloom_cols=["commit"])
+    col = "commit"
+    wi = 0
+    for op in ops:
+        t = LakeTable.load(spark, root)
+        if op == "w":
+            t.merge(_window(spark, wi).withColumnRenamed("commit", col),
+                    batch_id=f"w{run}{wi}")
+            wi += 1
+        elif op == "d":
+            t.append_delta(
+                _window(spark, wi).withColumnRenamed("commit", col),
+                batch_id=f"d{run}{wi}",
+            )
+            wi += 1
+        elif op == "pc":
+            hot = t.hot_buckets(min_deltas=1)
+            if hot:
+                t.compact(buckets=hot[: max(1, len(hot) // 2)])
+        elif op == "fc":
+            t.compact()
+        elif op == "ren":
+            new = "sha" if col == "commit" else "commit"
+            t.apply_ddl("rename_column", old=col, new=new)
+            col = new
+
+    t = LakeTable.load(spark, root)
+    if wi == 0:
+        return
+    full = t.read().localCheckpoint(eager=True)
+    # live value (latest window), overwritten value (window 0), absent
+    probes = [f"w{wi - 1}c7", "w0c7", "never-written"]
+    for v in probes:
+        want = sorted(
+            (r["k"], r[col], r["n"])
+            for r in full.filter(F.col(col) == v).collect()
+        )
+        got = sorted(
+            (r["k"], r[col], r["n"])
+            for r in t.scan(eq={col: v}).collect()
+        )
+        assert got == want, (v, got, want, ops)
+    # coverage bookkeeping never claims buckets that don't exist
+    idx = t.manifest.get("bloom_index")
+    if idx:
+        assert set(idx["buckets"]) <= {
+            int(b) for b in t.manifest["buckets"]
+        } | set(), (idx["buckets"], list(t.manifest["buckets"]))
