@@ -1562,6 +1562,69 @@ class LakeTable:
             prev_batches = set(m["lineage"])
         return out
 
+    def snapshots_df(self) -> DataFrame:
+        """:meth:`history` as a DataFrame — the Iceberg ``snapshots``
+        metadata-table analog, queryable/joinable like any table."""
+        rows = [
+            (
+                h["version"], h["parent"], h["schema_version"],
+                h["n_buckets_live"], h["n_deltas"],
+                json.dumps(h["batch_ids"]), h["ts"],
+            )
+            for h in self.history()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version int, parent int, schema_version int, "
+            "n_buckets_live int, n_deltas int, batch_ids string, "
+            "committed_at double",
+        )
+
+    def files_df(self) -> DataFrame:
+        """One row per live data file of THIS snapshot (Iceberg ``files``
+        metadata-table analog): kind (base/delta), bucket (deltas: -1 —
+        a delta file can hold many buckets), schema version, batch id,
+        path, bytes, rows and the harvested per-bucket stats as JSON.
+        Driver-side: O(#files) dirlist + parquet-footer row counts, the
+        same metadata a manifest read already touches — no data scan."""
+        import pyarrow.parquet as pq
+
+        rows = []
+
+        def _files(rel_dir: str):
+            d = os.path.join(self.root, rel_dir)
+            if not os.path.isdir(d):
+                return
+            for name in sorted(os.listdir(d)):
+                if name.endswith(".parquet"):
+                    p = os.path.join(d, name)
+                    yield os.path.join(rel_dir, name), os.path.getsize(p), \
+                        pq.ParquetFile(p).metadata.num_rows
+
+        m = self.manifest
+        for b, e in sorted(m["buckets"].items(), key=lambda kv: int(kv[0])):
+            for relp, size, nrows in _files(e["path"]):
+                rows.append(
+                    ("base", int(b), e["schema_version"], None, relp,
+                     size, nrows, json.dumps(e.get("stats", {})))
+                )
+        for d in m["deltas"]:
+            for relp, size, nrows in _files(d["path"]):
+                rows.append(
+                    ("delta", -1, d["schema_version"], d.get("batch_id"),
+                     relp, size, nrows,
+                     json.dumps({
+                         "touched_buckets": d.get("touched_buckets"),
+                         "exclude_buckets": d.get("exclude_buckets"),
+                     }))
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "kind string, bucket int, schema_version int, "
+            "batch_id string, path string, bytes long, rows long, "
+            "stats string",
+        )
+
     # -------------------------------------------------------------- tags
     # Iceberg named-ref (tag) analog: a tag pins a snapshot version by
     # name — "the corpus a model trained on" stays reproducibly readable

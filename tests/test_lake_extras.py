@@ -733,3 +733,52 @@ def test_as_of_timestamp_read(spark, tmp_root):
         LakeTable.load(spark, root, as_of=first_ts - 10.0)
     with pytest.raises(ValueError, match="at most one"):
         LakeTable.load(spark, root, version=v1, as_of=ts_between)
+
+
+def test_metadata_tables_files_and_snapshots(spark, tmp_path):
+    """Iceberg files/snapshots metadata-table analogs: per-file rows
+    with byte/row counts, and the commit log as a DataFrame."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    from chunjun_spark.plans.lake import LakeTable
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "meta_lake"), schema,
+                         pk=["k"], n_buckets=4, stats_cols=["v"])
+    rows = spark.range(500).select(
+        F.col("id").alias("k"), F.concat(F.lit("x"), F.col("id")).alias("v"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("_vts"),
+        F.col("id").alias("_vseq"),
+    )
+    t.merge(rows, batch_id="m1")
+    t = t.refresh()
+    t.append_delta(
+        rows.limit(50).withColumn("_vseq", F.col("_vseq") + 1_000_000),
+        batch_id="d1",
+    )
+    t = t.refresh()
+
+    f = t.files_df()
+    base = f.filter("kind = 'base'")
+    delta = f.filter("kind = 'delta'")
+    assert base.count() == len(t.manifest["buckets"])
+    assert delta.count() >= 1
+    # row counts from footers sum to what was written
+    assert f.agg(F.sum("rows")).first()[0] == 500 + 50
+    assert f.filter("bytes <= 0").count() == 0
+    # delta rows carry their batch id; base rows their harvested stats
+    assert delta.filter("batch_id = 'd1'").count() == delta.count()
+    st = _json.loads(base.first()["stats"])
+    assert "v" in st  # stats_cols harvested
+
+    s = t.snapshots_df()
+    assert s.count() == 3  # create + merge + append
+    top = s.orderBy(F.col("version").desc()).first()
+    assert top["version"] == t.manifest["version"]
+    assert "d1" in top["batch_ids"]
