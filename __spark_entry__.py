@@ -709,6 +709,40 @@ FROM f WHERE value = (SELECT min(value) FROM f)
 """
 
 
+def _q_cdc_changelog_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transport-integrity audit of the changelog: per-partition offset
+    gaps, duplicate offsets, and event-time regressions along the
+    offset axis (sources/changelog.py changelog_integrity) — verifying
+    the per-partition contracts the reference trusts its sources for
+    (KafkaBaseInputFormat.java:94-145 offset lineage). One narrow
+    shuffle; per-partition output."""
+    from chunjun_spark.sources.changelog import changelog_integrity
+
+    ch = events_changelog(_t(spark, sf_dir, "events"))
+    return changelog_integrity(ch)
+
+
+_CHANGELOG_INTEGRITY_SQL = """
+WITH c AS (
+  SELECT user_id % 4 AS partition_id, event_id AS off, ts FROM events
+), l AS (
+  SELECT partition_id, off, ts,
+         lag(off) OVER w AS poff, lag(ts) OVER w AS pts
+  FROM c WINDOW w AS (PARTITION BY partition_id ORDER BY off, ts)
+)
+SELECT partition_id,
+       count(*) AS n_events,
+       min(off) AS min_offset, max(off) AS max_offset,
+       sum(CASE WHEN poff IS NOT NULL AND off - poff > 1
+                THEN off - poff - 1 ELSE 0 END) AS n_missing_offsets,
+       sum(CASE WHEN poff IS NOT NULL AND off = poff
+                THEN 1 ELSE 0 END) AS n_duplicate_offsets,
+       sum(CASE WHEN pts IS NOT NULL AND ts < pts
+                THEN 1 ELSE 0 END) AS n_ts_regressions
+FROM l GROUP BY partition_id
+"""
+
+
 def _q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     # restore/increment filter: col > startLocation (JdbcInputFormat.java:640-757)
     ev = _t(spark, sf_dir, "events")
@@ -3100,6 +3134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_point_lookup": _q_cdc_point_lookup,
         "cdc_bloom_lookup": _q_cdc_bloom_lookup,
         "cdc_fanout_topic_relay": _q_cdc_fanout_topic_relay,
+        "cdc_changelog_integrity": _q_cdc_changelog_integrity,
         "incremental_read": _q_incremental_read,
         "mod_split_channels": _q_mod_split_channels,
         "end_location_max": _q_end_location_max,
@@ -3197,6 +3232,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_point_lookup": _POINT_LOOKUP_SQL,
         "cdc_bloom_lookup": _BLOOM_LOOKUP_SQL,
         "cdc_fanout_topic_relay": _REPLAY_LAKE_SQL,
+        "cdc_changelog_integrity": _CHANGELOG_INTEGRITY_SQL,
         "incremental_read": _INCREMENTAL_SQL,
         "mod_split_channels": _MOD_SPLIT_SQL,
         "end_location_max": _END_LOCATION_SQL,

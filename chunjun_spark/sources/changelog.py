@@ -187,3 +187,52 @@ def events_changelog(
         pk=["user_id"],
         partition_id=F.pmod(F.col("user_id"), F.lit(4)),
     )
+
+
+def changelog_integrity(
+    events: DataFrame,
+    partition_col: str = "partition_id",
+    offset_col: str = "offset",
+    ts_col: str = "op_ts",
+) -> DataFrame:
+    """Per-partition transport-integrity audit of a changelog: offset
+    gaps (missing deliveries), duplicate offsets (re-deliveries the
+    dedup plane must absorb), and event-time regressions along the
+    offset axis (out-of-order capture — legal across partitions, a red
+    flag within one).
+
+    The reference trusts its sources' per-partition contracts
+    (KafkaBaseInputFormat offset lineage, binlog position monotonicity);
+    this operator VERIFIES them on the actual stream — the check a CDC
+    deployment runs when the sink state diverges from the source.
+
+    One narrow shuffle on the partition id (lag window + the aggregate
+    share the partitioning); per-partition output rows, so the result
+    is driver-safe at any scale.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(partition_col).orderBy(
+        F.col(offset_col).asc(), F.col(ts_col).asc()
+    )
+    off = F.col(offset_col)
+    prev_off = F.lag(off).over(w)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    flagged = events.select(
+        F.col(partition_col),
+        off.alias("_off"),
+        F.when(prev_off.isNull(), F.lit(0))
+        .when(off - prev_off > 1, off - prev_off - 1)
+        .otherwise(F.lit(0)).alias("_missing"),
+        (prev_off.isNotNull() & (off == prev_off)).cast("int").alias("_dup"),
+        (prev_ts.isNotNull() & (F.col(ts_col) < prev_ts))
+        .cast("int").alias("_regress"),
+    )
+    return flagged.groupBy(partition_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("_off").alias("min_offset"),
+        F.max("_off").alias("max_offset"),
+        F.sum("_missing").alias("n_missing_offsets"),
+        F.sum("_dup").alias("n_duplicate_offsets"),
+        F.sum("_regress").alias("n_ts_regressions"),
+    )

@@ -89,3 +89,37 @@ def test_binlogreader_job_surface_applies_filters(spark, tmp_root):
     # lake.* only, data ops restricted to insert/update; DDL passes the
     # category check, poison passes the table subscription
     assert _ops(out) == ["DDL", "ERROR", "INSERT", "UPDATE"]
+
+
+def test_changelog_integrity_counts(spark):
+    """Hand-built transport log: one gap (3 missing), one duplicate
+    offset, one event-time regression, all in partition 0; partition 1
+    clean."""
+    import pyspark.sql.functions as F
+
+    from chunjun_spark.sources.changelog import changelog_integrity
+
+    rows = [
+        # (partition, offset, second)
+        (0, 0, 1), (0, 1, 2), (0, 5, 3),   # gap: 2,3,4 missing
+        (0, 5, 4),                          # duplicate offset 5
+        (0, 6, 2),                          # ts regression (4 -> 2)
+        (1, 0, 1), (1, 1, 2), (1, 2, 3),
+    ]
+    df = spark.createDataFrame(
+        [(p, o, f"2024-01-01 00:00:0{s}") for p, o, s in rows],
+        "partition_id int, offset long, t string",
+    ).select("partition_id", "offset",
+             F.col("t").cast("timestamp").alias("op_ts"))
+    got = {
+        r["partition_id"]: (
+            r["n_events"], r["min_offset"], r["max_offset"],
+            r["n_missing_offsets"], r["n_duplicate_offsets"],
+            r["n_ts_regressions"],
+        )
+        for r in changelog_integrity(df).collect()
+    }
+    assert got == {
+        0: (5, 0, 6, 3, 1, 1),
+        1: (3, 0, 2, 0, 0, 0),
+    }
