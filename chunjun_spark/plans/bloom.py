@@ -229,31 +229,53 @@ def refresh_index(
     }
 
 
-def probe(
+def write_delta_fragment(
     spark: SparkSession,
     root: str,
     manifest: dict,
-    col_name: str,
-    col_type: T.DataType,
-    values: list,
-) -> tuple[set[int], set[int]] | None:
-    """(maybe_present_buckets, covered_buckets) for ``col = ANY(values)``,
-    or None when the index cannot answer (column not indexed, index
-    missing, or a hash-invalidating widen since the build).  A bucket
-    outside ``covered`` must never be pruned by the caller.
+    delta_rel: str,
+    bucket_col: str,
+) -> dict | None:
+    """Harvest a bloom FRAGMENT for one just-written MOR delta, stored
+    HIDDEN inside the delta's own dir (``<delta>/_bloom`` — an
+    underscore path, so data reads of the delta dir never see it, and
+    vacuum's dir-level retention keeps fragment and data together for
+    free).  This is what keeps point lookups pruned DURING continuous
+    ingest: base-only blooms go dark the moment a delta exists, which
+    is exactly the regime a 10^10-event stream lives in.  Cost: one
+    column-pruned re-read of the just-written delta (bloom columns
+    only) — opt-in via ``bloom_cols``.
 
-    Cost: one |values|-row hash job (no table IO) + one index read
-    filtered to the k·|values| lanes needed (pushdown-pruned), collecting
-    ≤ covered × k × |values| narrow rows.
+    Returns the fragment meta recorded on the delta entry
+    (``{"fids", "bits", "k"}``) or None when nothing was indexable.
     """
-    idx = manifest.get("bloom_index")
-    if not idx or not values:
+    fids = _resolve_fids(manifest)
+    if not fids:
         return None
-    fid = _resolve_fids(manifest).get(col_name)
-    if fid is None or fid not in idx["fids"]:
+    n_bits = int(manifest.get("bloom_bits") or DEFAULT_BITS)
+    k = int(manifest.get("bloom_k") or DEFAULT_K)
+    df = spark.read.parquet(os.path.join(root, delta_rel))
+    rows = build_rows(df, manifest, bucket_col)
+    if rows is None:
         return None
-    n_bits, k = int(idx["bits"]), int(idx["k"])
+    # micro-batch-sized: a single lane-sorted file keeps the probe's
+    # (fid, lane) pushdown tight without task-scheduling overhead
+    rows.coalesce(1).sortWithinPartitions("fid", "lane").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, delta_rel, "_bloom"))
+    return {
+        "fids": sorted(int(f) for f in fids.values()),
+        "bits": n_bits,
+        "k": k,
+    }
 
+
+def _value_lane_pairs(
+    spark: SparkSession, col_type: T.DataType, values: list,
+    n_bits: int, k: int,
+) -> tuple[dict[int, list], list[int]]:
+    """Per-value (lane, mask) probe pairs, hashed BY SPARK with the
+    column's current type — one |values|-row job, no table IO."""
     pv = spark.createDataFrame(
         [(i, v) for i, v in enumerate(values)],
         T.StructType(
@@ -276,19 +298,76 @@ def probe(
     by_value: dict[int, list] = {}
     for r in pairs:
         by_value.setdefault(r["i"], []).append((r["lane"], r["mask"]))
-    lanes = sorted({r["lane"] for r in pairs})
+    return by_value, sorted({r["lane"] for r in pairs})
 
+
+def probe_fragments(
+    spark: SparkSession,
+    paths: list[str],
+    fid: int,
+    col_type: T.DataType,
+    values: list,
+    n_bits: int,
+    k: int,
+    covered: set[int],
+) -> set[int]:
+    """Buckets among ``covered`` that MAY contain any of ``values``,
+    judged over the union of index fragments (base index + per-delta
+    fragments).  Fragments are OR-combined per (bucket, lane) before the
+    k-bit test — a strict superset of the per-fragment OR-of-maybes, so
+    always sound, and it lets the whole probe be ONE filtered read over
+    all fragment files (row-group-pruned by the lane predicate).
+
+    Cost: one |values|-row hash job + one read of k·|values| lanes
+    across the fragments; ≤ |covered| × k × |values| narrow rows reach
+    the driver.
+    """
+    if not paths or not values or not covered:
+        return set(covered)
+    by_value, lanes = _value_lane_pairs(spark, col_type, values, n_bits, k)
     rows = (
-        spark.read.parquet(os.path.join(root, idx["path"]))
+        spark.read.parquet(*paths)
         .where((F.col("fid") == int(fid)) & F.col("lane").isin(lanes))
         .collect()
     )
-    bits = {(r["bucket"], r["lane"]): r["bits"] for r in rows}
-    covered = {int(b) for b in idx["buckets"]}
+    bits: dict[tuple, int] = {}
+    for r in rows:
+        key = (r["bucket"], r["lane"])
+        bits[key] = bits.get(key, 0) | r["bits"]
     maybe = set()
     for b in covered:
         for pl in by_value.values():
             if all(bits.get((b, ln), 0) & mk == mk for ln, mk in pl):
                 maybe.add(b)
                 break
+    return maybe
+
+
+def probe(
+    spark: SparkSession,
+    root: str,
+    manifest: dict,
+    col_name: str,
+    col_type: T.DataType,
+    values: list,
+) -> tuple[set[int], set[int]] | None:
+    """(maybe_present_buckets, covered_buckets) for ``col = ANY(values)``
+    against the BASE index alone, or None when it cannot answer (column
+    not indexed, index missing, or a hash-invalidating widen since the
+    build).  A bucket outside ``covered`` must never be pruned by the
+    caller.  MOR-aware pruning (base + delta fragments) lives in
+    ``LakeTable._prune_buckets``, which calls :func:`probe_fragments`
+    with the full fragment set directly.
+    """
+    idx = manifest.get("bloom_index")
+    if not idx or not values:
+        return None
+    fid = _resolve_fids(manifest).get(col_name)
+    if fid is None or fid not in idx["fids"]:
+        return None
+    covered = {int(b) for b in idx["buckets"]}
+    maybe = probe_fragments(
+        spark, [os.path.join(root, idx["path"])], fid, col_type, values,
+        int(idx["bits"]), int(idx["k"]), covered,
+    )
     return maybe, covered

@@ -671,27 +671,63 @@ class LakeTable:
                         keep.add(int(b))
                 cand &= keep
                 pruned = True
-            # bloom-index pruning for equality on indexed non-key columns
-            # (plans/bloom.py): a covered bucket whose bloom provably
-            # lacks every probe value cannot hold it in its base files —
-            # and with no deltas, base files are the whole table. Buckets
-            # outside the index's coverage are never skipped.
-            if self.manifest.get("bloom_index") and eq:
-                from chunjun_spark.plans import bloom as _bloom
+        # bloom-index pruning for equality on indexed non-key columns
+        # (plans/bloom.py) — MOR-aware: a bucket is FULLY COVERED when
+        # its base files are described by the base index AND every
+        # outstanding delta that can hold the bucket carries its own
+        # bloom fragment; the probe then ORs base + fragments per
+        # (bucket, lane) and a fully-covered bucket whose combined bloom
+        # lacks every probe value cannot hold it in ANY version — sound
+        # even mid-ingest, unlike stats pruning. Uncovered buckets are
+        # never skipped; every predicate is re-applied as a residual.
+        if eq and self.bloom_cols:
+            from chunjun_spark.plans import bloom as _bloom
 
-                types = {f["name"]: f["type"] for f in self.schema.fields}
-                for c, v in eq.items():
-                    if c not in self.bloom_cols:
-                        continue
-                    got = _bloom.probe(
-                        self.spark, self.root, self.manifest, c,
-                        _parse_type(types[c]), self._as_list(v),
-                    )
-                    if got is None:
-                        continue
-                    maybe, covered = got
-                    cand &= maybe | (cand - covered)
-                    pruned = True
+            m = self.manifest
+            n_bits = int(m.get("bloom_bits") or _bloom.DEFAULT_BITS)
+            bk = int(m.get("bloom_k") or _bloom.DEFAULT_K)
+            fields = {f["name"]: f for f in self.schema.fields}
+            base_idx = m.get("bloom_index")
+            base_ids = {int(b) for b in entries}
+            for c, v in eq.items():
+                if c not in self.bloom_cols or c not in fields:
+                    continue
+                fid = int(fields[c]["id"])
+                paths: list[str] = []
+                if (base_idx and fid in base_idx["fids"]
+                        and int(base_idx["bits"]) == n_bits
+                        and int(base_idx["k"]) == bk):
+                    base_cov = {int(b) for b in base_idx["buckets"]}
+                    paths.append(os.path.join(self.root, base_idx["path"]))
+                else:
+                    base_cov = set()
+                # a bucket with no base files needs no base coverage
+                covered = {
+                    b for b in cand if b not in base_ids or b in base_cov
+                }
+                for d in m["deltas"]:
+                    live = self._delta_live_buckets(d)
+                    if live is not None and not (live & cand):
+                        continue  # disjoint from every candidate bucket
+                    fb = d.get("bloom")
+                    if (fb and fid in fb["fids"]
+                            and int(fb["bits"]) == n_bits
+                            and int(fb["k"]) == bk):
+                        paths.append(
+                            os.path.join(self.root, d["path"], "_bloom")
+                        )
+                    else:
+                        covered -= set(range(self.n_buckets)) \
+                            if live is None else live
+                if not covered or not paths:
+                    continue
+                maybe = _bloom.probe_fragments(
+                    self.spark, paths, fid,
+                    _parse_type(fields[c]["type"]), self._as_list(v),
+                    n_bits, bk, covered,
+                )
+                cand &= maybe | (cand - covered)
+                pruned = True
         return sorted(cand) if pruned else None
 
     def scan(
@@ -1274,10 +1310,21 @@ class LakeTable:
         ch.write.mode("overwrite").parquet(os.path.join(self.root, rel))
         n = int(obs.get["n"])
         touched = sorted(int(b) for b in obs.get["touched"])
-        m["deltas"].append(
-            {"path": rel, "schema_version": m["schema_version"],
-             "batch_id": batch_id, "buckets": touched}
-        )
+        entry = {"path": rel, "schema_version": m["schema_version"],
+                 "batch_id": batch_id, "buckets": touched}
+        if m.get("bloom_cols"):
+            # per-delta bloom fragment (plans/bloom.py): point lookups
+            # on indexed columns stay pruned while deltas are
+            # outstanding — the continuous-ingest regime where base-only
+            # blooms would otherwise go dark
+            from chunjun_spark.plans import bloom as _bloom
+
+            frag = _bloom.write_delta_fragment(
+                self.spark, self.root, m, rel, bucket_col=_BUCKET_COL
+            )
+            if frag is not None:
+                entry["bloom"] = frag
+        m["deltas"].append(entry)
         self._record_lineage(m, batch_id, offsets, n, extra_metrics)
         if wap_id is not None:
             self._write_staged(m, wap_id)
@@ -1835,6 +1882,12 @@ class LakeTable:
                 ]
                 if not m["bloom_index"]["fids"]:
                     del m["bloom_index"]
+            for d in m["deltas"]:
+                fb = d.get("bloom")
+                if fb and fid in fb["fids"]:
+                    fb["fids"] = [f for f in fb["fids"] if f != fid]
+                    if not fb["fids"]:
+                        del d["bloom"]
         # allocate schema ids append-only (max historical + 1), never
         # current+1: after a rollback the CURRENT schema_version can be
         # older than ids already registered in the map, and reusing one

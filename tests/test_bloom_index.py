@@ -81,16 +81,42 @@ def test_bloom_multi_value_and_uncovered_buckets(spark, tmp_path):
     assert set(range(8)) - set(kept) <= pruned
 
 
-def test_bloom_disabled_while_deltas_outstanding(spark, tmp_path):
+def test_bloom_prunes_through_delta_fragments(spark, tmp_path):
+    """MOR regime: per-delta bloom fragments keep pruning LIVE while
+    deltas are outstanding — delta-carried values are found through
+    their fragment, absent values still prune, and a delta WITHOUT a
+    fragment (older format) disables coverage of its buckets only."""
     t = _mk(spark, tmp_path)
     t.merge(_rows(spark, 1000), batch_id="b1")
     t = t.refresh()
     t.append_delta(_rows(spark, 50, tag="d", start=5000), batch_id="b2")
     t = t.refresh()
-    # a delta-carried value must be found even though no bloom saw it
-    assert t._prune_buckets(eq={"commit": "d5007"}) is None
+    assert t.manifest["deltas"][0].get("bloom"), "fragment not harvested"
+    # delta-carried value: pruned lookup still finds it
+    pruned = t._prune_buckets(eq={"commit": "d5007"})
+    assert pruned is not None
     assert t.scan(eq={"commit": "d5007"}).count() == 1
+    # base-carried value unaffected
+    assert t.scan(eq={"commit": "c123"}).count() == 1
+    # absent value: most buckets pruned even though a delta exists
+    absent = t._prune_buckets(eq={"commit": "nothing-here"})
+    assert absent is not None and len(absent) <= 2
+    assert t.scan(eq={"commit": "nothing-here"}).count() == 0
+
+    # strip the fragment (simulate an older delta): its buckets lose
+    # coverage and are never pruned, others still are
+    m = t.manifest
+    frag_buckets = set(m["deltas"][0]["buckets"])
+    del m["deltas"][0]["bloom"]
+    surv = t._prune_buckets(eq={"commit": "nothing-here"})
+    # None = pruning fully disengaged (the uncovered delta touches
+    # every candidate bucket) — equivalent to all buckets surviving
+    survivors = set(surv) if surv is not None else set(range(t.n_buckets))
+    assert frag_buckets <= survivors
+    assert t.scan(eq={"commit": "d5007"}).count() == 1
+
     # compact folds the delta and re-covers every bucket
+    t = t.refresh()
     t.compact()
     t = t.refresh()
     assert t.manifest["deltas"] == []
@@ -110,9 +136,8 @@ def test_bloom_partial_compact_refreshes_only_selected(spark, tmp_path):
     idx = t.manifest["bloom_index"]
     # refreshed buckets stay covered alongside the carried-over ones
     assert set(hot[:2]) <= set(idx["buckets"])
-    # pruning still off: other deltas remain
-    if t.manifest["deltas"]:
-        assert t._prune_buckets(eq={"commit": "e9001"}) is None
+    # pruning stays live: remaining deltas answer via their fragments
+    assert t._prune_buckets(eq={"commit": "e9001"}) is not None
     assert t.scan(eq={"commit": "e9001"}).count() == 1
 
 
