@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "events_versioned_join",
     "events_interval_join",
     "cdc_fanout_topic_relay",
+    "cdc_changelog_integrity",
 ]
 
 

@@ -399,6 +399,25 @@ READERS = {
 # ------------------------------------------------------------------ sinks
 
 
+def _lake_layout_kwargs(p: dict) -> dict:
+    """Writer-parameter pass-through for create-on-demand lake tables:
+    statsCols (footer min/max pruning), clusterCols (sort-on-write),
+    bucketCols (bucket-hash key), bloomCols/bloomBits/bloomK (bloom
+    file-skipping index). Absent keys keep LakeTable.create defaults."""
+    kw: dict = {}
+    if p.get("statsCols"):
+        kw["stats_cols"] = list(p["statsCols"])
+    if p.get("clusterCols"):
+        kw["cluster_cols"] = list(p["clusterCols"])
+    if p.get("bucketCols"):
+        kw["bucket_cols"] = list(p["bucketCols"])
+    if p.get("bloomCols"):
+        kw["bloom_cols"] = list(p["bloomCols"])
+        kw["bloom_bits"] = int(p.get("bloomBits", 1 << 20))
+        kw["bloom_k"] = int(p.get("bloomK", 5))
+    return kw
+
+
 def _write_lake(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
     """lakewriter: idempotent upsert MERGE into the snapshot lake table —
     the jdbc-upsert / hudiwriter capability class (EWriteMode UPDATE,
@@ -425,7 +444,9 @@ def _write_lake(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
                 [f for f in df.schema.fields if f.name not in version_cols]
             )
             table = LakeTable.create(
-                spark, root, schema, pk=pk, n_buckets=int(p.get("nBuckets", 16))
+                spark, root, schema, pk=pk,
+                n_buckets=int(p.get("nBuckets", 16)),
+                **_lake_layout_kwargs(p),
             )
         info = bootstrap_from_snapshot(
             df, table, batch_id=p.get("batchId", f"{cfg.job_id}-bootstrap"),
@@ -449,7 +470,9 @@ def _write_lake(df: DataFrame, cfg: JobConfig, metrics: dict) -> None:
     except FileNotFoundError:
         schema = _payload_struct_of(df)
         table = LakeTable.create(
-            spark, root, schema, pk=pk, n_buckets=int(p.get("nBuckets", 16))
+            spark, root, schema, pk=pk,
+            n_buckets=int(p.get("nBuckets", 16)),
+            **_lake_layout_kwargs(p),
         )
     batch_id = p.get("batchId", f"{cfg.job_id}-batch")
     mode = p.get("mode", "cow")
@@ -859,6 +882,7 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
                 PAYLOAD_SCHEMA,
                 pk=wp.get("pk") or ["repo", "path"],
                 n_buckets=int(wp.get("nBuckets", 16)),
+                **_lake_layout_kwargs(wp),
             )
         # writer.parameter.aggViews: maintained views that follow the
         # sink (operators/ivm.py) — [{"path", "groupCols", "valueCol"}];

@@ -753,3 +753,41 @@ def test_lakereader_as_of(spark, tmp_root):
                    "parameter": {"path": out_dir, "fileType": "parquet"}},
     }], "setting": {"speed": {"channel": 2}}}})
     assert spark.read.parquet(out_dir).count() == n1
+
+
+def test_lake_layout_options_through_job_json(spark, tmp_root):
+    """Writer parameters statsCols/clusterCols/bloomCols reach the
+    create-on-demand LakeTable: the created manifest carries the layout
+    and a bloom-pruned lookup works straight out of the job run."""
+    import pyspark.sql.functions as F
+
+    lake = os.path.join(tmp_root, "lake_layout")
+    cfg = {
+        "job": {
+            "content": [{
+                "reader": {"name": "binlogreader",
+                           "parameter": {"nEvents": 3000, "seed": 5}},
+                "writer": {"name": "lakewriter",
+                           "parameter": {"path": lake,
+                                         "pk": ["repo", "path"],
+                                         "statsCols": ["lang"],
+                                         "clusterCols": ["repo"],
+                                         "bloomCols": ["commit"],
+                                         "bloomBits": 1 << 18,
+                                         "bloomK": 4}},
+            }],
+            "setting": {"speed": {"channel": 4}},
+        }
+    }
+    run_job(spark, cfg)
+    t = LakeTable.load(spark, lake)
+    assert t.manifest["stats_cols"] == ["lang"]
+    assert t.manifest["cluster_cols"] == ["repo"]
+    assert t.bloom_cols == ["commit"]
+    assert t.manifest["bloom_bits"] == 1 << 18
+    assert t.manifest.get("bloom_index"), "bloom not harvested at merge"
+    probe = t.read().select("commit").first()["commit"]
+    assert (t.scan(eq={"commit": probe}).count()
+            == t.read().filter(F.col("commit") == probe).count())
+    pruned = t._prune_buckets(eq={"commit": "no-such-commit"})
+    assert pruned is not None and len(pruned) < t.n_buckets
