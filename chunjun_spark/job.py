@@ -731,11 +731,16 @@ def _run_fanout_stream(spark: SparkSession, cfg: JobConfig, t0: float) -> dict:
             # topic relay leg (KafkaOutputFormat analog over the
             # file-backed transport): folded winners + DDL control rows
             # produce exactly-once per micro-batch
-            sinks.append({
+            sink = {
                 "type": "kafka", "topic_dir": wp["topic"],
                 "pk": wp.get("updateKey") or wp.get("pk"),
-                "producer_id": wp.get("producerId"),
-            })
+            }
+            if wp.get("producerId"):
+                # only when explicitly set: a present-but-None key would
+                # defeat the job_id default downstream, and None as a
+                # dict key JSON-round-trips to the string "null"
+                sink["producer_id"] = wp["producerId"]
+            sinks.append(sink)
         else:
             sinks.append({
                 "type": "lake", "root": wp["path"],

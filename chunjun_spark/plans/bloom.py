@@ -109,33 +109,54 @@ def _resolve_fids(manifest: dict) -> dict[str, int]:
 def build_rows(
     df: DataFrame, manifest: dict, bucket_col: str
 ) -> DataFrame | None:
-    """Sparse index rows for every bloom column present in ``df``.
-    One narrow shuffle: k positions per (row, col) explode into
-    (bucket, fid, lane, mask) then ``bit_or`` with partial aggregation.
+    """Sparse index rows for every bloom column present in ``df`` — in
+    ONE scan of the input: per-column hashes are staged as attributes
+    (so each xxhash64 evaluates once, not once per position), every
+    column contributes a typed array of (fid, position) structs (empty
+    for NULL values), and the flattened union explodes into
+    (bucket, fid, lane, mask) rows folded by ``bit_or`` with map-side
+    partial aggregation.  A union-of-per-column-scans form read the
+    just-written files B times for B columns — pure waste on the
+    ingest hot path.
     """
     fids = _resolve_fids(manifest)
     n_bits = int(manifest.get("bloom_bits") or DEFAULT_BITS)
     k = int(manifest.get("bloom_k") or DEFAULT_K)
-    parts = []
-    for c, fid in fids.items():
-        if c not in df.columns:
-            continue
-        h1, h2 = _h_cols(F.col(c), n_bits)
-        parts.append(
-            df.where(F.col(c).isNotNull())
-            .select(
-                F.col(bucket_col).cast("int").alias("bucket"),
-                F.lit(int(fid)).alias("fid"),
-                F.explode(_positions(h1, h2, n_bits, k)).alias("p"),
-            )
-        )
-    if not parts:
+    cols = [(c, int(fid)) for c, fid in fids.items() if c in df.columns]
+    if not cols:
         return None
-    pos = parts[0]
-    for extra in parts[1:]:
-        pos = pos.unionByName(extra)
+    hash_cols = []
+    for c, fid in cols:
+        h1, h2 = _h_cols(F.col(c), n_bits)
+        notnull = F.col(c).isNotNull()
+        hash_cols.append(F.when(notnull, h1).alias(f"_h1_{fid}"))
+        hash_cols.append(F.when(notnull, h2).alias(f"_h2_{fid}"))
+    staged = df.select(
+        F.col(bucket_col).cast("int").alias("bucket"), *hash_cols
+    )
+    arr_t = "array<struct<fid:int,p:bigint>>"
+    empty = F.expr(f"CAST(array() AS {arr_t})")
+    arrs = []
+    for c, fid in cols:
+        h1 = F.col(f"_h1_{fid}")
+        h2 = F.col(f"_h2_{fid}")
+        pos = F.array(
+            *[
+                F.struct(
+                    F.lit(fid).alias("fid"),
+                    F.pmod(h1 + F.lit(i) * h2, F.lit(int(n_bits))).alias("p"),
+                )
+                for i in range(k)
+            ]
+        )
+        arrs.append(F.when(h1.isNotNull(), pos).otherwise(empty))
+    exploded = staged.select(
+        "bucket", F.explode(F.flatten(F.array(*arrs))).alias("_m")
+    ).select(
+        "bucket", F.col("_m.fid").alias("fid"), F.col("_m.p").alias("p")
+    )
     return (
-        _lane_mask(pos)
+        _lane_mask(exploded)
         .groupBy("bucket", "fid", "lane")
         .agg(F.bit_or("bit").alias("bits"))
     )
@@ -192,8 +213,15 @@ def refresh_index(
         prev = None  # parameter change invalidates carried lanes
     if prev is not None:
         carry = (set(prev["buckets"]) - set(rewritten)) - set(removed)
-        fids = sorted(set(prev["fids"]) & set(fresh_fids))
-        if carry and fids:
+        # narrow the claimed fids ONLY when buckets are actually carried:
+        # carried base files were harvested under the previous fid set,
+        # so the merged index can only answer for the intersection — but
+        # a commit that rewrote everything claims the full fresh set,
+        # which is how a widen-invalidated column regains coverage from
+        # ordinary merges, not just full compacts
+        inter = sorted(set(prev["fids"]) & set(fresh_fids))
+        if carry and inter:
+            fids = inter
             old = (
                 spark.read.parquet(os.path.join(root, prev["path"]))
                 .where(
@@ -203,6 +231,8 @@ def refresh_index(
             )
             frames.append(old)
             covered |= carry
+        # carry empty or nothing carryable: fresh-only coverage keeps
+        # the full fresh fid set (covered stays = rewritten buckets)
     if not frames or not fids or not covered:
         new_manifest.pop("bloom_index", None)
         return

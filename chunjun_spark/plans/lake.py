@@ -1661,7 +1661,7 @@ class LakeTable:
                     ("delta", -1, d["schema_version"], d.get("batch_id"),
                      relp, size, nrows,
                      json.dumps({
-                         "touched_buckets": d.get("touched_buckets"),
+                         "touched_buckets": d.get("buckets"),
                          "exclude_buckets": d.get("exclude_buckets"),
                      }))
                 )

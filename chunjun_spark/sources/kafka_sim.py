@@ -82,25 +82,19 @@ def partition_for(key, n_partitions: int):
     return F.pmod(F.xxhash64(c), F.lit(int(n_partitions))).cast("int")
 
 
-def produce(
+def _stage_and_reserve(
     kafka_df: DataFrame,
     topic_dir: str,
-    order_cols: list[str] | tuple[str, ...] = ("op_ts", "seq"),
-) -> dict:
-    """Append one producer batch (a "send window") to the topic.
-
-    ``kafka_df`` carries ``key``/``value`` (binary, from
-    ``encode_events``) plus the ``order_cols`` that define producer send
-    order — per-partition offsets are assigned contiguously in that
-    order from the current log end, then the ordering columns are
-    dropped (a real producer's send sequence, made deterministic).
-
-    One narrow shuffle on the partition id (the produced batch only —
-    the topic's existing data is never read), then one file per
-    partition per call, segment-named so the file stream source lists
-    them in append order. Returns the new per-partition end offsets.
-    """
-    meta = topic_meta(topic_dir)
+    meta: dict,
+    order_cols,
+) -> tuple[str, str, dict]:
+    """Shared producer core: assign per-partition CONTIGUOUS offsets in
+    ``order_cols`` send order from the current log end, stage the
+    segment out-of-band (invisible to readers), and bump the reserved
+    ends in ``meta`` IN MEMORY (the caller decides when the reserve
+    becomes durable). One narrow shuffle on the partition id — the
+    topic's existing data is never read. Returns (staged_dir, seg,
+    per-partition counts)."""
     n = meta["n_partitions"]
     ends = meta["ends"]
     base = F.create_map(
@@ -127,12 +121,6 @@ def produce(
     tmp = os.path.join(topic_dir, f"_stage_{seg}")
     out.repartition(n, F.col("partition")).write.mode("error").parquet(tmp)
     spark = kafka_df.sparkSession
-    # log-end bump FIRST, from the staged segment: the offset range must
-    # be reserved durably BEFORE any segment file becomes visible, or a
-    # crash between publish and meta-save would hand the same offsets to
-    # the next produce (duplicate (partition, offset) pairs break every
-    # seek). A crash after the reserve leaves a gap instead — the
-    # un-acked produce is simply lost, exactly Kafka's contract.
     seg_df = spark.read.schema(TOPIC_SCHEMA).parquet(tmp)
     counts = {
         r["partition"]: r["n"]
@@ -140,21 +128,36 @@ def produce(
     }
     for p, c in counts.items():
         ends[str(p)] = int(ends[str(p)]) + int(c)
+    return tmp, seg, counts
+
+
+def produce(
+    kafka_df: DataFrame,
+    topic_dir: str,
+    order_cols: list[str] | tuple[str, ...] = ("op_ts", "seq"),
+) -> dict:
+    """Append one producer batch (a "send window") to the topic.
+
+    ``kafka_df`` carries ``key``/``value`` (binary, from
+    ``encode_events``) plus the ``order_cols`` that define producer send
+    order — per-partition offsets are assigned contiguously in that
+    order from the current log end, then the ordering columns are
+    dropped (a real producer's send sequence, made deterministic).
+
+    The log-end bump saves FIRST, from the staged segment: the offset
+    range must be reserved durably BEFORE any segment file becomes
+    visible, or a crash between publish and meta-save would hand the
+    same offsets to the next produce (duplicate (partition, offset)
+    pairs break every seek). A crash after the reserve leaves a gap
+    instead — the un-acked produce is simply lost, exactly Kafka's
+    contract. Returns the new per-partition end offsets. For replayed
+    micro-batches use :func:`produce_exactly_once` instead.
+    """
+    meta = topic_meta(topic_dir)
+    tmp, seg, _ = _stage_and_reserve(kafka_df, topic_dir, meta, order_cols)
     _save_meta(topic_dir, meta)
-    # move part files into the flat data dir under the segment name so the
-    # file stream source (which lists a flat dir) discovers them atomically
-    data_dir = os.path.join(topic_dir, "data")
-    moved = 0
-    for fn in sorted(os.listdir(tmp)):
-        if fn.endswith(".parquet"):
-            os.replace(
-                os.path.join(tmp, fn), os.path.join(data_dir, f"{seg}-{moved:04d}.parquet")
-            )
-            moved += 1
-    for fn in os.listdir(tmp):
-        os.remove(os.path.join(tmp, fn))
-    os.rmdir(tmp)
-    return {int(p): int(e) for p, e in ends.items()}
+    _move_staged(topic_dir, tmp, seg)
+    return {int(p): int(e) for p, e in meta["ends"].items()}
 
 
 _TXN_RETENTION = 1000
@@ -193,51 +196,22 @@ def produce_exactly_once(
     to 1000 per producer — far past Structured Streaming's one-batch
     replay window (same bound rationale as LakeTable.lineage_retention).
     """
+    if producer_id is None:
+        raise ValueError("produce_exactly_once needs a producer_id")
     meta = topic_meta(topic_dir)
     producers = meta.setdefault("producers", {})
     state = producers.setdefault(producer_id, {"txns": {}, "order": []})
     _recover_producer(topic_dir, state)
+    _sweep_orphan_stages(topic_dir, meta)
     txn = state["txns"].get(batch_id)
     if txn is not None and txn["state"] == "committed":
         _save_meta(topic_dir, meta)  # persist any recovery that just ran
         return {"skipped": True,
                 "ends": {int(p): int(e) for p, e in meta["ends"].items()}}
 
-    n = meta["n_partitions"]
-    ends = meta["ends"]
-    base = F.create_map(
-        *[x for p, e in sorted(ends.items())
-          for x in (F.lit(int(p)), F.lit(int(e)))]
+    tmp, seg, counts = _stage_and_reserve(
+        kafka_df, topic_dir, meta, order_cols
     )
-    part = partition_for("key", n)
-    w = Window.partitionBy("partition").orderBy(
-        *[F.col(c) for c in order_cols]
-    )
-    out = (
-        kafka_df.withColumn("partition", part)
-        .withColumn(
-            "offset",
-            base[F.col("partition")] + F.row_number().over(w) - F.lit(1),
-        )
-        .select(
-            "key", "value", F.lit(meta["name"]).alias("topic"),
-            "partition", "offset",
-            F.current_timestamp().alias("timestamp"),
-        )
-    )
-    seg = f"seg-{max(int(e) for e in ends.values()):012d}-{uuid.uuid4().hex[:8]}"
-    tmp = os.path.join(topic_dir, f"_stage_{seg}")
-    out.repartition(n, F.col("partition")).write.mode("error").parquet(tmp)
-    spark = kafka_df.sparkSession
-    seg_df = spark.read.schema(TOPIC_SCHEMA).parquet(tmp)
-    counts = {
-        r["partition"]: r["n"]
-        for r in seg_df.groupBy("partition").agg(
-            F.count("*").alias("n")
-        ).collect()
-    }
-    for p, c in counts.items():
-        ends[str(p)] = int(ends[str(p)]) + int(c)
     state["txns"][batch_id] = {"state": "prepared", "seg": seg}
     state["order"].append(batch_id)
     while len(state["order"]) > _TXN_RETENTION:
@@ -249,7 +223,28 @@ def produce_exactly_once(
     _save_meta(topic_dir, meta)
     return {"skipped": False,
             "n_produced": int(sum(counts.values())),
-            "ends": {int(p): int(e) for p, e in ends.items()}}
+            "ends": {int(p): int(e) for p, e in meta["ends"].items()}}
+
+
+def _sweep_orphan_stages(topic_dir: str, meta: dict) -> None:
+    """GC stage dirs no transaction references — the residue of a crash
+    BEFORE the prepare save (their offsets were never reserved; the
+    retry re-staged under a fresh segment name, so nothing can ever
+    point at them). Safe under this module's single-producing-driver
+    contract (the meta read-modify-write already assumes it); without
+    the sweep a stream restarted across such crashes accumulates
+    unbounded dead segment copies."""
+    import shutil
+
+    referenced = {
+        t["seg"]
+        for p in meta.get("producers", {}).values()
+        for t in p.get("txns", {}).values()
+    }
+    for name in os.listdir(topic_dir):
+        if (name.startswith("_stage_")
+                and name[len("_stage_"):] not in referenced):
+            shutil.rmtree(os.path.join(topic_dir, name), ignore_errors=True)
 
 
 def _move_staged(topic_dir: str, tmp: str, seg: str) -> None:

@@ -664,7 +664,7 @@ def start_fanout_stream(
 
                 txns = (
                     topic_meta(s["topic_dir"]).get("producers", {})
-                    .get(s.get("producer_id", job_id), {}).get("txns", {})
+                    .get(s.get("producer_id") or job_id, {}).get("txns", {})
                 )
                 if txns.get(bid, {}).get("state") != "committed":
                     pending.append(i)
@@ -755,7 +755,7 @@ def start_fanout_stream(
                 )
                 res = produce_exactly_once(
                     enc, s["topic_dir"],
-                    producer_id=s.get("producer_id", job_id),
+                    producer_id=s.get("producer_id") or job_id,
                     batch_id=bid,
                 )
                 if not res.get("skipped"):

@@ -182,8 +182,9 @@ def test_bloom_ddl_rename_widen_drop(spark, tmp_path):
     t2.apply_ddl("widen_type", name="size", type="double")
     t2 = t2.refresh()
     assert len(t2.manifest["bloom_index"]["fids"]) == 1
-    # widened col no longer answers from the index, still scans right
-    assert t2._prune_buckets(eq={"size": 7.0 * 13}) is None or True
+    # the widened col must no longer answer from the index at all (its
+    # harvested lanes were hashed under the old type) — no pruning claim
+    assert t2._prune_buckets(eq={"size": 91.0}) is None
     assert t2.scan(eq={"size": 91.0}).count() == 1
     # commit col still indexed
     assert t2.scan(eq={"commit": "c13"}).count() == 1
@@ -254,3 +255,30 @@ def test_bloom_compact_of_empty_table_is_noop(spark, tmp_path):
     t.merge(_rows(spark, 100), batch_id="b1")
     t = t.refresh()
     assert t.scan(eq={"commit": "c5"}).count() == 1
+
+
+def test_bloom_widen_recovers_via_full_rewrite_merge(spark, tmp_path):
+    """After a widen invalidates a field, an ordinary merge that
+    rewrites EVERY bucket re-claims the full fresh fid set — coverage
+    must not stay pinned to the stale prev∩fresh intersection forever
+    (only partially-carried commits are limited to the intersection)."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "lakew"), SCHEMA, pk=["k"], n_buckets=4,
+        bloom_cols=["commit", "size"],
+    )
+    t.merge(_rows(spark, 300), batch_id="b1")
+    t = t.refresh()
+    t.apply_ddl("widen_type", name="size", type="double")
+    t = t.refresh()
+    assert len(t.manifest["bloom_index"]["fids"]) == 1
+    # full-overlap merge rewrites every bucket (same keys)
+    t.merge(
+        _rows(spark, 300).withColumn(
+            "_vseq", F.col("_vseq") + F.lit(1_000_000)
+        ),
+        batch_id="b2",
+    )
+    t = t.refresh()
+    assert len(t.manifest["bloom_index"]["fids"]) == 2
+    assert t._prune_buckets(eq={"size": 91.0}) is not None
+    assert t.scan(eq={"size": 91.0}).count() == 1

@@ -772,8 +772,11 @@ def test_metadata_tables_files_and_snapshots(spark, tmp_path):
     # row counts from footers sum to what was written
     assert f.agg(F.sum("rows")).first()[0] == 500 + 50
     assert f.filter("bytes <= 0").count() == 0
-    # delta rows carry their batch id; base rows their harvested stats
+    # delta rows carry their batch id AND their touched-bucket set;
+    # base rows their harvested stats
     assert delta.filter("batch_id = 'd1'").count() == delta.count()
+    dstats = _json.loads(delta.first()["stats"])
+    assert dstats["touched_buckets"], dstats
     st = _json.loads(base.first()["stats"])
     assert "v" in st  # stats_cols harvested
 
