@@ -313,6 +313,54 @@ def read_topic_stream(
     return out.filter(flt) if flt is not None else out
 
 
+def read_topics_stream(
+    spark: SparkSession,
+    topic_dirs: list[str],
+    event_schema,
+    max_files_per_trigger: int = 4,
+    partition_stride: int = 1000,
+    starting_offsets: dict | None = None,
+) -> DataFrame:
+    """Subscribe to a LIST of simulated topics — the kafkareader
+    topic-list/pattern subscribe (KafkaBaseInputFormat consumes every
+    assigned (topic, partition) as its own monotonic log). Returns ONE
+    decoded changelog stream whose rows carry TRANSPORT positions
+    remapped into the wire format's ``(partition_id, offset)``:
+    ``partition_id = topic_index * partition_stride + partition``, so
+    downstream offset lineage, restore filters, and FormatState
+    semantics treat every (topic, partition) independently — two topics'
+    own partition 0 never collide in the high-water map.
+
+    ``starting_offsets``: {topic_index: {partition: first offset to
+    read}} — the multi-topic restore seek, pushed to each scan as a
+    codegen filter. Events decode with ``event_schema``; the embedded
+    (source-assigned) partition_id/offset are OVERRIDDEN by the
+    transport's, which is what a consumer of a real broker sees.
+    """
+    import pyspark.sql.functions as _F
+
+    if not topic_dirs:
+        raise ValueError("read_topics_stream needs at least one topic")
+    out = None
+    for i, d in enumerate(topic_dirs):
+        raw = read_topic_stream(
+            spark, d, max_files_per_trigger=max_files_per_trigger,
+            starting_offsets=(starting_offsets or {}).get(i),
+        )
+        dec = raw.select(
+            _F.from_json(_F.col("value").cast("string"), event_schema)
+            .alias("_e"),
+            (_F.lit(int(i) * int(partition_stride)) + _F.col("partition"))
+            .cast("int").alias("_tp"),
+            _F.col("offset").alias("_to"),
+        ).select("_e.*", "_tp", "_to") \
+            .withColumn("partition_id", _F.col("_tp")) \
+            .withColumn("offset", _F.col("_to")) \
+            .drop("_tp", "_to")
+        out = dec if out is None else out.unionByName(dec)
+    return out
+
+
 def read_topic_batch(
     spark: SparkSession, topic_dir: str, starting_offsets: dict | None = None
 ) -> DataFrame:

@@ -307,3 +307,67 @@ def test_produce_exactly_once_crash_recovery(spark, tmp_root):
             .filter("count > 1").count()) == 0
     assert ks.topic_meta(topic)["producers"]["p1"]["txns"]["b1"][
         "state"] == "committed"
+
+
+def test_topic_list_subscribe_replays_and_resumes(spark, tmp_root):
+    """kafkareader topic-LIST subscribe analog: two topics carry
+    disjoint key ranges of one changelog; the unioned decoded stream
+    replays into a lake with per-(topic, partition) offset lineage
+    (remapped partition ids never collide), and a full re-run with a
+    fresh checkpoint skips every batch."""
+    from chunjun_spark.operators.dedup import keep_last
+    from chunjun_spark.operators.merge import events_with_pk
+    from chunjun_spark.plans.lake import LakeTable
+    from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA
+    from chunjun_spark.streaming.pipeline import start_replay_stream
+
+    ev = _events(spark, n=3000, keys=500)
+    key_side = F.pmod(
+        F.xxhash64(F.coalesce(F.col("after.repo"), F.col("before.repo")),
+                   F.coalesce(F.col("after.path"), F.col("before.path"))),
+        F.lit(2),
+    )
+    dirs = []
+    for i in range(2):
+        d = os.path.join(tmp_root, f"topic{i}")
+        ks.create_topic(d, n_partitions=2, name=f"t{i}")
+        kv = encode_events(ev.filter(key_side == i), keep_cols=("op_ts", "seq"))
+        ks.produce(kv, d)
+        dirs.append(d)
+
+    stream = ks.read_topics_stream(spark, dirs, ev.schema,
+                                   max_files_per_trigger=1)
+    lake = os.path.join(tmp_root, "lake")
+    table = LakeTable.create(spark, lake, PAYLOAD_SCHEMA,
+                             pk=["repo", "path"], n_buckets=4)
+    q = start_replay_stream(stream, lake, os.path.join(tmp_root, "ck"),
+                            job_id="topics")
+    assert q.awaitTermination(300)
+
+    want = sorted(
+        (r["after"]["repo"], r["after"]["path"], r["after"]["commit"])
+        for r in keep_last(events_with_pk(ev, ["repo", "path"]),
+                           pk=["repo", "path"], order=("op_ts", "seq"))
+        .filter(F.col("op") != "DELETE").collect()
+    )
+    t = LakeTable.load(spark, lake)
+    got = sorted((r["repo"], r["path"], r["commit"])
+                 for r in t.read().select("repo", "path", "commit").collect())
+    assert got == want
+
+    # remapped transport partitions: topic 1's partitions live at 1000+
+    offs = t.resume_offsets()
+    parts = {int(p) for p in offs}
+    assert any(p >= 1000 for p in parts) and any(p < 1000 for p in parts)
+
+    # full re-run, fresh checkpoint, same job id → all batches skip
+    n_before = t.read().count()
+    v_before = t.manifest["version"]
+    q2 = start_replay_stream(
+        ks.read_topics_stream(spark, dirs, ev.schema, max_files_per_trigger=1),
+        lake, os.path.join(tmp_root, "ck2"), job_id="topics",
+    )
+    assert q2.awaitTermination(300)
+    t2 = LakeTable.load(spark, lake)
+    assert t2.read().count() == n_before
+    assert t2.manifest["version"] == v_before
