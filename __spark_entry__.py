@@ -1427,6 +1427,78 @@ FROM comp
 """
 
 
+def _q_doc_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection after transitive dup clustering:
+    per cluster keep the highest-quality member, ties to the lowest id
+    (functions/dedup_docs.py canonical_per_cluster — row_number over the
+    narrow (id, cluster, score) triple, one shuffle on the cluster id;
+    never max(struct), the SortAggregate trap). Quality is the rounded
+    heuristic score so Spark and DuckDB order identically."""
+    from chunjun_spark.functions.dedup_docs import canonical_per_cluster
+    from chunjun_spark.functions.graph import dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = DD.jaccard_pairs(docs, n=3, threshold=0.5, max_doc_freq=50)
+    clusters = dup_clusters(pairs, id_col="doc_id")
+    quality = docs.select(
+        "doc_id", F.round(TX.quality_score(F.col("text")), 6).alias("q")
+    )
+    best = canonical_per_cluster(clusters, quality, score_col="q")
+    return best.select(
+        "cluster_id",
+        F.col("doc_id").alias("canonical_doc_id"),
+        F.col("q").alias("canonical_quality"),
+        "n_members",
+    )
+
+
+_CLUSTER_CANONICAL_SQL = rf"""
+WITH RECURSIVE pairs AS (
+{_JACCARD_SQL}
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(node, root) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node
+), comp AS (
+  SELECT node, min(root) AS cluster_id FROM reach GROUP BY node
+), qb AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+         length(text) AS nc,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS np,
+         len(regexp_extract_all(text, '\b(the|and|of|to|is|a)\b')) AS nstop
+  FROM documents
+), qm AS (
+  SELECT doc_id,
+         list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) AS alen,
+         CASE WHEN nc > 0 THEN np::DOUBLE / nc ELSE 0.0 END AS pratio,
+         CASE WHEN len(toks) > 0 THEN nstop::DOUBLE / len(toks) ELSE 0.0 END AS sratio
+  FROM qb
+), q AS (
+  SELECT doc_id, round(
+    (CASE WHEN alen >= 2.0 AND alen <= 12.0 THEN 0.5 ELSE 0.0 END)
+    + least(sratio * 2.0, 0.3)
+    + (0.2 - least(pratio * 2.0, 0.2)), 6) AS quality
+  FROM qm
+), j AS (
+  SELECT comp.node AS doc_id, comp.cluster_id,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         q.quality
+  FROM comp JOIN q ON q.doc_id = comp.node
+)
+SELECT cluster_id, doc_id AS canonical_doc_id,
+       quality AS canonical_quality, n_members
+FROM j
+QUALIFY row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY quality DESC, doc_id ASC) = 1
+"""
+
+
 def _q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: xxhash64 signatures have no DuckDB equivalent; verified
     # against exact jaccard in tests/test_curation.py
@@ -3160,6 +3232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_jaccard_pairs": _q_doc_jaccard_pairs,
         "doc_dup_clusters": _q_doc_dup_clusters,
+        "doc_cluster_canonical": _q_doc_cluster_canonical,
         "minhash_lsh_dups": _q_minhash_lsh_dups,
         "simhash_near_dups": _q_simhash_near_dups,
         "binary_meta": _q_binary_meta,
@@ -3260,6 +3333,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _FINGERPRINT_SQL,
         "doc_jaccard_pairs": _JACCARD_SQL,
         "doc_dup_clusters": _DUP_CLUSTERS_SQL,
+        "doc_cluster_canonical": _CLUSTER_CANONICAL_SQL,
         "binary_meta": _BINARY_META_SQL,
         "content_sha256": _CONTENT_SHA_SQL,
         "cdc_keep_last_window": _KEEP_LAST_SQL,

@@ -689,3 +689,35 @@ def drop_boilerplate_lines(
         .join(rebuilt.withColumnRenamed("_id", id_col), on=id_col, how="left")
         .select(id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
     )
+
+
+def canonical_per_cluster(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Canonical-document selection: per duplicate cluster keep the
+    best-scoring member (ties → lowest id). A plain dropDuplicates after
+    clustering keeps an ARBITRARY member; a curation pipeline wants the
+    highest-quality one surviving (and everything it needs to reproduce
+    the choice is the narrow (id, cluster, score) triple).
+
+    One shuffle on ``cluster_col`` over that narrow frame via
+    row_number — never ``max(struct(...))`` (struct agg buffers force
+    SortAggregate; measured rule in CLAUDE.md). Skew is bounded by the
+    largest dup-cluster size, not corpus size. Extra columns of
+    ``clusters`` (e.g. n_members) ride through.
+    """
+    from pyspark.sql import Window
+
+    j = clusters.join(scores.select(id_col, score_col), on=id_col)
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -625,3 +625,22 @@ def test_drop_boilerplate_lines_cuts_common_keeps_rare(spark):
             drop_boilerplate_lines(df2, max_doc_frac=0.3).collect()}
     assert out2[100] == ""
     assert len(out2) == 13
+
+
+def test_canonical_per_cluster_picks_best_then_lowest_id(spark):
+    from chunjun_spark.functions.dedup_docs import canonical_per_cluster
+
+    clusters = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3), (9, 9, 1)],
+        "doc_id long, cluster_id long, n_members int",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (9, 0.5)],
+        "doc_id long, quality double",
+    )
+    got = {
+        r["cluster_id"]: (r["doc_id"], r["quality"], r["n_members"])
+        for r in canonical_per_cluster(clusters, scores).collect()
+    }
+    # 2 and 3 tie on quality: the lower id wins; singletons keep themselves
+    assert got == {1: (2, 0.9, 3), 9: (9, 0.5, 1)}
