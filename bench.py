@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "events_interval_join",
     "cdc_fanout_topic_relay",
     "cdc_changelog_integrity",
+    "doc_cluster_canonical",
 ]
 
 
