@@ -1,0 +1,103 @@
+"""Maintenance advisor: what should be compacted / vacuumed / re-indexed
+next, from the manifest alone.
+
+The reference exposes raw metrics and leaves scheduling to operators
+(docs/statistics.md); a 10^10-event continuous-ingest table needs the
+inverse — given the manifest, which maintenance action pays for itself
+right now. Everything here is a driver-side manifest fold (plus the
+vacuum dry-run's O(#unreferenced-files) stat calls): no Spark job, safe
+to run on a schedule next to a live stream.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+
+def maintenance_report(table, keep_last: int = 10, hot_min_deltas: int = 4) -> dict:
+    """One structured report over a LakeTable:
+
+    - ``compaction``: outstanding delta files, per-bucket hot set (the
+      read-amplification driver under zipf keys), and the worst bucket's
+      delta depth — feed ``hot`` straight into ``compact(buckets=...)``;
+    - ``bloom``: configured columns vs what the index can actually
+      answer — uncovered buckets (never pruned) and stale fields
+      (widen-invalidated, waiting on a rewrite to re-harvest);
+    - ``lineage``: live idempotence-window pressure vs retention;
+    - ``wap``: pending staged snapshots with ages (each pins data
+      against vacuum until published / abandoned / expired);
+    - ``vacuum``: the dry-run plan — snapshots past retention and
+      reclaimable bytes.
+    """
+    m = table.manifest
+    from collections import Counter
+
+    depth: Counter = Counter()
+    frag_missing = 0
+    for d in m["deltas"]:
+        live = table._delta_live_buckets(d)
+        if live is None:
+            live = set(range(table.n_buckets))
+        depth.update(live)
+        if m.get("bloom_cols") and not d.get("bloom"):
+            frag_missing += 1
+    hot = sorted(b for b, n in depth.items() if n >= hot_min_deltas)
+    compaction = {
+        "n_delta_files": len(m["deltas"]),
+        "hot_buckets": hot,
+        "max_bucket_delta_depth": max(depth.values(), default=0),
+        "suggest_partial_compact": bool(hot),
+        "suggest_full_compact": len(m["deltas"]) > 0 and not hot,
+    }
+
+    bloom = None
+    if m.get("bloom_cols"):
+        fields = {f["name"]: f["id"] for f in table.schema.fields}
+        cfg_fids = {fields[c] for c in m["bloom_cols"] if c in fields}
+        idx = m.get("bloom_index") or {"buckets": [], "fids": []}
+        base_ids = {int(b) for b in m["buckets"]}
+        uncovered = sorted(base_ids - {int(b) for b in idx["buckets"]})
+        stale = sorted(cfg_fids - set(idx["fids"]))
+        bloom = {
+            "cols": list(m["bloom_cols"]),
+            "uncovered_buckets": uncovered,
+            "stale_fids": stale,
+            "delta_fragments_missing": frag_missing,
+            # any of these means equality probes fall back to wider
+            # scans; a full compact re-harvests everything at once
+            "suggest_compact_to_reindex": bool(uncovered or stale
+                                               or frag_missing),
+        }
+
+    retention = int(m.get("lineage_retention", 10_000))
+    lineage = {
+        "live_entries": len(m.get("lineage", {})),
+        "retention": retention,
+        "window_pressure": round(len(m.get("lineage", {})) / retention, 4),
+    }
+
+    now = time.time()
+    staged = []
+    mdir = os.path.join(table.root, "_manifests")
+    for wap_id in table.staged_ids():
+        p = os.path.join(mdir, f"staged-{wap_id}.json")
+        try:
+            staged.append(
+                {"wap_id": wap_id,
+                 "age_sec": round(now - os.path.getmtime(p), 1)}
+            )
+        except FileNotFoundError:
+            continue  # published/abandoned concurrently
+    vac = table.vacuum(keep_last=keep_last, dry_run=True)
+    return {
+        "version": m["version"],
+        "compaction": compaction,
+        "bloom": bloom,
+        "lineage": lineage,
+        "wap_pending": staged,
+        "vacuum": {
+            "manifests_past_retention": len(vac["remove_manifests"]),
+            "unreferenced_data_dirs": len(vac["remove_data_dirs"]),
+            "reclaimable_bytes": vac["reclaimable_bytes"],
+        },
+    }

@@ -1740,14 +1740,12 @@ class LakeTable:
             json.dump(tags, f, indent=1)
         os.replace(tmp, self._tags_path(self.root))
 
-    def vacuum(self, keep_last: int = 10) -> dict:
-        """Retention GC (VACUUM analog): drop all but the newest
-        ``keep_last`` snapshot manifests, then delete every
-        ``data/<dir>`` no retained manifest references. Time travel
-        stays valid within the retention window; older versions raise
-        FileNotFoundError afterwards. Driver-side file ops only — a
-        crashed vacuum leaves extra (still unreferenced) garbage, never
-        a broken snapshot, because manifests are removed before data."""
+    def _vacuum_plan(self, keep_last: int) -> dict:
+        """What :meth:`vacuum` WOULD do: the manifests past retention
+        (tagged versions pinned), the data dirs no retained/staged
+        manifest references, and the reclaimable byte count. Pure
+        driver-side reads — the dry-run half of vacuum, also consumed
+        by the maintenance advisor."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         cur = self._current_version(self.root)
@@ -1759,7 +1757,7 @@ class LakeTable:
         # readable past the retention window until the tag is deleted
         tagged = {int(e["version"]) for e in self._load_tags(self.root).values()}
         keep_paths: set[str] = set()
-        removed_manifests = 0
+        remove_manifests: list[str] = []
         for name in sorted(os.listdir(mdir)):
             if name.startswith("staged-") and name.endswith(".json"):
                 # unpublished WAP snapshots pin their data until published
@@ -1768,12 +1766,10 @@ class LakeTable:
                     m = json.load(f)
             elif name.startswith("v") and name.endswith(".json"):
                 v = int(name[1:-5])
-                path = os.path.join(mdir, name)
                 if v < cutoff and v not in tagged:
-                    os.remove(path)
-                    removed_manifests += 1
+                    remove_manifests.append(name)
                     continue
-                with open(path) as f:
+                with open(os.path.join(mdir, name)) as f:
                     m = json.load(f)
             else:
                 continue
@@ -1786,16 +1782,47 @@ class LakeTable:
                 # files and is referenced only through the manifest
                 keep_paths.add(m["bloom_index"]["path"].split(os.sep)[1])
         ddir = os.path.join(self.root, "data")
-        removed_dirs = 0
+        remove_dirs, reclaim = [], 0
         for name in sorted(os.listdir(ddir)):
             if name not in keep_paths:
-                shutil.rmtree(os.path.join(ddir, name))
-                removed_dirs += 1
+                remove_dirs.append(name)
+                for base, _dirs, files in os.walk(os.path.join(ddir, name)):
+                    reclaim += sum(
+                        os.path.getsize(os.path.join(base, fn)) for fn in files
+                    )
         return {
-            "manifests_removed": removed_manifests,
-            "data_dirs_removed": removed_dirs,
+            "cutoff": cutoff,
+            "remove_manifests": remove_manifests,
+            "remove_data_dirs": remove_dirs,
+            "reclaimable_bytes": reclaim,
+        }
+
+    def vacuum(self, keep_last: int = 10, dry_run: bool = False) -> dict:
+        """Retention GC (VACUUM analog): drop all but the newest
+        ``keep_last`` snapshot manifests, then delete every
+        ``data/<dir>`` no retained manifest references. Time travel
+        stays valid within the retention window; older versions raise
+        FileNotFoundError afterwards. Driver-side file ops only — a
+        crashed vacuum leaves extra (still unreferenced) garbage, never
+        a broken snapshot, because manifests are removed before data.
+        ``dry_run`` returns the full plan (incl. reclaimable bytes)
+        without touching anything."""
+        plan = self._vacuum_plan(keep_last)
+        if dry_run:
+            return plan
+        mdir = os.path.join(self.root, "_manifests")
+        for name in plan["remove_manifests"]:
+            os.remove(os.path.join(mdir, name))
+        ddir = os.path.join(self.root, "data")
+        for name in plan["remove_data_dirs"]:
+            shutil.rmtree(os.path.join(ddir, name))
+        return {
+            "manifests_removed": len(plan["remove_manifests"]),
+            "data_dirs_removed": len(plan["remove_data_dirs"]),
+            "reclaimed_bytes": plan["reclaimable_bytes"],
             "retained_from": max(
-                cutoff, min((h["version"] for h in self.history()), default=cutoff)
+                plan["cutoff"],
+                min((h["version"] for h in self.history()), default=plan["cutoff"]),
             ),
         }
 

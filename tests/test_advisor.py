@@ -1,0 +1,98 @@
+"""Maintenance advisor (plans/advisor.py) + vacuum dry-run: the report
+must name the hot buckets, the bloom coverage holes, the pending WAP
+stages, and the vacuum plan — and the dry-run must match what vacuum
+then actually does."""
+
+import os
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from chunjun_spark.plans.advisor import maintenance_report
+from chunjun_spark.plans.lake import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ]
+)
+
+
+def _rows(spark, n, start=0, vseq=0):
+    return spark.range(start, start + n).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("x"), F.col("id")).alias("v"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("_vts"),
+        (F.col("id") + F.lit(vseq)).alias("_vseq"),
+    )
+
+
+def test_report_flags_hot_buckets_bloom_holes_and_vacuum_plan(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "adv"), SCHEMA, pk=["k"],
+                         n_buckets=4, bloom_cols=["v"])
+    t.merge(_rows(spark, 400), batch_id="b0")
+    t = t.refresh()
+    # pile deltas on a narrow key range → hot buckets
+    for i in range(1, 5):
+        t.append_delta(_rows(spark, 30, start=0, vseq=i * 1_000_000),
+                       batch_id=f"d{i}")
+        t = t.refresh()
+    # one delta without a fragment (older format)
+    del t.manifest["deltas"][0]["bloom"]
+    rep = maintenance_report(t, keep_last=2, hot_min_deltas=3)
+    assert rep["compaction"]["n_delta_files"] == 4
+    assert rep["compaction"]["hot_buckets"]
+    assert rep["compaction"]["suggest_partial_compact"]
+    assert rep["bloom"]["delta_fragments_missing"] == 1
+    assert rep["bloom"]["suggest_compact_to_reindex"]
+    assert rep["lineage"]["live_entries"] >= 5
+    assert rep["vacuum"]["manifests_past_retention"] >= 1
+
+    # a full compact rewrites the base — the old base + delta dirs
+    # become unreferenced once their manifests age past retention
+    t = t.refresh()
+    t.compact()
+    t = t.refresh()
+    plan = t.vacuum(keep_last=1, dry_run=True)
+    assert plan["reclaimable_bytes"] > 0
+    before = {
+        n for n in os.listdir(os.path.join(t.root, "data"))
+    }
+    res = t.vacuum(keep_last=1)
+    assert res["manifests_removed"] == len(plan["remove_manifests"])
+    assert res["data_dirs_removed"] == len(plan["remove_data_dirs"])
+    assert res["reclaimed_bytes"] == plan["reclaimable_bytes"]
+    gone = before - set(os.listdir(os.path.join(t.root, "data")))
+    assert gone == set(plan["remove_data_dirs"])
+    # table still reads after GC
+    assert t.refresh().read().count() == 400
+
+
+def test_report_clean_table_suggests_nothing(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "adv2"), SCHEMA, pk=["k"],
+                         n_buckets=4, bloom_cols=["v"])
+    t.merge(_rows(spark, 200), batch_id="b0")
+    t = t.refresh()
+    t.compact()
+    t = t.refresh()
+    rep = maintenance_report(t, keep_last=10)
+    assert rep["compaction"]["n_delta_files"] == 0
+    assert not rep["compaction"]["suggest_partial_compact"]
+    assert not rep["compaction"]["suggest_full_compact"]
+    assert rep["bloom"]["uncovered_buckets"] == []
+    assert rep["bloom"]["stale_fids"] == []
+    assert not rep["bloom"]["suggest_compact_to_reindex"]
+    assert rep["wap_pending"] == []
+    assert rep["vacuum"]["unreferenced_data_dirs"] == 0
+
+
+def test_report_pending_wap_stage_listed(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "adv3"), SCHEMA, pk=["k"],
+                         n_buckets=4)
+    t.merge(_rows(spark, 100), batch_id="b0")
+    t = t.refresh()
+    t.merge(_rows(spark, 10, start=500), batch_id="b1", wap_id="audit-1")
+    rep = maintenance_report(t.refresh())
+    assert [s["wap_id"] for s in rep["wap_pending"]] == ["audit-1"]
+    assert rep["wap_pending"][0]["age_sec"] >= 0
