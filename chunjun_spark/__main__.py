@@ -20,9 +20,43 @@ from chunjun_spark.job import run_job
 from chunjun_spark.session import get_spark
 
 
+def _maintenance(argv: list[str]) -> None:
+    """``report <lake_root>`` / ``vacuum <lake_root> [--keep-last N]
+    [--dry-run]`` — the operational side-door: the advisor's
+    maintenance report and retention GC over a lake table, one JSON
+    line each (driver-side manifest folds, tiny local session)."""
+    ap = argparse.ArgumentParser(prog=f"chunjun_spark {argv[0]}")
+    ap.add_argument("root", help="lake table root directory")
+    ap.add_argument("--keep-last", type=int, default=10)
+    if argv[0] == "vacuum":
+        ap.add_argument("--dry-run", action="store_true")
+    args = ap.parse_args(argv[1:])
+
+    from chunjun_spark.plans.lake import LakeTable
+
+    spark = get_spark("chunjun-spark-maint", master="local[2]",
+                      shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    table = LakeTable.load(spark, args.root)
+    if argv[0] == "report":
+        from chunjun_spark.plans.advisor import maintenance_report
+
+        print(json.dumps(maintenance_report(table, keep_last=args.keep_last)))
+    else:
+        print(json.dumps(table.vacuum(keep_last=args.keep_last,
+                                      dry_run=args.dry_run)))
+    spark.stop()
+
+
 def main() -> None:
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] in ("report", "vacuum"):
+        _maintenance(sys.argv[1:])
+        return
     ap = argparse.ArgumentParser(prog="chunjun_spark")
-    ap.add_argument("job", help="path to the job JSON (reference shape)")
+    ap.add_argument("job", help="path to the job JSON (reference shape), "
+                                "or a subcommand: report | vacuum")
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
