@@ -3181,6 +3181,202 @@ FROM merged
 """
 
 
+# ------------------------------------------------- code-corpus curation
+# Operators over the north-star row shape (repo, path, commit, lang,
+# content) — functions/code.py. Fixture = synth_code_files(documents),
+# reproduced byte-for-byte by the _CODE_FIXTURE CTE below so every entry
+# hash-checks against DuckDB.
+
+_CODE_FIXTURE = r"""
+code_files AS (
+  SELECT doc_id,
+         'org' || (doc_id % 5) || '/repo' || (doc_id % 17) AS repo,
+         (CASE WHEN doc_id % 11 = 0 THEN 'vendor/'
+               WHEN doc_id % 13 = 0 THEN 'node_modules/'
+               ELSE 'src/' END)
+           || 'm' || (doc_id % 7) || '/f' || doc_id || '.' ||
+           (CASE doc_id % 8 WHEN 0 THEN 'py' WHEN 1 THEN 'js'
+                 WHEN 2 THEN 'go' WHEN 3 THEN 'java' WHEN 4 THEN 'rs'
+                 WHEN 5 THEN 'md' WHEN 6 THEN 'sh' ELSE 'txt' END) AS path,
+         (CASE WHEN doc_id % 9 = 0
+               THEN '#!/usr/bin/env python3' || chr(10) ELSE '' END)
+           || (CASE doc_id % 6
+               WHEN 0 THEN '# SPDX-License-Identifier: MIT' || chr(10)
+               WHEN 1 THEN '// Licensed under the Apache License, Version 2.0' || chr(10)
+               WHEN 2 THEN '// GNU General Public License v3' || chr(10)
+               WHEN 3 THEN '# Permission is hereby granted, free of charge' || chr(10)
+               WHEN 4 THEN '// @generated by protoc - DO NOT EDIT' || chr(10)
+               ELSE '' END)
+           || '# c1' || chr(10) || '// c2' || chr(10)
+           || replace(text, '. ', '.' || chr(10))
+           || (CASE WHEN doc_id % 19 = 0
+               THEN chr(10) || repeat('x', 1200) ELSE '' END)
+           || chr(10) AS content
+  FROM documents
+),
+code_lang AS (
+  SELECT *,
+         coalesce(
+           CASE regexp_extract(content,
+                '^#!\S*/(?:env )?([A-Za-z0-9_.]+)', 1)
+             WHEN 'python' THEN 'python' WHEN 'python3' THEN 'python'
+             WHEN 'python2' THEN 'python' WHEN 'node' THEN 'javascript'
+             WHEN 'bash' THEN 'shell' WHEN 'sh' THEN 'shell'
+             WHEN 'zsh' THEN 'shell' WHEN 'ruby' THEN 'ruby'
+             WHEN 'perl' THEN 'perl' ELSE NULL END,
+           CASE lower(regexp_extract(path, '\.([A-Za-z0-9]+)$', 1))
+             WHEN 'py' THEN 'python' WHEN 'js' THEN 'javascript'
+             WHEN 'ts' THEN 'typescript' WHEN 'java' THEN 'java'
+             WHEN 'go' THEN 'go' WHEN 'rb' THEN 'ruby'
+             WHEN 'rs' THEN 'rust' WHEN 'c' THEN 'c' WHEN 'h' THEN 'c'
+             WHEN 'cc' THEN 'cpp' WHEN 'cpp' THEN 'cpp'
+             WHEN 'sh' THEN 'shell' WHEN 'sql' THEN 'sql'
+             WHEN 'md' THEN 'markdown' ELSE NULL END,
+           'unknown') AS lang_pred,
+         substring(content, 1, 1024) AS head
+  FROM code_files
+),
+code_flags AS (
+  SELECT *,
+         CASE
+           WHEN regexp_matches(head, 'SPDX-License-Identifier:\s*MIT') THEN 'mit'
+           WHEN regexp_matches(head, 'SPDX-License-Identifier:\s*Apache-2\.0') THEN 'apache-2.0'
+           WHEN regexp_matches(head, 'SPDX-License-Identifier:\s*GPL') THEN 'gpl'
+           WHEN regexp_matches(head, 'SPDX-License-Identifier:\s*BSD') THEN 'bsd'
+           WHEN regexp_matches(head, 'Permission is hereby granted, free of charge') THEN 'mit'
+           WHEN regexp_matches(head, 'Apache License,?\s*Version 2\.0') THEN 'apache-2.0'
+           WHEN regexp_matches(head, 'GNU (General|Lesser General) Public License') THEN 'gpl'
+           WHEN regexp_matches(head, 'Redistribution and use in source and binary forms') THEN 'bsd'
+           ELSE 'none' END AS license,
+         regexp_matches(head,
+           '(?i)(@generated|do not edit|auto-?generated|generated by|code generated)'
+         ) AS generated,
+         regexp_matches(path,
+           '(^|/)(vendor|vendored|node_modules|third[_-]?party|\.yarn|bower_components|dist|site-packages)/|\.min\.js$'
+         ) AS vendored,
+         coalesce(list_max(list_transform(
+           string_split(content, chr(10)), x -> length(x))), 0) AS max_ll,
+         CASE WHEN length(content) = 0 THEN 0.0
+              ELSE length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g'))::DOUBLE
+                   / length(content) END AS afrac
+  FROM code_lang
+)
+"""
+
+_CODE_KEEP_SQL = (
+    "license IN ('mit', 'apache-2.0', 'bsd') AND NOT generated "
+    "AND NOT vendored AND max_ll <= 1000 AND afrac >= 0.15 "
+    "AND lang_pred <> 'unknown'"
+)
+
+
+def _q_code_lang_license(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chunjun_spark.functions import code as CODE
+
+    files = CODE.synth_code_files(_t(spark, sf_dir, "documents"))
+    p, c = F.col("path"), F.col("content")
+    return files.select(
+        "doc_id",
+        "path",
+        CODE.lang_from_path(p, c).alias("lang_pred"),
+        CODE.license_label(c).alias("license"),
+        CODE.is_permissive(c).cast("int").alias("permissive"),
+        CODE.is_generated(c).cast("int").alias("generated"),
+        CODE.is_vendored(p).cast("int").alias("vendored"),
+        F.round(CODE.code_quality_score(p, c), 6).alias("quality"),
+    )
+
+
+_CODE_LANG_LICENSE_SQL = (
+    "WITH " + _CODE_FIXTURE + r"""
+SELECT doc_id, path, lang_pred, license,
+       (license IN ('mit', 'apache-2.0', 'bsd'))::INT AS permissive,
+       generated::INT AS generated,
+       vendored::INT AS vendored,
+       round(greatest(1.0
+         - CASE WHEN generated THEN 0.5 ELSE 0.0 END
+         - CASE WHEN vendored THEN 0.3 ELSE 0.0 END
+         - CASE WHEN max_ll > 1000 THEN 0.2 ELSE 0.0 END
+         - CASE WHEN afrac < 0.15 THEN 0.2 ELSE 0.0 END, 0.0), 6) AS quality
+FROM code_flags
+""")
+
+
+def _q_code_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chunjun_spark.functions import code as CODE
+
+    files = CODE.synth_code_files(_t(spark, sf_dir, "documents"))
+    c = F.col("content")
+    lang = CODE.lang_from_path(F.col("path"), c)
+    return files.select(
+        "doc_id",
+        CODE.line_count(c).alias("n_lines"),
+        CODE.max_line_len(c).alias("max_line_len"),
+        F.round(CODE.avg_line_len(c), 6).alias("avg_line_len"),
+        CODE.comment_line_count(c, lang).alias("n_comment_lines"),
+        F.round(CODE.alnum_frac(c), 6).alias("alnum_frac"),
+    )
+
+
+_CODE_FILE_STATS_SQL = (
+    "WITH " + _CODE_FIXTURE + r"""
+SELECT doc_id,
+       length(content) - length(replace(content, chr(10), ''))
+         + (CASE WHEN content LIKE '%' || chr(10) THEN 0 ELSE 1 END) AS n_lines,
+       max_ll AS max_line_len,
+       round(list_sum(list_transform(
+           string_split(content, chr(10)), x -> length(x)))::DOUBLE
+         / len(string_split(content, chr(10))), 6) AS avg_line_len,
+       CASE
+         WHEN lang_pred IN ('python', 'shell', 'ruby', 'perl')
+           THEN len(regexp_extract_all(content, '(?m)^[ ' || chr(9) || ']*#'))
+         WHEN lang_pred IN ('javascript', 'typescript', 'java', 'go',
+                            'rust', 'c', 'cpp')
+           THEN len(regexp_extract_all(content, '(?m)^[ ' || chr(9) || ']*//'))
+         ELSE 0 END AS n_comment_lines,
+       round(afrac, 6) AS alnum_frac
+FROM code_flags
+""")
+
+
+def _q_code_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(repo, lang) census of the training-keep gate — the one
+    map-only scan + one narrow agg a 100-TB curation pass costs."""
+    from chunjun_spark.functions import code as CODE
+
+    files = CODE.synth_code_files(_t(spark, sf_dir, "documents"))
+    p, c = F.col("path"), F.col("content")
+    return (
+        files.select(
+            "repo",
+            CODE.lang_from_path(p, c).alias("lang_pred"),
+            CODE.keep_for_training(p, c).cast("long").alias("_keep"),
+            F.when(CODE.keep_for_training(p, c), CODE.line_count(c))
+            .otherwise(F.lit(0)).cast("long").alias("_kept_lines"),
+        )
+        .groupBy("repo", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("_keep").alias("n_kept"),
+            F.sum("_kept_lines").alias("kept_lines"),
+        )
+    )
+
+
+_CODE_CURATE_SQL = (
+    "WITH " + _CODE_FIXTURE + r"""
+SELECT repo, lang_pred,
+       count(*) AS n_files,
+       sum((""" + _CODE_KEEP_SQL + r""")::BIGINT) AS n_kept,
+       sum(CASE WHEN """ + _CODE_KEEP_SQL + r"""
+           THEN length(content) - length(replace(content, chr(10), ''))
+                + (CASE WHEN content LIKE '%' || chr(10) THEN 0 ELSE 1 END)
+           ELSE 0 END) AS kept_lines
+FROM code_flags
+GROUP BY repo, lang_pred
+""")
+
+
 # ----------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3286,6 +3482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "embedding_semantic_dedup": _q_embedding_semantic_dedup,
         "doc_tfidf_near_dups": _q_doc_tfidf_near_dups,
+        "code_lang_license": _q_code_lang_license,
+        "code_file_stats": _q_code_file_stats,
+        "code_corpus_curate": _q_code_corpus_curate,
     }
 
 
@@ -3376,5 +3575,8 @@ def oracle_sql() -> dict[str, str]:
         "events_profile": _EVENTS_PROFILE_SQL,
         "doc_bm25_search": _BM25_SQL,
         "corpus_sample_k": _SAMPLE_K_SQL,
+        "code_lang_license": _CODE_LANG_LICENSE_SQL,
+        "code_file_stats": _CODE_FILE_STATS_SQL,
+        "code_corpus_curate": _CODE_CURATE_SQL,
         # minhash_lsh_dups / simhash_near_dups / ann_topk_lsh: rows-only
     }

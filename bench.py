@@ -133,6 +133,10 @@ BENCH_QUERIES = [
     "cdc_fanout_topic_relay",
     "cdc_changelog_integrity",
     "doc_cluster_canonical",
+    # round-3: code-corpus curation over the north-star row shape
+    "code_lang_license",
+    "code_file_stats",
+    "code_corpus_curate",
 ]
 
 

@@ -631,6 +631,23 @@ def _tf_dedup_minhash(df: DataFrame, p: dict) -> DataFrame:
     )
 
 
+def _tf_code_curate(df: DataFrame, p: dict) -> DataFrame:
+    """Code-corpus keep-for-training gate over the north-star row shape
+    (functions/code.py): permissive license + human-written +
+    first-party + sane line shape + identified language. Optionally
+    annotates instead of filtering (``annotateOnly``) so downstream
+    sinks can route kept/dropped separately. Map-only codegen — safe in
+    the streaming hot path."""
+    from chunjun_spark.functions import code as code_fns
+
+    path = F.col(p.get("pathColumn", "path"))
+    content = F.col(p.get("contentColumn", "content"))
+    keep = code_fns.keep_for_training(path, content)
+    if bool(p.get("annotateOnly", False)):
+        return df.withColumn(p.get("keepColumn", "keep"), keep)
+    return df.filter(keep)
+
+
 def _tf_lookup(df: DataFrame, p: dict) -> DataFrame:
     """Dimension lookup enrichment (successor-family side/lookup table,
     cache=ALL shape): broadcast-join a small dim read from parquet
@@ -674,6 +691,7 @@ TRANSFORMS = {
     "redact": _tf_redact,
     "dedup_exact": _tf_dedup_exact,
     "dedup_minhash": _tf_dedup_minhash,
+    "code_curate": _tf_code_curate,
 }
 
 
