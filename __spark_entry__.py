@@ -3181,6 +3181,46 @@ FROM merged
 """
 
 
+def _q_cdc_curated_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained FILTER/PROJECTION view (operators/ivm.py
+    sync_filter_view) — the curated-corpus pattern: the view holds
+    ``SELECT ... WHERE pred`` over the CDC lake as its own LakeTable,
+    synced exactly-once from the change-data-feed after each replay
+    window. A row-local predicate needs no preimages and no state join:
+    each net-changed key folds as one UPSERT (passes the gate) or
+    DELETE (fails it / deleted) — O(changes) per window, never O(table).
+    Oracle: the keep-last final state filtered by the same predicate."""
+    from chunjun_spark.operators.ivm import create_filter_view, sync_filter_view
+
+    fx = _events_lake_2w(spark, sf_dir)
+    pred = "value >= 100.0 and event_type <> 'view'"
+    view = create_filter_view(
+        spark, tempfile.mkdtemp(prefix="cj_entry_fltview_"),
+        [("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
+        pk=["user_id"], n_buckets=4,
+    )
+    t1 = LakeTable.load(spark, fx["root"], version=fx["v1"])
+    sync_filter_view(t1, view, pred)
+    t2 = LakeTable.load(spark, fx["root"], version=fx["v2"])
+    sync_filter_view(t2, view.refresh(), pred)
+    return view.refresh().read().select(
+        "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+_CURATED_VIEW_SQL = """
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, round(value, 6) AS value
+FROM r
+WHERE rn = 1 AND event_type <> 'error'
+  AND value >= 100.0 AND event_type <> 'view'
+"""
+
+
 # ------------------------------------------------- code-corpus curation
 # Operators over the north-star row shape (repo, path, commit, lang,
 # content) — functions/code.py. Fixture = synth_code_files(documents),
@@ -3485,6 +3525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_lang_license": _q_code_lang_license,
         "code_file_stats": _q_code_file_stats,
         "code_corpus_curate": _q_code_corpus_curate,
+        "cdc_curated_view": _q_cdc_curated_view,
     }
 
 
@@ -3578,5 +3619,6 @@ def oracle_sql() -> dict[str, str]:
         "code_lang_license": _CODE_LANG_LICENSE_SQL,
         "code_file_stats": _CODE_FILE_STATS_SQL,
         "code_corpus_curate": _CODE_CURATE_SQL,
+        "cdc_curated_view": _CURATED_VIEW_SQL,
         # minhash_lsh_dups / simhash_near_dups / ann_topk_lsh: rows-only
     }

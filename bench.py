@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "code_lang_license",
     "code_file_stats",
     "code_corpus_curate",
+    # round-3: maintained filter/projection view (curated corpus via CDF)
+    "cdc_curated_view",
 ]
 
 

@@ -932,6 +932,32 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
                     "group_cols": list(v["groupCols"]),
                     "value_col": v["valueCol"],
                 })
+        # writer.parameter.filterViews: maintained filter/projection
+        # views (curated-corpus pattern) that follow the sink —
+        # [{"path", "predicate", "columns"?}]; created on demand with
+        # the projected subset of the sink payload schema
+        if wp.get("filterViews"):
+            from chunjun_spark.operators.ivm import create_filter_view
+            from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA
+
+            types = {f.name: f.dataType.simpleString()
+                     for f in PAYLOAD_SCHEMA.fields}
+            agg_views = agg_views or []
+            pk = wp.get("pk") or ["repo", "path"]
+            for v in wp["filterViews"]:
+                cols = list(v.get("columns") or types)
+                try:
+                    LakeTable.load(spark, v["path"])
+                except FileNotFoundError:
+                    create_filter_view(
+                        spark, v["path"], [(c, types[c]) for c in cols],
+                        pk=pk, n_buckets=int(v.get("nBuckets", 8)),
+                    )
+                agg_views.append({
+                    "root": v["path"], "kind": "filter",
+                    "predicate": v["predicate"],
+                    "select_exprs": [(c, c) for c in cols],
+                })
         mirrors = None
         if wp.get("mirrors"):
             # writer.parameter.mirrors: replica roots that follow the

@@ -288,6 +288,30 @@ def view_synced_version(view) -> int | None:
     return best
 
 
+def _anchor_window(view, since_version: int | None, end: int) -> tuple[int, bool]:
+    """Resolve + validate an incremental sync window against the view's
+    own lineage. Returns (since_version, skip). Deltas are RELATIVE, so
+    a window must start at the view's synced boundary: a partial window
+    on a never-synced view would miss the base state, and a mis-anchored
+    one on a synced view would double-apply. Equal-end replays skip."""
+    synced = view_synced_version(view)
+    if since_version is None:
+        since_version = synced if synced is not None else 0
+    elif synced is None and since_version != 0:
+        raise ValueError(
+            f"window [{since_version}->{end}] on a never-synced view "
+            "must start at 0; a partial delta would miss the base state"
+        )
+    elif synced is not None and since_version != synced and end > synced:
+        raise ValueError(
+            f"window [{since_version}->{end}] does not start at the "
+            f"view's synced version {synced}; relative deltas would "
+            "double-apply"
+        )
+    skip = end == since_version or (synced is not None and end <= synced)
+    return since_version, skip
+
+
 def sync_agg_view(
     source,
     view,
@@ -318,23 +342,8 @@ def sync_agg_view(
     from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL
 
     end = source.manifest["version"]
-    synced = view_synced_version(view)
-    if since_version is None:
-        since_version = synced if synced is not None else 0
-    elif synced is None and since_version != 0:
-        # a never-synced view has no base state: a partial window applied
-        # to empty state silently loses the base contribution
-        raise ValueError(
-            f"window [{since_version}->{end}] on a never-synced view "
-            "must start at 0; a partial delta would miss the base state"
-        )
-    elif synced is not None and since_version != synced and end > synced:
-        raise ValueError(
-            f"window [{since_version}->{end}] does not start at the "
-            f"view's synced version {synced}; relative deltas would "
-            "double-apply"
-        )
-    if end == since_version or (synced is not None and end <= synced):
+    since_version, skip = _anchor_window(view, since_version, end)
+    if skip:
         return {"merge": {"skipped": True}, "version": end}
 
     changes = derive_group_keys(
@@ -359,6 +368,96 @@ def sync_agg_view(
     info = view.merge(
         batch,
         batch_id=f"ivm:{since_version}->{end}",
+        offsets={"source_version": end},
+        assume_unique_keys=True,
+    )
+    return {"merge": info, "version": end}
+
+
+def create_filter_view(
+    spark: SparkSession,
+    root: str,
+    fields: list[tuple[str, str]],
+    pk: list[str],
+    n_buckets: int = 8,
+):
+    """A maintained filter/projection view as its own LakeTable:
+    ``fields`` = [(name, type_ddl)] is the view's payload (pk columns
+    included), pk = the SOURCE table's pk (a filter view keeps at most
+    one row per source key, so key-addressed maintenance works)."""
+    from chunjun_spark.plans.lake import LakeTable, _parse_type
+
+    schema = T.StructType([T.StructField(n, _parse_type(t)) for n, t in fields])
+    return LakeTable.create(spark, root, schema, pk=pk, n_buckets=n_buckets)
+
+
+def sync_filter_view(
+    source,
+    view,
+    predicate: str,
+    select_exprs: list[tuple[str, str]] | None = None,
+    since_version: int | None = None,
+) -> dict:
+    """Catch a maintained FILTER/PROJECTION view up to the source's
+    current snapshot — exactly once. The curated-corpus pattern: the
+    view holds ``SELECT <exprs> FROM source WHERE <predicate>`` as its
+    own LakeTable, kept in sync from the source's change-data-feed as
+    ingestion commits.
+
+    Unlike aggregates, a row-local predicate needs NO preimages and NO
+    state join: each net-changed key maps to exactly one view action —
+    postimage passing the gate → UPSERT, postimage failing the gate or
+    a delete → DELETE (a key that was never in the view tolerates the
+    tombstone; a key whose update moves it out of the gate retracts).
+    Per window the cost is one CDF evaluation + one O(changes) bucketed
+    merge — at 10^10 events the view never rescans the table.
+
+    ``predicate`` is any deterministic row-local SQL expression over
+    the source row (NULL → drop). ``select_exprs`` projects the view
+    payload ([(name, sql)], default: the view's own column names read
+    straight from the source row); pk columns must be projected
+    unchanged. Window anchoring, idempotent replay, and resume follow
+    the same lineage contract as sync_agg_view. Chains: the view is a
+    LakeTable with its own CDF, so views-of-views maintain exactly.
+
+    Reference analog: ChunJun's ``where`` splice runs the gate at READ
+    time per job (QuerySqlBuilder.java:40-41); here the gate is
+    MAINTAINED on the sink's committed snapshots so every downstream
+    consumer reads it pre-applied.
+    """
+    from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL
+
+    end = source.manifest["version"]
+    pk = view.pk
+    if select_exprs is None:
+        select_exprs = [(c, c) for c in view.read().columns]
+    missing = [n for n in pk if n not in {n for n, _ in select_exprs}]
+    if missing:
+        raise ValueError(f"select_exprs must project pk columns {missing}")
+    since_version, skip = _anchor_window(view, since_version, end)
+    if skip:
+        return {"merge": {"skipped": True}, "version": end}
+
+    ch = source.read_changes(since_version, end)
+    keep = F.coalesce(F.expr(predicate), F.lit(False))
+    is_del = F.col("_change_type") == "delete"
+    batch = ch.select(
+        *[F.expr(sql).alias(name) for name, sql in select_exprs],
+        F.when(is_del | ~keep, F.lit("DELETE"))
+        .otherwise(F.lit("UPSERT"))
+        .alias(OP_COL),
+        F.lit(_EPOCH).cast("timestamp").alias(VTS_COL),
+        F.lit(end).cast("long").alias(VSEQ_COL),
+    )
+    # a tombstone-purging compaction can emit a delete whose key was
+    # already purged (NULL pk image) — nothing addressable to retract
+    notnull = F.lit(True)
+    for c in pk:
+        notnull = notnull & F.col(c).isNotNull()
+    batch = batch.where((F.col(OP_COL) != "DELETE") | notnull)
+    info = view.merge(
+        batch,
+        batch_id=f"ivm-filter:{since_version}->{end}",
         offsets={"source_version": end},
         assume_unique_keys=True,
     )

@@ -302,13 +302,23 @@ def start_replay_stream(
             return
         t = LakeTable.load(spark, table_root)
         if agg_views:
-            from chunjun_spark.operators.ivm import sync_agg_view
+            from chunjun_spark.operators.ivm import (
+                sync_agg_view,
+                sync_filter_view,
+            )
 
             for v in agg_views:
-                sync_agg_view(
-                    t, LakeTable.load(spark, v["root"]),
-                    v["group_cols"], v["value_col"],
-                )
+                if v.get("kind") == "filter":
+                    # maintained filter/projection view (curated corpus)
+                    sync_filter_view(
+                        t, LakeTable.load(spark, v["root"]),
+                        v["predicate"], v.get("select_exprs"),
+                    )
+                else:
+                    sync_agg_view(
+                        t, LakeTable.load(spark, v["root"]),
+                        v["group_cols"], v["value_col"],
+                    )
         if mirrors:
             from chunjun_spark.operators.mirror import sync_mirror
 

@@ -579,3 +579,154 @@ def test_rollup_view_derived_group_key(spark, tmp_root):
     _check()
     live = {(r["grp"], r["bucket"]) for r in view.refresh().read().collect()}
     assert ("b", 1) not in live and ("a", 3) in live
+
+
+# --------------------------------------------- filter/projection views
+
+def _fv_state(view):
+    return {r["user_id"]: (r["grp"], r["v"]) for r in view.read().collect()}
+
+
+def test_filter_view_sync_matches_recompute(spark, tmp_root):
+    """Curated-corpus pattern: the view holds SELECT ... WHERE pred as
+    its own LakeTable. Keys enter the gate, update out of it (retract),
+    delete, and re-enter across windows; after every sync the view
+    equals the full recompute over the live source."""
+    from chunjun_spark.operators.ivm import create_filter_view, sync_filter_view
+
+    src = _table(spark, tmp_root, "fsrc")
+    view = create_filter_view(
+        spark, os.path.join(tmp_root, "fview"),
+        [("user_id", "bigint"), ("grp", "string"), ("v", "double")],
+        pk=["user_id"], n_buckets=4,
+    )
+    pred = "v >= 10.0 and grp <> 'x'"
+
+    def _want(t):
+        return {r["user_id"]: (r["grp"], r["v"])
+                for r in t.read().where(pred).collect()}
+
+    src.merge(_mk(spark, [
+        (1, "a", 10.0, "UPSERT", 1, 1),   # in
+        (2, "a", 5.0, "UPSERT", 2, 2),    # out: v too small
+        (3, "x", 30.0, "UPSERT", 3, 3),   # out: grp gate
+        (4, "b", 40.0, "UPSERT", 4, 4),   # in
+    ]), batch_id="w1")
+    src = src.refresh()
+    sync_filter_view(src, view, pred)
+    view = view.refresh()
+    assert _fv_state(view) == _want(src) == {1: ("a", 10.0), 4: ("b", 40.0)}
+
+    src.merge(_mk(spark, [
+        (1, "a", 3.0, "UPSERT", 10, 10),   # updates OUT of the gate
+        (2, "a", 25.0, "UPSERT", 11, 11),  # enters the gate
+        (4, None, None, "DELETE", 12, 12), # deleted at the source
+        (3, "c", 30.0, "UPSERT", 13, 13),  # grp change brings it in
+    ]), batch_id="w2")
+    src = src.refresh()
+    sync_filter_view(src, view, pred)      # auto-resume from lineage
+    view = view.refresh()
+    assert _fv_state(view) == _want(src) == {2: ("a", 25.0), 3: ("c", 30.0)}
+
+
+def test_filter_view_projection_and_null_predicate(spark, tmp_root):
+    """select_exprs projects computed columns; a predicate evaluating to
+    NULL (null v) drops the row like false."""
+    from chunjun_spark.operators.ivm import create_filter_view, sync_filter_view
+
+    src = _table(spark, tmp_root, "fpsrc")
+    view = create_filter_view(
+        spark, os.path.join(tmp_root, "fpview"),
+        [("user_id", "bigint"), ("v2", "double")],
+        pk=["user_id"], n_buckets=2,
+    )
+    src.merge(_mk(spark, [
+        (1, "a", 2.0, "UPSERT", 1, 1),
+        (2, "a", None, "UPSERT", 2, 2),    # NULL v -> predicate NULL
+        (3, "b", -1.0, "UPSERT", 3, 3),
+    ]), batch_id="w1")
+    src = src.refresh()
+    sync_filter_view(src, view, "v > 0",
+                     select_exprs=[("user_id", "user_id"), ("v2", "v * v")])
+    view = view.refresh()
+    assert {r["user_id"]: r["v2"] for r in view.read().collect()} == {1: 4.0}
+
+
+def test_filter_view_resume_replay_and_anchoring(spark, tmp_root):
+    """Same lineage contract as agg views: equal-end replays skip,
+    crash re-delivery is a batch_id no-op, a mis-anchored window that
+    would apply new data is rejected, never-synced requires start 0."""
+    import pytest as _pt
+
+    from chunjun_spark.operators.ivm import create_filter_view, sync_filter_view
+
+    src = _table(spark, tmp_root, "frsrc")
+    view = create_filter_view(
+        spark, os.path.join(tmp_root, "frview"),
+        [("user_id", "bigint"), ("grp", "string"), ("v", "double")],
+        pk=["user_id"], n_buckets=2,
+    )
+    with _pt.raises(ValueError, match="never-synced"):
+        sync_filter_view(src, view, "v > 0", since_version=1)
+
+    src.merge(_mk(spark, [(1, "a", 1.0, "UPSERT", 1, 1)]), batch_id="w1")
+    src = src.refresh()
+    sync_filter_view(src, view, "v > 0")
+    view = view.refresh()
+    # crash after sync, before follower recorded progress: re-driven
+    # window hits the batch_id lineage skip
+    assert sync_filter_view(src, view, "v > 0",
+                            since_version=0)["merge"]["skipped"]
+    # nothing new: skip
+    assert sync_filter_view(src, view, "v > 0")["merge"]["skipped"]
+    src.merge(_mk(spark, [(2, "a", 2.0, "UPSERT", 2, 2)]), batch_id="w2")
+    src = src.refresh()
+    with _pt.raises(ValueError, match="double-apply"):
+        sync_filter_view(src, view, "v > 0", since_version=0)
+    sync_filter_view(src, view, "v > 0")
+    view = view.refresh()
+    assert set(_fv_state(view)) == {1, 2}
+
+    # pk must be projected
+    with _pt.raises(ValueError, match="pk"):
+        sync_filter_view(src, view, "v > 0",
+                         select_exprs=[("grp", "grp"), ("v", "v")])
+
+
+def test_streaming_replay_maintains_filter_view(spark, tmp_root):
+    """kind='filter' rides the same agg_views hook: the curated view
+    follows the sink through the micro-batch loop and equals the full
+    recompute at drain."""
+    from chunjun_spark.operators.ivm import create_filter_view
+    from chunjun_spark.sources.binlog import (
+        PAYLOAD_SCHEMA, generate_binlog, write_binlog_files,
+    )
+    from chunjun_spark.streaming.pipeline import (
+        read_binlog_stream, start_replay_stream,
+    )
+
+    root = os.path.join(tmp_root, "fv_lake")
+    vroot = os.path.join(tmp_root, "fv_view")
+    binlog = os.path.join(tmp_root, "fv_binlog")
+    ckpt = os.path.join(tmp_root, "fv_ckpt")
+    LakeTable.create(spark, root, PAYLOAD_SCHEMA,
+                     pk=["repo", "path"], n_buckets=4)
+    fields = [(f.name, f.dataType.simpleString()) for f in PAYLOAD_SCHEMA.fields]
+    create_filter_view(spark, vroot, fields, pk=["repo", "path"], n_buckets=2)
+    ev = generate_binlog(spark, n_events=4000, n_keys=1000, seed=11)
+    write_binlog_files(ev, binlog, n_files=4)
+
+    pred = "lang in ('py', 'go') and length(content) >= 200"
+    events = read_binlog_stream(spark, binlog, max_files_per_trigger=1)
+    q = start_replay_stream(
+        events, root, ckpt, job_id="fv", mode="mor",
+        agg_views=[{"root": vroot, "kind": "filter", "predicate": pred}],
+    )
+    assert q.awaitTermination(300)
+
+    t = LakeTable.load(spark, root)
+    view = LakeTable.load(spark, vroot)
+    got = {(r["repo"], r["path"]): r["commit"] for r in view.read().collect()}
+    want = {(r["repo"], r["path"]): r["commit"]
+            for r in t.read().where(pred).collect()}
+    assert got == want and len(got) > 0

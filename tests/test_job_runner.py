@@ -606,6 +606,56 @@ def test_stream_job_with_agg_view(spark, tmp_root):
     assert got == want and len(got) > 0
 
 
+def test_stream_job_with_filter_view(spark, tmp_root):
+    """writer.parameter.filterViews attaches a maintained curated view
+    (filter/projection) to the stream job: created on demand with the
+    projected payload subset, synced per micro-batch, final state equals
+    SELECT cols WHERE pred over the sink."""
+    from chunjun_spark.sources.binlog import generate_binlog
+
+    binlog_dir = os.path.join(tmp_root, "flv_segments")
+    lake = os.path.join(tmp_root, "flv_lake")
+    view = os.path.join(tmp_root, "flv_view")
+    generate_binlog(spark, n_events=800, seed=5, n_partitions=2).write.parquet(
+        binlog_dir
+    )
+    pred = "lang in ('py', 'go')"
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {"name": "binlogreader", "parameter": {"path": binlog_dir}},
+                    "writer": {
+                        "name": "lakewriter",
+                        "parameter": {
+                            "path": lake, "pk": ["repo", "path"],
+                            "nBuckets": 4, "mode": "mor",
+                            "filterViews": [{
+                                "path": view, "predicate": pred,
+                                "columns": ["repo", "path", "lang"],
+                            }],
+                        },
+                    },
+                }
+            ],
+            "setting": {
+                "restore": {
+                    "isStream": True,
+                    "isRestore": True,
+                    "checkpointDir": os.path.join(tmp_root, "flv_ckpt"),
+                }
+            },
+        }
+    }
+    run_job(spark, cfg)
+    t = LakeTable.load(spark, lake)
+    v = LakeTable.load(spark, view)
+    got = {(r["repo"], r["path"]): r["lang"] for r in v.read().collect()}
+    want = {(r["repo"], r["path"]): r["lang"]
+            for r in t.read().where(pred).select("repo", "path", "lang").collect()}
+    assert got == want and len(got) > 0
+
+
 def test_prometheus_exposition_from_job_metrics(spark):
     """CustomPrometheusReporter analog: run_job metrics render in the
     Prometheus text exposition format — every sample line parses, names
