@@ -439,22 +439,7 @@ def sync_filter_view(
         return {"merge": {"skipped": True}, "version": end}
 
     ch = source.read_changes(since_version, end)
-    keep = F.coalesce(F.expr(predicate), F.lit(False))
-    is_del = F.col("_change_type") == "delete"
-    batch = ch.select(
-        *[F.expr(sql).alias(name) for name, sql in select_exprs],
-        F.when(is_del | ~keep, F.lit("DELETE"))
-        .otherwise(F.lit("UPSERT"))
-        .alias(OP_COL),
-        F.lit(_EPOCH).cast("timestamp").alias(VTS_COL),
-        F.lit(end).cast("long").alias(VSEQ_COL),
-    )
-    # a tombstone-purging compaction can emit a delete whose key was
-    # already purged (NULL pk image) — nothing addressable to retract
-    notnull = F.lit(True)
-    for c in pk:
-        notnull = notnull & F.col(c).isNotNull()
-    batch = batch.where((F.col(OP_COL) != "DELETE") | notnull)
+    batch = filter_view_batch(ch, predicate, select_exprs, pk, end)
     info = view.merge(
         batch,
         batch_id=f"ivm-filter:{since_version}->{end}",
@@ -462,3 +447,35 @@ def sync_filter_view(
         assume_unique_keys=True,
     )
     return {"merge": info, "version": end}
+
+
+def filter_view_batch(
+    changes: DataFrame,
+    predicate: str,
+    select_exprs: list[tuple[str, str]],
+    pk: list[str],
+    end: int,
+) -> DataFrame:
+    """Fold one CDF window into a filter-view merge batch — a pure
+    row-local projection (no join, no shuffle, no aggregate; the audit
+    `filter_view_fold_map_only` asserts this plan shape): postimage
+    passing the gate → UPSERT, failing it or a delete → DELETE. A
+    tombstone-purging compaction can emit a delete whose key image was
+    already purged (NULL pk) — nothing addressable to retract, dropped.
+    """
+    from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL
+
+    keep = F.coalesce(F.expr(predicate), F.lit(False))
+    is_del = F.col("_change_type") == "delete"
+    batch = changes.select(
+        *[F.expr(sql).alias(name) for name, sql in select_exprs],
+        F.when(is_del | ~keep, F.lit("DELETE"))
+        .otherwise(F.lit("UPSERT"))
+        .alias(OP_COL),
+        F.lit(_EPOCH).cast("timestamp").alias(VTS_COL),
+        F.lit(end).cast("long").alias(VSEQ_COL),
+    )
+    notnull = F.lit(True)
+    for c in pk:
+        notnull = notnull & F.col(c).isNotNull()
+    return batch.where((F.col(OP_COL) != "DELETE") | notnull)

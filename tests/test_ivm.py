@@ -730,3 +730,68 @@ def test_streaming_replay_maintains_filter_view(spark, tmp_root):
     want = {(r["repo"], r["path"]): r["commit"]
             for r in t.read().where(pred).collect()}
     assert got == want and len(got) > 0
+
+
+def test_filter_view_across_compaction_and_ddl(spark, tmp_root):
+    """A compaction inside the sync window forces the CDF onto the
+    snapshot-diff fallback; an additive DDL widens the source row — the
+    filter view keeps syncing and matches the recompute. A predicate
+    naming a column the source RENAMED away fails loudly (never a
+    silent empty sync)."""
+    import pytest as _pt
+
+    from chunjun_spark.operators.ivm import create_filter_view, sync_filter_view
+
+    src = _table(spark, tmp_root, "fcsrc")
+    view = create_filter_view(
+        spark, os.path.join(tmp_root, "fcview"),
+        [("user_id", "bigint"), ("v", "double")],
+        pk=["user_id"], n_buckets=2,
+    )
+    pred = "v >= 10.0"
+    sel = [("user_id", "user_id"), ("v", "v")]
+    src.merge(_mk(spark, [
+        (1, "a", 10.0, "UPSERT", 1, 1),
+        (2, "a", 5.0, "UPSERT", 2, 2),
+        (3, "b", 30.0, "UPSERT", 3, 3),
+    ]), batch_id="w1")
+    src = src.refresh()
+    sync_filter_view(src, view, pred, sel)
+
+    # window 2 contains a compaction + an add_column DDL + data
+    src.compact()
+    src = src.refresh()
+    src.apply_ddl("add_column", name="stars", type="int")
+    src = src.refresh()
+    src.merge(_mk(spark, [
+        (2, "a", 25.0, "UPSERT", 10, 10),   # enters the gate
+        (3, None, None, "DELETE", 11, 11),
+    ]).withColumn("stars", F.lit(7)), batch_id="w2")
+    src = src.refresh()
+    sync_filter_view(src, view.refresh(), pred, sel)
+    view = view.refresh()
+    got = {r["user_id"]: r["v"] for r in view.read().collect()}
+    want = {r["user_id"]: r["v"] for r in src.read().where(pred).collect()}
+    assert got == want == {1: 10.0, 2: 25.0}
+
+    # a rename that takes the predicate's column away: loud failure
+    src.apply_ddl("rename_column", old="v", new="score")
+    src = src.refresh()
+    src.merge(
+        spark.createDataFrame(
+            [(9, "a", 99.0, "UPSERT", "2024-01-01 00:01:00", 99)],
+            f"user_id long, grp string, score double, {OP_COL} string, "
+            f"_ts string, {VSEQ_COL} long",
+        ).select("user_id", "grp", "score", OP_COL,
+                 F.col("_ts").cast("timestamp").alias(VTS_COL), VSEQ_COL),
+        batch_id="w3",
+    )
+    src = src.refresh()
+    with _pt.raises(Exception, match="v|resolve"):
+        sync_filter_view(src, view.refresh(), pred, sel)
+    # re-anchored to the new name, the sync proceeds
+    sync_filter_view(src, view.refresh(), "score >= 10.0",
+                     [("user_id", "user_id"), ("v", "score")])
+    view = view.refresh()
+    assert {r["user_id"]: r["v"] for r in view.read().collect()} == \
+        {1: 10.0, 2: 25.0, 9: 99.0}
