@@ -795,3 +795,68 @@ def test_filter_view_across_compaction_and_ddl(spark, tmp_root):
     view = view.refresh()
     assert {r["user_id"]: r["v"] for r in view.read().collect()} == \
         {1: 10.0, 2: 25.0, 9: 99.0}
+
+
+def test_filter_view_random_interleavings_match_model(spark, tmp_root):
+    """Hypothesis: for arbitrary change streams split into arbitrary
+    sync windows, the maintained filter view equals both the live
+    recompute and a Python keep-last-then-filter model."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from chunjun_spark.operators.ivm import create_filter_view, sync_filter_view
+
+    EVENT = st.tuples(
+        st.integers(min_value=0, max_value=5),            # key
+        st.integers(min_value=0, max_value=30),           # op_ts sec
+        st.sampled_from(["UPSERT", "UPSERT", "DELETE"]),
+        st.sampled_from(["g0", "g1", "g2"]),              # group
+        st.one_of(st.none(), st.integers(min_value=-9, max_value=9)),
+    )
+    PRED = "v >= 0.0 and grp <> 'g2'"
+
+    def _pass(g, v):
+        return v is not None and v >= 0.0 and g != "g2"
+
+    counter = {"n": 0}
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(EVENT, min_size=1, max_size=24),
+           st.integers(min_value=1, max_value=3))
+    def run(events, n_windows):
+        counter["n"] += 1
+        rows = [
+            (k, None if op == "DELETE" else g,
+             None if (op == "DELETE" or v is None) else float(v),
+             op, ts, i)
+            for i, (k, ts, op, g, v) in enumerate(events)
+        ]
+        src = _table(spark, tmp_root, f"fp_src{counter['n']}")
+        view = create_filter_view(
+            spark, os.path.join(tmp_root, f"fp_view{counter['n']}"),
+            [("user_id", "bigint"), ("grp", "string"), ("v", "double")],
+            pk=["user_id"], n_buckets=2,
+        )
+        step = max(1, len(rows) // n_windows)
+        for w in range(0, len(rows), step):
+            src.merge(_mk(spark, rows[w:w + step]), batch_id=f"w{w}")
+            src = src.refresh()
+            sync_filter_view(src, view.refresh(), PRED)
+
+        win = {}
+        for (k, g, v, op, ts, seq) in rows:
+            cur = win.get(k)
+            if cur is None or (ts, seq) > (cur[0], cur[1]):
+                win[k] = (ts, seq, op, g, v)
+        model = {k: (g, v) for k, (ts, seq, op, g, v) in win.items()
+                 if op != "DELETE" and _pass(g, v)}
+
+        got = {r["user_id"]: (r["grp"], r["v"])
+               for r in view.refresh().read().collect()}
+        full = {r["user_id"]: (r["grp"], r["v"])
+                for r in src.read().where(PRED).collect()}
+        assert got == model, f"view {got} != model {model}"
+        assert full == model, f"recompute {full} != model {model}"
+
+    run()
