@@ -3181,6 +3181,42 @@ FROM merged
 """
 
 
+def _q_cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTENT SCD2 history maintained incrementally
+    (operators/temporal.py sync_scd2_history — the Delta Live Tables
+    APPLY CHANGES ... SCD TYPE 2 capability class): per window, touched
+    keys' open intervals close at the window's first change and the
+    window's versions append — O(batch) + a bucket-pruned open-row read,
+    never a refold of past events. Two ts-split windows here must equal
+    the one-shot batch fold, so the oracle is the same SQL as
+    cdc_scd2_history."""
+    from chunjun_spark.operators.temporal import (
+        create_scd2_table,
+        sync_scd2_history,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    ts_type = ev.schema["ts"].dataType.simpleString()
+    table = create_scd2_table(
+        spark, tempfile.mkdtemp(prefix="cj_entry_scd2i_"),
+        [("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
+        pk=["user_id"], ts_type=ts_type, n_buckets=4,
+    )
+    sync_scd2_history(
+        events_changelog(ev.filter(F.col("ts") <= cut)), table,
+        pk=["user_id"], batch_id="w1",
+    )
+    sync_scd2_history(
+        events_changelog(ev.filter(F.col("ts") > cut)), table.refresh(),
+        pk=["user_id"], batch_id="w2",
+    )
+    return table.refresh().read().select(
+        "user_id", "event_type", F.round("value", 6).alias("value"),
+        "valid_from_seq", "valid_to_seq", "is_current",
+    )
+
+
 def _q_cdc_curated_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintained FILTER/PROJECTION view (operators/ivm.py
     sync_filter_view) — the curated-corpus pattern: the view holds
@@ -3526,6 +3562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_file_stats": _q_code_file_stats,
         "code_corpus_curate": _q_code_corpus_curate,
         "cdc_curated_view": _q_cdc_curated_view,
+        "cdc_scd2_incremental": _q_cdc_scd2_incremental,
     }
 
 
@@ -3620,5 +3657,6 @@ def oracle_sql() -> dict[str, str]:
         "code_file_stats": _CODE_FILE_STATS_SQL,
         "code_corpus_curate": _CODE_CURATE_SQL,
         "cdc_curated_view": _CURATED_VIEW_SQL,
+        "cdc_scd2_incremental": _SCD2_SQL,
         # minhash_lsh_dups / simhash_near_dups / ann_topk_lsh: rows-only
     }

@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "code_corpus_curate",
     # round-3: maintained filter/projection view (curated corpus via CDF)
     "cdc_curated_view",
+    # round-3: persistent SCD2 history maintained incrementally
+    "cdc_scd2_incremental",
 ]
 
 
