@@ -958,6 +958,27 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
                     "predicate": v["predicate"],
                     "select_exprs": [(c, c) for c in cols],
                 })
+        # writer.parameter.scd2Tables: persistent SCD2 history tables
+        # that follow the sink — [{"path", "nBuckets"?}]; created on
+        # demand from the sink payload schema + pk
+        scd2_tables = None
+        if wp.get("scd2Tables"):
+            from chunjun_spark.operators.temporal import create_scd2_table
+            from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA
+
+            fields = [(f.name, f.dataType.simpleString())
+                      for f in PAYLOAD_SCHEMA.fields]
+            pk = wp.get("pk") or ["repo", "path"]
+            scd2_tables = []
+            for s in wp["scd2Tables"]:
+                try:
+                    LakeTable.load(spark, s["path"])
+                except FileNotFoundError:
+                    create_scd2_table(
+                        spark, s["path"], fields, pk=pk,
+                        n_buckets=int(s.get("nBuckets", 8)),
+                    )
+                scd2_tables.append({"root": s["path"]})
         mirrors = None
         if wp.get("mirrors"):
             # writer.parameter.mirrors: replica roots that follow the
@@ -1008,6 +1029,7 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
             audits=wp.get("audits"),
             mirrors=mirrors,
             dirty=stream_dirty,
+            scd2_tables=scd2_tables,
         )
         table = LakeTable.load(spark, wp["path"])
         totals = table.lineage_totals()  # exact even past lineage eviction

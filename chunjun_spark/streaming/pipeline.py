@@ -173,8 +173,17 @@ def start_replay_stream(
     audits: list[dict] | None = None,
     mirrors: list[str] | None = None,
     dirty: dict | None = None,
+    scd2_tables: list[dict] | None = None,
 ) -> StreamingQuery:
     """Start the micro-batch apply loop.
+
+    ``scd2_tables``: persistent SCD2 history tables
+    (operators/temporal.py create_scd2_table) that follow the stream —
+    ``[{"root": dir}]``. Each micro-batch folds its FULL event window
+    (all versions, pre-dedup) via sync_scd2_history under batch id
+    ``scd2:{bid}``; the sync's own lineage guard makes the
+    replayed-batch skip path a catch-up, so a crash between the lake
+    commit and the history fold never loses or doubles a version.
 
     ``dirty``: streaming dead-letter queue + error limiter —
     ``{"path": dir, "max_errors": N, "max_ratio": f}`` (limits optional
@@ -325,6 +334,23 @@ def start_replay_stream(
             for mroot in mirrors:
                 sync_mirror(t, LakeTable.load(spark, mroot))
 
+    def _sync_scd2(df: DataFrame, bid: str, table) -> None:
+        """Fold this batch's full event window into each attached SCD2
+        history table. ``df`` must be decoded; control + NULL-pk rows
+        are stripped here (an un-admitted replayed batch passes its raw
+        re-delivery). Exactly-once via the sync's own batch-id guard."""
+        if not scd2_tables:
+            return
+        from chunjun_spark.operators.temporal import sync_scd2_history
+
+        df = df.filter(F.col("op").isin("INSERT", "UPDATE", "DELETE"))
+        df = df.filter(~_null_pk_pred(table.pk))
+        for s in scd2_tables:
+            sync_scd2_history(
+                df, LakeTable.load(spark, s["root"]),
+                pk=table.pk, batch_id=f"scd2:{bid}",
+            )
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         from chunjun_spark.operators.ddl import apply_ddl_events
         from chunjun_spark.sources.changelog import decode_json_events
@@ -339,6 +365,14 @@ def start_replay_stream(
                 # crash between publish's pointer swap and its cleanup:
                 # drop the redundant stage so it can't pin files
                 table.abandon_staged(bid)
+            if scd2_tables:
+                # the history fold may lag the commit (crash between
+                # them): re-drive it from the re-delivered raw batch —
+                # its own batch-id guard makes a completed fold a no-op
+                df = batch_df
+                if wire_format == "json":
+                    df = decode_json_events(df, table.schema.to_struct())
+                _sync_scd2(df, bid, table)
             _sync_views()
             return
         # one fused narrow pre-pass (poison + DDL + FormatState offsets +
@@ -429,6 +463,7 @@ def start_replay_stream(
                 t2.compact()
         if rate_limiter is not None:
             rate_limiter.observe_rows(metrics["numRead"], batch_df)
+        _sync_scd2(batch_df, bid, table)
         _sync_views()
 
     writer = events.writeStream.foreachBatch(apply_batch).option(
@@ -1130,6 +1165,7 @@ def run_stream_to_completion(
     subscription: dict | None = None,
     mirrors: list[str] | None = None,
     dirty: dict | None = None,
+    scd2_tables: list[dict] | None = None,
 ) -> None:
     events = read_binlog_stream(spark, binlog_dir, max_files_per_trigger)
     if subscription:
@@ -1145,6 +1181,7 @@ def run_stream_to_completion(
         trigger_available_now=True, rate_limiter=limiter,
         agg_views=agg_views, restore_from_lineage=restore_from_lineage,
         audits=audits, mirrors=mirrors, dirty=dirty,
+        scd2_tables=scd2_tables,
     )
     if not q.awaitTermination(timeout_sec):
         q.stop()

@@ -656,6 +656,52 @@ def test_stream_job_with_filter_view(spark, tmp_root):
     assert got == want and len(got) > 0
 
 
+def test_stream_job_with_scd2_table(spark, tmp_root):
+    """writer.parameter.scd2Tables attaches a persistent SCD2 history to
+    the stream job: created on demand from the payload schema, folded
+    per micro-batch, final state equals the one-shot batch fold."""
+    from chunjun_spark.operators.temporal import scd2_history
+    from chunjun_spark.sources.binlog import generate_binlog
+
+    binlog_dir = os.path.join(tmp_root, "s2j_segments")
+    lake = os.path.join(tmp_root, "s2j_lake")
+    hist = os.path.join(tmp_root, "s2j_hist")
+    ev = generate_binlog(spark, n_events=800, seed=6, n_partitions=2)
+    ev.write.parquet(binlog_dir)
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {"name": "binlogreader", "parameter": {"path": binlog_dir}},
+                    "writer": {
+                        "name": "lakewriter",
+                        "parameter": {
+                            "path": lake, "pk": ["repo", "path"],
+                            "nBuckets": 4, "mode": "mor",
+                            "scd2Tables": [{"path": hist, "nBuckets": 4}],
+                        },
+                    },
+                }
+            ],
+            "setting": {
+                "restore": {
+                    "isStream": True,
+                    "isRestore": True,
+                    "checkpointDir": os.path.join(tmp_root, "s2j_ckpt"),
+                }
+            },
+        }
+    }
+    run_job(spark, cfg)
+    h = LakeTable.load(spark, hist)
+    got = {(r["repo"], r["path"], r["valid_from_seq"]):
+           (r["valid_to_seq"], r["is_current"]) for r in h.read().collect()}
+    want = {(r["repo"], r["path"], r["valid_from_seq"]):
+            (r["valid_to_seq"], r["is_current"])
+            for r in scd2_history(ev, pk=["repo", "path"]).collect()}
+    assert got == want and len(got) > 0
+
+
 def test_prometheus_exposition_from_job_metrics(spark):
     """CustomPrometheusReporter analog: run_job metrics render in the
     Prometheus text exposition format — every sample line parses, names

@@ -420,3 +420,58 @@ def test_sync_scd2_history_replay_and_stale_drop(spark, tmp_root):
         (1, 2): (11.0, 5, False),
         (1, 5): (12.0, None, True),
     }
+
+
+def test_streaming_replay_maintains_scd2(spark, tmp_root):
+    """scd2_tables on start_replay_stream: the persistent SCD2 history
+    follows the micro-batch loop (full event windows, pre-dedup) and at
+    drain equals the one-shot batch fold over all events."""
+    import os
+
+    from chunjun_spark.operators.temporal import (
+        create_scd2_table, scd2_history, sync_scd2_history,
+    )
+    from chunjun_spark.plans.lake import LakeTable
+    from chunjun_spark.sources.binlog import (
+        PAYLOAD_SCHEMA, generate_binlog, write_binlog_files,
+    )
+    from chunjun_spark.streaming.pipeline import (
+        read_binlog_stream, start_replay_stream,
+    )
+
+    root = os.path.join(tmp_root, "s2_lake")
+    hroot = os.path.join(tmp_root, "s2_hist")
+    binlog = os.path.join(tmp_root, "s2_binlog")
+    ckpt = os.path.join(tmp_root, "s2_ckpt")
+    LakeTable.create(spark, root, PAYLOAD_SCHEMA,
+                     pk=["repo", "path"], n_buckets=4)
+    fields = [(f.name, f.dataType.simpleString()) for f in PAYLOAD_SCHEMA.fields]
+    create_scd2_table(spark, hroot, fields, pk=["repo", "path"], n_buckets=4)
+    ev = generate_binlog(spark, n_events=4000, n_keys=600, seed=21)
+    write_binlog_files(ev, binlog, n_files=4)
+
+    q = start_replay_stream(
+        read_binlog_stream(spark, binlog, max_files_per_trigger=1),
+        root, ckpt, job_id="s2", mode="mor",
+        scd2_tables=[{"root": hroot}],
+    )
+    assert q.awaitTermination(300)
+
+    hist = LakeTable.load(spark, hroot)
+    got = {
+        (r["repo"], r["path"], r["valid_from_seq"]):
+            (r["commit"], r["valid_to_seq"], r["is_current"])
+        for r in hist.read().collect()
+    }
+    want = {
+        (r["repo"], r["path"], r["valid_from_seq"]):
+            (r["commit"], r["valid_to_seq"], r["is_current"])
+        for r in scd2_history(ev, pk=["repo", "path"]).collect()
+    }
+    assert got == want and len(got) > 0
+    # the lake's final state = the history's current rows
+    t = LakeTable.load(spark, root)
+    cur = {(r["repo"], r["path"]) for r in
+           hist.read().filter(F.col("is_current")).collect()}
+    live = {(r["repo"], r["path"]) for r in t.read().collect()}
+    assert cur == live
