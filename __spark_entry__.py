@@ -3181,25 +3181,28 @@ FROM merged
 """
 
 
-def _q_cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PERSISTENT SCD2 history maintained incrementally
-    (operators/temporal.py sync_scd2_history — the Delta Live Tables
-    APPLY CHANGES ... SCD TYPE 2 capability class): per window, touched
-    keys' open intervals close at the window's first change and the
-    window's versions append — O(batch) + a bucket-pruned open-row read,
-    never a refold of past events. Two ts-split windows here must equal
-    the one-shot batch fold, so the oracle is the same SQL as
-    cdc_scd2_history."""
+# read-only SCD2 history fixture (two ts-split sync windows), shared by
+# the incremental + as-of entries — same sharing rationale as
+# _EVENTS_FIXTURE (consumers only read it)
+_SCD2_FIXTURE: dict = {}
+_SCD2_CUT = "2024-01-15 00:00:00"
+
+
+def _scd2_lake_2w(spark: SparkSession, sf_dir: str):
     from chunjun_spark.operators.temporal import (
         create_scd2_table,
         sync_scd2_history,
     )
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _SCD2_FIXTURE.get(key)
+    if got is not None:
+        return got
     ev = _t(spark, sf_dir, "events")
-    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
     ts_type = ev.schema["ts"].dataType.simpleString()
+    cut = F.lit(_SCD2_CUT).cast(ts_type)
     table = create_scd2_table(
-        spark, tempfile.mkdtemp(prefix="cj_entry_scd2i_"),
+        spark, tempfile.mkdtemp(prefix="cj_entry_scd2fx_"),
         [("user_id", "bigint"), ("event_type", "string"), ("value", "double")],
         pk=["user_id"], ts_type=ts_type, n_buckets=4,
     )
@@ -3211,10 +3214,56 @@ def _q_cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_changelog(ev.filter(F.col("ts") > cut)), table.refresh(),
         pk=["user_id"], batch_id="w2",
     )
-    return table.refresh().read().select(
+    got = table.refresh()
+    _SCD2_FIXTURE[key] = got
+    return got
+
+
+def _q_cdc_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTENT SCD2 history maintained incrementally
+    (operators/temporal.py sync_scd2_history — the Delta Live Tables
+    APPLY CHANGES ... SCD TYPE 2 capability class): per window, touched
+    keys' open intervals close at the window's first change and the
+    window's versions append — O(batch) + a bucket-pruned open-row read,
+    never a refold of past events. Two ts-split windows here must equal
+    the one-shot batch fold, so the oracle is the same SQL as
+    cdc_scd2_history."""
+    return _scd2_lake_2w(spark, sf_dir).read().select(
         "user_id", "event_type", F.round("value", 6).alias("value"),
         "valid_from_seq", "valid_to_seq", "is_current",
     )
+
+
+def _q_cdc_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of state read served from the maintained SCD2 history
+    (operators/temporal.py scd2_as_of): the table's keep-last state at
+    the window cut, by pure interval containment — one map-only filter
+    over the history, no window, no rescan of the change stream. With
+    the history as a LakeTable the interval columns carry file stats,
+    so old as-of reads prune recent files. Oracle: keep-last over the
+    events at-or-before the cut."""
+    from chunjun_spark.operators.temporal import scd2_as_of
+
+    hist = _scd2_lake_2w(spark, sf_dir)
+    ts_type = hist.read().schema["valid_from_ts"].dataType.simpleString()
+    return scd2_as_of(
+        hist.read(), F.lit(_SCD2_CUT).cast(ts_type)
+    ).select(
+        "user_id", "event_type", F.round("value", 6).alias("value"),
+        "valid_from_seq",
+    )
+
+
+_SCD2_ASOF_SQL = f"""
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE ts <= TIMESTAMP '{_SCD2_CUT}'
+)
+SELECT user_id, event_type, round(value, 6) AS value,
+       event_id AS valid_from_seq
+FROM r WHERE rn = 1 AND event_type <> 'error'
+"""
 
 
 def _q_cdc_curated_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3563,6 +3612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_corpus_curate": _q_code_corpus_curate,
         "cdc_curated_view": _q_cdc_curated_view,
         "cdc_scd2_incremental": _q_cdc_scd2_incremental,
+        "cdc_scd2_asof": _q_cdc_scd2_asof,
     }
 
 
@@ -3658,5 +3708,6 @@ def oracle_sql() -> dict[str, str]:
         "code_corpus_curate": _CODE_CURATE_SQL,
         "cdc_curated_view": _CURATED_VIEW_SQL,
         "cdc_scd2_incremental": _SCD2_SQL,
+        "cdc_scd2_asof": _SCD2_ASOF_SQL,
         # minhash_lsh_dups / simhash_near_dups / ann_topk_lsh: rows-only
     }

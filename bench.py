@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "cdc_curated_view",
     # round-3: persistent SCD2 history maintained incrementally
     "cdc_scd2_incremental",
+    "cdc_scd2_asof",
 ]
 
 

@@ -447,3 +447,22 @@ def sync_scd2_history(
     )
     info = table.merge(batch, batch_id=batch_id, assume_unique_keys=True)
     return {"merge": info}
+
+
+def scd2_as_of(history: DataFrame, ts: Column) -> DataFrame:
+    """The keyed table's state as of event time ``ts`` (inclusive),
+    served from an SCD2 history by pure interval containment — one
+    map-only filter, no window, no join, no scan of the change stream.
+    With the history stored as a LakeTable the interval columns carry
+    per-file min/max stats, so old as-of reads prune recent files.
+
+    ``ts`` must be comparable to the history's interval columns (cast
+    to the same timestamp type). Ties at exactly ``ts`` resolve through
+    the interval chain: a version superseded at ``ts`` has
+    ``valid_to_ts == ts`` and is excluded, its successor included — the
+    result is the keep-last state after every event at-or-before ``ts``.
+    """
+    return history.filter(
+        (F.col("valid_from_ts") <= ts)
+        & (F.col("valid_to_ts").isNull() | (F.col("valid_to_ts") > ts))
+    )

@@ -475,3 +475,41 @@ def test_streaming_replay_maintains_scd2(spark, tmp_root):
            hist.read().filter(F.col("is_current")).collect()}
     live = {(r["repo"], r["path"]) for r in t.read().collect()}
     assert cur == live
+
+
+def test_scd2_as_of_boundary_semantics(spark, tmp_root):
+    """As-of at exactly an event's timestamp includes that event: a
+    version superseded AT the probe ts is excluded (valid_to == ts),
+    its successor included; seq ties at one ts resolve the same way."""
+    import datetime as _dt
+    import os
+
+    from chunjun_spark.operators.temporal import (
+        create_scd2_table, scd2_as_of, sync_scd2_history,
+    )
+
+    rows = [
+        (1, 10.0, "INSERT", 1, 1),
+        (1, 11.0, "UPDATE", 2, 2),   # two events at second 2 —
+        (1, 12.0, "UPDATE", 2, 3),   #   seq tiebreak inside one ts
+        (1, 13.0, "UPDATE", 5, 5),
+        (2, 20.0, "INSERT", 1, 4),
+        (2, None, "DELETE", 2, 6),   # deleted exactly at the probe ts
+    ]
+    table = create_scd2_table(
+        spark, os.path.join(tmp_root, "scd2asof"),
+        [("user_id", "bigint"), ("v", "double")], pk=["user_id"],
+        n_buckets=2,
+    )
+    sync_scd2_history(_scd2_changelog(spark, rows), table,
+                      pk=["user_id"], batch_id="w")
+
+    def _asof(second):
+        t = F.lit(f"2024-01-01 00:00:{second:02d}").cast("timestamp")
+        return {r["user_id"]: r["v"]
+                for r in scd2_as_of(table.refresh().read(), t).collect()}
+
+    assert _asof(1) == {1: 10.0, 2: 20.0}
+    assert _asof(2) == {1: 12.0}         # seq tie resolved; key 2 deleted AT 2
+    assert _asof(4) == {1: 12.0}
+    assert _asof(5) == {1: 13.0}
