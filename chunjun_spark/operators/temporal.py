@@ -398,8 +398,18 @@ def sync_scd2_history(
     ts_col, seq_col = order
     keyed = events_with_pk(events, pk).localCheckpoint(eager=True)
     touched = keyed.select(*pk).distinct()
+    # read only the buckets this batch's keys hash into (≤ n_buckets
+    # ints via one job over the checkpointed batch — no source re-read);
+    # the semi-join then narrows rows within them. O(touched buckets),
+    # not O(table) — the difference at 10^10 events.
+    touched_buckets = sorted(
+        r["_b"]
+        for r in keyed.select(table._bucket_expr(keyed).alias("_b"))
+        .distinct()
+        .collect()
+    )
     open_prev = (
-        table.read()
+        table.read(buckets=touched_buckets)
         .filter(F.col("is_current"))
         .join(touched, on=pk, how="left_semi")
         .localCheckpoint(eager=True)
