@@ -10,6 +10,7 @@ rows-only entries, cross-verified in tests/ against exact counterparts.
 from __future__ import annotations
 
 import hashlib
+import os
 import tempfile
 from collections.abc import Callable
 
@@ -3306,6 +3307,82 @@ WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def _q_cdc_txn_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic multi-table commit through the catalog (plans/catalog.py):
+    one change stream routed to two shard tables by user_id parity (the
+    hivewriter multi-table routing shape, HiveOutputFormat analog), the
+    second window committed as ONE catalog transaction — both legs
+    staged via WAP, then made visible by the single atomic pin swap.
+    A recover() pass runs on the clean log (idempotence). The result is
+    the catalog-consistent union of both shards, which must equal the
+    unsharded keep-last state — the reference commits each sink's
+    checkpoint txn independently (JdbcOutputFormat.java:336-390) and
+    has no such cross-sink atomicity."""
+    from chunjun_spark.plans.catalog import Catalog
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    root = tempfile.mkdtemp(prefix="cj_entry_txn_")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    cat = Catalog.create(spark, os.path.join(root, "cat"))
+    for i, name in enumerate(("even", "odd")):
+        t = LakeTable.create(
+            spark, os.path.join(root, name), schema, pk=["user_id"],
+            n_buckets=4,
+        )
+        replay(
+            events_changelog(
+                ev.filter((F.col("ts") <= cut) & (F.pmod("user_id", F.lit(2)) == i))
+            ),
+            t, batch_id="w1", mode="mor",
+        )
+        cat.register(name, t.root)
+    txn = cat.transaction("w2")
+    for i, name in enumerate(("even", "odd")):
+        ch = events_changelog(
+            ev.filter((F.col("ts") > cut) & (F.pmod("user_id", F.lit(2)) == i))
+        )
+        txn.write(
+            name,
+            lambda t, wap, ch=ch: replay(
+                ch, t, batch_id="w2", mode="mor", wap_id=wap
+            ),
+        )
+    txn.commit()
+    cat = Catalog.load(spark, cat.root)
+    cat.recover()  # idempotent no-op on the committed log
+    return (
+        cat.table("even").read()
+        .unionByName(cat.table("odd").read())
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 6).alias("last_value"),
+        )
+    )
+
+
+# the shard union must equal the unsharded keep-last state (DELETE —
+# i.e. 'error' — keys dropped); splitting at the window cut cannot
+# change it because the second window merges on top of the first
+_TXN_CATALOG_SQL = """
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_event_type,
+       round(value, 6) AS last_value
+FROM r WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 # ------------------------------------------------- code-corpus curation
 # Operators over the north-star row shape (repo, path, commit, lang,
 # content) — functions/code.py. Fixture = synth_code_files(documents),
@@ -3613,6 +3690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_curated_view": _q_cdc_curated_view,
         "cdc_scd2_incremental": _q_cdc_scd2_incremental,
         "cdc_scd2_asof": _q_cdc_scd2_asof,
+        "cdc_txn_catalog": _q_cdc_txn_catalog,
     }
 
 
@@ -3709,5 +3787,6 @@ def oracle_sql() -> dict[str, str]:
         "cdc_curated_view": _CURATED_VIEW_SQL,
         "cdc_scd2_incremental": _SCD2_SQL,
         "cdc_scd2_asof": _SCD2_ASOF_SQL,
+        "cdc_txn_catalog": _TXN_CATALOG_SQL,
         # minhash_lsh_dups / simhash_near_dups / ann_topk_lsh: rows-only
     }

@@ -1,0 +1,318 @@
+"""Multi-table catalog with atomic cross-table transactions.
+
+The reference commits each sink transactionally at the Flink checkpoint
+(flinkx-rdb JdbcOutputFormat.java:336-390, flinkx-core
+BaseFileOutputFormat.java:236-274), but a job fanning one change stream
+out to SEVERAL tables gets no cross-sink atomicity: a crash between two
+sink commits leaves readers seeing table A's batch without table B's
+until the restart catches up. This module closes that gap the way an
+Iceberg REST catalog does multi-table transactions: table reads resolve
+through a catalog of (name -> pinned snapshot version), and a
+transaction's only visibility point is ONE atomic swap of the catalog
+state file. Per-table `_current` pointers still advance leg by leg, so
+direct-root readers keep their usual single-table semantics; readers
+that want the cross-table snapshot read through the catalog.
+
+Commit protocol (write-ahead txn record + idempotent completion):
+
+1. every leg is STAGED on its table via the existing WAP surface
+   (merge/append_delta/replay ``wap_id=``) — data files written, nothing
+   visible;
+2. ``commit()`` validates every leg's staged parent is still its
+   table's current head (optimistic, same rule as ``_write_manifest``),
+   then atomically writes the txn record ``state=prepared`` — the
+   decide point;
+3. each leg publishes (``publish_staged`` — idempotent across crashes);
+4. one atomic ``os.replace`` of ``catalog.json`` moves every pin — the
+   cross-table visibility point;
+5. the txn record flips to ``committed``.
+
+A crash anywhere after (2) is completed by :meth:`Catalog.recover`
+(re-publish is a no-op on already-published legs, the pin swap takes
+``max(pin, leg version)``, so recovery is idempotent). A crash before
+(2) leaves only staged snapshots, which ``LakeTable.expire_staged``
+already garbage-collects. Everything here is driver-side metadata I/O —
+O(legs) small JSON files per commit; the data plane (staging the legs)
+is the normal distributed write path.
+
+Concurrency stance: ONE txn coordinator per catalog at a time (the same
+single-driver assumption the streaming job already makes). Out-of-band
+single-table commits remain safe: they are detected at the decide point
+and abort the txn cleanly (stages abandoned, pins untouched).
+
+Catalog pins hold snapshots readable past a table's vacuum retention the
+same way tags do — pass ``Catalog.protected_versions(root)`` to
+``LakeTable.vacuum(protect_versions=...)`` when vacuuming a cataloged
+table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import SparkSession
+
+from .lake import ConcurrentCommitError, LakeTable
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+    os.replace(tmp, path)  # atomic visibility point
+
+
+class Catalog:
+    """Name -> (table root, pinned version) map in one atomically-swapped
+    JSON file, plus the transaction log directory (``_txns/``)."""
+
+    def __init__(self, spark: SparkSession, root: str, state: dict):
+        self.spark = spark
+        self.root = root
+        self.state = state
+
+    # ------------------------------------------------------------ paths
+    @staticmethod
+    def _state_path(root: str) -> str:
+        return os.path.join(root, "catalog.json")
+
+    def _txn_dir(self) -> str:
+        return os.path.join(self.root, "_txns")
+
+    def _txn_path(self, txn_id: str) -> str:
+        return os.path.join(self._txn_dir(), f"{txn_id}.json")
+
+    # ------------------------------------------------------- lifecycle
+    @classmethod
+    def create(cls, spark: SparkSession, root: str) -> "Catalog":
+        os.makedirs(root, exist_ok=True)
+        sp = cls._state_path(root)
+        if os.path.exists(sp):
+            raise ValueError(f"catalog already exists at {root}")
+        os.makedirs(os.path.join(root, "_txns"), exist_ok=True)
+        state = {"seq": 0, "tables": {}}
+        _atomic_write_json(sp, state)
+        return cls(spark, root, state)
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "Catalog":
+        sp = cls._state_path(root)
+        if not os.path.exists(sp):
+            raise FileNotFoundError(f"no catalog at {root}")
+        with open(sp) as f:
+            return cls(spark, root, json.load(f))
+
+    def refresh(self) -> "Catalog":
+        self.state = Catalog.load(self.spark, self.root).state
+        return self
+
+    # ----------------------------------------------------------- tables
+    def register(self, name: str, table_root: str) -> dict:
+        """Add a table to the catalog, pinned at its current version."""
+        if name in self.state["tables"]:
+            raise ValueError(f"table {name!r} already registered")
+        head = LakeTable._current_version(table_root)
+        if head is None:
+            raise FileNotFoundError(f"no lake table at {table_root}")
+        self._swap({name: {"root": table_root, "version": head}})
+        return {"name": name, "version": head}
+
+    def pins(self) -> dict:
+        return {n: e["version"] for n, e in self.state["tables"].items()}
+
+    def _entry(self, name: str) -> dict:
+        e = self.state["tables"].get(name)
+        if e is None:
+            raise KeyError(f"table {name!r} is not in the catalog")
+        return e
+
+    def table(self, name: str) -> LakeTable:
+        """The catalog-consistent read: the snapshot the pin points at,
+        not whatever the table's `_current` has advanced to."""
+        e = self._entry(name)
+        return LakeTable.load(self.spark, e["root"], version=e["version"])
+
+    def head(self, name: str) -> LakeTable:
+        """The table's current head, bypassing the pin (write path)."""
+        return LakeTable.load(self.spark, self._entry(name)["root"])
+
+    def sync(self, name: str | None = None) -> dict:
+        """Advance pin(s) to the table head — absorbs out-of-band
+        single-table commits into the catalog view."""
+        names = [name] if name is not None else list(self.state["tables"])
+        moves = {}
+        for n in names:
+            e = self._entry(n)
+            head = LakeTable._current_version(e["root"])
+            if head is not None and head > e["version"]:
+                moves[n] = {"root": e["root"], "version": head}
+        if moves:
+            self._swap(moves)
+        return {n: e["version"] for n, e in moves.items()}
+
+    def protected_versions(self, table_root: str) -> list[int]:
+        """Pinned versions for a given table root — feed to
+        ``LakeTable.vacuum(protect_versions=...)``."""
+        return sorted(
+            e["version"] for e in self.state["tables"].values()
+            if e["root"] == table_root
+        )
+
+    def _swap(self, moves: dict) -> None:
+        """Re-read, apply pin moves, bump seq, atomic replace. The one
+        mutation point for catalog state (single coordinator)."""
+        sp = self._state_path(self.root)
+        with open(sp) as f:
+            cur = json.load(f)
+        for n, e in moves.items():
+            cur["tables"][n] = dict(e)
+        cur["seq"] += 1
+        _atomic_write_json(sp, cur)
+        self.state = cur
+
+    # ----------------------------------------------------- transactions
+    def transaction(self, txn_id: str | None = None) -> "CatalogTransaction":
+        return CatalogTransaction(self, txn_id or uuid.uuid4().hex)
+
+    def recover(self) -> dict:
+        """Complete every decided-but-unfinished transaction. Idempotent:
+        re-publish of a published leg is the WAP already-published no-op,
+        the pin swap takes max(pin, leg version). Run at coordinator
+        start, before any new transaction."""
+        completed, already = [], []
+        tdir = self._txn_dir()
+        for fn in sorted(os.listdir(tdir)) if os.path.isdir(tdir) else []:
+            if not fn.endswith(".json"):
+                continue
+            with open(os.path.join(tdir, fn)) as f:
+                rec = json.load(f)
+            if rec.get("state") != "prepared":
+                already.append(rec["txn_id"])
+                continue
+            txn = CatalogTransaction(self, rec["txn_id"])
+            txn.legs = rec["legs"]
+            txn.state = "prepared"
+            txn._complete()
+            completed.append(rec["txn_id"])
+        return {"completed": completed, "skipped": already}
+
+
+class CatalogTransaction:
+    """Atomic multi-table commit: stage one WAP leg per table, then
+    ``commit()``. See the module docstring for the protocol."""
+
+    def __init__(self, catalog: Catalog, txn_id: str):
+        self.catalog = catalog
+        self.txn_id = txn_id
+        self.wap_id = f"txn-{txn_id}"
+        self.legs: list[dict] = []
+        self.state = "open"
+
+    def write(self, name: str, fn) -> dict:
+        """Stage one leg: ``fn(table, wap_id)`` must write through the
+        WAP surface (``merge``/``append_delta``/``replay`` with
+        ``wap_id=``) and must NOT publish. One leg per table — two legs
+        would collide on the staged-manifest name, and a second write to
+        the same table belongs in the same leg anyway."""
+        if self.state != "open":
+            raise ValueError(f"transaction {self.txn_id!r} is {self.state}")
+        e = self.catalog._entry(name)
+        if any(l["name"] == name for l in self.legs):
+            raise ValueError(f"transaction already has a leg for {name!r}")
+        t = LakeTable.load(self.catalog.spark, e["root"])
+        fn(t, self.wap_id)
+        staged = LakeTable.load_staged(
+            self.catalog.spark, e["root"], self.wap_id
+        ).manifest
+        leg = {
+            "name": name,
+            "root": e["root"],
+            "wap_id": self.wap_id,
+            "parent": staged["parent"],
+            "version": staged["version"],
+        }
+        self.legs.append(leg)
+        return dict(leg)
+
+    # ------------------------------------------------------- txn record
+    def _record(self, state: str) -> None:
+        self.state = state
+        _atomic_write_json(
+            self.catalog._txn_path(self.txn_id),
+            {"txn_id": self.txn_id, "state": state, "legs": self.legs},
+        )
+
+    def commit(self) -> dict:
+        if self.state != "open":
+            raise ValueError(f"transaction {self.txn_id!r} is {self.state}")
+        if not self.legs:
+            raise ValueError("empty transaction — stage at least one leg")
+        # decide point: every leg must still apply cleanly. An
+        # out-of-band commit to any leg table aborts the WHOLE txn here,
+        # while nothing is visible yet.
+        for leg in self.legs:
+            cur = LakeTable._current_version(leg["root"])
+            if cur != leg["parent"]:
+                self.abort()
+                raise ConcurrentCommitError(
+                    f"table {leg['name']!r} moved under txn "
+                    f"{self.txn_id!r}: staged against v{leg['parent']}, "
+                    f"head is v{cur} — txn aborted, re-stage"
+                )
+        self._record("prepared")  # the decide point on disk
+        return self._complete()
+
+    def _complete(self) -> dict:
+        """Steps 3-5: publish legs, swap pins, mark committed. Safe to
+        re-run from any crash point after the prepared record exists."""
+        for leg in self.legs:
+            spath = os.path.join(
+                leg["root"], "_manifests", f"staged-{leg['wap_id']}.json"
+            )
+            if os.path.exists(spath):
+                t = LakeTable.load(self.catalog.spark, leg["root"])
+                t.publish_staged(leg["wap_id"])
+            else:
+                # recovery path: the staged file is removed by a
+                # finished publish — the committed manifest must exist
+                vpath = os.path.join(
+                    leg["root"], "_manifests", f"v{leg['version']}.json"
+                )
+                if not os.path.exists(vpath):
+                    raise ConcurrentCommitError(
+                        f"txn {self.txn_id!r} leg {leg['name']!r}: stage "
+                        f"gone and v{leg['version']} missing — the stage "
+                        "was abandoned or vacuumed; cannot complete"
+                    )
+        moves = {}
+        for leg in self.legs:
+            pinned = self.catalog._entry(leg["name"])["version"]
+            if leg["version"] > pinned:
+                moves[leg["name"]] = {
+                    "root": leg["root"], "version": leg["version"],
+                }
+        if moves:
+            self.catalog._swap(moves)
+        self._record("committed")
+        return {
+            "txn_id": self.txn_id,
+            "tables": {l["name"]: l["version"] for l in self.legs},
+        }
+
+    def abort(self) -> dict:
+        """Abandon every staged leg; pins never moved. The abandoned
+        data dirs are vacuum fodder, exactly like a failed WAP audit."""
+        if self.state not in ("open", "aborted"):
+            raise ValueError(f"transaction {self.txn_id!r} is {self.state}")
+        for leg in self.legs:
+            spath = os.path.join(
+                leg["root"], "_manifests", f"staged-{leg['wap_id']}.json"
+            )
+            if os.path.exists(spath):
+                LakeTable.load(
+                    self.catalog.spark, leg["root"]
+                ).abandon_staged(leg["wap_id"])
+        self._record("aborted")
+        return {"txn_id": self.txn_id, "aborted": True}

@@ -1740,7 +1740,8 @@ class LakeTable:
             json.dump(tags, f, indent=1)
         os.replace(tmp, self._tags_path(self.root))
 
-    def _vacuum_plan(self, keep_last: int) -> dict:
+    def _vacuum_plan(self, keep_last: int,
+                     protect_versions: list[int] | None = None) -> dict:
         """What :meth:`vacuum` WOULD do: the manifests past retention
         (tagged versions pinned), the data dirs no retained/staged
         manifest references, and the reclaimable byte count. Pure
@@ -1756,6 +1757,10 @@ class LakeTable:
         # tagged versions are pinned refs: their manifest AND data stay
         # readable past the retention window until the tag is deleted
         tagged = {int(e["version"]) for e in self._load_tags(self.root).values()}
+        # catalog pins (plans/catalog.py Catalog.protected_versions) are
+        # refs too: a cross-table snapshot must stay readable until the
+        # catalog advances past it
+        tagged |= {int(v) for v in (protect_versions or [])}
         keep_paths: set[str] = set()
         remove_manifests: list[str] = []
         for name in sorted(os.listdir(mdir)):
@@ -1797,7 +1802,8 @@ class LakeTable:
             "reclaimable_bytes": reclaim,
         }
 
-    def vacuum(self, keep_last: int = 10, dry_run: bool = False) -> dict:
+    def vacuum(self, keep_last: int = 10, dry_run: bool = False,
+               protect_versions: list[int] | None = None) -> dict:
         """Retention GC (VACUUM analog): drop all but the newest
         ``keep_last`` snapshot manifests, then delete every
         ``data/<dir>`` no retained manifest references. Time travel
@@ -1807,7 +1813,7 @@ class LakeTable:
         a broken snapshot, because manifests are removed before data.
         ``dry_run`` returns the full plan (incl. reclaimable bytes)
         without touching anything."""
-        plan = self._vacuum_plan(keep_last)
+        plan = self._vacuum_plan(keep_last, protect_versions)
         if dry_run:
             return plan
         mdir = os.path.join(self.root, "_manifests")

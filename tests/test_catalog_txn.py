@@ -1,0 +1,199 @@
+"""Catalog-level multi-table transactions (plans/catalog.py).
+
+Cross-sink atomicity the reference lacks: its sinks each commit at the
+checkpoint independently (JdbcOutputFormat.java:336-390), so a crash
+between two sink commits exposes a half-applied batch. Here the catalog
+pin swap is the single visibility point; these tests drive the commit
+protocol through every crash window.
+"""
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from chunjun_spark.operators.merge import replay
+from chunjun_spark.plans.catalog import Catalog, CatalogTransaction
+from chunjun_spark.plans.lake import ConcurrentCommitError, LakeTable
+from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA, generate_binlog
+
+from .conftest import df_state, sha256_state
+
+PK = ["repo", "path"]
+
+
+def _key_col():
+    # split key, stable across ops: DELETE carries only `before`
+    return F.xxhash64(
+        F.coalesce(F.col("after.repo"), F.col("before.repo")),
+        F.coalesce(F.col("after.path"), F.col("before.path")),
+    )
+
+
+def _windows(spark):
+    w1 = generate_binlog(spark, 1500, n_keys=400, seed=11, dup_rate=0.0)
+    # window 2 must not share the (op_ts, seq) range (CLAUDE.md rule)
+    w2 = (
+        generate_binlog(spark, 1500, n_keys=400, seed=12, dup_rate=0.0)
+        .withColumn("seq", F.col("seq") + F.lit(10_000_000))
+        .withColumn("op_ts", F.col("op_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return w1, w2
+
+
+def _setup(spark, tmp_root):
+    """Two shard tables fed window 1, a catalog over both, and the
+    window-2 halves ready to stage."""
+    w1, w2 = _windows(spark)
+    roots, halves = {}, {}
+    for i, name in enumerate(("even", "odd")):
+        root = os.path.join(tmp_root, name)
+        t = LakeTable.create(spark, root, PAYLOAD_SCHEMA, pk=PK, n_buckets=4)
+        replay(w1.filter(F.pmod(_key_col(), F.lit(2)) == i), t, batch_id="w1")
+        roots[name] = root
+        halves[name] = w2.filter(F.pmod(_key_col(), F.lit(2)) == i)
+    cat = Catalog.create(spark, os.path.join(tmp_root, "cat"))
+    for name, root in roots.items():
+        cat.register(name, root)
+    return cat, roots, halves
+
+
+def _stage(cat, halves, txn_id="t1"):
+    txn = cat.transaction(txn_id)
+    for name, ev in halves.items():
+        txn.write(
+            name,
+            lambda t, wap, ev=ev: replay(ev, t, batch_id="w2", wap_id=wap),
+        )
+    return txn
+
+
+def _union_state(cat):
+    # shards are key-disjoint, so the dict merge is a clean union
+    return sha256_state(
+        {**df_state(cat.table("even").read(), PK),
+         **df_state(cat.table("odd").read(), PK)}
+    )
+
+
+def test_txn_commits_both_tables_atomically(spark, tmp_root):
+    cat, roots, halves = _setup(spark, tmp_root)
+    pins_before = cat.pins()
+    txn = _stage(cat, halves)
+
+    # staged legs are invisible through the catalog AND the heads
+    for name, root in roots.items():
+        assert "w2" not in LakeTable.load(spark, root).committed_batches()
+        assert cat.table(name).manifest["version"] == pins_before[name]
+
+    res = txn.commit()
+    assert set(res["tables"]) == {"even", "odd"}
+    for name, root in roots.items():
+        head = LakeTable.load(spark, root)
+        assert "w2" in head.committed_batches()
+        assert cat.pins()[name] == res["tables"][name] == head.manifest["version"]
+    # catalog view == head view once committed
+    assert _union_state(cat) == sha256_state(
+        {**df_state(LakeTable.load(spark, roots["even"]).read(), PK),
+         **df_state(LakeTable.load(spark, roots["odd"]).read(), PK)}
+    )
+    # recover() on a clean log is a no-op
+    assert Catalog.load(spark, cat.root).recover() == {
+        "completed": [], "skipped": ["t1"],
+    }
+
+
+def test_crash_between_leg_publishes_recovers_atomically(spark, tmp_root):
+    cat, roots, halves = _setup(spark, tmp_root)
+    before = _union_state(cat)
+    pins_before = cat.pins()
+    txn = _stage(cat, halves)
+
+    # drive the protocol by hand to the worst crash window: decided,
+    # first leg published, second leg not, pins untouched
+    txn._record("prepared")
+    LakeTable.load(spark, roots["even"]).publish_staged(txn.wap_id)
+    assert "w2" in LakeTable.load(spark, roots["even"]).committed_batches()
+
+    # a catalog reader still sees the PRE-txn snapshot of BOTH tables —
+    # the half-published head is not visible through the pins
+    cat2 = Catalog.load(spark, cat.root)
+    assert cat2.pins() == pins_before
+    assert _union_state(cat2) == before
+
+    done = cat2.recover()
+    assert done["completed"] == ["t1"]
+    for name, root in roots.items():
+        assert "w2" in LakeTable.load(spark, root).committed_batches()
+        assert cat2.pins()[name] == LakeTable.load(spark, root).manifest["version"]
+    # idempotent: a second recovery pass finds nothing to do
+    assert Catalog.load(spark, cat.root).recover()["completed"] == []
+
+
+def test_conflict_aborts_whole_txn_and_leaves_tables_writable(spark, tmp_root):
+    cat, roots, halves = _setup(spark, tmp_root)
+    pins_before = cat.pins()
+    txn = _stage(cat, halves)
+
+    # out-of-band single-table commit to ONE leg table
+    oob = (
+        generate_binlog(spark, 200, n_keys=50, seed=13, dup_rate=0.0)
+        .withColumn("seq", F.col("seq") + F.lit(20_000_000))
+        .withColumn("op_ts", F.col("op_ts") + F.expr("INTERVAL 2 HOUR"))
+    )
+    replay(oob, LakeTable.load(spark, roots["odd"]), batch_id="oob")
+
+    with pytest.raises(ConcurrentCommitError, match="aborted"):
+        txn.commit()
+    assert txn.state == "aborted"
+    for root in roots.values():
+        t = LakeTable.load(spark, root)
+        assert t.staged_ids() == []  # stages abandoned on both tables
+        assert "w2" not in t.committed_batches()
+    assert cat.pins() == pins_before
+    # both tables accept new commits afterwards
+    txn2 = _stage(Catalog.load(spark, cat.root).refresh(), halves, "t2")
+    res = txn2.commit()
+    assert set(res["tables"]) == {"even", "odd"}
+
+
+def test_vacuum_respects_catalog_pins(spark, tmp_root):
+    cat, roots, _halves = _setup(spark, tmp_root)
+    root = roots["even"]
+    pinned = cat.pins()["even"]
+    # push the head far past retention
+    for i in range(6):
+        ev = (
+            generate_binlog(spark, 100, n_keys=30, seed=20 + i, dup_rate=0.0)
+            .withColumn("seq", F.col("seq") + F.lit((i + 3) * 10_000_000))
+            .withColumn("op_ts", F.col("op_ts") + F.expr(f"INTERVAL {i + 3} HOUR"))
+        )
+        replay(ev, LakeTable.load(spark, root), batch_id=f"b{i}")
+    t = LakeTable.load(spark, root)
+    unprotected = t._vacuum_plan(keep_last=2)
+    assert f"v{pinned}.json" in unprotected["remove_manifests"]
+
+    t.vacuum(keep_last=2, protect_versions=cat.protected_versions(root))
+    # the pinned cross-table snapshot stays readable past retention
+    assert cat.table("even").read().count() > 0
+
+
+def test_txn_validation_errors(spark, tmp_root):
+    cat, roots, halves = _setup(spark, tmp_root)
+    txn = cat.transaction("tv")
+    with pytest.raises(ValueError, match="empty transaction"):
+        txn.commit()
+    txn.write(
+        "even",
+        lambda t, wap: replay(halves["even"], t, batch_id="w2", wap_id=wap),
+    )
+    with pytest.raises(ValueError, match="already has a leg"):
+        txn.write(
+            "even",
+            lambda t, wap: replay(halves["even"], t, batch_id="x", wap_id=wap),
+        )
+    with pytest.raises(KeyError):
+        txn.write("nope", lambda t, wap: None)
+    txn.abort()
+    with pytest.raises(ValueError, match="aborted"):
+        txn.commit()
