@@ -760,11 +760,20 @@ def _run_fanout_stream(spark: SparkSession, cfg: JobConfig, t0: float) -> dict:
                 sink["producer_id"] = wp["producerId"]
             sinks.append(sink)
         else:
-            sinks.append({
+            sink = {
                 "type": "lake", "root": wp["path"],
                 "mode": wp.get("mode", "cow"),
                 "update_mode": wp.get("updateMode", "replace"),
-            })
+            }
+            if wp.get("name"):
+                sink["name"] = wp["name"]
+            sinks.append(sink)
+    # any lake writer may carry catalogRoot: cross-sink atomic commit of
+    # every lake leg per micro-batch (plans/catalog.py)
+    catalog_root = next(
+        (w.parameter["catalogRoot"] for w in cfg.writers
+         if w.parameter.get("catalogRoot")), None,
+    )
     events = read_binlog_stream(spark, p["path"])
     if p.get("cat") or p.get("table") or p.get("filter"):
         from chunjun_spark.sources.binlog import filter_events
@@ -786,6 +795,7 @@ def _run_fanout_stream(spark: SparkSession, cfg: JobConfig, t0: float) -> dict:
         or f"{p['path'].rstrip('/')}_fanout_ckpt_{sink_id}",
         job_id=cfg.job_id,
         metrics_out=metrics,
+        catalog_root=catalog_root,
     )
     if not q.awaitTermination(600):
         q.stop()

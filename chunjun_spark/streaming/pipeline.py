@@ -638,6 +638,7 @@ def start_fanout_stream(
     trigger_available_now: bool = True,
     processing_time: str | None = None,
     metrics_out: dict | None = None,
+    catalog_root: str | None = None,
 ) -> StreamingQuery:
     """One source read → N sinks, each exactly-once.
 
@@ -668,6 +669,16 @@ def start_fanout_stream(
     set (idempotent ``apply_ddl_events``); jdbc sinks forward
     add_column as ALTER TABLE and fail loudly on anything else
     (``relay_apply_ddl``). Events must be the nested wire format.
+
+    ``catalog_root`` upgrades the per-sink guards to CROSS-SINK
+    atomicity for the lake sinks (plans/catalog.py): every pending lake
+    leg stages via WAP and one catalog transaction publishes them with a
+    single atomic pin swap per micro-batch — a reader going through the
+    catalog never sees sink A's batch without sink B's, even across a
+    crash between leg publishes (recover() runs at stream start and
+    completes any decided txn). jdbc/kafka sinks keep their own
+    exactly-once guards — a foreign system can't join the catalog swap.
+    Sink tables register under ``sink["name"]`` (default ``lake_{i}``).
     """
     from chunjun_spark.operators.dedup import keep_last
     from chunjun_spark.operators.merge import events_with_pk, to_changes
@@ -688,6 +699,18 @@ def start_fanout_stream(
                 and s.get("mode", "cow") != "cow"):
             raise ValueError("update_mode='patch' requires mode='cow'")
     spark = events.sparkSession
+
+    cat = None
+    if catalog_root is not None:
+        from chunjun_spark.plans.catalog import Catalog
+
+        try:
+            cat = Catalog.load(spark, catalog_root)
+        except FileNotFoundError:
+            cat = Catalog.create(spark, catalog_root)
+        # a previous run may have crashed between leg publishes: finish
+        # every decided txn BEFORE any committed-batch check reads state
+        cat.recover()
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         from chunjun_spark.operators.ddl import apply_ddl_events
@@ -736,6 +759,7 @@ def start_fanout_stream(
             return got
 
         applied_any = False
+        txn = cat.transaction(bid) if cat is not None else None
         for i, s in enumerate(sinks):
             if s["type"] == "lake":
                 table = lake_handles[i]
@@ -751,18 +775,41 @@ def start_fanout_stream(
                     changes = to_changes(events_with_pk(batch_df, table.pk))
                 else:
                     changes = to_changes(winners_for(table.pk))
-                if s.get("mode", "cow") == "cow":
-                    res = table.merge(
+
+                def _apply_lake(t_, wap=None, s=s, changes=changes,
+                                patch=patch):
+                    if s.get("mode", "cow") == "cow":
+                        return t_.merge(
+                            changes, batch_id=bid, offsets=offsets,
+                            extra_metrics={"numRead": n_read},
+                            assume_unique_keys=not patch,
+                            update_mode=s.get("update_mode", "replace"),
+                            wap_id=wap,
+                        )
+                    return t_.append_delta(
                         changes, batch_id=bid, offsets=offsets,
-                        extra_metrics={"numRead": n_read},
-                        assume_unique_keys=not patch,
-                        update_mode=s.get("update_mode", "replace"),
+                        extra_metrics={"numRead": n_read}, wap_id=wap,
                     )
+
+                if txn is not None:
+                    name = s.get("name") or f"lake_{i}"
+                    if name not in cat.state["tables"]:
+                        cat.register(name, s["root"])
+                    # an attempt that crashed while STAGING (before the
+                    # decide point) leaves an orphan stage under this
+                    # batch's wap_id — recover() at start completed every
+                    # decided txn, so this one is safe to drop and redo
+                    if txn.wap_id in table.staged_ids():
+                        table.abandon_staged(txn.wap_id)
+                    res_box: dict = {}
+
+                    def _leg(t_, wap, fn=_apply_lake, box=res_box):
+                        box["res"] = fn(t_, wap)
+
+                    txn.write(name, _leg)
+                    res = res_box["res"]
                 else:
-                    res = table.append_delta(
-                        changes, batch_id=bid, offsets=offsets,
-                        extra_metrics={"numRead": n_read},
-                    )
+                    res = _apply_lake(table)
                 applied_any = True
                 if metrics_out is not None and not res.get("skipped"):
                     metrics_out[f"numWrite_lake_{i}"] = (
@@ -833,6 +880,12 @@ def start_fanout_stream(
                             metrics_out.get(f"numWrite_jdbc_{i}", 0)
                             + res.get("n_changes", 0)
                         )
+        if txn is not None and txn.legs:
+            # the batch's one cross-sink visibility point; a conflict
+            # (out-of-band commit to a sink table) aborts the whole txn
+            # and fails the batch — the retry re-stages against the new
+            # heads
+            txn.commit()
         if metrics_out is not None:
             metrics_out["numBatches"] = metrics_out.get("numBatches", 0) + 1
             if applied_any:

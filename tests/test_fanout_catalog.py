@@ -1,0 +1,146 @@
+"""Fan-out with catalog_root: the lake sinks commit ATOMICALLY per
+micro-batch through one catalog pin swap (plans/catalog.py), instead of
+leg-by-leg behind independent guards. Covers the happy path, recovery
+of a decided-but-unfinished txn at stream start, and an orphan stage
+left by a crash before the decide point."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from chunjun_spark.operators.merge import replay
+from chunjun_spark.plans.catalog import Catalog
+from chunjun_spark.plans.lake import LakeTable
+from chunjun_spark.sources.binlog import (
+    PAYLOAD_SCHEMA,
+    generate_binlog,
+    write_binlog_files,
+)
+from chunjun_spark.streaming.pipeline import (
+    read_binlog_stream,
+    start_fanout_stream,
+)
+
+PK = ["repo", "path"]
+
+
+def _fixture(spark, tmp_root, n=3000, n_keys=500, seed=31):
+    ev = generate_binlog(spark, n, n_keys=n_keys, seed=seed, dup_rate=0.1)
+    binlog = os.path.join(tmp_root, "binlog")
+    write_binlog_files(ev, binlog, n_files=4)
+    return ev, binlog
+
+
+def _expected_final(ev):
+    from chunjun_spark.operators.dedup import keep_last
+    from chunjun_spark.operators.merge import events_with_pk
+
+    w = keep_last(events_with_pk(ev, PK), pk=PK, order=("op_ts", "seq"))
+    rows = w.filter(F.col("op") != "DELETE").select("after.*").collect()
+    return sorted((r["repo"], r["path"], r["commit"]) for r in rows)
+
+
+def _lake_state(spark, root):
+    t = LakeTable.load(spark, root)
+    return sorted(
+        (r["repo"], r["path"], r["commit"])
+        for r in t.read().select("repo", "path", "commit").collect()
+    )
+
+
+def _mk_sinks(spark, tmp_root):
+    roots = []
+    for name in ("a", "b"):
+        r = os.path.join(tmp_root, name)
+        LakeTable.create(spark, r, PAYLOAD_SCHEMA, pk=PK, n_buckets=4)
+        roots.append(r)
+    return roots
+
+
+def _run(spark, binlog, roots, cat_root, ckpt, job_id="fan"):
+    q = start_fanout_stream(
+        read_binlog_stream(spark, binlog, max_files_per_trigger=2),
+        sinks=[{"type": "lake", "root": r} for r in roots],
+        checkpoint_dir=ckpt,
+        job_id=job_id,
+        catalog_root=cat_root,
+    )
+    assert q.awaitTermination(300)
+
+
+def test_fanout_catalog_commits_lake_legs_atomically(spark, tmp_root):
+    ev, binlog = _fixture(spark, tmp_root)
+    roots = _mk_sinks(spark, tmp_root)
+    cat_root = os.path.join(tmp_root, "cat")
+    _run(spark, binlog, roots, cat_root, os.path.join(tmp_root, "ckpt"))
+
+    want = _expected_final(ev)
+    cat = Catalog.load(spark, cat_root)
+    for i, r in enumerate(roots):
+        assert _lake_state(spark, r) == want
+        # pins track the heads — every committed batch went through a txn
+        assert cat.pins()[f"lake_{i}"] == \
+            LakeTable.load(spark, r).manifest["version"]
+    # one committed txn record per applied micro-batch
+    recs = sorted(os.listdir(os.path.join(cat_root, "_txns")))
+    assert len(recs) >= 2
+    assert Catalog.load(spark, cat_root).recover()["completed"] == []
+
+
+def test_fanout_recovers_decided_txn_at_stream_start(spark, tmp_root):
+    """A previous run crashed between leg publishes: its prepared txn
+    record exists, leg A published, leg B staged. The next stream run
+    must complete it before applying its own batches."""
+    ev, binlog = _fixture(spark, tmp_root)
+    roots = _mk_sinks(spark, tmp_root)
+    cat_root = os.path.join(tmp_root, "cat")
+    cat = Catalog.create(spark, cat_root)
+    cat.register("lake_0", roots[0])
+    cat.register("lake_1", roots[1])
+
+    # the dangling batch wins overlapping keys: strictly newer stamps
+    prior = (
+        generate_binlog(spark, 800, n_keys=200, seed=32, dup_rate=0.0)
+        .withColumn("seq", F.col("seq") + F.lit(10_000_000))
+        .withColumn("op_ts", F.col("op_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    txn = cat.transaction("fan:99")
+    for i, r in enumerate(roots):
+        txn.write(
+            f"lake_{i}",
+            lambda t, wap, e=prior: replay(e, t, batch_id="fan:99",
+                                           wap_id=wap),
+        )
+    txn._record("prepared")
+    LakeTable.load(spark, roots[0]).publish_staged(txn.wap_id)
+    # crash here — next run must finish leg 1 and swap the pins
+
+    _run(spark, binlog, roots, cat_root, os.path.join(tmp_root, "ckpt"))
+
+    want = _expected_final(ev.unionByName(prior))
+    for r in roots:
+        t = LakeTable.load(spark, r)
+        assert "fan:99" in t.committed_batches()
+        assert _lake_state(spark, r) == want
+
+
+def test_fanout_abandons_orphan_stage_from_undecided_crash(spark, tmp_root):
+    """A previous attempt crashed while STAGING batch 0 (no prepared
+    record): the leftover stage under the batch's wap_id must be dropped
+    and the batch re-staged — never published, never a collision."""
+    ev, binlog = _fixture(spark, tmp_root)
+    roots = _mk_sinks(spark, tmp_root)
+    cat_root = os.path.join(tmp_root, "cat")
+
+    junk = generate_binlog(spark, 100, n_keys=30, seed=33, dup_rate=0.0)
+    t0 = LakeTable.load(spark, roots[0])
+    # first micro-batch of job "fan" stages under wap_id "txn-fan:0"
+    replay(junk, t0, batch_id="fan:0", wap_id="txn-fan:0")
+    assert t0.staged_ids() == ["txn-fan:0"]
+
+    _run(spark, binlog, roots, cat_root, os.path.join(tmp_root, "ckpt"))
+
+    want = _expected_final(ev)
+    for r in roots:
+        assert _lake_state(spark, r) == want
+        assert LakeTable.load(spark, r).staged_ids() == []
