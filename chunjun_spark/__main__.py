@@ -48,15 +48,54 @@ def _maintenance(argv: list[str]) -> None:
     spark.stop()
 
 
+def _catalog(argv: list[str]) -> None:
+    """``catalog <cat_root> [--pins] [--recover] [--sync]
+    [--register NAME=TABLE_ROOT]`` — operate the multi-table catalog
+    (plans/catalog.py): show pins, complete crashed transactions,
+    absorb out-of-band commits, register a table. One JSON line."""
+    ap = argparse.ArgumentParser(prog="chunjun_spark catalog")
+    ap.add_argument("root", help="catalog root directory")
+    ap.add_argument("--recover", action="store_true",
+                    help="complete decided-but-unfinished transactions")
+    ap.add_argument("--sync", action="store_true",
+                    help="advance every pin to its table head")
+    ap.add_argument("--register", metavar="NAME=TABLE_ROOT")
+    args = ap.parse_args(argv[1:])
+
+    from chunjun_spark.plans.catalog import Catalog
+
+    spark = get_spark("chunjun-spark-catalog", master="local[2]",
+                      shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        cat = Catalog.load(spark, args.root)
+    except FileNotFoundError:
+        cat = Catalog.create(spark, args.root)
+    out: dict = {}
+    if args.register:
+        name, _, troot = args.register.partition("=")
+        out["registered"] = cat.register(name, troot)
+    if args.recover:
+        out["recover"] = cat.recover()
+    if args.sync:
+        out["synced"] = cat.sync()
+    out["pins"] = cat.pins()
+    print(json.dumps(out))
+    spark.stop()
+
+
 def main() -> None:
     import sys
 
     if len(sys.argv) > 1 and sys.argv[1] in ("report", "vacuum"):
         _maintenance(sys.argv[1:])
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "catalog":
+        _catalog(sys.argv[1:])
+        return
     ap = argparse.ArgumentParser(prog="chunjun_spark")
     ap.add_argument("job", help="path to the job JSON (reference shape), "
-                                "or a subcommand: report | vacuum")
+                                "or a subcommand: report | vacuum | catalog")
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
