@@ -640,6 +640,108 @@ def _q_minhash_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out2["candidates"].select("id_a", "id_b")
 
 
+_IVF_FIXTURE: dict = {}
+
+
+def _ivf_index_fixture(spark: SparkSession, sf_dir: str) -> dict:
+    """IVF-index bootstrap shared per (session, sf_dir): 80% of the
+    embeddings table merged into a vector lake, centroids trained once
+    (deterministic hash-ordered sample), the index synced once. Entries
+    copy it and apply THEIR window — same rationale as
+    _minhash_index_fixture."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _IVF_FIXTURE.get(key)
+    if got is not None:
+        return got
+    from chunjun_spark.functions.ann import train_ivf_centroids
+    from chunjun_spark.functions.incremental import (
+        create_ivf_index,
+        sync_ivf_index,
+    )
+    from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL
+
+    root = tempfile.mkdtemp(prefix="cj_entry_ivffx_")
+    et = LakeTable.create(
+        spark, f"{root}/emb",
+        T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]),
+        pk=["vec_id"], n_buckets=8,
+    )
+    as_upsert = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"),
+        F.lit("UPSERT").alias(OP_COL),
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias(VTS_COL),
+        F.col("vec_id").alias(VSEQ_COL),
+    )
+    et.merge(as_upsert.filter(F.col("vec_id") % 5 != 0), batch_id="v1",
+             assume_unique_keys=True)
+    et = et.refresh()
+    cents = train_ivf_centroids(et.read(), n_lists=16)
+    index = create_ivf_index(spark, f"{root}/idx", cents)
+    out1 = sync_ivf_index(et, index, since_version=0)
+    got = {"root": root, "synced": out1["version"], "centroids": cents}
+    _IVF_FIXTURE[key] = got
+    return got
+
+
+def _q_ann_ivf_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF ANN index maintenance over the lake CDF
+    (functions/incremental.py sync_ivf_index): from the shared bootstrap
+    (80% of vectors indexed), apply an insert/update/delete window —
+    including updates that MOVE vectors between cells, the
+    data-dependent-assignment case a fixed-band index never hits (the
+    old (cell, id) row tombstones from a column-pruned narrow read) —
+    then sync and probe top-10 around the first centroid through the
+    bucket-pruned read path. Rows-only (k-means cells have no DuckDB
+    analog); the incremental == batch-rebuild invariant is pinned in
+    tests/test_ivf_index.py."""
+    import shutil
+
+    from chunjun_spark.functions.incremental import (
+        ivf_index_topk,
+        sync_ivf_index,
+    )
+    from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL
+
+    fx = _ivf_index_fixture(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cj_entry_ivf_")
+    shutil.rmtree(root)
+    shutil.copytree(fx["root"], root)
+    et = LakeTable.load(spark, f"{root}/emb")
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"),
+        F.lit("UPSERT").alias(OP_COL),
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias(VTS_COL),
+        F.col("vec_id").alias(VSEQ_COL),
+    )
+    delta = (
+        # held-out 20% arrives
+        base.filter(F.col("vec_id") % 5 == 0)
+        .withColumn(VSEQ_COL, F.col(VSEQ_COL) + F.lit(1_000_000))
+        .unionByName(
+            # every %9 vector flips sign — a guaranteed cell move
+            base.filter(F.col("vec_id") % 9 == 0)
+            .withColumn("embedding", F.transform("embedding", lambda x: -x))
+            .withColumn(VSEQ_COL, F.col(VSEQ_COL) + F.lit(2_000_000))
+        )
+        .unionByName(
+            # every %7 vector leaves (strictly newest so it wins overlaps)
+            base.filter(F.col("vec_id") % 7 == 0)
+            .withColumn(OP_COL, F.lit("DELETE"))
+            .withColumn(VSEQ_COL, F.col(VSEQ_COL) + F.lit(3_000_000))
+        )
+    )
+    et.merge(delta, batch_id="v2")
+    et = et.refresh()
+    index = LakeTable.load(spark, f"{root}/idx")
+    sync_ivf_index(et, index, since_version=fx["synced"])
+    return ivf_index_topk(index, fx["centroids"][0], k=10, nprobe=4).select(
+        "vec_id", F.round("sim", 6).alias("sim")
+    )
+
+
 _LOOKUP_IDS = [3, 17, 42, 99, 148]
 
 
@@ -3601,6 +3703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_idempotent_replay": _q_cdc_idempotent_replay,
         "cdc_snapshot_bootstrap": _q_cdc_snapshot_bootstrap,
         "minhash_index_sync": _q_minhash_index_sync,
+        "ann_ivf_index_sync": _q_ann_ivf_index_sync,
         "cdc_point_lookup": _q_cdc_point_lookup,
         "cdc_bloom_lookup": _q_cdc_bloom_lookup,
         "cdc_fanout_topic_relay": _q_cdc_fanout_topic_relay,

@@ -209,3 +209,158 @@ def sync_minhash_index(
         "candidates": index_candidates(index, probe),
         "version": end,
     }
+
+
+# ------------------------------------------------------------ IVF ANN index
+#
+# Same maintenance contract as the MinHash band index, for the
+# similarity-search plane: the IVF inverted file lives as a LakeTable
+# whose BUCKET KEY is the coarse-quantizer cell (pk = (ivf_list,
+# vec_id)), so a query probing nprobe of n_lists cells reads only those
+# buckets (`_prune_buckets` equality pruning) — the partition-pruned
+# read of `write_ivf_embeddings` (functions/ann.py), upgraded to a
+# versioned, exactly-once, incrementally-maintained store.
+#
+# The one structural difference from the band index: a band set is
+# FIXED per document, but a cell assignment is DATA-DEPENDENT — an
+# updated vector can MOVE between cells, and its tombstone needs the
+# OLD cell id. That old assignment comes from a column-pruned narrow
+# read of the index itself ((vec_id, ivf_list) only — parquet never
+# materializes the embedding payload for it) joined to the window's
+# changed ids; the delta side is small in the incremental regime, so
+# AQE broadcasts it.
+
+IVF_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("ivf_list", T.IntegerType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def create_ivf_index(
+    spark: SparkSession,
+    root: str,
+    centroids: list[list[float]],
+    n_buckets: int | None = None,
+) -> LakeTable:
+    """Create the IVF index table and persist its model (the trained
+    centroids) beside it as ``_ivf_model.json`` — an underscore path:
+    invisible to data reads, outside the vacuumed ``data/`` tree. One
+    bucket per cell by default, so cell-equality pruning is file-exact."""
+    import json as _json
+    import os as _os
+
+    n_lists = len(centroids)
+    t = LakeTable.create(
+        spark, root, IVF_INDEX_SCHEMA, pk=["ivf_list", "vec_id"],
+        n_buckets=n_buckets or n_lists,
+    )
+    with open(_os.path.join(root, "_ivf_model.json"), "w") as f:
+        _json.dump({"centroids": centroids}, f)
+    return t
+
+
+def load_ivf_centroids(root: str) -> list[list[float]]:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(root, "_ivf_model.json")) as f:
+        return _json.load(f)["centroids"]
+
+
+def sync_ivf_index(
+    emb_table: LakeTable,
+    index: LakeTable,
+    since_version: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Catch the IVF index up to the embedding table's current snapshot:
+    changed vectors re-assign (codegen dot-products against the centroid
+    literals — `assign_ivf_list`), vectors that left a cell (moved or
+    deleted) tombstone their OLD (cell, id) row. Idempotent per window
+    (batch_id) and stale-guarded (vseq = end version), exactly like
+    ``sync_minhash_index``."""
+    from chunjun_spark.functions.ann import assign_ivf_list
+
+    centroids = load_ivf_centroids(index.root)
+    end = emb_table.manifest["version"]
+    if end == since_version:
+        return {"merge": {"skipped": True}, "version": end}
+    changes = emb_table.read_changes(since_version, end).localCheckpoint(
+        eager=True
+    )
+    new = (
+        changes.filter(F.col("_change_type") != "delete")
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<float>").alias("embedding"),
+        )
+        .withColumn("ivf_list", assign_ivf_list(centroids, "embedding"))
+    )
+    changed_ids = changes.select(F.col(id_col).alias("vec_id")).distinct()
+    # narrow old-assignment read: only (vec_id, ivf_list) columns leave
+    # the parquet scan; the embedding payload is never materialized
+    old = (
+        index.read()
+        .select("vec_id", F.col("ivf_list").alias("old_list"))
+        .join(changed_ids, "vec_id")
+    )
+    moved = (
+        old.join(
+            new.select("vec_id", F.col("ivf_list").alias("new_list")),
+            "vec_id", "left",
+        )
+        .filter(
+            F.col("new_list").isNull()
+            | (F.col("new_list") != F.col("old_list"))
+        )
+        .select(
+            F.col("old_list").alias("ivf_list"),
+            "vec_id",
+            F.lit(None).cast("array<float>").alias("embedding"),
+            F.lit("DELETE").alias(OP_COL),
+        )
+    )
+    batch = (
+        new.select(
+            "ivf_list", "vec_id", "embedding", F.lit("UPSERT").alias(OP_COL)
+        )
+        .unionByName(moved)
+        .withColumns(
+            {
+                VTS_COL: F.lit(_EPOCH).cast("timestamp"),
+                VSEQ_COL: F.lit(end).cast("long"),
+            }
+        )
+    )
+    info = index.merge(
+        batch, batch_id=f"ivfcdf:{since_version}->{end}",
+        assume_unique_keys=True,
+    )
+    return {"merge": info, "version": end}
+
+
+def ivf_index_topk(
+    index: LakeTable,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k by cosine over the maintained IVF index: rank cells on the
+    driver (n_lists-sized math), scan ONLY the nprobe cells' buckets
+    (cell id is the bucket key, so `_prune_buckets` equality pruning is
+    exact), exact re-rank within. ``nprobe == n_lists`` degrades to
+    exact brute force over the whole index."""
+    from chunjun_spark.functions.ann import (
+        _query_probe_lists,
+        brute_force_topk,
+    )
+
+    centroids = load_ivf_centroids(index.root)
+    lists = _query_probe_lists(centroids, query_vec, nprobe)
+    cand = index.refresh().scan(eq={"ivf_list": lists})
+    return brute_force_topk(cand, query_vec, k=k, vec_col="embedding",
+                            id_col="vec_id")

@@ -1,0 +1,179 @@
+"""Incrementally-maintained IVF ANN index over the change-data-feed
+(functions/incremental.py sync_ivf_index).
+
+Invariants: (1) after any insert/update/delete sequence through the
+embedding lake, the incremental index equals a from-scratch sync over
+the final table; (2) a vector that MOVES cells tombstones its old
+(cell, id) row — the data-dependent-assignment case the MinHash band
+index never hits; (3) probes prune to the nprobe cells' buckets and
+nprobe == n_lists degrades to exact brute force."""
+
+import os
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from chunjun_spark.functions.ann import brute_force_topk, train_ivf_centroids
+from chunjun_spark.functions.incremental import (
+    create_ivf_index,
+    ivf_index_topk,
+    load_ivf_centroids,
+    sync_ivf_index,
+)
+from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL, LakeTable
+
+EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+DIM = 8
+N_CLUSTERS = 4
+
+
+def _vec(i: int, cluster: int) -> list[float]:
+    """Deterministic vector near cluster axis `cluster` with a small
+    id-dependent jitter — separable cells, reproducible across runs."""
+    v = [0.0] * DIM
+    v[cluster] = 1.0
+    v[(cluster + 1) % DIM] = 0.05 + ((i * 2654435761) % 97) / 9700.0
+    return [float(x) for x in v]
+
+
+def _rows(ids, cluster_of):
+    return [(int(i), _vec(i, cluster_of(i))) for i in ids]
+
+
+def _merge(spark, table, rows, batch_id, vseq0, deletes=()):
+    ch = spark.createDataFrame(rows, EMB_SCHEMA).select(
+        "vec_id", "embedding", F.lit("UPSERT").alias(OP_COL),
+    )
+    if deletes:
+        dd = spark.createDataFrame(
+            [(int(i), None) for i in deletes], EMB_SCHEMA
+        ).select("vec_id", "embedding", F.lit("DELETE").alias(OP_COL))
+        ch = ch.unionByName(dd)
+    ch = ch.withColumns(
+        {
+            VTS_COL: F.lit("1970-01-01 00:00:00").cast("timestamp"),
+            VSEQ_COL: (F.lit(vseq0) + F.col("vec_id")).cast("long"),
+        }
+    )
+    table.merge(ch, batch_id=batch_id, assume_unique_keys=True)
+    return table.refresh()
+
+
+def _index_assignments(index):
+    return {
+        r["vec_id"]: r["ivf_list"]
+        for r in index.refresh().read().select("vec_id", "ivf_list").collect()
+    }
+
+
+def _axis_centroids():
+    """Fixed, perfectly-separated centroids (one per cluster axis) —
+    create_ivf_index takes any model; k-means init on a tiny fixture can
+    collapse cells, which would make move assertions vacuous."""
+    cents = []
+    for c in range(N_CLUSTERS):
+        v = [0.0] * DIM
+        v[c] = 1.0
+        cents.append(v)
+    return cents
+
+
+def _setup(spark, tmp_root):
+    emb = LakeTable.create(
+        spark, os.path.join(tmp_root, "emb"), EMB_SCHEMA, pk=["vec_id"],
+        n_buckets=4,
+    )
+    emb = _merge(spark, emb, _rows(range(80), lambda i: i % N_CLUSTERS),
+                 "w1", vseq0=0)
+    cents = _axis_centroids()
+    index = create_ivf_index(spark, os.path.join(tmp_root, "idx"), cents)
+    out = sync_ivf_index(emb, index, since_version=0)
+    return emb, index, cents, out["version"]
+
+
+def test_incremental_equals_batch_rebuild_with_moves(spark, tmp_root):
+    emb, index, cents, synced = _setup(spark, tmp_root)
+    before = _index_assignments(index)
+    assert len(before) == 80
+
+    # window 2: ids 0..9 MOVE to another cell, 70..79 leave, 80..99 arrive
+    emb = _merge(
+        spark, emb,
+        _rows(range(10), lambda i: (i + 1) % N_CLUSTERS)
+        + _rows(range(80, 100), lambda i: i % N_CLUSTERS),
+        "w2", vseq0=1_000_000, deletes=range(70, 80),
+    )
+    out2 = sync_ivf_index(emb, index, since_version=synced)
+    assert not out2["merge"].get("skipped")
+
+    rebuilt = create_ivf_index(spark, os.path.join(tmp_root, "idx2"), cents)
+    sync_ivf_index(emb, rebuilt, since_version=0)
+    got, want = _index_assignments(index), _index_assignments(rebuilt)
+    assert got == want
+    assert set(got) == (set(range(70)) | set(range(80, 100)))
+    # the movers actually changed cells (old (cell, id) rows tombstoned;
+    # cells are axis-separable so every mover's assignment flips)
+    for i in range(10):
+        assert got[i] != before[i]
+    counts = {}
+    for r in index.read().groupBy("ivf_list").count().collect():
+        counts[r["ivf_list"]] = r["count"]
+    assert sum(counts.values()) == 90  # no stale duplicate rows anywhere
+    # trained centroids also round-trip through the model sidecar
+    trained = train_ivf_centroids(emb.read(), n_lists=N_CLUSTERS,
+                                  sample_rows=256)
+    t2 = create_ivf_index(spark, os.path.join(tmp_root, "idx3"), trained)
+    assert load_ivf_centroids(t2.root) == trained
+
+
+def test_probe_prunes_buckets_and_full_probe_is_exact(spark, tmp_root):
+    emb, index, cents, _ = _setup(spark, tmp_root)
+    q = _vec(3, 1)
+
+    lists_all = list(range(N_CLUSTERS))
+    pruned = index._prune_buckets(eq={"ivf_list": [0]})
+    assert pruned is not None and len(pruned) < index.n_buckets
+
+    exact = [
+        (r["vec_id"], round(r["sim"], 6))
+        for r in brute_force_topk(emb.read(), q, k=5).collect()
+    ]
+    full = [
+        (r["vec_id"], round(r["sim"], 6))
+        for r in ivf_index_topk(index, q, k=5, nprobe=N_CLUSTERS).collect()
+    ]
+    assert full == exact
+    # small nprobe still finds the right neighborhood for an in-cell query
+    near = [
+        (r["vec_id"], round(r["sim"], 6))
+        for r in ivf_index_topk(index, q, k=5, nprobe=1).collect()
+    ]
+    assert near == exact  # query sits inside one clean cell
+
+
+def test_sync_is_idempotent_and_stale_guarded(spark, tmp_root):
+    emb, index, cents, synced = _setup(spark, tmp_root)
+    before = _index_assignments(index)
+
+    # exact same window replays → batch-id skip
+    out = sync_ivf_index(emb, index, since_version=0)
+    assert out["merge"].get("skipped")
+    assert _index_assignments(index) == before
+
+    # move forward, then replay the OLD window: stale vseq loses
+    emb = _merge(spark, emb, _rows(range(10), lambda i: (i + 2) % N_CLUSTERS),
+                 "w2", vseq0=1_000_000)
+    out2 = sync_ivf_index(emb, index, since_version=synced)
+    after = _index_assignments(index)
+    assert after != before
+    # replaying the bootstrap window again must not regress the movers
+    sync_ivf_index(LakeTable.load(spark, emb.root, version=synced), index,
+                   since_version=0)
+    assert _index_assignments(index) == after
+    assert load_ivf_centroids(index.root) == cents
