@@ -1,0 +1,128 @@
+"""Property-based catalog transactions: any interleaving of committed
+txns, direct (out-of-band) commits, aborts, and crashes at every
+protocol step preserves the atomic-cut invariant — a reader resolving
+BOTH tables through the catalog always sees the same set of applied
+batches in each — and converges to the fold of exactly the applied
+windows after recovery.
+
+Model: two REPLICA tables receive every window. Per window hypothesis
+picks the path:
+  commit         — full txn commit
+  direct         — out-of-band replay into both tables (no txn; becomes
+                   catalog-visible when a later pin swap passes it)
+  abort          — staged then aborted (contributes nothing)
+  crash_stage    — coordinator dies before the decide point; the orphan
+                   stages are dead, the retry txn applies the window
+  crash_prepared — dies after the decide point with one leg published
+  crash_swap     — dies with both legs published, pins not swapped
+Every step starts with recover() — the documented coordinator-start
+rule (recovery MUST precede new transactions)."""
+
+import os
+import uuid
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from chunjun_spark.operators.merge import replay
+from chunjun_spark.plans.catalog import Catalog
+from chunjun_spark.plans.lake import LakeTable
+from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA, generate_binlog
+
+from .conftest import df_state, fold_oracle, sha256_state
+
+PK = ["repo", "path"]
+ACTIONS = ["commit", "direct", "abort", "crash_stage", "crash_prepared",
+           "crash_swap"]
+
+
+def _cat_batches(cat):
+    a = cat.table("a").committed_batches()
+    b = cat.table("b").committed_batches()
+    return a, b
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.sampled_from(ACTIONS), min_size=2, max_size=5))
+def test_catalog_interleavings_stay_atomic_and_converge(spark, tmp_root,
+                                                        decisions):
+    run = uuid.uuid4().hex[:8]
+    n = 2500
+    ev = generate_binlog(spark, n, n_keys=300, seed=41, dup_rate=0.0,
+                         delete_rate=0.1).localCheckpoint(eager=True)
+    k = len(decisions)
+    bounds = [n * i // k for i in range(k + 1)]
+    roots = {}
+    for name in ("a", "b"):
+        r = os.path.join(tmp_root, f"catprop_{run}_{name}")
+        LakeTable.create(spark, r, PAYLOAD_SCHEMA, pk=PK, n_buckets=4)
+        roots[name] = r
+    cat = Catalog.create(spark, os.path.join(tmp_root, f"catprop_{run}"))
+    cat.register("a", roots["a"])
+    cat.register("b", roots["b"])
+
+    def stage_txn(txn_id, w, bid):
+        txn = cat.transaction(txn_id)
+        for name in ("a", "b"):
+            txn.write(name, lambda t, wap, w=w: replay(
+                w, t, batch_id=bid, wap_id=wap))
+        return txn
+
+    applied = []
+    for i, d in enumerate(decisions):
+        # coordinator (re)start: recovery precedes any new transaction
+        cat = Catalog.load(spark, cat.root)
+        cat.recover()
+        w = ev.filter((F.col("offset") >= bounds[i]) &
+                      (F.col("offset") < bounds[i + 1]))
+        bid = f"w{run}{i}"
+        if d == "commit":
+            stage_txn(f"t{run}{i}", w, bid).commit()
+            applied.append(w)
+        elif d == "direct":
+            for name in ("a", "b"):
+                replay(w, LakeTable.load(spark, roots[name]), batch_id=bid)
+            applied.append(w)
+        elif d == "abort":
+            stage_txn(f"t{run}{i}", w, bid).abort()
+        elif d == "crash_stage":
+            stage_txn(f"t{run}{i}", w, bid)  # dies before the decide point
+            # redelivery: a fresh txn applies the window exactly once
+            stage_txn(f"t{run}{i}r", w, bid).commit()
+            applied.append(w)
+        else:
+            txn = stage_txn(f"t{run}{i}", w, bid)
+            txn._record("prepared")
+            legs = [txn.legs[0]] if d == "crash_prepared" else txn.legs
+            for leg in legs:
+                LakeTable.load(spark, leg["root"]).publish_staged(
+                    leg["wap_id"])
+            applied.append(w)  # decided — recovery must finish it
+        # the atomic-cut invariant holds at EVERY step, crashes included
+        a, b = _cat_batches(cat)
+        assert a == b
+
+    cat = Catalog.load(spark, cat.root)
+    cat.recover()
+    cat.sync()  # absorb direct commits a later swap never passed
+    a, b = _cat_batches(cat)
+    assert a == b
+    if applied:
+        union = applied[0]
+        for w in applied[1:]:
+            union = union.unionByName(w)
+        want = sha256_state(fold_oracle(union.collect(), PK))
+    else:
+        want = sha256_state(fold_oracle([], PK))
+    for name in ("a", "b"):
+        assert sha256_state(df_state(cat.table(name).read(), PK)) == want
+    # a second recovery pass finds nothing; orphan stages are inert and
+    # abandonable without touching state
+    assert Catalog.load(spark, cat.root).recover()["completed"] == []
+    for name in ("a", "b"):
+        t = LakeTable.load(spark, roots[name])
+        for sid in t.staged_ids():
+            t.abandon_staged(sid)
+        assert sha256_state(df_state(cat.table(name).read(), PK)) == want
