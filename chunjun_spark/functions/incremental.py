@@ -113,11 +113,12 @@ def update_minhash_index(
     if precomputed_bands is not None:
         bands_df = precomputed_bands
     else:
+        # id_col/text_col are SQL expressions (a composite-pk table
+        # passes e.g. "xxhash64(repo, path)" as its index id)
         live = changes.filter(F.col("_change_type") != "delete").select(
-            F.col(id_col), F.col(text_col)
+            F.expr(id_col).alias("doc_id"), F.expr(text_col).alias("text")
         )
-        bands_df = band_rows(live, text_col=text_col, id_col=id_col,
-                             bands=bands, **mh_kw)
+        bands_df = band_rows(live, bands=bands, **mh_kw)
     upserts = bands_df.select(
         "doc_id", "band", "bhash",
         F.lit("UPSERT").alias(OP_COL),
@@ -125,7 +126,7 @@ def update_minhash_index(
     # fixed band set → tombstones synthesized, no index read needed
     deletes = (
         changes.filter(F.col("_change_type") == "delete")
-        .select(F.col(id_col).alias("doc_id"))
+        .select(F.expr(id_col).alias("doc_id"))
         .select(
             "doc_id",
             F.explode(F.array(*[F.lit(b).cast("int") for b in range(bands)])).alias("band"),
@@ -139,7 +140,11 @@ def update_minhash_index(
             VSEQ_COL: F.lit(version).cast("long"),
         }
     )
-    return index.merge(batch, batch_id=batch_id, assume_unique_keys=True)
+    # offsets carry the synced source version — the resume anchor for
+    # since_version=None (index_synced_version), same contract as the
+    # maintained views' lineage (ivm.view_synced_version)
+    return index.merge(batch, batch_id=batch_id, assume_unique_keys=True,
+                       offsets={"source_version": version})
 
 
 def index_candidates(
@@ -162,10 +167,19 @@ def index_candidates(
     ).distinct()
 
 
+def index_synced_version(index: LakeTable) -> int | None:
+    """Highest source snapshot version this index has applied, from its
+    own commit lineage — the maintained views' resume contract
+    (ivm.view_synced_version), shared, not forked."""
+    from chunjun_spark.operators.ivm import view_synced_version
+
+    return view_synced_version(index)
+
+
 def sync_minhash_index(
     docs_table: LakeTable,
     index: LakeTable,
-    since_version: int,
+    since_version: int | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     bands: int = 16,
@@ -174,9 +188,17 @@ def sync_minhash_index(
     """Catch the index up to the docs table's current snapshot and return
     the near-dup candidates introduced by the window.
 
+    ``since_version=None`` resumes from the index's own lineage
+    (``index_synced_version``) — the follow-the-stream attachment uses
+    this, so a crash between the table commit and the index sync just
+    catches up on the next call. ``id_col``/``text_col`` accept SQL
+    expressions (a composite-pk table passes ``xxhash64(repo, path)``).
+
     Returns {merge: merge-info, candidates: DataFrame, version: end}.
     Idempotent per (since → end) window via the merge's batch_id.
     """
+    if since_version is None:
+        since_version = index_synced_version(index) or 0
     end = docs_table.manifest["version"]
     if end == since_version:
         empty = index.spark.createDataFrame(
@@ -191,13 +213,12 @@ def sync_minhash_index(
         eager=True
     )
     live = changes.filter(F.col("_change_type") != "delete").select(
-        F.col(id_col), F.col(text_col)
+        F.expr(id_col).alias("doc_id"), F.expr(text_col).alias("text")
     )
     # one signature sweep: the band rows feed both the index merge and
     # the candidate probe; they're narrow (id, band, bhash) so the
     # materialization is tiny next to recomputing k×|shingles| hashes
-    probe = band_rows(live, text_col=text_col, id_col=id_col,
-                      bands=bands, **mh_kw).localCheckpoint(eager=True)
+    probe = band_rows(live, bands=bands, **mh_kw).localCheckpoint(eager=True)
     info = update_minhash_index(
         index, changes, version=end,
         batch_id=f"cdf:{since_version}->{end}",
@@ -273,7 +294,7 @@ def load_ivf_centroids(root: str) -> list[list[float]]:
 def sync_ivf_index(
     emb_table: LakeTable,
     index: LakeTable,
-    since_version: int,
+    since_version: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> dict:
@@ -282,10 +303,13 @@ def sync_ivf_index(
     literals — `assign_ivf_list`), vectors that left a cell (moved or
     deleted) tombstone their OLD (cell, id) row. Idempotent per window
     (batch_id) and stale-guarded (vseq = end version), exactly like
-    ``sync_minhash_index``."""
+    ``sync_minhash_index``; ``since_version=None`` resumes from the
+    index's own lineage, ``id_col``/``vec_col`` accept SQL expressions."""
     from chunjun_spark.functions.ann import assign_ivf_list
 
     centroids = load_ivf_centroids(index.root)
+    if since_version is None:
+        since_version = index_synced_version(index) or 0
     end = emb_table.manifest["version"]
     if end == since_version:
         return {"merge": {"skipped": True}, "version": end}
@@ -295,12 +319,12 @@ def sync_ivf_index(
     new = (
         changes.filter(F.col("_change_type") != "delete")
         .select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).cast("array<float>").alias("embedding"),
+            F.expr(id_col).alias("vec_id"),
+            F.expr(vec_col).cast("array<float>").alias("embedding"),
         )
         .withColumn("ivf_list", assign_ivf_list(centroids, "embedding"))
     )
-    changed_ids = changes.select(F.col(id_col).alias("vec_id")).distinct()
+    changed_ids = changes.select(F.expr(id_col).alias("vec_id")).distinct()
     # narrow old-assignment read: only (vec_id, ivf_list) columns leave
     # the parquet scan; the embedding payload is never materialized
     old = (
@@ -338,7 +362,7 @@ def sync_ivf_index(
     )
     info = index.merge(
         batch, batch_id=f"ivfcdf:{since_version}->{end}",
-        assume_unique_keys=True,
+        assume_unique_keys=True, offsets={"source_version": end},
     )
     return {"merge": info, "version": end}
 

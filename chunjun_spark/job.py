@@ -989,6 +989,41 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
                         n_buckets=int(s.get("nBuckets", 8)),
                     )
                 scd2_tables.append({"root": s["path"]})
+        # writer.parameter.curationIndexes: persistent curation indexes
+        # that follow the sink — [{"kind": "minhash", "path",
+        # "idExpr"?, "textExpr"?}]. minhash indexes are created on
+        # demand; an "ivf" index must be pre-created (its centroid model
+        # needs trained data — functions/incremental.create_ivf_index)
+        curation_indexes = None
+        if wp.get("curationIndexes"):
+            from chunjun_spark.functions.incremental import (
+                create_minhash_index,
+            )
+
+            curation_indexes = []
+            for ix in wp["curationIndexes"]:
+                kind = ix.get("kind", "minhash")
+                try:
+                    LakeTable.load(spark, ix["path"])
+                except FileNotFoundError:
+                    if kind != "minhash":
+                        raise ValueError(
+                            "ivf curation indexes must be pre-created "
+                            "(the centroid model needs trained data): "
+                            f"no index at {ix['path']}"
+                        )
+                    create_minhash_index(
+                        spark, ix["path"],
+                        n_buckets=int(ix.get("nBuckets", 16)),
+                    )
+                entry_ = {"kind": kind, "root": ix["path"]}
+                if ix.get("idExpr"):
+                    entry_["id_expr"] = ix["idExpr"]
+                if ix.get("textExpr"):
+                    entry_["text_expr"] = ix["textExpr"]
+                if ix.get("vecExpr"):
+                    entry_["vec_expr"] = ix["vecExpr"]
+                curation_indexes.append(entry_)
         mirrors = None
         if wp.get("mirrors"):
             # writer.parameter.mirrors: replica roots that follow the
@@ -1040,6 +1075,7 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
             mirrors=mirrors,
             dirty=stream_dirty,
             scd2_tables=scd2_tables,
+            curation_indexes=curation_indexes,
         )
         table = LakeTable.load(spark, wp["path"])
         totals = table.lineage_totals()  # exact even past lineage eviction

@@ -174,8 +174,19 @@ def start_replay_stream(
     mirrors: list[str] | None = None,
     dirty: dict | None = None,
     scd2_tables: list[dict] | None = None,
+    curation_indexes: list[dict] | None = None,
 ) -> StreamingQuery:
     """Start the micro-batch apply loop.
+
+    ``curation_indexes``: persistent curation indexes
+    (functions/incremental.py) that follow the sink continuously —
+    ``[{"kind": "minhash"|"ivf", "root": dir, "id_expr": sql,
+    "text_expr"/"vec_expr": sql}]``. After each micro-batch commit the
+    index syncs its own CDF window (since_version=None resumes from the
+    INDEX's lineage), so continuous ingest keeps the dedup/ANN index
+    fresh without re-hashing the corpus; like ``agg_views``, the sync
+    also runs on the replayed-batch skip path. ``id_expr`` defaults to
+    ``xxhash64(<pk cols>)`` — the composite-pk-to-long bridge.
 
     ``scd2_tables``: persistent SCD2 history tables
     (operators/temporal.py create_scd2_table) that follow the stream —
@@ -307,7 +318,7 @@ def start_replay_stream(
         )
 
     def _sync_views() -> None:
-        if not agg_views and not mirrors:
+        if not agg_views and not mirrors and not curation_indexes:
             return
         t = LakeTable.load(spark, table_root)
         if agg_views:
@@ -333,6 +344,29 @@ def start_replay_stream(
 
             for mroot in mirrors:
                 sync_mirror(t, LakeTable.load(spark, mroot))
+        if curation_indexes:
+            from chunjun_spark.functions.incremental import (
+                sync_ivf_index,
+                sync_minhash_index,
+            )
+
+            for ix in curation_indexes:
+                idx = LakeTable.load(spark, ix["root"])
+                id_expr = ix.get("id_expr") or "xxhash64({})".format(
+                    ", ".join(t.pk)
+                )
+                if ix.get("kind", "minhash") == "minhash":
+                    sync_minhash_index(
+                        t, idx, since_version=None,
+                        text_col=ix.get("text_expr", "content"),
+                        id_col=id_expr,
+                    )
+                else:
+                    sync_ivf_index(
+                        t, idx, since_version=None,
+                        vec_col=ix.get("vec_expr", "embedding"),
+                        id_col=id_expr,
+                    )
 
     def _sync_scd2(df: DataFrame, bid: str, table) -> None:
         """Fold this batch's full event window into each attached SCD2
@@ -1219,6 +1253,7 @@ def run_stream_to_completion(
     mirrors: list[str] | None = None,
     dirty: dict | None = None,
     scd2_tables: list[dict] | None = None,
+    curation_indexes: list[dict] | None = None,
 ) -> None:
     events = read_binlog_stream(spark, binlog_dir, max_files_per_trigger)
     if subscription:
@@ -1234,7 +1269,7 @@ def run_stream_to_completion(
         trigger_available_now=True, rate_limiter=limiter,
         agg_views=agg_views, restore_from_lineage=restore_from_lineage,
         audits=audits, mirrors=mirrors, dirty=dirty,
-        scd2_tables=scd2_tables,
+        scd2_tables=scd2_tables, curation_indexes=curation_indexes,
     )
     if not q.awaitTermination(timeout_sec):
         q.stop()

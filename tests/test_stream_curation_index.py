@@ -1,0 +1,123 @@
+"""Curation indexes following the CDC stream: the MinHash band index
+(and by the same contract the IVF index) syncs after every micro-batch
+from the sink's CDF, resuming from its OWN lineage — continuous ingest
+keeps the dedup index fresh without re-hashing the corpus."""
+
+import os
+
+import pyspark.sql.functions as F
+
+from chunjun_spark.functions.incremental import (
+    band_rows,
+    create_minhash_index,
+    index_synced_version,
+    sync_minhash_index,
+)
+from chunjun_spark.job import run_job
+from chunjun_spark.plans.lake import LakeTable
+from chunjun_spark.sources.binlog import (
+    PAYLOAD_SCHEMA,
+    generate_binlog,
+    write_binlog_files,
+)
+from chunjun_spark.streaming.pipeline import run_stream_to_completion
+
+ID_EXPR = "xxhash64(repo, path)"
+
+
+def _index_state(index):
+    return {
+        (r["doc_id"], r["band"]): r["bhash"]
+        for r in index.refresh().read().collect()
+    }
+
+
+def _batch_state(table):
+    docs = table.read().select(
+        F.expr(ID_EXPR).alias("doc_id"), F.col("content").alias("text")
+    )
+    return {
+        (r["doc_id"], r["band"]): r["bhash"]
+        for r in band_rows(docs).collect()
+    }
+
+
+def test_minhash_index_follows_stream_and_resumes(spark, tmp_root):
+    ev1 = generate_binlog(spark, 2000, n_keys=300, seed=51, dup_rate=0.1)
+    binlog = os.path.join(tmp_root, "binlog")
+    write_binlog_files(ev1, binlog, n_files=3)
+    lake = os.path.join(tmp_root, "lake")
+    LakeTable.create(spark, lake, PAYLOAD_SCHEMA, pk=["repo", "path"],
+                     n_buckets=4)
+    idx_root = os.path.join(tmp_root, "idx")
+    create_minhash_index(spark, idx_root, n_buckets=4)
+    ckpt = os.path.join(tmp_root, "ckpt")
+
+    run_stream_to_completion(
+        spark, binlog, lake, ckpt, job_id="cj",
+        curation_indexes=[{"kind": "minhash", "root": idx_root,
+                           "text_expr": "content"}],
+    )
+    table = LakeTable.load(spark, lake)
+    index = LakeTable.load(spark, idx_root)
+    assert index_synced_version(index) == table.manifest["version"]
+    assert _index_state(index) == _batch_state(table)
+
+    # window 2 lands; the restarted stream catches the index up from
+    # the INDEX's own lineage (since_version=None resume contract)
+    ev2 = (
+        generate_binlog(spark, 1000, n_keys=200, seed=52, dup_rate=0.0,
+                        delete_rate=0.2)
+        .withColumn("seq", F.col("seq") + F.lit(10_000_000))
+        .withColumn("op_ts", F.col("op_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    write_binlog_files(ev2, binlog, n_files=2)
+    run_stream_to_completion(
+        spark, binlog, lake, ckpt, job_id="cj",
+        curation_indexes=[{"kind": "minhash", "root": idx_root,
+                           "text_expr": "content"}],
+    )
+    table = LakeTable.load(spark, lake)
+    index = LakeTable.load(spark, idx_root)
+    assert index_synced_version(index) == table.manifest["version"]
+    assert _index_state(index) == _batch_state(table)
+
+    # a from-scratch rebuild over the final table agrees (composite-pk
+    # id expression shared between the incremental and batch paths)
+    rebuilt = create_minhash_index(
+        spark, os.path.join(tmp_root, "idx2"), n_buckets=4
+    )
+    sync_minhash_index(table, rebuilt, text_col="content", id_col=ID_EXPR)
+    assert _index_state(rebuilt) == _index_state(index)
+
+
+def test_curation_index_through_job_json(spark, tmp_root):
+    ev = generate_binlog(spark, 1500, n_keys=250, seed=53, dup_rate=0.1)
+    binlog = os.path.join(tmp_root, "binlog")
+    write_binlog_files(ev, binlog, n_files=2)
+    lake = os.path.join(tmp_root, "lake")
+    idx_root = os.path.join(tmp_root, "idx")  # created on demand
+    job = {
+        "job": {
+            "content": [{
+                "reader": {"name": "binlogreader",
+                           "parameter": {"path": binlog}},
+                "writer": {"name": "hudiwriter", "parameter": {
+                    "path": lake,
+                    "curationIndexes": [{"kind": "minhash",
+                                         "path": idx_root,
+                                         "textExpr": "content"}],
+                }},
+            }],
+            "setting": {"restore": {
+                "isStream": True,
+                "checkpointDir": os.path.join(tmp_root, "ckpt"),
+            }},
+        }
+    }
+    m = run_job(spark, job)
+    assert m["numRead"] == ev.count()
+    table = LakeTable.load(spark, lake)
+    index = LakeTable.load(spark, idx_root)
+    assert index_synced_version(index) == table.manifest["version"]
+    assert _index_state(index) == _batch_state(table)
