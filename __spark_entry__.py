@@ -3512,6 +3512,15 @@ code_files AS (
                WHEN 4 THEN '// @generated by protoc - DO NOT EDIT' || chr(10)
                ELSE '' END)
            || '# c1' || chr(10) || '// c2' || chr(10)
+           || 'def f' || (doc_id % 100) || '_a(x):' || chr(10)
+           || (CASE WHEN doc_id % 2 = 0
+               THEN 'class C' || (doc_id % 50) || ':' || chr(10) ELSE '' END)
+           || (CASE WHEN doc_id % 3 = 0
+               THEN 'function g' || (doc_id % 40) || '() {' || chr(10) ELSE '' END)
+           || (CASE WHEN doc_id % 4 = 0
+               THEN 'func h' || (doc_id % 30) || '() {' || chr(10) ELSE '' END)
+           || (CASE WHEN doc_id % 5 = 0
+               THEN 'fn r' || (doc_id % 20) || '() {' || chr(10) ELSE '' END)
            || replace(text, '. ', '.' || chr(10))
            || (CASE WHEN doc_id % 19 = 0
                THEN chr(10) || repeat('x', 1200) ELSE '' END)
@@ -3640,6 +3649,66 @@ SELECT doc_id,
          ELSE 0 END AS n_comment_lines,
        round(afrac, 6) AS alnum_frac
 FROM code_flags
+""")
+
+
+def _q_code_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-outline symbol extraction over the code corpus
+    (functions/code.py extract_symbols, SYMBOL_RES): one multiline
+    codegen regex sweep per declaration family (def/class/function/
+    func/fn), exploded to (repo, path, lang, kind, name) rows and
+    rolled up per (lang, kind) — symbol-level dedup keys and API
+    surface stats for a code corpus. At 100 TB: one map-only scan plus
+    one narrow aggregate."""
+    from chunjun_spark.functions import code as CODE
+
+    files = CODE.synth_code_files(_t(spark, sf_dir, "documents"))
+    syms = CODE.extract_symbols(files)
+    return syms.groupBy("lang", "kind").agg(
+        F.count("*").alias("n_symbols"),
+        F.countDistinct("name").alias("n_names"),
+        F.countDistinct("path").alias("n_files"),
+    )
+
+
+def _sym_sql_pattern(body: str) -> str:
+    # patterns carry a literal tab inside the class — splice chr(9) so
+    # no raw tab or nested r-string lands in the SQL text
+    return "'(?m)^[ ' || chr(9) || ']*" + body + "'"
+
+
+_CODE_SYMBOLS_SQL = (
+    "WITH " + _CODE_FIXTURE + r""",
+syms AS (
+  SELECT lang_pred AS lang, 'function' AS kind, path,
+         unnest(regexp_extract_all(content,
+           """ + _sym_sql_pattern(r"def ([A-Za-z_][A-Za-z0-9_]*)") + r""", 1)) AS name
+  FROM code_flags
+  UNION ALL
+  SELECT lang_pred, 'class', path,
+         unnest(regexp_extract_all(content,
+           """ + _sym_sql_pattern(r"class ([A-Za-z_][A-Za-z0-9_]*)") + r""", 1))
+  FROM code_flags
+  UNION ALL
+  SELECT lang_pred, 'function', path,
+         unnest(regexp_extract_all(content,
+           """ + _sym_sql_pattern(r"function ([A-Za-z_$][A-Za-z0-9_$]*)") + r""", 1))
+  FROM code_flags
+  UNION ALL
+  SELECT lang_pred, 'function', path,
+         unnest(regexp_extract_all(content,
+           """ + _sym_sql_pattern(r"func ([A-Za-z_][A-Za-z0-9_]*)") + r""", 1))
+  FROM code_flags
+  UNION ALL
+  SELECT lang_pred, 'function', path,
+         unnest(regexp_extract_all(content,
+           """ + _sym_sql_pattern(r"fn ([A-Za-z_][A-Za-z0-9_]*)") + r""", 1))
+  FROM code_flags
+)
+SELECT lang, kind, count(*) AS n_symbols,
+       count(DISTINCT name) AS n_names,
+       count(DISTINCT path) AS n_files
+FROM syms GROUP BY lang, kind
 """)
 
 
@@ -3789,6 +3858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_near_dups": _q_doc_tfidf_near_dups,
         "code_lang_license": _q_code_lang_license,
         "code_file_stats": _q_code_file_stats,
+        "code_symbols": _q_code_symbols,
         "code_corpus_curate": _q_code_corpus_curate,
         "cdc_curated_view": _q_cdc_curated_view,
         "cdc_scd2_incremental": _q_cdc_scd2_incremental,
@@ -3886,6 +3956,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample_k": _SAMPLE_K_SQL,
         "code_lang_license": _CODE_LANG_LICENSE_SQL,
         "code_file_stats": _CODE_FILE_STATS_SQL,
+        "code_symbols": _CODE_SYMBOLS_SQL,
         "code_corpus_curate": _CODE_CURATE_SQL,
         "cdc_curated_view": _CURATED_VIEW_SQL,
         "cdc_scd2_incremental": _SCD2_SQL,

@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     # round-3: persistent SCD2 history maintained incrementally
     "cdc_scd2_incremental",
     "cdc_scd2_asof",
+    # round-3: regex-outline symbol extraction over the code corpus
+    "code_symbols",
     # round-3: atomic multi-table commit through the catalog
     "cdc_txn_catalog",
     # round-3: incrementally-maintained IVF ANN index over the CDF
