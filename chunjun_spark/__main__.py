@@ -22,19 +22,28 @@ from chunjun_spark.session import get_spark
 
 def _maintenance(argv: list[str]) -> None:
     """``report <lake_root>`` / ``vacuum <lake_root> [--keep-last N]
-    [--dry-run]`` — the operational side-door: the advisor's
-    maintenance report and retention GC over a lake table, one JSON
-    line each (driver-side manifest folds, tiny local session)."""
+    [--dry-run]`` / ``compact <lake_root> [--hot-min N]`` — the
+    operational side-door: advisor report, retention GC, and delta
+    compaction (full fold, or hot-bucket-only with ``--hot-min``) over
+    a lake table, one JSON line each."""
     ap = argparse.ArgumentParser(prog=f"chunjun_spark {argv[0]}")
     ap.add_argument("root", help="lake table root directory")
     ap.add_argument("--keep-last", type=int, default=10)
     if argv[0] == "vacuum":
         ap.add_argument("--dry-run", action="store_true")
+    if argv[0] == "compact":
+        ap.add_argument("--hot-min", type=int, default=None,
+                        help="compact only buckets in >= this many "
+                             "outstanding deltas (default: full fold)")
     args = ap.parse_args(argv[1:])
 
     from chunjun_spark.plans.lake import LakeTable
 
-    spark = get_spark("chunjun-spark-maint", master="local[2]",
+    # compact runs a real rewrite job — give it the box; report/vacuum
+    # are driver-side manifest folds
+    spark = get_spark("chunjun-spark-maint",
+                      master="local[*]" if argv[0] == "compact"
+                      else "local[2]",
                       shuffle_partitions=2)
     spark.sparkContext.setLogLevel("ERROR")
     table = LakeTable.load(spark, args.root)
@@ -42,6 +51,16 @@ def _maintenance(argv: list[str]) -> None:
         from chunjun_spark.plans.advisor import maintenance_report
 
         print(json.dumps(maintenance_report(table, keep_last=args.keep_last)))
+    elif argv[0] == "compact":
+        buckets = (table.hot_buckets(min_deltas=args.hot_min)
+                   if args.hot_min else None)
+        if args.hot_min and not buckets:
+            print(json.dumps({"skipped": True, "reason": "no hot buckets"}))
+        else:
+            info = table.compact(buckets=buckets)
+            print(json.dumps({k: v for k, v in info.items()
+                              if not isinstance(v, (list, dict))
+                              or k in ("buckets",)}, default=str))
     else:
         print(json.dumps(table.vacuum(keep_last=args.keep_last,
                                       dry_run=args.dry_run)))
@@ -87,7 +106,7 @@ def _catalog(argv: list[str]) -> None:
 def main() -> None:
     import sys
 
-    if len(sys.argv) > 1 and sys.argv[1] in ("report", "vacuum"):
+    if len(sys.argv) > 1 and sys.argv[1] in ("report", "vacuum", "compact"):
         _maintenance(sys.argv[1:])
         return
     if len(sys.argv) > 1 and sys.argv[1] == "catalog":
@@ -95,7 +114,7 @@ def main() -> None:
         return
     ap = argparse.ArgumentParser(prog="chunjun_spark")
     ap.add_argument("job", help="path to the job JSON (reference shape), "
-                                "or a subcommand: report | vacuum | catalog")
+                                "or a subcommand: report | vacuum | compact | catalog")
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
