@@ -3712,6 +3712,81 @@ FROM syms GROUP BY lang, kind
 """)
 
 
+def _q_code_symbol_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API-clone detection at symbol granularity: files whose DECLARED
+    SYMBOL OUTLINE (sorted kind:name multiset) is identical are
+    interface clones even when bodies/comments/formatting differ — the
+    code-corpus analog of paragraph-level dedup, over extract_symbols
+    output. Per-file fingerprint = md5 of the sorted outline; clusters
+    with >= 2 files survive. Two narrow aggregates (per-file fold, then
+    per-fingerprint census) — symbols never leave the map side wider
+    than (kind, name)."""
+    from chunjun_spark.functions import code as CODE
+
+    files = CODE.synth_code_files(_t(spark, sf_dir, "documents"))
+    per_file = (
+        CODE.extract_symbols(files)
+        .groupBy("repo", "path")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    chr(1),
+                    F.sort_array(
+                        F.collect_list(F.concat_ws(":", "kind", "name"))
+                    ),
+                )
+            ).alias("fp"),
+            F.count("*").alias("n_symbols"),
+        )
+    )
+    return (
+        per_file.groupBy("fp")
+        .agg(F.count("*").alias("n_files"),
+             F.max("n_symbols").alias("n_symbols"))
+        .filter(F.col("n_files") >= 2)
+    )
+
+
+_CODE_SYMBOL_CLONES_SQL = (
+    "WITH " + _CODE_FIXTURE + r""",
+syms AS (
+  SELECT repo, path, 'function' AS kind,
+         unnest(regexp_extract_all(content,
+           """ + _sym_sql_pattern(r"def ([A-Za-z_][A-Za-z0-9_]*)") + r""", 1)) AS name
+  FROM code_flags
+  UNION ALL
+  SELECT repo, path, 'class',
+         unnest(regexp_extract_all(content,
+           """ + _sym_sql_pattern(r"class ([A-Za-z_][A-Za-z0-9_]*)") + r""", 1))
+  FROM code_flags
+  UNION ALL
+  SELECT repo, path, 'function',
+         unnest(regexp_extract_all(content,
+           """ + _sym_sql_pattern(r"function ([A-Za-z_$][A-Za-z0-9_$]*)") + r""", 1))
+  FROM code_flags
+  UNION ALL
+  SELECT repo, path, 'function',
+         unnest(regexp_extract_all(content,
+           """ + _sym_sql_pattern(r"func ([A-Za-z_][A-Za-z0-9_]*)") + r""", 1))
+  FROM code_flags
+  UNION ALL
+  SELECT repo, path, 'function',
+         unnest(regexp_extract_all(content,
+           """ + _sym_sql_pattern(r"fn ([A-Za-z_][A-Za-z0-9_]*)") + r""", 1))
+  FROM code_flags
+),
+per_file AS (
+  SELECT repo, path,
+         md5(array_to_string(list_sort(list(kind || ':' || name)),
+                             chr(1))) AS fp,
+         count(*) AS n_symbols
+  FROM syms GROUP BY repo, path
+)
+SELECT fp, count(*) AS n_files, max(n_symbols) AS n_symbols
+FROM per_file GROUP BY fp HAVING count(*) >= 2
+""")
+
+
 def _q_code_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(repo, lang) census of the training-keep gate — the one
     map-only scan + one narrow agg a 100-TB curation pass costs."""
@@ -3859,6 +3934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_lang_license": _q_code_lang_license,
         "code_file_stats": _q_code_file_stats,
         "code_symbols": _q_code_symbols,
+        "code_symbol_clones": _q_code_symbol_clones,
         "code_corpus_curate": _q_code_corpus_curate,
         "cdc_curated_view": _q_cdc_curated_view,
         "cdc_scd2_incremental": _q_cdc_scd2_incremental,
@@ -3957,6 +4033,7 @@ def oracle_sql() -> dict[str, str]:
         "code_lang_license": _CODE_LANG_LICENSE_SQL,
         "code_file_stats": _CODE_FILE_STATS_SQL,
         "code_symbols": _CODE_SYMBOLS_SQL,
+        "code_symbol_clones": _CODE_SYMBOL_CLONES_SQL,
         "code_corpus_curate": _CODE_CURATE_SQL,
         "cdc_curated_view": _CURATED_VIEW_SQL,
         "cdc_scd2_incremental": _SCD2_SQL,

@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "cdc_scd2_asof",
     # round-3: regex-outline symbol extraction over the code corpus
     "code_symbols",
+    "code_symbol_clones",
     # round-3: atomic multi-table commit through the catalog
     "cdc_txn_catalog",
     # round-3: incrementally-maintained IVF ANN index over the CDF
