@@ -144,3 +144,43 @@ def test_fanout_abandons_orphan_stage_from_undecided_crash(spark, tmp_root):
     for r in roots:
         assert _lake_state(spark, r) == want
         assert LakeTable.load(spark, r).staged_ids() == []
+
+
+def test_fanout_catalog_ddl_only_batch_still_commits_atomically(spark, tmp_root):
+    """DDL applies to every lake sink BEFORE the legs stage; a later
+    micro-batch that carries ONLY the DDL event (no data rows) must
+    still route and commit through the txn path without wedging the
+    stream (the empty merge stages a metadata-only manifest)."""
+    import json
+
+    import pyspark.sql.functions as FN
+
+    ev, binlog = _fixture(spark, tmp_root, n=1200, n_keys=200)
+    roots = _mk_sinks(spark, tmp_root)
+    cat_root = os.path.join(tmp_root, "cat")
+    ckpt = os.path.join(tmp_root, "ckpt")
+    _run(spark, binlog, roots, cat_root, ckpt)
+
+    # second run: the ONLY new file carries one DDL event
+    ddl = ev.limit(1).select(
+        FN.lit("DDL").alias("op"),
+        *[FN.col(c) for c in ev.columns if c not in
+          ("op", "before", "after", "ddl", "seq", "op_ts")],
+        (FN.lit(99_000_000) + FN.col("seq")).alias("seq"),
+        (FN.col("op_ts") + FN.expr("INTERVAL 2 HOUR")).alias("op_ts"),
+        FN.lit(None).cast(ev.schema["before"].dataType).alias("before"),
+        FN.lit(None).cast(ev.schema["after"].dataType).alias("after"),
+        FN.lit(json.dumps({"action": "add_column", "name": "stars",
+                           "type": "int"})).alias("ddl"),
+    ).select(*ev.columns)
+    write_binlog_files(ddl, binlog, n_files=1)
+    _run(spark, binlog, roots, cat_root, ckpt)
+
+    cat = Catalog.load(spark, cat_root)
+    want = _expected_final(ev)
+    for i, r in enumerate(roots):
+        t = LakeTable.load(spark, r)
+        assert "stars" in t.schema.names()  # DDL landed on every sink
+        assert _lake_state(spark, r) == want
+        assert cat.pins()[f"lake_{i}"] == t.manifest["version"]
+    assert cat.recover()["completed"] == []
