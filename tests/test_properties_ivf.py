@@ -1,0 +1,91 @@
+"""Property-based IVF index maintenance: any sequence of insert / move /
+delete windows applied through the embedding lake keeps the
+incrementally-synced index identical to a from-scratch sync over the
+final table — including the cell-move tombstone path (the
+data-dependent-assignment case), skipped windows (sync every K windows,
+not every window), and stale replays."""
+
+import os
+import uuid
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from chunjun_spark.functions.incremental import (
+    create_ivf_index,
+    index_synced_version,
+    sync_ivf_index,
+)
+from chunjun_spark.plans.lake import LakeTable
+
+from .test_ivf_index import (
+    EMB_SCHEMA,
+    N_CLUSTERS,
+    _axis_centroids,
+    _index_assignments,
+    _merge,
+    _rows,
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.sampled_from(["insert", "move", "delete"]),
+              st.booleans()),  # (op kind, sync after this window?)
+    min_size=2, max_size=5,
+))
+def test_ivf_incremental_equals_rebuild_under_interleavings(
+        spark, tmp_root, windows):
+    run = uuid.uuid4().hex[:8]
+    emb = LakeTable.create(
+        spark, os.path.join(tmp_root, f"emb_{run}"), EMB_SCHEMA,
+        pk=["vec_id"], n_buckets=4,
+    )
+    emb = _merge(spark, emb, _rows(range(40), lambda i: i % N_CLUSTERS),
+                 "w0", vseq0=0)
+    index = create_ivf_index(
+        spark, os.path.join(tmp_root, f"idx_{run}"), _axis_centroids()
+    )
+    sync_ivf_index(emb, index)
+
+    next_id = 40
+    for i, (kind, do_sync) in enumerate(windows):
+        vseq0 = (i + 1) * 1_000_000
+        if kind == "insert":
+            emb = _merge(spark, emb,
+                         _rows(range(next_id, next_id + 7),
+                               lambda x: x % N_CLUSTERS),
+                         f"w{i + 1}", vseq0=vseq0)
+            next_id += 7
+        elif kind == "move":
+            # rotate 8 early ids one cell over (per-window rotation so
+            # repeated moves keep moving)
+            emb = _merge(spark, emb,
+                         _rows(range(8),
+                               lambda x, r=i: (x + r + 1) % N_CLUSTERS),
+                         f"w{i + 1}", vseq0=vseq0)
+        else:
+            victims = [v for v in range(next_id)][-5:]
+            emb = _merge(spark, emb, [], f"w{i + 1}", vseq0=vseq0,
+                         deletes=victims)
+        if do_sync:
+            sync_ivf_index(emb, index)  # resumes from the index lineage
+    sync_ivf_index(emb, index)  # final catch-up
+    assert index_synced_version(index.refresh()) == emb.manifest["version"]
+
+    rebuilt = create_ivf_index(
+        spark, os.path.join(tmp_root, f"idx2_{run}"), _axis_centroids()
+    )
+    sync_ivf_index(emb, rebuilt, since_version=0)
+    got = _index_assignments(index)
+    assert got == _index_assignments(rebuilt)
+    # no key holds rows in two cells (the move-tombstone invariant)
+    dup = (index.refresh().read().groupBy("vec_id").count()
+           .filter(F.col("count") > 1).count())
+    assert dup == 0
+    # a stale replay of the bootstrap window cannot regress anything
+    sync_ivf_index(LakeTable.load(spark, emb.root, version=1), index,
+                   since_version=0)
+    assert _index_assignments(index) == got
