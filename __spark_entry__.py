@@ -3409,6 +3409,102 @@ WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+_TOKENIZE_EXPR = "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def _q_cdc_postings_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained EXPLODED (flatMap) view over the CDF
+    (operators/ivm.py sync_exploded_view): a token-postings index
+    (doc_id, token) kept in sync as the docs lake commits — changed
+    parents re-explode, children a parent no longer emits retract via a
+    bucket-pruned narrow anti-join against the view itself. Window 2
+    inserts the held-out 20%, rewrites every %9 doc's text (its old
+    tokens must retract), and deletes every %7 doc (all its postings
+    drop). Output = per-token document frequency over the final view,
+    hash-checked against DuckDB recomputing the postings from the final
+    document state."""
+    from chunjun_spark.operators.ivm import (
+        create_exploded_view,
+        sync_exploded_view,
+    )
+    from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="cj_entry_post_")
+    dt = LakeTable.create(
+        spark, os.path.join(root, "docs"),
+        T.StructType([T.StructField("doc_id", T.LongType()),
+                      T.StructField("text", T.StringType())]),
+        pk=["doc_id"], n_buckets=8,
+    )
+    base = docs.select(
+        "doc_id", "text", F.lit("UPSERT").alias(OP_COL),
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias(VTS_COL),
+        F.col("doc_id").alias(VSEQ_COL),
+    )
+    dt.merge(base.filter(F.col("doc_id") % 5 != 0), batch_id="w1",
+             assume_unique_keys=True)
+    dt = dt.refresh()
+    view = create_exploded_view(
+        spark, os.path.join(root, "view"),
+        [("doc_id", "bigint"), ("token", "string")],
+        pk=["doc_id", "token"], n_buckets=8,
+    )
+    sync_exploded_view(
+        dt, view, _TOKENIZE_EXPR,
+        [("doc_id", "doc_id"), ("token", "child")],
+    )
+    w2 = (
+        base.filter(F.col("doc_id") % 5 == 0)
+        .withColumn(VSEQ_COL, F.col(VSEQ_COL) + F.lit(1_000_000))
+        .unionByName(
+            base.filter(F.col("doc_id") % 9 == 0)
+            .withColumn("text", F.concat(
+                F.col("text"), F.lit(" zz"), F.col("doc_id").cast("string")
+            ))
+            .withColumn(VSEQ_COL, F.col(VSEQ_COL) + F.lit(2_000_000))
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 7 == 0)
+            .withColumn(OP_COL, F.lit("DELETE"))
+            .withColumn(VSEQ_COL, F.col(VSEQ_COL) + F.lit(3_000_000))
+        )
+    )
+    dt.merge(w2, batch_id="w2")
+    dt = dt.refresh()
+    sync_exploded_view(
+        dt, view.refresh(), _TOKENIZE_EXPR,
+        [("doc_id", "doc_id"), ("token", "child")],
+    )
+    return (
+        view.refresh().read().groupBy("token")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 10)
+    )
+
+
+# final document state reconstructed in SQL: deletes beat updates beat
+# arrivals (strictly increasing version stamps in window 2)
+_POSTINGS_VIEW_SQL = r"""
+WITH final AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0
+              THEN text || ' zz' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+  WHERE doc_id % 7 <> 0
+),
+postings AS (
+  SELECT DISTINCT doc_id, token
+  FROM final,
+       unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(token)
+  WHERE token <> ''
+)
+SELECT token, count(*) AS n_docs
+FROM postings GROUP BY token HAVING count(*) >= 10
+"""
+
+
 def _q_cdc_txn_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Atomic multi-table commit through the catalog (plans/catalog.py):
     one change stream routed to two shard tables by user_id parity (the
@@ -3939,6 +4035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_curated_view": _q_cdc_curated_view,
         "cdc_scd2_incremental": _q_cdc_scd2_incremental,
         "cdc_scd2_asof": _q_cdc_scd2_asof,
+        "cdc_postings_view": _q_cdc_postings_view,
         "cdc_txn_catalog": _q_cdc_txn_catalog,
     }
 
@@ -4038,6 +4135,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_curated_view": _CURATED_VIEW_SQL,
         "cdc_scd2_incremental": _SCD2_SQL,
         "cdc_scd2_asof": _SCD2_ASOF_SQL,
+        "cdc_postings_view": _POSTINGS_VIEW_SQL,
         "cdc_txn_catalog": _TXN_CATALOG_SQL,
         # minhash_lsh_dups / simhash_near_dups / ann_topk_lsh: rows-only
     }

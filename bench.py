@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     # round-3: regex-outline symbol extraction over the code corpus
     "code_symbols",
     "code_symbol_clones",
+    # round-3: maintained exploded (flatMap) view over the CDF
+    "cdc_postings_view",
     # round-3: atomic multi-table commit through the catalog
     "cdc_txn_catalog",
     # round-3: incrementally-maintained IVF ANN index over the CDF

@@ -479,3 +479,119 @@ def filter_view_batch(
     for c in pk:
         notnull = notnull & F.col(c).isNotNull()
     return batch.where((F.col(OP_COL) != "DELETE") | notnull)
+
+
+# -------------------------------------------- maintained exploded views
+
+def create_exploded_view(
+    spark: SparkSession,
+    root: str,
+    fields: list[tuple[str, str]],
+    pk: list[str],
+    n_buckets: int = 8,
+):
+    """A maintained FLATMAP view as its own LakeTable: each source row
+    expands to 0..N child rows. ``pk`` = the SOURCE pk followed by the
+    child-key columns — the parent key must come FIRST so the view's
+    bucket key is the parent and the maintenance old-read can prune to
+    the changed parents' buckets."""
+    from chunjun_spark.plans.lake import LakeTable, _parse_type
+
+    schema = T.StructType([T.StructField(n, _parse_type(t)) for n, t in fields])
+    return LakeTable.create(spark, root, schema, pk=pk, n_buckets=n_buckets)
+
+
+def sync_exploded_view(
+    source,
+    view,
+    explode_expr: str,
+    select_exprs: list[tuple[str, str]],
+    since_version: int | None = None,
+) -> dict:
+    """Catch a maintained EXPLODED (flatMap) view up to the source's
+    current snapshot — exactly once. The one-to-many sibling of
+    ``sync_filter_view``: token postings, shingle/symbol indexes, any
+    derived table with N child rows per source row.
+
+    ``explode_expr``: SQL expression over the source row producing an
+    ARRAY; each element becomes a child row, bound as column ``child``
+    for ``select_exprs`` ([(name, sql)] projecting the FULL view schema;
+    the parent pk columns must be projected unchanged). Duplicate
+    children per parent collapse (dropDuplicates on the view pk), so
+    payload columns must be functionally determined by the view pk.
+
+    Maintenance per window — O(changes × fanout), never a rescan:
+    changed parents re-explode (UPSERTs); the children a parent no
+    longer emits are retracted by an anti-join against a NARROW
+    (pk-columns-only, column-pruned) read of the view itself, pruned to
+    the changed parents' buckets (the parent key is the view's bucket
+    key — the same old-read shape as the IVF cell-move tombstone).
+    Deletes drop all of a parent's children the same way. Window
+    anchoring, idempotent replay, and resume follow the sync_agg_view
+    lineage contract.
+    """
+    from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL
+
+    end = source.manifest["version"]
+    ppk = list(source.pk)
+    names = {n for n, _ in select_exprs}
+    missing = [c for c in view.pk if c not in names]
+    if missing:
+        raise ValueError(f"select_exprs must project view pk columns {missing}")
+    if view.pk[: len(ppk)] != ppk:
+        raise ValueError(
+            f"view pk {view.pk} must start with the source pk {ppk} "
+            "(parent-first keying is what makes the old-read prunable)"
+        )
+    since_version, skip = _anchor_window(view, since_version, end)
+    if skip:
+        return {"merge": {"skipped": True}, "version": end}
+
+    # one CDF evaluation feeds the re-explode AND the parent-key set
+    ch = source.read_changes(since_version, end).localCheckpoint(eager=True)
+    live = ch.filter(F.col("_change_type") != "delete")
+    exploded = live.withColumn("child", F.explode(F.expr(explode_expr)))
+    upserts = exploded.select(
+        *[F.expr(sql).alias(n) for n, sql in select_exprs]
+    ).dropDuplicates(view.pk)
+
+    parents = ch.select(*ppk).distinct().localCheckpoint(eager=True)
+    # changed parents hash into a BOUNDED bucket set (<= n_buckets ids):
+    # read only those buckets of the view, pk columns only
+    pb = sorted(
+        r["_b"]
+        for r in parents.select(view._bucket_expr(parents).alias("_b"))
+        .distinct().collect()
+    )
+    old = (
+        view.read(buckets=pb)
+        .select(*view.pk)
+        .join(parents, ppk, "semi")
+    )
+    dels = old.join(upserts.select(*view.pk), view.pk, "left_anti")
+
+    payload = [c for c in view.read().columns if c not in view.pk]
+    types = {f["name"]: f["type"] for f in view.schema.fields}
+    batch = (
+        upserts.withColumn(OP_COL, F.lit("UPSERT"))
+        .unionByName(
+            dels.select(
+                *view.pk,
+                *[F.lit(None).cast(types[c]).alias(c) for c in payload],
+                F.lit("DELETE").alias(OP_COL),
+            )
+        )
+        .withColumns(
+            {
+                VTS_COL: F.lit("1970-01-01 00:00:00").cast("timestamp"),
+                VSEQ_COL: F.lit(end).cast("long"),
+            }
+        )
+    )
+    info = view.merge(
+        batch,
+        batch_id=f"ivm-explode:{since_version}->{end}",
+        offsets={"source_version": end},
+        assume_unique_keys=True,
+    )
+    return {"merge": info, "version": end}

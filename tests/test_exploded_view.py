@@ -1,0 +1,124 @@
+"""Maintained exploded (flatMap) views over the CDF
+(operators/ivm.py sync_exploded_view): token postings as the canonical
+instance. Changed parents re-explode; children a parent stops emitting
+retract via the bucket-pruned narrow anti-join; deletes drop all of a
+parent's children; windows anchor/skip/replay exactly like the other
+maintained views."""
+
+import os
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+import pytest
+
+from chunjun_spark.operators.ivm import (
+    create_exploded_view,
+    sync_exploded_view,
+)
+from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL, LakeTable
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+TOKENIZE = "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+SELECT = [("doc_id", "doc_id"), ("token", "child")]
+
+
+def _merge_docs(spark, table, rows, batch_id, vseq0, deletes=()):
+    ch = spark.createDataFrame(rows, DOCS_SCHEMA).select(
+        "doc_id", "text", F.lit("UPSERT").alias(OP_COL)
+    )
+    if deletes:
+        dd = spark.createDataFrame(
+            [(int(i), None) for i in deletes], DOCS_SCHEMA
+        ).select("doc_id", "text", F.lit("DELETE").alias(OP_COL))
+        ch = ch.unionByName(dd)
+    ch = ch.withColumns({
+        VTS_COL: F.lit("1970-01-01 00:00:00").cast("timestamp"),
+        VSEQ_COL: (F.lit(vseq0) + F.col("doc_id")).cast("long"),
+    })
+    table.merge(ch, batch_id=batch_id, assume_unique_keys=True)
+    return table.refresh()
+
+
+def _view_state(view):
+    return {(r["doc_id"], r["token"])
+            for r in view.refresh().read().collect()}
+
+
+def _expected(table):
+    out = set()
+    for r in table.read().collect():
+        toks = [t for t in
+                __import__("re").split(r"[^a-z0-9]+", r["text"].lower())
+                if t]
+        out |= {(r["doc_id"], t) for t in toks}
+    return out
+
+
+def _setup(spark, tmp_root):
+    dt = LakeTable.create(spark, os.path.join(tmp_root, "docs"),
+                          DOCS_SCHEMA, pk=["doc_id"], n_buckets=4)
+    dt = _merge_docs(spark, dt, [
+        (1, "alpha beta gamma"),
+        (2, "beta gamma delta"),
+        (3, "Epsilon, zeta!"),
+    ], "w1", vseq0=0)
+    view = create_exploded_view(
+        spark, os.path.join(tmp_root, "view"),
+        [("doc_id", "bigint"), ("token", "string")],
+        pk=["doc_id", "token"], n_buckets=4,
+    )
+    sync_exploded_view(dt, view, TOKENIZE, SELECT)
+    return dt, view
+
+
+def test_postings_follow_updates_and_deletes(spark, tmp_root):
+    dt, view = _setup(spark, tmp_root)
+    assert _view_state(view) == _expected(dt)
+    assert (1, "alpha") in _view_state(view)
+
+    # doc 1 rewrites (alpha/beta leave, omega arrives), doc 3 deletes,
+    # doc 4 arrives; duplicate tokens in one doc collapse
+    dt = _merge_docs(spark, dt, [
+        (1, "gamma omega omega"),
+        (4, "theta beta"),
+    ], "w2", vseq0=1_000_000, deletes=[3])
+    sync_exploded_view(dt, view.refresh(), TOKENIZE, SELECT)
+    got = _view_state(view)
+    assert got == _expected(dt)
+    assert (1, "alpha") not in got and (1, "omega") in got
+    assert not any(d == 3 for d, _ in got)
+    assert (4, "theta") in got
+
+
+def test_sync_is_anchored_and_idempotent(spark, tmp_root):
+    dt, view = _setup(spark, tmp_root)
+    before = _view_state(view)
+    # equal-end replay skips
+    out = sync_exploded_view(dt, view.refresh(), TOKENIZE, SELECT)
+    assert out["merge"]["skipped"]
+    # a mis-anchored window is rejected, not silently applied
+    dt = _merge_docs(spark, dt, [(5, "iota")], "w2", vseq0=1_000_000)
+    with pytest.raises(ValueError, match="window"):
+        sync_exploded_view(dt, view.refresh(), TOKENIZE, SELECT,
+                           since_version=0)
+    sync_exploded_view(dt, view.refresh(), TOKENIZE, SELECT)
+    assert _view_state(view) == before | {(5, "iota")}
+
+
+def test_validation_errors(spark, tmp_root):
+    dt, view = _setup(spark, tmp_root)
+    with pytest.raises(ValueError, match="pk columns"):
+        sync_exploded_view(dt, view.refresh(), TOKENIZE,
+                           [("doc_id", "doc_id")])
+    bad = create_exploded_view(
+        spark, os.path.join(tmp_root, "bad"),
+        [("token", "string"), ("doc_id", "bigint")],
+        pk=["token", "doc_id"], n_buckets=4,
+    )
+    with pytest.raises(ValueError, match="must start with the source pk"):
+        sync_exploded_view(dt, bad, TOKENIZE, SELECT)
