@@ -968,6 +968,32 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
                     "predicate": v["predicate"],
                     "select_exprs": [(c, c) for c in cols],
                 })
+        # writer.parameter.explodedViews: maintained flatMap views that
+        # follow the sink — [{"path", "explodeExpr", "selectExprs":
+        # [[name, sql], ...], "fields": [[name, type_ddl], ...]}];
+        # created on demand (pk = sink pk + the child-key columns, i.e.
+        # every selectExprs name past the sink pk)
+        if wp.get("explodedViews"):
+            from chunjun_spark.operators.ivm import create_exploded_view
+
+            agg_views = agg_views or []
+            pk = wp.get("pk") or ["repo", "path"]
+            for v in wp["explodedViews"]:
+                sel = [(n, sql) for n, sql in v["selectExprs"]]
+                vpk = pk + [n for n, _ in sel if n not in pk]
+                try:
+                    LakeTable.load(spark, v["path"])
+                except FileNotFoundError:
+                    create_exploded_view(
+                        spark, v["path"],
+                        [(n, t) for n, t in v["fields"]],
+                        pk=vpk, n_buckets=int(v.get("nBuckets", 8)),
+                    )
+                agg_views.append({
+                    "root": v["path"], "kind": "exploded",
+                    "explode_expr": v["explodeExpr"],
+                    "select_exprs": sel,
+                })
         # writer.parameter.scd2Tables: persistent SCD2 history tables
         # that follow the sink — [{"path", "nBuckets"?}]; created on
         # demand from the sink payload schema + pk

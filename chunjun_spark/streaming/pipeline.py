@@ -324,6 +324,7 @@ def start_replay_stream(
         if agg_views:
             from chunjun_spark.operators.ivm import (
                 sync_agg_view,
+                sync_exploded_view,
                 sync_filter_view,
             )
 
@@ -333,6 +334,12 @@ def start_replay_stream(
                     sync_filter_view(
                         t, LakeTable.load(spark, v["root"]),
                         v["predicate"], v.get("select_exprs"),
+                    )
+                elif v.get("kind") == "exploded":
+                    # maintained flatMap view (postings/symbol indexes)
+                    sync_exploded_view(
+                        t, LakeTable.load(spark, v["root"]),
+                        v["explode_expr"], v["select_exprs"],
                     )
                 else:
                     sync_agg_view(

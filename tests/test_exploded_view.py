@@ -122,3 +122,78 @@ def test_validation_errors(spark, tmp_root):
     )
     with pytest.raises(ValueError, match="must start with the source pk"):
         sync_exploded_view(dt, bad, TOKENIZE, SELECT)
+
+
+def test_exploded_view_follows_stream_via_job_json(spark, tmp_root):
+    """The flatMap view rides the streaming replay loop (agg_views kind
+    'exploded' / job-JSON explodedViews): each micro-batch commit syncs
+    the postings from the sink's CDF, resuming across runs."""
+    import re
+
+    from chunjun_spark.job import run_job
+    from chunjun_spark.sources.binlog import (
+        generate_binlog,
+        write_binlog_files,
+    )
+
+    tok = "filter(split(lower(content), '[^a-z0-9]+'), x -> x <> '')"
+    ev = generate_binlog(spark, 1200, n_keys=200, seed=61, dup_rate=0.1)
+    binlog = os.path.join(tmp_root, "binlog")
+    write_binlog_files(ev, binlog, n_files=2)
+    lake = os.path.join(tmp_root, "lake")
+    vroot = os.path.join(tmp_root, "view")
+    job = {
+        "job": {
+            "content": [{
+                "reader": {"name": "binlogreader",
+                           "parameter": {"path": binlog}},
+                "writer": {"name": "hudiwriter", "parameter": {
+                    "path": lake,
+                    "explodedViews": [{
+                        "path": vroot,
+                        "explodeExpr": tok,
+                        "selectExprs": [["repo", "repo"],
+                                        ["path", "path"],
+                                        ["token", "child"]],
+                        "fields": [["repo", "string"], ["path", "string"],
+                                   ["token", "string"]],
+                    }],
+                }},
+            }],
+            "setting": {"restore": {
+                "isStream": True,
+                "checkpointDir": os.path.join(tmp_root, "ckpt"),
+            }},
+        }
+    }
+    run_job(spark, job)
+    view = LakeTable.load(spark, vroot)
+    table = LakeTable.load(spark, lake)
+    got = {(r["repo"], r["path"], r["token"])
+           for r in view.read().collect()}
+    want = set()
+    for r in table.read().select("repo", "path", "content").collect():
+        for t in re.split(r"[^a-z0-9]+", r["content"].lower()):
+            if t:
+                want.add((r["repo"], r["path"], t))
+    assert got == want and len(got) > 0
+
+    # window 2 through the SAME job spec: the view catches up
+    ev2 = (
+        generate_binlog(spark, 600, n_keys=150, seed=62, dup_rate=0.0,
+                        delete_rate=0.2)
+        .withColumn("seq", F.col("seq") + F.lit(10_000_000))
+        .withColumn("op_ts", F.col("op_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    write_binlog_files(ev2, binlog, n_files=1)
+    run_job(spark, job)
+    view = LakeTable.load(spark, vroot)
+    table = LakeTable.load(spark, lake)
+    got = {(r["repo"], r["path"], r["token"])
+           for r in view.read().collect()}
+    want = set()
+    for r in table.read().select("repo", "path", "content").collect():
+        for t in re.split(r"[^a-z0-9]+", r["content"].lower()):
+            if t:
+                want.add((r["repo"], r["path"], t))
+    assert got == want
