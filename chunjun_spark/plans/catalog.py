@@ -152,6 +152,29 @@ class Catalog:
             self._swap(moves)
         return {n: e["version"] for n, e in moves.items()}
 
+    def advance_pins(self, versions: dict) -> dict:
+        """One atomic multi-pin move to an externally-verified consistent
+        cut — e.g. a source table at snapshot V together with its
+        maintained views synced to V (the views commit individually and
+        lag the table between syncs; this publishes the MATCHED set to
+        catalog readers in one swap). Pins only move forward; a version
+        at or below the current pin is ignored. Versions must already
+        exist on their tables — this moves refs, it commits nothing."""
+        moves = {}
+        for name, v in versions.items():
+            e = self._entry(name)
+            v = int(v)
+            vpath = os.path.join(e["root"], "_manifests", f"v{v}.json")
+            if not os.path.exists(vpath):
+                raise FileNotFoundError(
+                    f"table {name!r} has no snapshot v{v} to pin"
+                )
+            if v > e["version"]:
+                moves[name] = {"root": e["root"], "version": v}
+        if moves:
+            self._swap(moves)
+        return {n: e["version"] for n, e in moves.items()}
+
     def protected_versions(self, table_root: str) -> list[int]:
         """Pinned versions for a given table root — feed to
         ``LakeTable.vacuum(protect_versions=...)``."""

@@ -197,3 +197,52 @@ def test_txn_validation_errors(spark, tmp_root):
     txn.abort()
     with pytest.raises(ValueError, match="aborted"):
         txn.commit()
+
+
+def test_advance_pins_publishes_consistent_cut(spark, tmp_root):
+    """Source + maintained view: the view syncs AFTER the table commit,
+    so heads are momentarily mismatched; one advance_pins() publishes
+    the matched (table@V, view@synced-to-V) pair atomically to catalog
+    readers."""
+    import pyspark.sql.types as T
+
+    from chunjun_spark.operators.ivm import (
+        create_agg_view,
+        sync_agg_view,
+        view_synced_version,
+    )
+
+    root = os.path.join(tmp_root, "src")
+    t = LakeTable.create(
+        spark, root,
+        T.StructType([T.StructField("user_id", T.LongType()),
+                      T.StructField("value", T.DoubleType())]),
+        pk=["user_id"], n_buckets=4,
+    )
+    view = create_agg_view(spark, os.path.join(tmp_root, "v"),
+                           [("user_id", "bigint")])
+    cat = Catalog.create(spark, os.path.join(tmp_root, "cat"))
+    cat.register("src", root)
+    cat.register("view", view.root)
+
+    ch = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0)], "user_id long, value double"
+    ).selectExpr("user_id", "value", "'UPSERT' AS _op",
+                 "timestamp('1970-01-01') AS _vts",
+                 "monotonically_increasing_id() AS _vseq")
+    t.merge(ch, batch_id="w1")
+    t = t.refresh()
+    # table head moved; catalog still shows the pre-commit cut
+    assert cat.table("src").manifest["version"] < t.manifest["version"]
+
+    sync_agg_view(t, view, ["user_id"], "value")
+    view = view.refresh()
+    cat.advance_pins({"src": t.manifest["version"],
+                      "view": view.manifest["version"]})
+    # the published cut is matched: view synced exactly to the pinned src
+    assert cat.pins()["src"] == t.manifest["version"]
+    assert view_synced_version(cat.table("view")) == cat.pins()["src"]
+    # forward-only: replaying an old pin is a no-op
+    assert cat.advance_pins({"src": 1}) == {}
+    with pytest.raises(FileNotFoundError):
+        cat.advance_pins({"src": 99})
