@@ -2238,6 +2238,56 @@ def _q_cdc_zorder_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lake_projection(table.refresh().read())
 
 
+def _q_cdc_fast_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregates (LakeTable.fast_stats — the Iceberg
+    aggregate-pushdown analog): after a full CDC replay and a
+    tombstone-purging compact, ``count(*)/min/max`` are answered from
+    manifests + parquet footers with ZERO Spark jobs and zero data scan
+    — and both exactness preconditions (no deltas, no tombstones) are
+    proven from footer metadata, not assumed. The returned row must
+    equal the oracle's scan aggregate over the keep-last fold. At 10^10
+    rows: O(#files) driver-side footer reads vs a full table scan."""
+    ev = _t(spark, sf_dir, "events")
+    ch = events_changelog(ev)
+    root = tempfile.mkdtemp(prefix="cj_entry_fstats_")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table = LakeTable.create(
+        spark, root, schema, pk=["user_id"], n_buckets=8,
+        stats_cols=["value"],
+    )
+    replay(ch, table, batch_id="entry-fstats", mode="cow")
+    table = table.refresh()
+    table.compact(purge_tombstones=True)
+    st = table.refresh().fast_stats(["value"])
+    return spark.createDataFrame(
+        [(
+            st["n_rows"],
+            round(st["min"]["value"], 6),
+            round(st["max"]["value"], 6),
+        )],
+        "n_rows long, min_value double, max_value double",
+    )
+
+
+_FAST_STATS_SQL = """
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT count(*) AS n_rows,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM r WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 def _q_cdc_mirror_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lake → lake replication over the CDF (operators/mirror.py): a
     replica catches up window-by-window — O(changes) per sync through
@@ -3608,7 +3658,15 @@ code_files AS (
                WHEN 4 THEN '// @generated by protoc - DO NOT EDIT' || chr(10)
                ELSE '' END)
            || '# c1' || chr(10) || '// c2' || chr(10)
+           || (CASE WHEN doc_id % 3 = 1
+               THEN 'import m' || ((doc_id + 1) % 7) || '.core' || chr(10)
+                    || 'from m' || ((doc_id + 2) % 7) || ' import util' || chr(10)
+               ELSE '' END)
            || 'def f' || (doc_id % 100) || '_a(x):' || chr(10)
+           || (CASE WHEN doc_id % 2 = 1
+               THEN '    ' || repeat(chr(34), 3) || 'Frobnicate input '
+                    || (doc_id % 100) || ' and return the result.'
+                    || repeat(chr(34), 3) || chr(10) ELSE '' END)
            || (CASE WHEN doc_id % 2 = 0
                THEN 'class C' || (doc_id % 50) || ':' || chr(10) ELSE '' END)
            || (CASE WHEN doc_id % 3 = 0
@@ -3921,6 +3979,84 @@ GROUP BY repo, lang_pred
 """)
 
 
+def _q_code_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code→text training-pair extraction (functions/code.py doc_pairs):
+    (function, docstring) rows — the docstring-generation / retrieval
+    alignment pass of a code-LLM pipeline. One multiline codegen regex
+    sweep per row captures the full documented-def span; name/params/doc
+    group extraction runs at array granularity, then explodes. Map-only:
+    at 100 TB this is a single scan with zero shuffle."""
+    from chunjun_spark.functions import code as CODE
+
+    files = CODE.synth_code_files(_t(spark, sf_dir, "documents"))
+    return CODE.doc_pairs(files)
+
+
+# the shared pattern spliced for DuckDB: tab via chr(9); \( \n stay
+# literal inside the single-quoted string and RE2 reads the escapes
+# (plain-string concat — a nested r-string inside SQL leaks its prefix)
+_DOC_PAIR_SQL_PAT = (
+    "'(?m)^[ ' || chr(9) || ']*def ([A-Za-z_][A-Za-z0-9_]*)"
+    '\\(([^)]*)\\):\\n[ \' || chr(9) || \']*"""([^"]+)"""\''
+)
+
+_CODE_DOC_PAIRS_SQL = (
+    "WITH " + _CODE_FIXTURE + """,
+m AS (
+  SELECT repo, path,
+         unnest(regexp_extract_all(content, """ + _DOC_PAIR_SQL_PAT + """)) AS mt
+  FROM code_files
+)
+SELECT repo, path,
+       regexp_extract(mt, """ + _DOC_PAIR_SQL_PAT + """, 1) AS fn_name,
+       regexp_extract(mt, """ + _DOC_PAIR_SQL_PAT + """, 2) AS params,
+       regexp_extract(mt, """ + _DOC_PAIR_SQL_PAT + """, 3) AS doc
+FROM m
+""")
+
+
+def _q_code_import_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-repo dependency edges from import statements
+    (functions/code.py import_graph): imports extract map-only (regex
+    sweep + explode), each import's top-level package joins against the
+    distinct (package, declaring-repo) owner table — catalog-sized, so
+    explicitly broadcast; the fact side never shuffles until the final
+    narrow (src_repo, dst_repo) count. Downstream uses: dependency-aware
+    corpus sampling, repo-importance weighting."""
+    from chunjun_spark.functions import code as CODE
+
+    files = CODE.synth_code_files(_t(spark, sf_dir, "documents"))
+    return CODE.import_graph(files)
+
+
+_CODE_IMPORT_GRAPH_SQL = (
+    "WITH " + _CODE_FIXTURE + r""",
+imp AS (
+  SELECT repo,
+         unnest(regexp_extract_all(content,
+           '(?m)^import ([A-Za-z_][A-Za-z0-9_.]*)', 1)) AS module
+  FROM code_files
+  UNION ALL
+  SELECT repo,
+         unnest(regexp_extract_all(content,
+           '(?m)^from ([A-Za-z_][A-Za-z0-9_.]*) import ', 1))
+  FROM code_files
+),
+imp2 AS (SELECT repo, string_split(module, '.')[1] AS pkg FROM imp),
+owners AS (
+  SELECT DISTINCT regexp_extract(path, '^[^/]+/([^/]+)/', 1) AS pkg,
+                  repo AS dst_repo
+  FROM code_files
+  WHERE regexp_extract(path, '^[^/]+/([^/]+)/', 1) <> ''
+)
+SELECT imp2.repo AS src_repo, owners.dst_repo,
+       count(*) AS n_links
+FROM imp2 JOIN owners USING (pkg)
+WHERE imp2.repo <> owners.dst_repo
+GROUP BY 1, 2
+""")
+
+
 # ----------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3995,6 +4131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_wap_publish": _q_cdc_wap_publish,
         "cdc_compact_reshard": _q_cdc_compact_reshard,
         "cdc_zorder_compact": _q_cdc_zorder_compact,
+        "cdc_fast_stats": _q_cdc_fast_stats,
         "cdc_mirror_sync": _q_cdc_mirror_sync,
         "cdc_agg_incremental": _q_cdc_agg_incremental,
         "cdc_agg_view": _q_cdc_agg_view,
@@ -4032,6 +4169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_symbols": _q_code_symbols,
         "code_symbol_clones": _q_code_symbol_clones,
         "code_corpus_curate": _q_code_corpus_curate,
+        "code_doc_pairs": _q_code_doc_pairs,
+        "code_import_graph": _q_code_import_graph,
         "cdc_curated_view": _q_cdc_curated_view,
         "cdc_scd2_incremental": _q_cdc_scd2_incremental,
         "cdc_scd2_asof": _q_cdc_scd2_asof,
@@ -4106,6 +4245,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_wap_publish": _FINAL_2W_SQL,
         "cdc_compact_reshard": _REPLAY_LAKE_SQL,
         "cdc_zorder_compact": _REPLAY_LAKE_SQL,
+        "cdc_fast_stats": _FAST_STATS_SQL,
         "cdc_mirror_sync": _REPLAY_LAKE_SQL,
         "cdc_agg_incremental": _AGG_INCREMENTAL_SQL,
         "cdc_agg_view": _AGG_INCREMENTAL_SQL,
@@ -4132,6 +4272,8 @@ def oracle_sql() -> dict[str, str]:
         "code_symbols": _CODE_SYMBOLS_SQL,
         "code_symbol_clones": _CODE_SYMBOL_CLONES_SQL,
         "code_corpus_curate": _CODE_CURATE_SQL,
+        "code_doc_pairs": _CODE_DOC_PAIRS_SQL,
+        "code_import_graph": _CODE_IMPORT_GRAPH_SQL,
         "cdc_curated_view": _CURATED_VIEW_SQL,
         "cdc_scd2_incremental": _SCD2_SQL,
         "cdc_scd2_asof": _SCD2_ASOF_SQL,

@@ -1672,6 +1672,84 @@ class LakeTable:
             "stats string",
         )
 
+    def fast_stats(self, cols: list[str] | None = None) -> dict:
+        """Metadata-only aggregates — the Iceberg aggregate-pushdown
+        analog (``SELECT count(*) / min / max`` answered from manifests
+        and parquet footers, no Spark job, no data scan): exact live row
+        count, plus min/max of harvested ``stats_cols``.
+
+        Exact ONLY on a base-only, tombstone-free snapshot, and both
+        conditions are PROVEN from metadata rather than assumed:
+
+        - the delta chain must be empty (a delta row may shadow a base
+          row, so footer counts over-count a MOR table);
+        - every base row group's footer stats for ``_deleted`` must show
+          max == False (COW merges keep deletes as tombstone rows —
+          ``compact(purge_tombstones=True)`` purges them).
+
+        Raises ValueError when either check fails; callers fall back to
+        aggregating over :meth:`read`. min/max additionally require every
+        nonempty bucket to carry harvested stats for the column (every
+        write path harvests, so this only fails for a column added to
+        ``stats_cols`` after the bucket's last rewrite). On a
+        tombstone-free bucket the harvested range covers exactly the
+        live rows, and nulls never enter parquet min/max — so the
+        returned bounds equal the scan aggregate. O(#files) driver-side
+        footer reads vs a full scan-and-aggregate at 10^10 rows."""
+        if self.manifest["deltas"]:
+            raise ValueError(
+                "fast_stats is exact only on a base-only snapshot "
+                "(deltas outstanding) — compact() first or aggregate "
+                "over read()"
+            )
+        import pyarrow.parquet as pq
+
+        cols = list(cols or [])
+        unknown = [c for c in cols if c not in self.stats_cols]
+        if unknown:
+            raise ValueError(f"not in stats_cols: {unknown}")
+        n_rows = 0
+        nonempty: set[str] = set()
+        for b, e in self.manifest["buckets"].items():
+            bdir = os.path.join(self.root, e["path"])
+            if not os.path.isdir(bdir):
+                continue
+            for name in os.listdir(bdir):
+                if not name.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(bdir, name)).metadata
+                idx = {md.schema.column(i).name: i
+                       for i in range(md.num_columns)}
+                di = idx.get(DELETED_COL)
+                for rg in range(md.num_row_groups):
+                    if di is not None:
+                        st = md.row_group(rg).column(di).statistics
+                        if st is None or not st.has_min_max or st.max:
+                            raise ValueError(
+                                f"bucket {b} file {name} may hold "
+                                "tombstone rows — "
+                                "compact(purge_tombstones=True) first"
+                            )
+                    n = md.row_group(rg).num_rows
+                    n_rows += n
+                    if n:
+                        nonempty.add(str(b))
+        mins: dict = {}
+        maxs: dict = {}
+        for c in cols:
+            lo = hi = None
+            for b in nonempty:
+                s = self.manifest["buckets"][b].get("stats", {}).get(c)
+                if s is None:
+                    raise ValueError(
+                        f"bucket {b} has no harvested stats for {c!r} — "
+                        "compact() to (re)harvest"
+                    )
+                lo = s[0] if lo is None else min(lo, s[0])
+                hi = s[1] if hi is None else max(hi, s[1])
+            mins[c], maxs[c] = lo, hi
+        return {"n_rows": n_rows, "min": mins, "max": maxs}
+
     # -------------------------------------------------------------- tags
     # Iceberg named-ref (tag) analog: a tag pins a snapshot version by
     # name — "the corpus a model trained on" stays reproducibly readable

@@ -357,6 +357,57 @@ def test_stats_pruning_matches_full_filter(spark, tmp_root):
     assert t.scan(between={"size": (10_000, 20_000)}).count() == 0
 
 
+def test_fast_stats_metadata_only_aggregates(spark, tmp_root):
+    """fast_stats answers count/min/max from manifests + footers — and
+    PROVES its exactness preconditions from metadata: tombstones or an
+    outstanding delta chain are detected and refused, a purging compact
+    re-enables it with re-harvested bounds."""
+    t = _scan_table(spark, tmp_root)
+    st = t.fast_stats(["size", "grp"])
+    assert st["n_rows"] == 200
+    assert st["min"]["size"] == 0 and st["max"]["size"] == 1990
+    assert st["min"]["grp"] == "even" and st["max"]["grp"] == "odd"
+    with pytest.raises(ValueError, match="stats_cols"):
+        t.fast_stats(["k"])
+
+    # delete both extremes: COW keeps them as tombstone rows → refuse
+    # (versions stamped above the stored ones — the strictly-newer guard)
+    dels = (
+        spark.createDataFrame([(0, "even", 0), (199, "odd", 1990)],
+                              "k long, grp string, size long")
+        .withColumn("_op", F.lit("DELETE"))
+        .withColumn("_vts", F.lit("2030-01-01").cast("timestamp"))
+        .withColumn("_vseq", F.lit(10**15) + F.col("k"))
+    )
+    t.merge(dels, batch_id="b2")
+    t = t.refresh()
+    with pytest.raises(ValueError, match="tombstone"):
+        t.fast_stats()
+    t.compact(purge_tombstones=True)
+    t = t.refresh()
+    st2 = t.fast_stats(["size"])
+    assert st2["n_rows"] == 198
+    # bounds re-harvested: the deleted extremes no longer define them
+    assert st2["min"]["size"] == 10 and st2["max"]["size"] == 1980
+    agg = t.read().agg(
+        F.count(F.lit(1)), F.min("size"), F.max("size")
+    ).collect()[0]
+    assert (st2["n_rows"], st2["min"]["size"], st2["max"]["size"]) == \
+        (agg[0], agg[1], agg[2])
+
+    # an outstanding delta chain (MOR) shadows base rows → refuse
+    up = (
+        spark.createDataFrame([(5, "odd", 77)], "k long, grp string, size long")
+        .withColumn("_op", F.lit("UPSERT"))
+        .withColumn("_vts", F.lit("2030-01-02").cast("timestamp"))
+        .withColumn("_vseq", F.lit(2 * 10**15))
+    )
+    t.append_delta(up, batch_id="b3")
+    t = t.refresh()
+    with pytest.raises(ValueError, match="base-only"):
+        t.fast_stats()
+
+
 def test_delta_bucket_set_skips_disjoint_files(spark, tmp_root):
     """Pruned reads must not OPEN delta files whose recorded touched-
     bucket set is disjoint from the probe (file-level MOR skip)."""
