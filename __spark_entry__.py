@@ -4015,6 +4015,103 @@ FROM m
 """)
 
 
+def _q_cdc_doc_pairs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training pairs FOLLOW the CDC stream: doc_pairs wired as a
+    maintained exploded view (code.doc_pairs_view_exprs →
+    ivm.sync_exploded_view) over a lake of code files. Window 2 inserts
+    the held-out %5 slice, rewrites every %9 file's docstring (the pair
+    must update in place), and deletes every %7 file (its pairs must
+    retract) — each sync is O(changes × fanout) with the retraction
+    anti-join pruned to the changed parents' buckets, never a corpus
+    re-extract. Hash-checked against DuckDB recomputing the pairs from
+    the FINAL file state."""
+    from chunjun_spark.functions import code as CODE
+    from chunjun_spark.operators.ivm import (
+        create_exploded_view,
+        sync_exploded_view,
+    )
+    from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL
+
+    files = CODE.synth_code_files(_t(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    root = tempfile.mkdtemp(prefix="cj_entry_dpview_")
+    ct = LakeTable.create(
+        spark, os.path.join(root, "code"),
+        T.StructType([
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.StringType()),
+        ]),
+        pk=["repo", "path"], n_buckets=8,
+    )
+    base = files.select(
+        "repo", "path", "doc_id", "content",
+        F.lit("UPSERT").alias(OP_COL),
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias(VTS_COL),
+        did.alias(VSEQ_COL),
+    )
+    ct.merge(base.filter(did % 5 != 0), batch_id="w1",
+             assume_unique_keys=True)
+    ct = ct.refresh()
+    view = create_exploded_view(
+        spark, os.path.join(root, "pairs"),
+        [("repo", "string"), ("path", "string"), ("fn_name", "string"),
+         ("params", "string"), ("doc", "string")],
+        pk=["repo", "path", "fn_name"], n_buckets=8,
+    )
+    explode_expr, sel = CODE.doc_pairs_view_exprs()
+    sel = [("repo", "repo"), ("path", "path"), *sel]
+    sync_exploded_view(ct, view, explode_expr, sel)
+    w2 = (
+        base.filter(did % 5 == 0)
+        .withColumn(VSEQ_COL, did + F.lit(1_000_000))
+        .unionByName(
+            base.filter(did % 9 == 0)
+            .withColumn("content", F.replace(
+                F.col("content"), F.lit(" and return the result."),
+                F.lit(" and return the cached result."),
+            ))
+            .withColumn(VSEQ_COL, did + F.lit(2_000_000))
+        )
+        .unionByName(
+            base.filter(did % 7 == 0)
+            .withColumn(OP_COL, F.lit("DELETE"))
+            .withColumn(VSEQ_COL, did + F.lit(3_000_000))
+        )
+    )
+    ct.merge(w2, batch_id="w2")
+    ct = ct.refresh()
+    sync_exploded_view(ct, view.refresh(), explode_expr, sel)
+    return view.refresh().read().select(
+        "repo", "path", "fn_name", "params", "doc"
+    )
+
+
+_DOC_PAIRS_VIEW_SQL = (
+    "WITH " + _CODE_FIXTURE + """,
+final AS (
+  SELECT repo, path,
+         CASE WHEN doc_id % 9 = 0
+              THEN replace(content, ' and return the result.',
+                           ' and return the cached result.')
+              ELSE content END AS content
+  FROM code_files
+  WHERE doc_id % 7 <> 0
+),
+m AS (
+  SELECT repo, path,
+         unnest(regexp_extract_all(content, """ + _DOC_PAIR_SQL_PAT + """)) AS mt
+  FROM final
+)
+SELECT repo, path,
+       regexp_extract(mt, """ + _DOC_PAIR_SQL_PAT + """, 1) AS fn_name,
+       regexp_extract(mt, """ + _DOC_PAIR_SQL_PAT + """, 2) AS params,
+       regexp_extract(mt, """ + _DOC_PAIR_SQL_PAT + """, 3) AS doc
+FROM m
+""")
+
+
 def _q_code_import_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-repo dependency edges from import statements
     (functions/code.py import_graph): imports extract map-only (regex
@@ -4171,6 +4268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_corpus_curate": _q_code_corpus_curate,
         "code_doc_pairs": _q_code_doc_pairs,
         "code_import_graph": _q_code_import_graph,
+        "cdc_doc_pairs_view": _q_cdc_doc_pairs_view,
         "cdc_curated_view": _q_cdc_curated_view,
         "cdc_scd2_incremental": _q_cdc_scd2_incremental,
         "cdc_scd2_asof": _q_cdc_scd2_asof,
@@ -4274,6 +4372,7 @@ def oracle_sql() -> dict[str, str]:
         "code_corpus_curate": _CODE_CURATE_SQL,
         "code_doc_pairs": _CODE_DOC_PAIRS_SQL,
         "code_import_graph": _CODE_IMPORT_GRAPH_SQL,
+        "cdc_doc_pairs_view": _DOC_PAIRS_VIEW_SQL,
         "cdc_curated_view": _CURATED_VIEW_SQL,
         "cdc_scd2_incremental": _SCD2_SQL,
         "cdc_scd2_asof": _SCD2_ASOF_SQL,
