@@ -4126,8 +4126,7 @@ def _q_code_import_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CODE.import_graph(files)
 
 
-_CODE_IMPORT_GRAPH_SQL = (
-    "WITH " + _CODE_FIXTURE + r""",
+_IMPORT_EDGES_CTES = r""",
 imp AS (
   SELECT repo,
          unnest(regexp_extract_all(content,
@@ -4145,12 +4144,72 @@ owners AS (
                   repo AS dst_repo
   FROM code_files
   WHERE regexp_extract(path, '^[^/]+/([^/]+)/', 1) <> ''
-)
-SELECT imp2.repo AS src_repo, owners.dst_repo,
-       count(*) AS n_links
-FROM imp2 JOIN owners USING (pkg)
-WHERE imp2.repo <> owners.dst_repo
-GROUP BY 1, 2
+),
+edges AS (
+  SELECT imp2.repo AS src_repo, owners.dst_repo, count(*) AS n_links
+  FROM imp2 JOIN owners USING (pkg)
+  WHERE imp2.repo <> owners.dst_repo
+  GROUP BY 1, 2
+)"""
+
+_CODE_IMPORT_GRAPH_SQL = (
+    "WITH " + _CODE_FIXTURE + _IMPORT_EDGES_CTES + """
+SELECT src_repo, dst_repo, n_links FROM edges
+""")
+
+
+def _q_code_repo_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-importance ranking: weighted PageRank over the cross-repo
+    import graph (functions/graph.py weighted_pagerank_micro), 3
+    iterations in INTEGER-EXACT scaled arithmetic — every step is
+    integral multiply + floor division, so the hash cannot flap on
+    partition order and the DuckDB oracle (the same recurrence unrolled
+    as CTEs) matches bit-for-bit. Per iteration: one narrow
+    groupBy(dst) shuffle over O(E); the node census is a bounded driver
+    scalar folded as a literal."""
+    from chunjun_spark.functions import code as CODE
+    from chunjun_spark.functions.graph import weighted_pagerank_micro
+
+    files = CODE.synth_code_files(_t(spark, sf_dir, "documents"))
+    edges = CODE.import_graph(files)
+    r = weighted_pagerank_micro(
+        edges, src="src_repo", dst="dst_repo", weight="n_links", iters=3
+    )
+    return r.select(F.col("node").alias("repo"), "rank")
+
+
+def _pr_iter_sql(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f""",
+c{i} AS (
+  SELECT e.dst_repo AS node, sum((r.rank * e.n_links) // o.ow) AS s
+  FROM edges e JOIN outw o USING (src_repo)
+  JOIN {prev} r ON r.node = e.src_repo
+  GROUP BY 1
+),
+r{i} AS (
+  SELECT n.node,
+         CAST((15 * (1000000000 // p.n)) // 100
+              + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n CROSS JOIN p LEFT JOIN c{i} c USING (node)
+)"""
+
+
+_CODE_REPO_RANK_SQL = (
+    "WITH " + _CODE_FIXTURE + _IMPORT_EDGES_CTES + """,
+nodes AS (
+  SELECT src_repo AS node FROM edges
+  UNION
+  SELECT dst_repo FROM edges
+),
+p AS (SELECT count(*)::BIGINT AS n FROM nodes),
+outw AS (SELECT src_repo, sum(n_links)::BIGINT AS ow FROM edges GROUP BY 1),
+r0 AS (
+  SELECT node, CAST(1000000000 // p.n AS BIGINT) AS rank
+  FROM nodes CROSS JOIN p
+)"""
+    + _pr_iter_sql(1) + _pr_iter_sql(2) + _pr_iter_sql(3) + """
+SELECT node AS repo, rank FROM r3
 """)
 
 
@@ -4269,6 +4328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_doc_pairs": _q_code_doc_pairs,
         "code_import_graph": _q_code_import_graph,
         "cdc_doc_pairs_view": _q_cdc_doc_pairs_view,
+        "code_repo_rank": _q_code_repo_rank,
         "cdc_curated_view": _q_cdc_curated_view,
         "cdc_scd2_incremental": _q_cdc_scd2_incremental,
         "cdc_scd2_asof": _q_cdc_scd2_asof,
@@ -4373,6 +4433,7 @@ def oracle_sql() -> dict[str, str]:
         "code_doc_pairs": _CODE_DOC_PAIRS_SQL,
         "code_import_graph": _CODE_IMPORT_GRAPH_SQL,
         "cdc_doc_pairs_view": _DOC_PAIRS_VIEW_SQL,
+        "code_repo_rank": _CODE_REPO_RANK_SQL,
         "cdc_curated_view": _CURATED_VIEW_SQL,
         "cdc_scd2_incremental": _SCD2_SQL,
         "cdc_scd2_asof": _SCD2_ASOF_SQL,

@@ -114,3 +114,76 @@ def dup_clusters(
         F.col("comp").alias("cluster_id"),
         "n_members",
     )
+
+
+def weighted_pagerank_micro(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 3,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Weighted PageRank in INTEGER-EXACT arithmetic: ranks live on a
+    ``scale``-denominated bigint grid, every step uses integral
+    multiply + floor division (Spark ``div`` == DuckDB ``//`` on
+    non-negative bigints), so the result is bit-identical across
+    partition orders and engines — the float-summation order trap that
+    flaps oracle hashes cannot occur. Returns (node, rank) with rank in
+    grid units (divide by ``scale`` for the probability).
+
+    Semantics: damping 0.85; teleport base = (15·(scale∕N))∕100 per
+    node; a node's out-mass splits proportionally to edge weight;
+    dangling mass is dropped (the standard simplification — identical
+    on both engines). Rounding: floor at each division, applied in the
+    same order everywhere.
+
+    Scale shape: per iteration ONE groupBy(dst) shuffle over O(E)
+    narrow (node, bigint) rows; ranks/out-weights never carry payload;
+    N is a bounded driver scalar (the node census — catalog-sized for
+    repo graphs) folded as a literal; the rank frame is
+    localCheckpointed per round so the iterated self-join never builds
+    a quadratic constraint tree (CLAUDE.md measured rule)."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    init = scale // n
+    base = (15 * init) // 100
+    outw = edges.groupBy(src).agg(F.sum(weight).alias("_ow"))
+    e2 = (
+        edges.join(outw, src)
+        .select(
+            F.col(src).alias("_src"), F.col(dst).alias("_dst"),
+            F.col(weight).cast("long").alias("_w"),
+            F.col("_ow").cast("long").alias("_ow"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    r = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            e2.join(r, e2["_src"] == r["node"])
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("(rank * _w) div _ow").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        r = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base)
+                 + F.expr(f"(85 * coalesce(_s, 0L)) div 100")).cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r

@@ -644,3 +644,27 @@ def test_canonical_per_cluster_picks_best_then_lowest_id(spark):
     }
     # 2 and 3 tie on quality: the lower id wins; singletons keep themselves
     assert got == {1: (2, 0.9, 3), 9: (9, 0.5, 1)}
+
+
+def test_weighted_pagerank_micro_exact_values(spark):
+    """Integer-exact PageRank: hand-computed grid values for one
+    iteration on a 3-node weighted graph (floor at every division —
+    the recurrence the DuckDB oracle unrolls)."""
+    from chunjun_spark.functions.graph import weighted_pagerank_micro
+
+    edges = spark.createDataFrame(
+        [("A", "B", 3), ("A", "C", 1), ("B", "C", 1)],
+        "src string, dst string, w long",
+    )
+    r = {row["node"]: row["rank"]
+         for row in weighted_pagerank_micro(edges, iters=1).collect()}
+    # N=3: init = 10^9//3 = 333333333, base = (15*init)//100 = 49999999
+    # contrib B = (init*3) div 4 = 249999999 → rank 49999999 + (85*...)//100
+    assert r == {"A": 49999999, "B": 262499998, "C": 404166665}
+    # more iterations keep total mass bounded and stay deterministic
+    r3a = {row["node"]: row["rank"]
+           for row in weighted_pagerank_micro(edges, iters=3).collect()}
+    r3b = {row["node"]: row["rank"]
+           for row in weighted_pagerank_micro(
+               edges.repartition(7), iters=3).collect()}
+    assert r3a == r3b  # partition layout cannot change a single ulp
