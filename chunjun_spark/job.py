@@ -648,6 +648,42 @@ def _tf_code_curate(df: DataFrame, p: dict) -> DataFrame:
     return df.filter(keep)
 
 
+def _tf_doc_pairs(df: DataFrame, p: dict) -> DataFrame:
+    """Code→text training-pair extraction (functions/code.py doc_pairs):
+    each input file row becomes 0..N (repo, path, fn_name, params, doc)
+    rows. Map-only regex sweep + explode — a reader→doc_pairs→writer
+    job JSON is the one-scan pair-mining pass."""
+    from chunjun_spark.functions import code as code_fns
+
+    return code_fns.doc_pairs(
+        df,
+        path_col=p.get("pathColumn", "path"),
+        content_col=p.get("contentColumn", "content"),
+    )
+
+
+def _tf_import_graph(df: DataFrame, p: dict) -> DataFrame:
+    """Cross-repo dependency edges (functions/code.py import_graph);
+    with ``pagerank`` set, follow with integer-exact weighted PageRank
+    (functions/graph.py) and emit (repo, rank) instead."""
+    from chunjun_spark.functions import code as code_fns
+
+    edges = code_fns.import_graph(
+        df,
+        path_col=p.get("pathColumn", "path"),
+        content_col=p.get("contentColumn", "content"),
+    )
+    if not p.get("pagerank"):
+        return edges
+    from chunjun_spark.functions.graph import weighted_pagerank_micro
+
+    r = weighted_pagerank_micro(
+        edges, src="src_repo", dst="dst_repo", weight="n_links",
+        iters=int(p.get("iters", 3)),
+    )
+    return r.select(F.col("node").alias("repo"), "rank")
+
+
 def _tf_lookup(df: DataFrame, p: dict) -> DataFrame:
     """Dimension lookup enrichment (successor-family side/lookup table,
     cache=ALL shape): broadcast-join a small dim read from parquet
@@ -692,6 +728,8 @@ TRANSFORMS = {
     "dedup_exact": _tf_dedup_exact,
     "dedup_minhash": _tf_dedup_minhash,
     "code_curate": _tf_code_curate,
+    "doc_pairs": _tf_doc_pairs,
+    "import_graph": _tf_import_graph,
 }
 
 
