@@ -4112,6 +4112,141 @@ FROM m
 """)
 
 
+def _q_cdc_symbol_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API-evolution report straight off the change-data-feed: between
+    two snapshots of a code lake, which declared symbols appeared or
+    disappeared per file. Consumes the preimage-complete CDF
+    (read_changes(with_preimages=True)) — before-symbols explode from
+    the update/delete PREIMAGES, after-symbols from inserts/update
+    POSTIMAGES, diffed per file with two narrow anti-joins — O(changes
+    × symbols-per-file), the corpus is never re-scanned. Window 2
+    inserts the held-out %5 slice, appends a new def to every %9 file
+    (must report 'added'), and deletes every %7 file (all its symbols
+    'removed'). Hash-checked against DuckDB recomputing both symbol
+    sets from the fixture's window states."""
+    from chunjun_spark.functions import code as CODE
+    from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL
+
+    files = CODE.synth_code_files(_t(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    root = tempfile.mkdtemp(prefix="cj_entry_symdiff_")
+    ct = LakeTable.create(
+        spark, os.path.join(root, "code"),
+        T.StructType([
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.StringType()),
+        ]),
+        pk=["repo", "path"], n_buckets=8,
+    )
+    base = files.select(
+        "repo", "path", "doc_id", "content",
+        F.lit("UPSERT").alias(OP_COL),
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias(VTS_COL),
+        did.alias(VSEQ_COL),
+    )
+    ct.merge(base.filter(did % 5 != 0), batch_id="w1",
+             assume_unique_keys=True)
+    ct = ct.refresh()
+    v1 = ct.manifest["version"]
+    w2 = (
+        base.filter(did % 5 == 0)
+        .withColumn(VSEQ_COL, did + F.lit(1_000_000))
+        .unionByName(
+            base.filter(did % 9 == 0)
+            .withColumn("content", F.concat(
+                F.col("content"), F.lit("def extra_"),
+                (did % 100).cast("string"), F.lit("_x(q):\n"),
+            ))
+            .withColumn(VSEQ_COL, did + F.lit(2_000_000))
+        )
+        .unionByName(
+            base.filter(did % 7 == 0)
+            .withColumn(OP_COL, F.lit("DELETE"))
+            .withColumn(VSEQ_COL, did + F.lit(3_000_000))
+        )
+    )
+    ct.merge(w2, batch_id="w2")
+    ct = ct.refresh()
+    ch = ct.read_changes(v1, with_preimages=True)
+
+    def _syms(df):
+        return (
+            df.select(
+                "repo", "path",
+                F.explode(CODE.symbol_array(F.col("content"))).alias("s"),
+            )
+            .select("repo", "path", F.col("s.kind").alias("kind"),
+                    F.col("s.name").alias("name"))
+            .distinct()
+        )
+
+    before = _syms(ch.filter(F.col("_change_type").isin(
+        "update_preimage", "delete_preimage")))
+    after = _syms(ch.filter(F.col("_change_type").isin(
+        "insert", "update_postimage")))
+    keys = ["repo", "path", "kind", "name"]
+    added = after.join(before, keys, "left_anti").withColumn(
+        "change", F.lit("added"))
+    removed = before.join(after, keys, "left_anti").withColumn(
+        "change", F.lit("removed"))
+    return added.unionByName(removed).select("repo", "path", "change",
+                                             "kind", "name")
+
+
+def _symdiff_syms_sql(src: str) -> str:
+    """The 5-family symbol extraction over CTE ``src`` (same patterns as
+    _CODE_SYMBOLS_SQL, parameterized by source)."""
+    parts = []
+    for kind, body in [
+        ("function", r"def ([A-Za-z_][A-Za-z0-9_]*)"),
+        ("class", r"class ([A-Za-z_][A-Za-z0-9_]*)"),
+        ("function", r"function ([A-Za-z_$][A-Za-z0-9_$]*)"),
+        ("function", r"func ([A-Za-z_][A-Za-z0-9_]*)"),
+        ("function", r"fn ([A-Za-z_][A-Za-z0-9_]*)"),
+    ]:
+        parts.append(
+            f"SELECT repo, path, '{kind}' AS kind,\n"
+            "  unnest(regexp_extract_all(content,\n    "
+            + _sym_sql_pattern(body) + ", 1)) AS name\n"
+            f"FROM {src}"
+        )
+    return "(\n" + "\nUNION ALL\n".join(parts) + "\n)"
+
+
+_SYMBOL_DIFF_SQL = (
+    "WITH " + _CODE_FIXTURE + """,
+before_files AS (
+  SELECT repo, path, content FROM code_files
+  WHERE doc_id % 5 <> 0 AND (doc_id % 7 = 0 OR doc_id % 9 = 0)
+),
+after_files AS (
+  SELECT repo, path,
+         CASE WHEN doc_id % 9 = 0
+              THEN content || 'def extra_' || (doc_id % 100)
+                   || '_x(q):' || chr(10)
+              ELSE content END AS content
+  FROM code_files
+  WHERE doc_id % 7 <> 0
+    AND (doc_id % 5 = 0 OR (doc_id % 5 <> 0 AND doc_id % 9 = 0))
+),
+before_syms AS (SELECT DISTINCT * FROM """ + _symdiff_syms_sql("before_files") + """),
+after_syms AS (SELECT DISTINCT * FROM """ + _symdiff_syms_sql("after_files") + """)
+SELECT repo, path, 'added' AS change, kind, name
+FROM after_syms a
+WHERE NOT EXISTS (SELECT 1 FROM before_syms b
+                  WHERE b.repo = a.repo AND b.path = a.path
+                    AND b.kind = a.kind AND b.name = a.name)
+UNION ALL
+SELECT repo, path, 'removed' AS change, kind, name
+FROM before_syms b
+WHERE NOT EXISTS (SELECT 1 FROM after_syms a
+                  WHERE a.repo = b.repo AND a.path = b.path
+                    AND a.kind = b.kind AND a.name = b.name)
+""")
+
+
 def _q_code_import_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-repo dependency edges from import statements
     (functions/code.py import_graph): imports extract map-only (regex
@@ -4329,6 +4464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_import_graph": _q_code_import_graph,
         "cdc_doc_pairs_view": _q_cdc_doc_pairs_view,
         "code_repo_rank": _q_code_repo_rank,
+        "cdc_symbol_diff": _q_cdc_symbol_diff,
         "cdc_curated_view": _q_cdc_curated_view,
         "cdc_scd2_incremental": _q_cdc_scd2_incremental,
         "cdc_scd2_asof": _q_cdc_scd2_asof,
@@ -4434,6 +4570,7 @@ def oracle_sql() -> dict[str, str]:
         "code_import_graph": _CODE_IMPORT_GRAPH_SQL,
         "cdc_doc_pairs_view": _DOC_PAIRS_VIEW_SQL,
         "code_repo_rank": _CODE_REPO_RANK_SQL,
+        "cdc_symbol_diff": _SYMBOL_DIFF_SQL,
         "cdc_curated_view": _CURATED_VIEW_SQL,
         "cdc_scd2_incremental": _SCD2_SQL,
         "cdc_scd2_asof": _SCD2_ASOF_SQL,
