@@ -151,6 +151,15 @@ BENCH_QUERIES = [
     "cdc_txn_catalog",
     # round-3: incrementally-maintained IVF ANN index over the CDF
     "ann_ivf_index_sync",
+    # round-3 session 4: metadata-only aggregates, code→text pairs,
+    # dependency graph + integer-exact PageRank, stream-maintained
+    # training pairs, CDF symbol diff
+    "cdc_fast_stats",
+    "code_doc_pairs",
+    "code_import_graph",
+    "code_repo_rank",
+    "cdc_doc_pairs_view",
+    "cdc_symbol_diff",
 ]
 
 
