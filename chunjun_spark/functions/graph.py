@@ -181,7 +181,7 @@ def weighted_pagerank_micro(
             .select(
                 "node",
                 (F.lit(base)
-                 + F.expr(f"(85 * coalesce(_s, 0L)) div 100")).cast("long")
+                 + F.expr("(85 * coalesce(_s, 0L)) div 100")).cast("long")
                 .alias("rank"),
             )
             .localCheckpoint(eager=True)
