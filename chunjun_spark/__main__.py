@@ -67,6 +67,36 @@ def _maintenance(argv: list[str]) -> None:
     spark.stop()
 
 
+def _stats(argv: list[str]) -> None:
+    """``stats <lake_root> [--cols a,b] [--version V]`` — metadata-only
+    aggregates (LakeTable.fast_stats): exact live row count + min/max of
+    harvested stats columns from manifests + parquet footers, no Spark
+    job, no data scan. Falls back to reporting WHY it can't be exact
+    (deltas outstanding / tombstones present) instead of scanning."""
+    ap = argparse.ArgumentParser(prog="chunjun_spark stats")
+    ap.add_argument("root", help="lake table root directory")
+    ap.add_argument("--cols", default=None,
+                    help="comma-separated stats_cols for min/max")
+    ap.add_argument("--version", type=int, default=None)
+    args = ap.parse_args(argv[1:])
+
+    from chunjun_spark.plans.lake import LakeTable
+
+    spark = get_spark("chunjun-spark-stats", master="local[2]",
+                      shuffle_partitions=2)
+    spark.sparkContext.setLogLevel("ERROR")
+    table = LakeTable.load(spark, args.root, version=args.version)
+    cols = [c for c in (args.cols or "").split(",") if c]
+    try:
+        out = table.fast_stats(cols)
+        out["exact"] = True
+    except ValueError as e:
+        out = {"exact": False, "reason": str(e)}
+    out["version"] = table.manifest["version"]
+    print(json.dumps(out))
+    spark.stop()
+
+
 def _catalog(argv: list[str]) -> None:
     """``catalog <cat_root> [--pins] [--recover] [--sync]
     [--register NAME=TABLE_ROOT]`` — operate the multi-table catalog
@@ -112,9 +142,13 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "catalog":
         _catalog(sys.argv[1:])
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "stats":
+        _stats(sys.argv[1:])
+        return
     ap = argparse.ArgumentParser(prog="chunjun_spark")
     ap.add_argument("job", help="path to the job JSON (reference shape), "
-                                "or a subcommand: report | vacuum | compact | catalog")
+                                "or a subcommand: report | vacuum | "
+                                "compact | catalog | stats")
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args()
