@@ -91,3 +91,60 @@ def test_lake_op_interleavings_match_fold_model(spark, tmp_root, ops):
     t.vacuum(keep_last=1)
     t = LakeTable.load(spark, root)
     assert sha256_state(df_state(t.read(), PK)) == sha256_state(state)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.sampled_from(["w", "fc", "fp", "pc"]),
+                min_size=3, max_size=7))
+def test_fast_stats_exact_or_justified_refusal(spark, tmp_root, ops):
+    """fast_stats under random ingest/compact interleavings: whenever it
+    ANSWERS it must equal the fold model (count and min/max of the
+    stats column over live rows); whenever it REFUSES the refusal must
+    be justified by actual metadata state (deltas outstanding, or a
+    tombstone it detected in the base footers). After a tombstone-
+    purging full compact it must always answer."""
+    run = uuid.uuid4().hex[:8]
+    n, k = 3000, 400
+    ev = generate_binlog(spark, n, n_keys=k, seed=23, dup_rate=0.0,
+                         delete_rate=0.2).localCheckpoint(eager=True)
+    n_windows = max(1, sum(1 for o in ops if o == "w"))
+    bounds = [n * i // n_windows for i in range(n_windows + 1)]
+
+    root = os.path.join(tmp_root, f"fstats_{run}")
+    LakeTable.create(spark, root, PAYLOAD_SCHEMA, pk=PK, n_buckets=8,
+                     stats_cols=["lang"])
+    state: dict = {}
+    wi = 0
+    for op in ops:
+        t = LakeTable.load(spark, root)
+        if op == "w" and wi < n_windows:
+            w = ev.filter((F.col("offset") >= bounds[wi]) &
+                          (F.col("offset") < bounds[wi + 1]))
+            replay(w, t, batch_id=f"w{run}{wi}", mode="mor")
+            state = _apply(state, w.collect())
+            wi += 1
+        elif op == "fc":
+            t.compact()
+        elif op == "fp":
+            t.compact(purge_tombstones=True)
+        elif op == "pc":
+            hot = t.hot_buckets(min_deltas=1)
+            t.compact(buckets=hot[: max(1, len(hot) // 2)] if hot else [])
+        t = LakeTable.load(spark, root)
+        try:
+            got = t.fast_stats(["lang"])
+        except ValueError as e:
+            assert t.manifest["deltas"] or "tombstone" in str(e), (
+                f"unjustified refusal after {op}: {e}"
+            )
+            if op == "fp":
+                raise AssertionError(
+                    f"fast_stats must answer after a purging compact: {e}"
+                )
+        else:
+            assert got["n_rows"] == len(state), f"count diverged after {op}"
+            if state:
+                langs = [v["lang"] for v in state.values()]
+                assert got["min"]["lang"] == min(langs)
+                assert got["max"]["lang"] == max(langs)
