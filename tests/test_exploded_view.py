@@ -197,3 +197,74 @@ def test_exploded_view_follows_stream_via_job_json(spark, tmp_root):
             if t:
                 want.add((r["repo"], r["path"], t))
     assert got == want
+
+
+def test_exploded_view_random_interleavings_match_model(spark, tmp_root):
+    """Hypothesis: arbitrary change streams (upserts rewriting token
+    sets, deletes, key reuse) split into arbitrary sync windows — the
+    maintained exploded view equals a Python keep-last-then-explode
+    model AND the recompute over the live table after every window."""
+    import re
+    import uuid
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    EVENT = st.tuples(
+        st.integers(min_value=0, max_value=5),                   # doc_id
+        st.sampled_from(["UPSERT", "UPSERT", "DELETE"]),
+        st.sampled_from(["", "a", "a b", "b c a", "gamma", "a  b,c"]),
+    )
+
+    counter = {"n": 0}
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(EVENT, min_size=1, max_size=20),
+           st.integers(min_value=1, max_value=3))
+    def run(events, n_windows):
+        counter["n"] += 1
+        run_id = f"{uuid.uuid4().hex[:6]}{counter['n']}"
+        dt = LakeTable.create(
+            spark, os.path.join(tmp_root, f"pdocs_{run_id}"),
+            DOCS_SCHEMA, pk=["doc_id"], n_buckets=4,
+        )
+        view = create_exploded_view(
+            spark, os.path.join(tmp_root, f"pview_{run_id}"),
+            [("doc_id", "bigint"), ("token", "string")],
+            pk=["doc_id", "token"], n_buckets=2,
+        )
+        rows = [(doc, op, text, i) for i, (doc, op, text) in enumerate(events)]
+        step = max(1, len(rows) // n_windows)
+        state: dict[int, str] = {}
+        for w in range(0, len(rows), step):
+            chunk = rows[w:w + step]
+            # per-window model fold: within the chunk later seq wins
+            for d, op, t, _ in chunk:
+                if op == "DELETE":
+                    state.pop(d, None)
+                else:
+                    state[d] = t
+            # stamp every ROW with its own global seq (two same-key
+            # events in one window must not tie — the stream position
+            # is the version, CLAUDE.md two-window trap)
+            ch = spark.createDataFrame(
+                [(d, None if op == "DELETE" else t, op, i)
+                 for d, op, t, i in chunk],
+                f"doc_id long, text string, {OP_COL} string, "
+                f"{VSEQ_COL} long",
+            ).withColumn(
+                VTS_COL, F.lit("1970-01-01 00:00:00").cast("timestamp")
+            )
+            dt.merge(ch, batch_id=f"w{w}")
+            dt = dt.refresh()
+            sync_exploded_view(dt, view.refresh(), TOKENIZE, SELECT)
+
+            model = set()
+            for d, t in state.items():
+                toks = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+                model |= {(d, x) for x in toks}
+            assert _view_state(view) == model
+            assert _expected(dt) == model
+
+    run()
