@@ -4054,11 +4054,14 @@ def _q_cdc_doc_pairs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct.merge(base.filter(did % 5 != 0), batch_id="w1",
              assume_unique_keys=True)
     ct = ct.refresh()
+    # view pk = the FULL pair (parent pk first): payload trivially
+    # pk-determined, identical duplicates collapse, distinct same-name
+    # defs survive — the view holds the SET of pairs per file
     view = create_exploded_view(
         spark, os.path.join(root, "pairs"),
         [("repo", "string"), ("path", "string"), ("fn_name", "string"),
          ("params", "string"), ("doc", "string")],
-        pk=["repo", "path", "fn_name"], n_buckets=8,
+        pk=["repo", "path", "fn_name", "params", "doc"], n_buckets=8,
     )
     explode_expr, sel = CODE.doc_pairs_view_exprs()
     sel = [("repo", "repo"), ("path", "path"), *sel]
@@ -4104,7 +4107,7 @@ m AS (
          unnest(regexp_extract_all(content, """ + _DOC_PAIR_SQL_PAT + """)) AS mt
   FROM final
 )
-SELECT repo, path,
+SELECT DISTINCT repo, path,
        regexp_extract(mt, """ + _DOC_PAIR_SQL_PAT + """, 1) AS fn_name,
        regexp_extract(mt, """ + _DOC_PAIR_SQL_PAT + """, 2) AS params,
        regexp_extract(mt, """ + _DOC_PAIR_SQL_PAT + """, 3) AS doc

@@ -82,10 +82,12 @@ def _stats(argv: list[str]) -> None:
 
     from chunjun_spark.plans.lake import LakeTable
 
-    spark = get_spark("chunjun-spark-stats", master="local[2]",
-                      shuffle_partitions=2)
-    spark.sparkContext.setLogLevel("ERROR")
-    table = LakeTable.load(spark, args.root, version=args.version)
+    # NO Spark session: load() is a driver-side manifest read and
+    # fast_stats walks parquet footers with pyarrow — the whole point
+    # of the command is zero-job statistics, so it must not pay JVM
+    # startup either. (The handle is unusable for read()/merge(); this
+    # command never calls them.)
+    table = LakeTable.load(None, args.root, version=args.version)
     cols = [c for c in (args.cols or "").split(",") if c]
     try:
         out = table.fast_stats(cols)
@@ -94,7 +96,6 @@ def _stats(argv: list[str]) -> None:
         out = {"exact": False, "reason": str(e)}
     out["version"] = table.manifest["version"]
     print(json.dumps(out))
-    spark.stop()
 
 
 def _catalog(argv: list[str]) -> None:

@@ -143,13 +143,21 @@ def weighted_pagerank_micro(
     N is a bounded driver scalar (the node census — catalog-sized for
     repo graphs) folded as a literal; the rank frame is
     localCheckpointed per round so the iterated self-join never builds
-    a quadratic constraint tree (CLAUDE.md measured rule)."""
+    a quadratic constraint tree (CLAUDE.md measured rule).
+
+    Weights must be non-negative. Edges with weight <= 0 are dropped
+    before anything else: a zero-weight edge carries no mass by the
+    recurrence (and would otherwise put a 0 in the out-weight divisor
+    — a DIVIDE_BY_ZERO job failure under ANSI), and a negative weight
+    would break the Spark-div/DuckDB-// equivalence (truncate vs
+    floor differ below zero). Their endpoints still count as nodes."""
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    edges = edges.filter(F.col(weight) > 0)
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0).cast("long"))

@@ -1696,6 +1696,13 @@ class LakeTable:
         live rows, and nulls never enter parquet min/max — so the
         returned bounds equal the scan aggregate. O(#files) driver-side
         footer reads vs a full scan-and-aggregate at 10^10 rows."""
+        # validate call args BEFORE the exactness short-circuits
+        # (CLAUDE.md rule): a typo'd column must not surface as "deltas
+        # outstanding" and send the caller into an expensive compact
+        cols = list(cols or [])
+        unknown = [c for c in cols if c not in self.stats_cols]
+        if unknown:
+            raise ValueError(f"not in stats_cols: {unknown}")
         if self.manifest["deltas"]:
             raise ValueError(
                 "fast_stats is exact only on a base-only snapshot "
@@ -1704,16 +1711,18 @@ class LakeTable:
             )
         import pyarrow.parquet as pq
 
-        cols = list(cols or [])
-        unknown = [c for c in cols if c not in self.stats_cols]
-        if unknown:
-            raise ValueError(f"not in stats_cols: {unknown}")
         n_rows = 0
         nonempty: set[str] = set()
         for b, e in self.manifest["buckets"].items():
             bdir = os.path.join(self.root, e["path"])
             if not os.path.isdir(bdir):
-                continue
+                # a manifest-referenced dir missing on disk (vacuumed
+                # historical snapshot) must refuse, not under-count —
+                # read() on the same snapshot would fail loudly too
+                raise ValueError(
+                    f"bucket {b} data dir missing on disk ({e['path']}) "
+                    "— snapshot no longer materialized (vacuumed?)"
+                )
             for name in os.listdir(bdir):
                 if not name.endswith(".parquet"):
                     continue
@@ -1721,15 +1730,23 @@ class LakeTable:
                 idx = {md.schema.column(i).name: i
                        for i in range(md.num_columns)}
                 di = idx.get(DELETED_COL)
+                if di is None:
+                    # no _deleted column ⇒ we cannot PROVE the file is
+                    # tombstone-free; absent metadata refuses exactly
+                    # like absent statistics (reads tolerate the
+                    # missing column via coalesce — counting must not)
+                    raise ValueError(
+                        f"bucket {b} file {name} lacks {DELETED_COL} "
+                        "footer metadata — cannot prove tombstone-free"
+                    )
                 for rg in range(md.num_row_groups):
-                    if di is not None:
-                        st = md.row_group(rg).column(di).statistics
-                        if st is None or not st.has_min_max or st.max:
-                            raise ValueError(
-                                f"bucket {b} file {name} may hold "
-                                "tombstone rows — "
-                                "compact(purge_tombstones=True) first"
-                            )
+                    st = md.row_group(rg).column(di).statistics
+                    if st is None or not st.has_min_max or st.max:
+                        raise ValueError(
+                            f"bucket {b} file {name} may hold "
+                            "tombstone rows — "
+                            "compact(purge_tombstones=True) first"
+                        )
                     n = md.row_group(rg).num_rows
                     n_rows += n
                     if n:

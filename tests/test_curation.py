@@ -668,3 +668,13 @@ def test_weighted_pagerank_micro_exact_values(spark):
            for row in weighted_pagerank_micro(
                edges.repartition(7), iters=3).collect()}
     assert r3a == r3b  # partition layout cannot change a single ulp
+    # a zero-weight edge is dropped (no divide-by-zero, carries no
+    # mass) but its endpoints still count as nodes
+    ez = edges.union(
+        edges.sparkSession.createDataFrame(
+            [("C", "A", 0)], "src string, dst string, w long"
+        )
+    )
+    rz = {row["node"]: row["rank"]
+          for row in weighted_pagerank_micro(ez, iters=1).collect()}
+    assert rz == r

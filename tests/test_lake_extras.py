@@ -406,6 +406,32 @@ def test_fast_stats_metadata_only_aggregates(spark, tmp_root):
     t = t.refresh()
     with pytest.raises(ValueError, match="base-only"):
         t.fast_stats()
+    # args validate BEFORE the exactness short-circuits: a typo'd
+    # column must not surface as "deltas outstanding"
+    with pytest.raises(ValueError, match="stats_cols"):
+        t.fast_stats(["sizee"])
+
+    # metadata it cannot prove refuses: a file without the _deleted
+    # column, and a manifest-referenced dir missing on disk
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t.compact()
+    t = t.refresh()
+    # b3 upserted an existing key — fold changes no count
+    assert t.fast_stats()["n_rows"] == 198
+    some = next(iter(t.manifest["buckets"].values()))
+    bdir = os.path.join(t.root, some["path"])
+    foreign = os.path.join(bdir, "foreign.parquet")
+    pq.write_table(pa.table({"k": [1]}), foreign)
+    with pytest.raises(ValueError, match="lacks"):
+        t.fast_stats()
+    os.remove(foreign)
+    shutil.rmtree(bdir)
+    with pytest.raises(ValueError, match="missing on disk"):
+        t.fast_stats()
 
 
 def test_delta_bucket_set_skips_disjoint_files(spark, tmp_root):
