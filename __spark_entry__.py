@@ -4115,6 +4115,102 @@ FROM m
 """)
 
 
+def _q_cdc_repo_rank_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependency-aware ranking that stays FRESH during ingest: the
+    import statements live in a maintained exploded view
+    (code.import_view_exprs → ivm.sync_exploded_view) that follows the
+    CDC lake — O(changes × imports-per-file) per window — and the
+    integer-exact PageRank then runs over the VIEW (owners joined from
+    a column-pruned read of the live table, broadcast) instead of
+    re-extracting the corpus. Window 2 inserts the held-out %5 slice,
+    appends a new import to every %9 file (its edge must appear), and
+    deletes every %7 file (its edges must retract). Hash-checked
+    against DuckDB recomputing edges + the unrolled rank recurrence
+    from the final file state."""
+    from chunjun_spark.functions import code as CODE
+    from chunjun_spark.functions.graph import weighted_pagerank_micro
+    from chunjun_spark.operators.ivm import (
+        create_exploded_view,
+        sync_exploded_view,
+    )
+    from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL
+
+    files = CODE.synth_code_files(_t(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    root = tempfile.mkdtemp(prefix="cj_entry_rankview_")
+    ct = LakeTable.create(
+        spark, os.path.join(root, "code"),
+        T.StructType([
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.StringType()),
+        ]),
+        pk=["repo", "path"], n_buckets=8,
+    )
+    base = files.select(
+        "repo", "path", "doc_id", "content",
+        F.lit("UPSERT").alias(OP_COL),
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias(VTS_COL),
+        did.alias(VSEQ_COL),
+    )
+    ct.merge(base.filter(did % 5 != 0), batch_id="w1",
+             assume_unique_keys=True)
+    ct = ct.refresh()
+    view = create_exploded_view(
+        spark, os.path.join(root, "imports"),
+        [("repo", "string"), ("path", "string"), ("module", "string")],
+        pk=["repo", "path", "module"], n_buckets=8,
+    )
+    explode_expr, sel = CODE.import_view_exprs()
+    sel = [("repo", "repo"), ("path", "path"), *sel]
+    sync_exploded_view(ct, view, explode_expr, sel)
+    w2 = (
+        base.filter(did % 5 == 0)
+        .withColumn(VSEQ_COL, did + F.lit(1_000_000))
+        .unionByName(
+            base.filter(did % 9 == 0)
+            .withColumn("content", F.concat(
+                F.col("content"), F.lit("import m"),
+                ((did + 3) % 7).cast("string"), F.lit(".extra\n"),
+            ))
+            .withColumn(VSEQ_COL, did + F.lit(2_000_000))
+        )
+        .unionByName(
+            base.filter(did % 7 == 0)
+            .withColumn(OP_COL, F.lit("DELETE"))
+            .withColumn(VSEQ_COL, did + F.lit(3_000_000))
+        )
+    )
+    ct.merge(w2, batch_id="w2")
+    ct = ct.refresh()
+    sync_exploded_view(ct, view.refresh(), explode_expr, sel)
+
+    imports = view.refresh().read().withColumn(
+        "pkg", F.split(F.col("module"), r"\.").getItem(0)
+    )
+    owners = (
+        ct.read().select(
+            F.regexp_extract(F.col("path"), CODE.PKG_FROM_PATH_RE, 1)
+            .alias("pkg"),
+            F.col("repo").alias("dst_repo"),
+        )
+        .filter(F.col("pkg") != "")
+        .distinct()
+    )
+    edges = (
+        imports.join(F.broadcast(owners), "pkg")
+        .filter(F.col("repo") != F.col("dst_repo"))
+        .select(F.col("repo").alias("src_repo"), "dst_repo")
+        .groupBy("src_repo", "dst_repo")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+    r = weighted_pagerank_micro(
+        edges, src="src_repo", dst="dst_repo", weight="n_links", iters=3
+    )
+    return r.select(F.col("node").alias("repo"), "rank")
+
+
 def _q_cdc_symbol_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """API-evolution report straight off the change-data-feed: between
     two snapshots of a code lake, which declared symbols appeared or
@@ -4264,23 +4360,27 @@ def _q_code_import_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CODE.import_graph(files)
 
 
-_IMPORT_EDGES_CTES = r""",
+def _import_edges_ctes(src: str = "code_files") -> str:
+    """imports → pkg → owners → weighted (src_repo, dst_repo) edges, as
+    CTEs over file-set CTE ``src`` (reused by the batch graph entry and
+    the maintained-view entry's final-state oracle)."""
+    return f""",
 imp AS (
   SELECT repo,
          unnest(regexp_extract_all(content,
            '(?m)^import ([A-Za-z_][A-Za-z0-9_.]*)', 1)) AS module
-  FROM code_files
+  FROM {src}
   UNION ALL
   SELECT repo,
          unnest(regexp_extract_all(content,
            '(?m)^from ([A-Za-z_][A-Za-z0-9_.]*) import ', 1))
-  FROM code_files
+  FROM {src}
 ),
 imp2 AS (SELECT repo, string_split(module, '.')[1] AS pkg FROM imp),
 owners AS (
   SELECT DISTINCT regexp_extract(path, '^[^/]+/([^/]+)/', 1) AS pkg,
                   repo AS dst_repo
-  FROM code_files
+  FROM {src}
   WHERE regexp_extract(path, '^[^/]+/([^/]+)/', 1) <> ''
 ),
 edges AS (
@@ -4289,6 +4389,9 @@ edges AS (
   WHERE imp2.repo <> owners.dst_repo
   GROUP BY 1, 2
 )"""
+
+
+_IMPORT_EDGES_CTES = _import_edges_ctes()
 
 _CODE_IMPORT_GRAPH_SQL = (
     "WITH " + _CODE_FIXTURE + _IMPORT_EDGES_CTES + """
@@ -4333,8 +4436,10 @@ r{i} AS (
 )"""
 
 
-_CODE_REPO_RANK_SQL = (
-    "WITH " + _CODE_FIXTURE + _IMPORT_EDGES_CTES + """,
+# the PageRank recurrence unrolled over an ``edges`` CTE — shared by the
+# batch entry and the maintained-view entry's final-state oracle
+_PAGERANK_TAIL = (
+    """,
 nodes AS (
   SELECT src_repo AS node FROM edges
   UNION
@@ -4349,6 +4454,23 @@ r0 AS (
     + _pr_iter_sql(1) + _pr_iter_sql(2) + _pr_iter_sql(3) + """
 SELECT node AS repo, rank FROM r3
 """)
+
+_CODE_REPO_RANK_SQL = (
+    "WITH " + _CODE_FIXTURE + _IMPORT_EDGES_CTES + _PAGERANK_TAIL)
+
+# cdc_repo_rank_view oracle: same edges + rank recurrence, recomputed
+# from the FINAL file state of the two-window fixture
+_REPO_RANK_VIEW_SQL = (
+    "WITH " + _CODE_FIXTURE + """,
+final AS (
+  SELECT repo, path,
+         CASE WHEN doc_id % 9 = 0
+              THEN content || 'import m' || ((doc_id + 3) % 7)
+                   || '.extra' || chr(10)
+              ELSE content END AS content
+  FROM code_files
+  WHERE doc_id % 7 <> 0
+)""" + _import_edges_ctes("final") + _PAGERANK_TAIL)
 
 
 # ----------------------------------------------------------------- entry
@@ -4468,6 +4590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_doc_pairs_view": _q_cdc_doc_pairs_view,
         "code_repo_rank": _q_code_repo_rank,
         "cdc_symbol_diff": _q_cdc_symbol_diff,
+        "cdc_repo_rank_view": _q_cdc_repo_rank_view,
         "cdc_curated_view": _q_cdc_curated_view,
         "cdc_scd2_incremental": _q_cdc_scd2_incremental,
         "cdc_scd2_asof": _q_cdc_scd2_asof,
@@ -4574,6 +4697,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_doc_pairs_view": _DOC_PAIRS_VIEW_SQL,
         "code_repo_rank": _CODE_REPO_RANK_SQL,
         "cdc_symbol_diff": _SYMBOL_DIFF_SQL,
+        "cdc_repo_rank_view": _REPO_RANK_VIEW_SQL,
         "cdc_curated_view": _CURATED_VIEW_SQL,
         "cdc_scd2_incremental": _SCD2_SQL,
         "cdc_scd2_asof": _SCD2_ASOF_SQL,

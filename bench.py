@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "code_repo_rank",
     "cdc_doc_pairs_view",
     "cdc_symbol_diff",
+    "cdc_repo_rank_view",
 ]
 
 
