@@ -817,31 +817,68 @@ def _q_cdc_changelog_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps, duplicate offsets, and event-time regressions along the
     offset axis (sources/changelog.py changelog_integrity) — verifying
     the per-partition contracts the reference trusts its sources for
-    (KafkaBaseInputFormat.java:94-145 offset lineage). One narrow
+    (KafkaBaseInputFormat.java:94-145 offset lineage).
+
+    The fixture INJECTS deterministic anomalies so every counter is
+    non-zero (an audit whose counters are all zero on its own test
+    stream proves nothing): every 97th offset is dropped (gap), every
+    101st surviving offset is re-delivered (dup), every 103rd has its
+    capture ts pulled 1000 days back (regression along the offset
+    axis). The dup marker is the third order key, making the lag
+    window a TOTAL order — dup pairs share (offset, ts). One narrow
     shuffle; per-partition output."""
     from chunjun_spark.sources.changelog import changelog_integrity
 
-    ch = events_changelog(_t(spark, sf_dir, "events"))
-    return changelog_integrity(ch)
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 97 != 0).select(
+        F.pmod(F.col("user_id"), F.lit(4)).alias("partition_id"),
+        F.col("event_id").alias("offset"),
+        F.when(
+            F.col("event_id") % 103 == 0,
+            F.col("ts") - F.expr("INTERVAL 1000 DAYS"),
+        ).otherwise(F.col("ts")).alias("op_ts"),
+    )
+    redelivered = base.filter(F.col("offset") % 101 == 0)
+    stream = base.withColumn("dup_mark", F.lit(0)).unionByName(
+        redelivered.withColumn("dup_mark", F.lit(1))
+    )
+    return changelog_integrity(stream, tie_cols=("dup_mark",))
 
 
+# DuckDB sum(integer) yields HUGEINT (Arrow decimal128) while Spark
+# yields BIGINT — a type-sensitive value hash flags equal numbers as
+# different (the r02 curation_pipeline and r03 cdc_changelog_integrity
+# driver reds). Every integer-sum oracle column must CAST ... AS BIGINT;
+# tools/check_oracle.py enforces this repo-wide.
 _CHANGELOG_INTEGRITY_SQL = """
-WITH c AS (
-  SELECT user_id % 4 AS partition_id, event_id AS off, ts FROM events
+WITH base AS (
+  SELECT user_id % 4 AS partition_id, event_id AS off,
+         CASE WHEN event_id % 103 = 0 THEN ts - INTERVAL 1000 DAY
+              ELSE ts END AS ts
+  FROM events WHERE event_id % 97 <> 0
+), dup AS (
+  SELECT partition_id, off, ts, 0 AS dm FROM base
+  UNION ALL
+  SELECT partition_id, off, ts, 1 AS dm FROM base WHERE off % 101 = 0
 ), l AS (
   SELECT partition_id, off, ts,
          lag(off) OVER w AS poff, lag(ts) OVER w AS pts
-  FROM c WINDOW w AS (PARTITION BY partition_id ORDER BY off, ts)
+  FROM dup WINDOW w AS (
+    PARTITION BY partition_id
+    ORDER BY off ASC, ts ASC NULLS FIRST, dm ASC NULLS FIRST)
 )
 SELECT partition_id,
        count(*) AS n_events,
        min(off) AS min_offset, max(off) AS max_offset,
-       sum(CASE WHEN poff IS NOT NULL AND off - poff > 1
-                THEN off - poff - 1 ELSE 0 END) AS n_missing_offsets,
-       sum(CASE WHEN poff IS NOT NULL AND off = poff
-                THEN 1 ELSE 0 END) AS n_duplicate_offsets,
-       sum(CASE WHEN pts IS NOT NULL AND ts < pts
-                THEN 1 ELSE 0 END) AS n_ts_regressions
+       CAST(sum(CASE WHEN poff IS NOT NULL AND off - poff > 1
+                     THEN off - poff - 1 ELSE 0 END) AS BIGINT)
+         AS n_missing_offsets,
+       CAST(sum(CASE WHEN poff IS NOT NULL AND off = poff
+                     THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_duplicate_offsets,
+       CAST(sum(CASE WHEN pts IS NOT NULL AND ts < pts
+                     THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ts_regressions
 FROM l GROUP BY partition_id
 """
 
@@ -1980,7 +2017,8 @@ base AS (
               ELSE len(regexp_split_to_array(trim(red), '\s+')) END AS n_tokens
   FROM flt
 )
-SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        {_sql_exact_avg('q', 6)} AS avg_quality
 FROM tok GROUP BY source
 """
@@ -2722,7 +2760,8 @@ WITH o AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
   FROM b
 )
-SELECT user_id, session_seq, count(*) AS n_events,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
        min(ms) AS start_ms, max(ms) AS end_ms,
        max(ms) - min(ms) AS duration_ms,
        {_sql_exact_sum('value', 6)} AS sum_value
@@ -3969,11 +4008,11 @@ _CODE_CURATE_SQL = (
     "WITH " + _CODE_FIXTURE + r"""
 SELECT repo, lang_pred,
        count(*) AS n_files,
-       sum((""" + _CODE_KEEP_SQL + r""")::BIGINT) AS n_kept,
-       sum(CASE WHEN """ + _CODE_KEEP_SQL + r"""
+       CAST(sum((""" + _CODE_KEEP_SQL + r""")::BIGINT) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN """ + _CODE_KEEP_SQL + r"""
            THEN length(content) - length(replace(content, chr(10), ''))
                 + (CASE WHEN content LIKE '%' || chr(10) THEN 0 ELSE 1 END)
-           ELSE 0 END) AS kept_lines
+           ELSE 0 END) AS BIGINT) AS kept_lines
 FROM code_flags
 GROUP BY repo, lang_pred
 """)

@@ -194,6 +194,7 @@ def changelog_integrity(
     partition_col: str = "partition_id",
     offset_col: str = "offset",
     ts_col: str = "op_ts",
+    tie_cols: tuple = (),
 ) -> DataFrame:
     """Per-partition transport-integrity audit of a changelog: offset
     gaps (missing deliveries), duplicate offsets (re-deliveries the
@@ -209,11 +210,19 @@ def changelog_integrity(
     One narrow shuffle on the partition id (lag window + the aggregate
     share the partitioning); per-partition output rows, so the result
     is driver-safe at any scale.
+
+    The lag window orders by (offset, ts NULLS FIRST, *tie_cols): pass
+    ``tie_cols`` covering any remaining (offset, ts) ties so the order
+    is TOTAL — with a partial order the lag pairs are engine- and
+    partition-order-dependent and the counters flap (Spark sorts asc
+    NULLS FIRST, DuckDB NULLS LAST; both made explicit here).
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy(partition_col).orderBy(
-        F.col(offset_col).asc(), F.col(ts_col).asc()
+        F.col(offset_col).asc(),
+        F.col(ts_col).asc_nulls_first(),
+        *[F.col(c).asc_nulls_first() for c in tie_cols],
     )
     off = F.col(offset_col)
     prev_off = F.lag(off).over(w)

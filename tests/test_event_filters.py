@@ -123,3 +123,36 @@ def test_changelog_integrity_counts(spark):
         0: (5, 0, 6, 3, 1, 1),
         1: (3, 0, 2, 0, 0, 0),
     }
+
+
+def test_changelog_integrity_total_order_tie_cols(spark):
+    """Duplicate (offset, ts) pairs make the lag window a partial order;
+    tie_cols restores totality so the counters are partition-order
+    invariant (the r03 driver-red hardening). All three counters must
+    be non-zero — an audit that never sees an anomaly tests nothing."""
+    import pyspark.sql.functions as F
+
+    from chunjun_spark.sources.changelog import changelog_integrity
+
+    base = spark.range(0, 500).select(
+        (F.col("id") % 2).cast("int").alias("partition_id"),
+        F.col("id").alias("offset"),
+        F.when(F.col("id") % 103 == 0,
+               F.expr("timestamp'2020-01-01' - INTERVAL 1000 DAYS"))
+        .otherwise(
+            F.expr("timestamp'2020-01-01' + make_interval(0,0,0,0,0,0,id)")
+        ).alias("op_ts"),
+    ).filter(F.col("offset") % 97 != 0)
+    dup = base.filter(F.col("offset") % 101 == 0)
+    stream = base.withColumn("dup_mark", F.lit(0)).unionByName(
+        dup.withColumn("dup_mark", F.lit(1)))
+
+    def run(df):
+        return sorted(tuple(r) for r in
+                      changelog_integrity(df, tie_cols=("dup_mark",)).collect())
+
+    a = run(stream)
+    b = run(stream.repartition(13))
+    assert a == b
+    totals = [sum(r[i] for r in a) for i in (4, 5, 6)]
+    assert all(t > 0 for t in totals), totals

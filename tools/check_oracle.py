@@ -79,12 +79,20 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             ocols = rel.columns
+            otypes = [str(t).upper() for t in rel.types]
             orows = rel.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error {e}")
             continue
         problems = []
+        # DuckDB sum(int) -> HUGEINT renders as Arrow decimal128; the
+        # driver's type-sensitive hash then reds equal values (the r02
+        # curation_pipeline / r03 cdc_changelog_integrity story). Our
+        # str()-based canon can't see it, so tripwire on the type.
+        hug = [c for c, t in zip(ocols, otypes) if "HUGEINT" in t]
+        if hug:
+            problems.append(f"HUGEINT oracle columns {hug}: CAST AS BIGINT")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
         if len(srows) != len(orows):
