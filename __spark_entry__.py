@@ -1640,18 +1640,102 @@ QUALIFY row_number() OVER (PARTITION BY cluster_id
 
 
 def _q_minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: xxhash64 signatures have no DuckDB equivalent; verified
-    # against exact jaccard in tests/test_curation.py
+    """MinHash-LSH candidate pairs, hash-checked: the entry runs the
+    md5-affine oracle-parity fingerprint family (one md5 per shingle →
+    28-bit base → 64 affine bigint lanes both engines evaluate
+    bit-identically) with string band keys. The xxhash64 fast path
+    (shingle_hashes long lanes) stays the library default and is
+    parity-tested against exact Jaccard in tests/test_curation.py."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = DD.minhash_signatures(docs, n=3, k=64)
-    cand = DD.lsh_candidates(sigs, bands=16, rows_per_band=4)
+    sigs = DD.minhash_signatures(docs, n=3, k=64, fingerprint="md5_affine")
+    cand = DD.lsh_candidates(sigs, bands=16, rows_per_band=4,
+                             band_key="concat")
     return cand.orderBy("id_a", "id_b")
 
 
+def _mh_oracle_sql() -> str:
+    """DuckDB twin of the md5-affine MinHash-LSH entry, lanes unrolled."""
+    from chunjun_spark.functions.dedup_docs import _MH_P, _mh_affine
+
+    sent = 2**63 - 1
+    lanes = ",\n         ".join(
+        f"min(({a} * base + {b}) % {_MH_P}) AS m{i}"
+        for i, (a, b) in ((i, _mh_affine(i)) for i in range(64))
+    )
+    cols = ", ".join(f"coalesce(m{i}, {sent}) AS m{i}" for i in range(64))
+    keys = ", ".join(
+        "concat_ws('|', m%d, m%d, m%d, m%d) AS k%d"
+        % (4 * b, 4 * b + 1, 4 * b + 2, 4 * b + 3, b)
+        for b in range(16)
+    )
+    klist = ", ".join(f"k{b}" for b in range(16))
+    return rf"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        for i in generate_series(1, len(toks) - 2)]) AS sh
+  FROM t
+), bs AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS base
+  FROM (SELECT doc_id, unnest(sh) AS tok FROM s)
+), sig0 AS (
+  SELECT doc_id,
+         {lanes}
+  FROM bs GROUP BY doc_id
+), sig AS (
+  SELECT d.doc_id, {cols}
+  FROM (SELECT doc_id FROM documents) d LEFT JOIN sig0 USING (doc_id)
+), keyed AS (
+  SELECT doc_id, {keys} FROM sig
+), bands AS (
+  SELECT doc_id, unnest(generate_series(0, 15)) AS band,
+         unnest([{klist}]) AS key
+  FROM keyed
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+WHERE a.doc_id < b.doc_id
+"""
+
+
 def _q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: same reason as minhash
+    """SimHash near-dup pairs, hash-checked: md5 token-hash mode (60-bit
+    hash both engines parse from the same 15 md5 hex chars). The 4×16-bit
+    block LSH is pigeonhole-COMPLETE for hamming ≤ 3, so the oracle is
+    simply all pairs with bit_count(xor) ≤ 3 over the same per-doc
+    simhash — the candidate generation needs no DuckDB analog."""
     docs = _t(spark, sf_dir, "documents")
-    return DD.simhash_near_dups(docs, max_hamming=3)
+    return DD.simhash_near_dups(docs, max_hamming=3, token_hash="md5")
+
+
+_SIMHASH_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split({_NORM_SQL}, ' ')) AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, len(toks) AS n,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+  FROM (SELECT doc_id, toks, unnest(toks) AS tok FROM t)
+), bits AS (
+  SELECT doc_id, n, unnest(generate_series(0, 59)) AS b,
+         unnest([(hv >> i) & 1 FOR i IN generate_series(0, 59)]) AS bit
+  FROM h
+), agg AS (
+  SELECT doc_id, b,
+         CASE WHEN 2 * CAST(sum(bit) AS BIGINT) > any_value(n)
+              THEN 1::BIGINT ELSE 0::BIGINT END AS bitv
+  FROM bits GROUP BY doc_id, b
+), sh AS (
+  SELECT doc_id, CAST(sum(bitv * (1::BIGINT << b)) AS BIGINT) AS simhash
+  FROM agg GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 def _q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1755,12 +1839,25 @@ WHERE (CASE WHEN alen >= 2.0 AND alen <= 12.0 THEN 0.5 ELSE 0.0 END)
 
 
 def _q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: winnowing-style rolling window fingerprints (xxhash64);
-    # the token array is staged in its own projection so the window
-    # transform iterates an attribute, never re-tokenizing per window
+    """Rolling-window document fingerprints, hash-checked: md5 mode
+    (fingerprint = md5 hex of each 8-token window's text — engine-
+    identical strings). The token array is staged in its own projection
+    so the window transform iterates an attribute, never re-tokenizing
+    per window; xxhash64 stays the library default fast path."""
     docs = _t(spark, sf_dir, "documents")
     return TX.winnow_fingerprints(docs, text_col="text", id_col="doc_id",
-                                  window_tokens=8)
+                                  window_tokens=8, fingerprint="md5")
+
+
+_WINNOW_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       unnest([md5(array_to_string(toks[i:i+7], ' '))
+               for i in generate_series(1, len(toks) - 7)]) AS window_fp
+FROM t
+"""
 
 
 # --------------------------------------------- repetition / redaction / paras
@@ -4684,6 +4781,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_clusters": _DUP_CLUSTERS_SQL,
         "doc_cluster_canonical": _CLUSTER_CANONICAL_SQL,
         "binary_meta": _BINARY_META_SQL,
+        # md5-twin parity modes (r4): the entries run the md5 fingerprint
+        # family so the driver hash-checks them; xxhash64 stays the
+        # library default fast path (VERDICT r3 next-round #2)
+        "minhash_lsh_dups": _mh_oracle_sql(),
+        "simhash_near_dups": _SIMHASH_SQL,
+        "doc_winnow_fingerprints": _WINNOW_SQL,
         "content_sha256": _CONTENT_SHA_SQL,
         "cdc_keep_last_window": _KEEP_LAST_SQL,
         "skew_two_phase_agg": _SKEW_AGG_SQL,

@@ -338,6 +338,20 @@ def jaccard_pairs(
 
 # ---------------------------------------------------------------- MinHash
 
+# md5-affine oracle-parity hash family (fingerprint="md5_affine"):
+# base = first 28 bits of md5(shingle text), lane_i = (A_i*base + B_i)
+# mod P — pure bigint arithmetic both Spark and DuckDB evaluate
+# bit-identically (base < 2^28, A_i < 2^31 ⇒ product < 2^59, no ANSI
+# overflow), so entries using it are hash-checkable against a DuckDB
+# oracle. xxhash64 stays the default (one long per shingle, no string
+# re-materialization — see shingle_hashes).
+_MH_P = 2_147_483_647
+
+
+def _mh_affine(i: int) -> tuple[int, int]:
+    return (2654435761 * (i + 1)) % _MH_P, (40503 * (i + 7)) % _MH_P
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -345,6 +359,7 @@ def minhash_signatures(
     n: int = 3,
     k: int = 64,
     seed: int = 7,
+    fingerprint: str = "xxhash64",
 ) -> DataFrame:
     """K-permutation MinHash signature per document, all native exprs.
 
@@ -365,6 +380,29 @@ def minhash_signatures(
     (explode_outer keeps them as a NULL-shingle row).
     """
     sent = 2**63 - 1
+    if fingerprint == "md5_affine":
+        # oracle-parity mode: string shingles + one md5 each, k affine
+        # lanes of bigint arithmetic (engine-identical; see _mh_affine)
+        ex = _widen(df).select(
+            F.col(id_col).alias("_id"),
+            F.explode_outer(shingles(F.col(text_col), n)).alias("_s"),
+        )
+        base = F.conv(F.substring(F.md5(F.col("_s")), 1, 7), 16, 10).cast(
+            "bigint"
+        )
+        lanes = []
+        for i in range(k):
+            a, b = _mh_affine(i)
+            lanes.append(
+                F.min(
+                    F.when(F.col("_s").isNull(), F.lit(sent)).otherwise(
+                        (F.lit(a) * base + F.lit(b)) % F.lit(_MH_P)
+                    )
+                ).alias(f"_m{i}")
+            )
+        agg = ex.groupBy("_id").agg(*lanes)
+        sig = F.array(*[F.col(f"_m{i}") for i in range(k)])
+        return agg.select(F.col("_id").alias(id_col), sig.alias("signature"))
     # shingle HASHES, never shingle strings: the string-concat explode is
     # allocation-bound and does not scale with cores (see shingle_hashes)
     ex = _widen(df).select(
@@ -389,6 +427,7 @@ def lsh_candidates(
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
+    band_key: str = "xxhash64",
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs that collide in ≥1 band.
 
@@ -398,20 +437,23 @@ def lsh_candidates(
     pair count until the final collision join — exactly the property that
     makes MinHash-LSH the 100 TB near-dup path.
     """
+    def _bhash(b: int) -> Column:
+        vals = [
+            F.col("signature")[b * rows_per_band + r]
+            for r in range(rows_per_band)
+        ]
+        if band_key == "concat":
+            # oracle-parity mode: bigint→string concat, identical in
+            # DuckDB (no xxhash64 analog there)
+            return F.concat_ws("|", *[v.cast("string") for v in vals])
+        return F.xxhash64(*vals)
+
     banded = sigs.select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("signature")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bhash"),
-                    )
+                    F.struct(F.lit(b).alias("band"), _bhash(b).alias("bhash"))
                     for b in range(bands)
                 ]
             )
@@ -536,7 +578,10 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash) via the distributed formulation: explode tokens →
     64 static-shift sign columns → groupBy(id).sum.
@@ -546,9 +591,19 @@ def simhash_table(
     and bit projections are map-side, the 64 sums partial-aggregate before
     the single shuffle on id — the shape that survives 100 TB.
     """
+    if token_hash == "md5":
+        # oracle-parity mode: 60-bit token hash from 15 md5 hex chars —
+        # DuckDB parses the same value via ('0x'||substr(md5(t),1,15))::
+        # BIGINT. Bits 60-63 are always 0, so the simhash is effectively
+        # 60-bit; the 4×16-bit block pigeonhole completeness is unchanged.
+        th = F.conv(
+            F.substring(F.md5(F.col("_t")), 1, 15), 16, 10
+        ).cast("bigint")
+    else:
+        th = F.xxhash64("_t")
     tok = _widen(df).select(
         F.col(id_col).alias("_id"), F.explode(token_set(F.col(text_col))).alias("_t")
-    ).withColumn("_h", F.xxhash64("_t"))
+    ).withColumn("_h", th)
     # pack 4 bit-counters per bigint (16-bit lanes): lane i of group g
     # accumulates popcount of bit (4g+i); 16 agg buffers instead of 64,
     # which keeps the generated HashAggregate small (fast janino compile,
@@ -589,6 +644,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_blocks: int = 4,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash with block-LSH candidate generation.
 
@@ -603,7 +659,7 @@ def simhash_near_dups(
     # compute at 500 docs). localCheckpoint materializes the tiny
     # (id, simhash) table once and downstream plans see a plain RDD scan.
     h = (
-        simhash_table(df, text_col, id_col)
+        simhash_table(df, text_col, id_col, token_hash=token_hash)
         .select(F.col(id_col).alias("_id"), F.col("simhash").alias("_h"))
         .localCheckpoint(eager=True)
     )

@@ -226,7 +226,7 @@ def secret_count(col: Column) -> Column:
 
 
 def rolling_fingerprints_from_tokens(
-    toks: Column, window_tokens: int = 8
+    toks: Column, window_tokens: int = 8, fingerprint: str = "xxhash64"
 ) -> Column:
     """Window fingerprints over an ALREADY-MATERIALIZED token array
     column.  ``toks`` must be a plain attribute reference (stage
@@ -239,6 +239,12 @@ def rolling_fingerprints_from_tokens(
     n = F.size(toks)
     n_windows = F.greatest(n - F.lit(window_tokens - 1), F.lit(0))
     idx = F.sequence(F.lit(1), n_windows)
+    if fingerprint == "md5":
+        # oracle-parity mode: hex-string fingerprint DuckDB reproduces
+        return F.when(n_windows > 0, F.transform(
+            idx,
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window_tokens))),
+        )).otherwise(F.array().cast("array<string>"))
     return F.when(n_windows > 0, F.transform(
         idx,
         lambda i: F.xxhash64(
@@ -266,6 +272,7 @@ def winnow_fingerprints(
     text_col: str = "text",
     id_col: str = "doc_id",
     window_tokens: int = 8,
+    fingerprint: str = "xxhash64",
 ) -> "DataFrame":
     """(id, window_fp) exploded winnowing fingerprints, with the token
     array staged in its own projection so the window transform iterates
@@ -280,7 +287,9 @@ def winnow_fingerprints(
     return staged.select(
         F.col(id_col),
         F.explode(
-            rolling_fingerprints_from_tokens(F.col("_toks"), window_tokens)
+            rolling_fingerprints_from_tokens(
+                F.col("_toks"), window_tokens, fingerprint
+            )
         ).alias("window_fp"),
     )
 
