@@ -216,6 +216,77 @@ def _events_lake_2w(spark: SparkSession, sf_dir: str) -> dict:
 _VALUE_MICRO_SQL = f"CAST(round(value * {_GRID}) AS BIGINT)"
 
 
+_TP_FIXTURE: dict = {}
+
+
+def _events_lake_tp(spark: SparkSession, sf_dir: str) -> LakeTable:
+    """Time-partitioned events lake (cached per session × sf_dir): the
+    reference's TimePartitionFormat DAY routing (flinkx-hive/.../
+    TimePartitionFormat.java, HiveOutputFormat.java:277-294) as a hidden
+    day(ts) partition spec — event time rides in the row image and each
+    bucket's files split into _p_day=... directories."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _TP_FIXTURE.get(key)
+    if got is not None:
+        return got
+    ev = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="cj_entry_tp_")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", ev.schema["ts"].dataType),
+        ]
+    )
+    table = LakeTable.create(
+        spark, root, schema, pk=["user_id"], n_buckets=8,
+        partition_exprs=[("day", "date_trunc('day', ts)", "ts")],
+    )
+    replay(
+        events_changelog(ev, extra_payload={"ts": F.col("ts")}),
+        table, batch_id="entry-tp", mode="cow",
+    )
+    got = table.refresh()
+    _TP_FIXTURE[key] = got
+    return got
+
+
+# winners cluster on the final days (keep-last); scan a window
+# that splits them so both partition bounds do real pruning
+_TP_RANGE = ("2024-01-25 00:00:00", "2024-01-29 23:59:59")
+
+
+def _q_cdc_time_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay into a DAY-partitioned lake, then a ts-range scan: the
+    range maps to [day(lo), day(hi)] on the hidden partition column and
+    whole directories outside it never open (PartitionFilters — audited
+    in tools/plan_audit.py time_partition_pruning). Residual predicate
+    re-applied, so the result is exact final state in the window."""
+    t = _events_lake_tp(spark, sf_dir)
+    out = t.scan(between={"ts": _TP_RANGE})
+    return out.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 6).alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+_TP_SCAN_SQL = f"""
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_event_type,
+       round(value, 6) AS last_value, ts AS last_ts
+FROM r
+WHERE rn = 1 AND event_type <> 'error'
+  AND ts BETWEEN TIMESTAMP '{_TP_RANGE[0]}' AND TIMESTAMP '{_TP_RANGE[1]}'
+"""
+
+
 def _replay_lake(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
     return _lake_projection(_build_lake(spark, sf_dir, mode).read())
 
@@ -4624,6 +4695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": _q_cdc_final_state,
         "cdc_cat_filtered": _q_cdc_cat_filtered,
         "cdc_replay_lake": _q_cdc_replay_lake,
+        "cdc_time_partitioned_scan": _q_cdc_time_partitioned_scan,
         "cdc_replay_lake_mor": _q_cdc_replay_lake_mor,
         "kafka_roundtrip_final_state": _q_kafka_roundtrip_final_state,
         "cdc_replay_lake_patch": _q_cdc_replay_lake_patch,
@@ -4742,6 +4814,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state": _FINAL_STATE_SQL,
         "cdc_cat_filtered": _CAT_FILTERED_SQL,
         "cdc_replay_lake": _REPLAY_LAKE_SQL,
+        "cdc_time_partitioned_scan": _TP_SCAN_SQL,
         "cdc_replay_lake_mor": _REPLAY_LAKE_SQL,
         "kafka_roundtrip_final_state": _REPLAY_LAKE_SQL,
         "cdc_replay_lake_patch": _REPLAY_PATCH_SQL,

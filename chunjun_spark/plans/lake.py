@@ -225,6 +225,7 @@ class LakeTable:
         bloom_cols: list[str] | None = None,
         bloom_bits: int = 1 << 20,
         bloom_k: int = 5,
+        partition_exprs: list | None = None,
     ) -> "LakeTable":
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
@@ -240,6 +241,29 @@ class LakeTable:
         bad_cluster = [c for c in (cluster_cols or []) if c not in schema.fieldNames()]
         if bad_cluster:
             raise ValueError(f"cluster columns not in schema: {bad_cluster}")
+        # hidden time/derived partitioning (the reference's
+        # TimePartitionFormat.java DAY/HOUR/MINUTE routing, expressed as
+        # Iceberg-style hidden partition transforms): each spec is
+        # (name, expr[, source]) — expr derives the partition value from
+        # the row; source (optional) names the column the expr is a
+        # MONOTONIC transform of, enabling automatic directory pruning
+        # for range scans on that column (LakeTable.scan)
+        pspecs = []
+        for p in partition_exprs or []:
+            if isinstance(p, dict):
+                spec = {k: p[k] for k in ("name", "expr") }
+                if p.get("source"):
+                    spec["source"] = p["source"]
+            else:
+                spec = {"name": p[0], "expr": p[1]}
+                if len(p) > 2 and p[2]:
+                    spec["source"] = p[2]
+            if not spec["name"].isidentifier():
+                raise ValueError(f"partition name not an identifier: {spec['name']!r}")
+            src = spec.get("source")
+            if src and src not in schema.fieldNames():
+                raise ValueError(f"partition source column not in schema: {src}")
+            pspecs.append(spec)
         # bucket cols must be pk columns: a key's bucket must be derivable
         # from the key alone (merge routes DELETE rows by key)
         bad_bucket = [c for c in (bucket_cols or []) if c not in pk]
@@ -287,6 +311,10 @@ class LakeTable:
             "bloom_cols": list(bloom_cols or []),
             "bloom_bits": int(bloom_bits),
             "bloom_k": int(bloom_k),
+            # hidden derived-partition specs; data dirs become
+            # _bucket=b/_p_<name>=<value>/ and range scans on a spec's
+            # source column prune whole directories (PartitionFilters)
+            "partition_exprs": pspecs,
             "parent": None,
         }
         t = cls(spark, root, manifest)
@@ -467,6 +495,63 @@ class LakeTable:
         cols = [F.col(c) for c in self.bucket_cols]
         return F.pmod(F.xxhash64(*cols), F.lit(self.n_buckets)).cast("int")
 
+    # ----------------------------------------- hidden derived partitions
+    @property
+    def partition_specs(self) -> list[dict]:
+        """Hidden partition specs ({name, expr[, source]}); see create()."""
+        return self.manifest.get("partition_exprs", [])
+
+    def _part_col_names(self) -> list[str]:
+        return [f"_p_{p['name']}" for p in self.partition_specs]
+
+    def _partition_ref_cols(self) -> set[str]:
+        """Schema columns a partition spec references (source plus any
+        identifier in the expr text that matches a column name) —
+        conservatively over-matches; used by the DDL guards."""
+        import re
+
+        refs: set[str] = set()
+        for p in self.partition_specs:
+            refs |= set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", p["expr"]))
+            if p.get("source"):
+                refs.add(p["source"])
+        return refs & set(self.schema.names())
+
+    def _with_partition_cols(self, df: DataFrame) -> DataFrame:
+        for p in self.partition_specs:
+            df = df.withColumn(f"_p_{p['name']}", F.expr(p["expr"]))
+        return df
+
+    def _write_base_files(self, df: DataFrame, out_dir: str,
+                          manifest: dict | None = None) -> None:
+        """The one base-file writer: repartitioned-by-bucket input →
+        cluster sort → dynamic-partition parquet write. With partition
+        specs, derived ``_p_*`` columns are computed from the final row
+        values and appended to the directory layout
+        (``_bucket=b/_p_day=.../part-*``); rows are additionally sorted
+        by the partition columns inside each bucket task so the dynamic
+        writer streams one open file at a time instead of multiplexing
+        |partitions| writers (the same measured 5× cliff the
+        bucket-repartition already avoids)."""
+        pcols = self._part_col_names()
+        if not pcols:
+            out = self._clustered(df, manifest=manifest)
+        else:
+            m = manifest if manifest is not None else self.manifest
+            ccols = m.get("cluster_cols", [])
+            if m.get("cluster_kind") == "zorder" and m.get("zorder_bounds"):
+                from chunjun_spark.plans.zorder import zorder_key
+
+                sort_keys = [zorder_key(m["zorder_bounds"])]
+            else:
+                sort_keys = [F.col(c) for c in ccols]
+            out = self._with_partition_cols(df).sortWithinPartitions(
+                _BUCKET_COL, *pcols, *sort_keys
+            )
+        out.write.mode("overwrite").partitionBy(_BUCKET_COL, *pcols).parquet(
+            out_dir
+        )
+
     def _align(self, df: DataFrame, written_sv: int) -> DataFrame:
         """Project a file written under schema_version ``written_sv`` to the
         CURRENT schema, matching columns by stable id."""
@@ -482,20 +567,54 @@ class LakeTable:
         extra = [c for c in (_BUCKET_COL, OP_COL, *_HIDDEN) if c in df.columns]
         return df.select(*cols, *extra)
 
-    def _read_base(self, buckets: list[int] | None = None) -> DataFrame:
-        """Base snapshot (no deltas). ``buckets`` prunes the scan."""
+    def _read_base(
+        self,
+        buckets: list[int] | None = None,
+        part_bounds: dict | None = None,
+    ) -> DataFrame:
+        """Base snapshot (no deltas). ``buckets`` prunes the scan.
+
+        ``part_bounds`` ({_p_name: (lo, hi)}) filters the derived
+        partition DIRECTORIES of a partitioned table (PartitionFilters —
+        whole dirs never open). Callers must pass it only when the
+        filtered result is semantically complete (scan() does: base-only
+        snapshot + residual predicate)."""
         entries = self.manifest["buckets"]
         want = {str(b) for b in buckets} if buckets is not None else set(entries)
-        # group bucket dirs by schema_version so each group is one scan
-        by_sv: dict[int, list[str]] = {}
+        partitioned = bool(self.partition_specs)
+        # group bucket dirs by schema_version so each group is one scan;
+        # a partitioned table additionally groups by the owning version
+        # dir, because partition discovery under multiple roots needs a
+        # per-group basePath (Spark KD009) — scan count is then bounded
+        # by distinct referenced snapshots, which compaction collapses
+        by_sv: dict[tuple, list[str]] = {}
         for b, e in entries.items():
             if b in want:
-                by_sv.setdefault(e["schema_version"], []).append(
+                key = (
+                    (e["schema_version"], os.path.dirname(e["path"]))
+                    if partitioned
+                    else (e["schema_version"], "")
+                )
+                by_sv.setdefault(key, []).append(
                     os.path.join(self.root, e["path"])
                 )
         parts = []
-        for sv, paths in sorted(by_sv.items()):
-            parts.append(self._align(self.spark.read.parquet(*paths), sv))
+        for (sv, verdir), paths in sorted(by_sv.items()):
+            if partitioned:
+                df = self.spark.read.option(
+                    "basePath", os.path.join(self.root, verdir)
+                ).parquet(*paths)
+                for c, (lo, hi) in (part_bounds or {}).items():
+                    if c in df.columns:
+                        dt = df.schema[c].dataType
+                        df = df.filter(
+                            F.col(c).between(
+                                F.lit(lo).cast(dt), F.lit(hi).cast(dt)
+                            )
+                        )
+            else:
+                df = self.spark.read.parquet(*paths)
+            parts.append(self._align(df, sv))
         if not parts:
             return self.spark.createDataFrame([], self._struct_with_bucket())
         out = parts[0]
@@ -530,13 +649,23 @@ class LakeTable:
             return None
         return {int(b) for b in tb} - {int(b) for b in d.get("exclude_buckets", [])}
 
-    def _resolve(self, buckets: list[int] | None = None) -> DataFrame:
+    def _resolve(
+        self,
+        buckets: list[int] | None = None,
+        part_bounds: dict | None = None,
+    ) -> DataFrame:
         """base ⊕ deltas reduced to one row per pk by the (op_ts, seq)
-        version order; tombstones retained (callers filter)."""
-        base = self._read_base(buckets)
+        version order; tombstones retained (callers filter).
+
+        ``part_bounds`` (directory pruning on derived partitions) is
+        honored only when no relevant delta remains — with deltas a
+        key's winner may sit outside the pruned range while a stale
+        version sits inside it, and pruning would surface the stale row.
+        Same soundness contract as stats pruning; the caller's residual
+        filter keeps the fallback correct."""
         deltas = self.manifest["deltas"]
         if not deltas:
-            return base
+            return self._read_base(buckets, part_bounds)
         delta_parts = []
         want = {int(b) for b in buckets} if buckets is not None else None
         for d in deltas:
@@ -561,7 +690,10 @@ class LakeTable:
                 df = df.filter(F.col(_BUCKET_COL).isin([int(b) for b in buckets]))
             delta_parts.append(self._align(df, d["schema_version"]).drop(OP_COL))
         if not delta_parts:
-            return base
+            # every delta skipped for the probed buckets — the base is
+            # authoritative and directory pruning is sound again
+            return self._read_base(buckets, part_bounds)
+        base = self._read_base(buckets)
         delta = delta_parts[0]
         for p in delta_parts[1:]:
             delta = delta.unionByName(p)
@@ -570,11 +702,16 @@ class LakeTable:
         )
 
     def read(
-        self, buckets: list[int] | None = None, with_internal: bool = False
+        self,
+        buckets: list[int] | None = None,
+        with_internal: bool = False,
+        _part_bounds: dict | None = None,
     ) -> DataFrame:
         """Current logical state: version-resolved, tombstones dropped,
         bucket-pruned when requested."""
-        out = self._resolve(buckets).filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        out = self._resolve(buckets, _part_bounds).filter(
+            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        )
         if with_internal:
             return out
         return out.drop(*_HIDDEN, _BUCKET_COL)
@@ -730,6 +867,45 @@ class LakeTable:
                 pruned = True
         return sorted(cand) if pruned else None
 
+    def _partition_bounds(
+        self, eq: dict | None, between: dict | None
+    ) -> dict | None:
+        """[lo, hi] on each derived partition column implied by the
+        caller's predicates on its source column, or None. The spec expr
+        is evaluated over the two bound literals through SPARK (a 2-row
+        job, no table IO) — never re-implemented driver-side — which is
+        correct for any monotonic transform (date_trunc, date_format
+        with ordered patterns, floor division)."""
+        specs = [p for p in self.partition_specs if p.get("source")]
+        if not specs:
+            return None
+        eq, between = eq or {}, between or {}
+        types = {f["name"]: f["type"] for f in self.schema.fields}
+        bounds: dict = {}
+        for p in specs:
+            s = p["source"]
+            if s in between:
+                lo, hi = between[s]
+            elif s in eq:
+                vs = self._as_list(eq[s])
+                lo, hi = min(vs), max(vs)
+            else:
+                continue
+            src_t = _parse_type(types[s])
+            probe = self.spark.range(1).select(
+                F.explode(
+                    F.array(F.lit(lo).cast(src_t), F.lit(hi).cast(src_t))
+                ).alias(s)
+            )
+            vals = [
+                r["v"]
+                for r in probe.select(F.expr(p["expr"]).alias("v")).collect()
+            ]
+            if any(v is None for v in vals):
+                continue
+            bounds[f"_p_{p['name']}"] = (min(vals), max(vals))
+        return bounds or None
+
     def scan(
         self,
         eq: dict | None = None,
@@ -740,9 +916,15 @@ class LakeTable:
         equality predicates; ``between``: {col: (lo, hi)} inclusive
         ranges. Bucket pruning per ``_prune_buckets``; every predicate is
         ALSO applied as a residual filter, so results never depend on
-        pruning decisions."""
+        pruning decisions. On a partitioned table (create(partition_
+        exprs=...)), a predicate on a spec's SOURCE column additionally
+        prunes partition directories: the spec expr is evaluated over
+        the predicate bounds through Spark (monotonic-transform
+        contract, like Iceberg's day()/hour() transforms) and the
+        resulting [lo, hi] becomes a PartitionFilter on ``_p_<name>``."""
         out = self.read(buckets=self._prune_buckets(eq, between),
-                        with_internal=with_internal)
+                        with_internal=with_internal,
+                        _part_bounds=self._partition_bounds(eq, between))
         for c, v in (eq or {}).items():
             vs = self._as_list(v)
             out = out.filter(
@@ -774,10 +956,8 @@ class LakeTable:
         for b in buckets:
             bdir = os.path.join(out_dir, f"{_BUCKET_COL}={b}")
             agg: dict[str, list] = {}
-            for name in os.listdir(bdir):
-                if not name.endswith(".parquet"):
-                    continue
-                md = pq.ParquetFile(os.path.join(bdir, name)).metadata
+            for path in self._parquet_files_in(bdir):
+                md = pq.ParquetFile(path).metadata
                 idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
                 for c in self.stats_cols:
                     if c not in idx:
@@ -1191,9 +1371,10 @@ class LakeTable:
             # co-locate each bucket in one task before the dynamic-partition
             # write: otherwise every task multiplexes up to n_buckets open
             # writers (measured 5× slower) and emits tasks×buckets tiny files
-            self._clustered(
-                new_data.repartition(self.n_buckets, F.col(_BUCKET_COL))
-            ).write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out_dir)
+            self._write_base_files(
+                new_data.repartition(self.n_buckets, F.col(_BUCKET_COL)),
+                out_dir,
+            )
 
             written = self._discover_bucket_dirs(out_dir)
             stats = self._harvest_stats(out_dir, written & set(touched))
@@ -1438,9 +1619,10 @@ class LakeTable:
         with_bucket = resolved.select(*self.schema.names(), *_HIDDEN).withColumn(
             _BUCKET_COL, rebucket
         )
-        self._clustered(
-            with_bucket.repartition(n_out, F.col(_BUCKET_COL)), manifest=m
-        ).write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out_dir)
+        self._write_base_files(
+            with_bucket.repartition(n_out, F.col(_BUCKET_COL)), out_dir,
+            manifest=m,
+        )
         found = self._discover_bucket_dirs(out_dir)
         stats = self._harvest_stats(out_dir, found)
         m["buckets"] = {
@@ -1472,9 +1654,9 @@ class LakeTable:
         with_bucket = resolved.select(
             *self.schema.names(), *_HIDDEN, _BUCKET_COL
         )
-        self._clustered(
-            with_bucket.repartition(len(sel), F.col(_BUCKET_COL))
-        ).write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(out_dir)
+        self._write_base_files(
+            with_bucket.repartition(len(sel), F.col(_BUCKET_COL)), out_dir,
+        )
         found = self._discover_bucket_dirs(out_dir)
         stats = self._harvest_stats(out_dir, found)
         for b in sel:
@@ -1522,6 +1704,17 @@ class LakeTable:
                 return sorted(range(self.n_buckets))
             counts.update(live)
         return sorted(b for b, n in counts.items() if n >= min_deltas)
+
+    @staticmethod
+    def _parquet_files_in(d: str) -> list[str]:
+        """All parquet files under ``d``, recursing into derived-
+        partition subdirs (flat layouts see exactly the old listing)."""
+        found = []
+        for base, _dirs, files in os.walk(d):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    found.append(os.path.join(base, fn))
+        return sorted(found)
 
     @staticmethod
     def _discover_bucket_dirs(out_dir: str) -> set[int]:
@@ -1642,11 +1835,9 @@ class LakeTable:
             d = os.path.join(self.root, rel_dir)
             if not os.path.isdir(d):
                 return
-            for name in sorted(os.listdir(d)):
-                if name.endswith(".parquet"):
-                    p = os.path.join(d, name)
-                    yield os.path.join(rel_dir, name), os.path.getsize(p), \
-                        pq.ParquetFile(p).metadata.num_rows
+            for p in self._parquet_files_in(d):
+                yield os.path.relpath(p, self.root), os.path.getsize(p), \
+                    pq.ParquetFile(p).metadata.num_rows
 
         m = self.manifest
         for b, e in sorted(m["buckets"].items(), key=lambda kv: int(kv[0])):
@@ -1723,10 +1914,9 @@ class LakeTable:
                     f"bucket {b} data dir missing on disk ({e['path']}) "
                     "— snapshot no longer materialized (vacuumed?)"
                 )
-            for name in os.listdir(bdir):
-                if not name.endswith(".parquet"):
-                    continue
-                md = pq.ParquetFile(os.path.join(bdir, name)).metadata
+            for fpath in self._parquet_files_in(bdir):
+                name = os.path.relpath(fpath, bdir)
+                md = pq.ParquetFile(fpath).metadata
                 idx = {md.schema.column(i).name: i
                        for i in range(md.num_columns)}
                 di = idx.get(DELETED_COL)
@@ -1946,6 +2136,14 @@ class LakeTable:
             )
             sch = sch.add_column(kw["name"], kw["type"], min_id=hist_max)
         elif ddl_op == "rename_column":
+            if kw["old"] in self._partition_ref_cols():
+                # conservative, same family as the protected-drop rule:
+                # partition exprs are SQL text — a silent rename would
+                # leave every subsequent write referencing a gone column
+                raise ValueError(
+                    f"cannot rename {kw['old']!r}: referenced by a "
+                    "partition expr"
+                )
             sch = sch.rename_column(kw["old"], kw["new"])
         elif ddl_op == "widen_type":
             sch = sch.widen_type(kw["name"], kw["type"])
@@ -1957,12 +2155,12 @@ class LakeTable:
             # API able to repair the manifest
             protected = {
                 *self.pk, *self.bucket_cols, *self.stats_cols,
-                *self.cluster_cols,
+                *self.cluster_cols, *self._partition_ref_cols(),
             }
             if name in protected:
                 raise ValueError(
                     f"cannot drop {name!r}: primary-key / bucket / stats"
-                    " / cluster column"
+                    " / cluster / partition-expr column"
                 )
             sch = sch.drop_column(name)
         else:

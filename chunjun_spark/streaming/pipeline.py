@@ -525,10 +525,18 @@ def start_multi_table_stream(
     mode: str = "cow",
     table_factory=None,
     wire_format: str = "nested",
+    partition_exprs=None,
 ) -> StreamingQuery:
     """Route CDC events to per-table lake tables by ``table_name`` —
     the HiveOutputFormat fan-out (flinkx-hive/.../HiveOutputFormat.java:
     277-340: per-(table, partition) child formats + create-on-demand).
+
+    ``partition_exprs``: hidden time/derived partition specs for
+    create-on-demand tables — the reference's TimePartitionFormat
+    DAY/HOUR/MINUTE routing (flinkx-hive/.../TimePartitionFormat.java),
+    expressed as LakeTable partition specs. Either one list applied to
+    every routed table or ``{table_name: [...]}`` per table. Ignored
+    when ``table_factory`` is supplied (the factory owns layout).
 
     Each micro-batch: distinct table_names (tiny driver list) → per table
     filter + dedup + idempotent merge into ``{lake_root}/{table_name}``.
@@ -546,8 +554,14 @@ def start_multi_table_stream(
     spark = events.sparkSession
 
     def default_factory(spark, root, table_name):
+        pe = (
+            partition_exprs.get(table_name)
+            if isinstance(partition_exprs, dict)
+            else partition_exprs
+        )
         return LakeTable.create(
-            spark, root, PAYLOAD_SCHEMA, pk=["repo", "path"], n_buckets=16
+            spark, root, PAYLOAD_SCHEMA, pk=["repo", "path"], n_buckets=16,
+            partition_exprs=pe,
         )
 
     factory = table_factory or default_factory

@@ -1,0 +1,204 @@
+"""Hidden derived partitioning (LakeTable partition_exprs): the
+reference's TimePartitionFormat DAY/HOUR/MINUTE routing
+(flinkx-hive/src/main/java/com/dtstack/flinkx/hive/TimePartitionFormat.java,
+HiveOutputFormat.java:277-294) re-expressed as Iceberg-style hidden
+partition transforms under the bucket layer — data dirs become
+``_bucket=b/_p_<name>=<value>/`` and range scans on a spec's source
+column prune whole directories (PartitionFilters)."""
+
+import os
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+import pytest
+
+from chunjun_spark.plans.lake import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+RANGE = ("2024-01-05 00:00:00", "2024-01-08 23:59:59")
+
+
+def _mk(spark, lo, n, vts_base, day_shift=0):
+    return spark.range(lo, lo + n).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "timestamp_ntz'2024-01-01 00:00:00'"
+            f" + make_interval(0,0,0,{day_shift},0,0,id*3600)"
+        ).alias("ts"),
+        (F.col("id") * 1.0).alias("v"),
+        F.lit("UPSERT").alias("_op"),
+        F.expr(
+            "timestamp'2024-01-01'"
+            f" + make_interval(0,0,0,0,0,0,{vts_base}+id)"
+        ).alias("_vts"),
+        (F.col("id") + vts_base).alias("_vseq"),
+    )
+
+
+def _table(spark, tmp_path, **kw):
+    return LakeTable.create(
+        spark, str(tmp_path / "lake"), SCHEMA, pk=["k"], n_buckets=4,
+        partition_exprs=[("day", "date_trunc('day', ts)", "ts")], **kw,
+    )
+
+
+def _fmt_plan(df):
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_partitioned_scan_prunes_and_matches(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(_mk(spark, 0, 500, 0), batch_id="b1")
+    t = t.refresh()
+    out = t.scan(between={"ts": RANGE})
+    want = {
+        (r["k"], r["v"])
+        for r in t.read().filter(F.col("ts").between(*RANGE)).collect()
+    }
+    got = {(r["k"], r["v"]) for r in out.collect()}
+    assert got == want and got
+    # directory pruning really happened: PartitionFilters on _p_day
+    plan = _fmt_plan(out)
+    assert "_p_day" in plan and "PartitionFilters" in plan
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any(">=" in ln and "_p_day" in ln for ln in pf), pf
+
+
+def test_partition_layout_on_disk(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(_mk(spark, 0, 100, 0), batch_id="b1")
+    t = t.refresh()
+    bdir = os.path.join(t.root, t.manifest["buckets"]["0"]["path"])
+    subs = sorted(os.listdir(bdir))
+    assert all(s.startswith("_p_day=") for s in subs), subs
+    assert len(subs) >= 2
+
+
+def test_mor_scan_never_surfaces_stale_versions(spark, tmp_path):
+    """A key's newer version moves OUTSIDE the scanned day range while
+    its stale base version sits inside — with the delta outstanding the
+    scan must fall back (no directory pruning) and return neither."""
+    t = _table(spark, tmp_path)
+    t.merge(_mk(spark, 0, 300, 0), batch_id="b1")
+    t = t.refresh()
+    # every key re-lands 30 days later with a much newer version stamp
+    t.append_delta(_mk(spark, 0, 300, 10_000_000, day_shift=30),
+                   batch_id="b2")
+    t = t.refresh()
+    out = t.scan(between={"ts": RANGE}).collect()
+    assert out == []  # all winners now outside the range
+    # and after compaction the pruned path agrees
+    t.compact()
+    t = t.refresh()
+    assert t.scan(between={"ts": RANGE}).collect() == []
+    shifted = (
+        "2024-02-04 00:00:00", "2024-02-07 23:59:59",
+    )
+    got = {r["k"] for r in t.scan(between={"ts": shifted}).collect()}
+    want = {
+        r["k"]
+        for r in t.read().filter(F.col("ts").between(*shifted)).collect()
+    }
+    assert got == want and got
+
+
+def test_compact_and_partial_compact_keep_partition_dirs(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.merge(_mk(spark, 0, 200, 0), batch_id="b1")
+    t = t.refresh()
+    t.append_delta(_mk(spark, 200, 100, 1_000_000), batch_id="b2")
+    t = t.refresh()
+    t.compact(buckets=[0, 1])
+    t = t.refresh()
+    out = t.scan(between={"ts": RANGE})
+    want = t.read().filter(F.col("ts").between(*RANGE)).count()
+    assert out.count() == want
+    t.compact()
+    t = t.refresh()
+    assert not t.manifest["deltas"]
+    b0 = os.path.join(t.root, t.manifest["buckets"]["0"]["path"])
+    assert any(s.startswith("_p_day=") for s in os.listdir(b0))
+    assert t.scan(between={"ts": RANGE}).count() == want
+
+
+def test_metadata_planes_with_nested_dirs(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "lake"), SCHEMA, pk=["k"], n_buckets=4,
+        stats_cols=["v"],
+        partition_exprs=[("day", "date_trunc('day', ts)", "ts")],
+    )
+    t.merge(_mk(spark, 0, 200, 0), batch_id="b1")
+    t = t.refresh()
+    files = t.files_df().collect()
+    assert files and all("_p_day=" in r["path"] for r in files
+                         if r["kind"] == "base")
+    fs = t.fast_stats(["v"])
+    assert fs["n_rows"] == 200
+    assert fs["min"]["v"] == 0.0 and fs["max"]["v"] == 199.0
+    # stats pruning (bucket-level min/max) still harvests under subdirs
+    assert any(
+        e.get("stats", {}).get("v") for e in t.manifest["buckets"].values()
+    )
+    v1 = t.manifest["version"]
+    t.compact()
+    t = t.refresh()
+    gone = t.vacuum(keep_last=1)
+    assert gone["data_dirs_removed"] >= 1
+    assert t.read().count() == 200
+    with pytest.raises(FileNotFoundError):
+        LakeTable.load(spark, t.root, version=v1).read().collect()
+
+
+def test_ddl_guards_partition_columns(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    with pytest.raises(ValueError, match="partition-expr"):
+        t.apply_ddl("drop_column", name="ts")
+    with pytest.raises(ValueError, match="partition expr"):
+        t.apply_ddl("rename_column", old="ts", new="event_ts")
+    # unrelated columns stay fully evolvable
+    t.apply_ddl("add_column", name="extra", type="string")
+    t = t.refresh()
+    t.apply_ddl("drop_column", name="extra")
+
+
+def test_multi_table_router_partitioned_create(spark, tmp_path):
+    """Create-on-demand tables through the router pick up the partition
+    spec (identity transform on lang — the Hive static-partition case)."""
+    from chunjun_spark.sources.binlog import generate_binlog, write_binlog_files
+    from chunjun_spark.streaming.pipeline import (
+        read_binlog_stream,
+        start_multi_table_stream,
+    )
+
+    ev = generate_binlog(spark, 2_000, n_keys=300, seed=11)
+    src = str(tmp_path / "binlog")
+    write_binlog_files(ev, src, n_files=2)
+    q = start_multi_table_stream(
+        read_binlog_stream(spark, src),
+        lake_root=str(tmp_path / "tables"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        job_id="tp-router",
+        partition_exprs=[("lang", "lang", "lang")],
+    )
+    assert q.awaitTermination(120)
+    t = LakeTable.load(spark, str(tmp_path / "tables" / "repo_files"))
+    assert t.partition_specs and t.partition_specs[0]["name"] == "lang"
+    bdirs = [e["path"] for e in t.manifest["buckets"].values()]
+    sub = os.listdir(os.path.join(t.root, bdirs[0]))
+    assert any(s.startswith("_p_lang=") for s in sub), sub
+    # identity partition: eq predicate on lang prunes directories
+    langs = [r["lang"] for r in t.read().select("lang").distinct().collect()]
+    one = t.scan(eq={"lang": langs[0]})
+    assert one.count() == t.read().filter(F.col("lang") == langs[0]).count()
