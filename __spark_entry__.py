@@ -291,6 +291,28 @@ def _replay_lake(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
     return _lake_projection(_build_lake(spark, sf_dir, mode).read())
 
 
+def _q_cdc_redo_sql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LogMiner wire-format roundtrip: the changelog rendered as redo
+    SQL TEXT (insert/update/delete statements + envelope), parsed back
+    with the codegen regex decoder (sources/redo_sql.py — flinkx-
+    oraclelogminer LogParser.java parity) and replayed into a lake.
+    Final state must equal the structured nested feed's — the oracle is
+    the same keep-last fold the replay-lake entries use."""
+    from chunjun_spark.sources.redo_sql import decode_redo_sql, encode_redo_sql
+
+    ev = _t(spark, sf_dir, "events")
+    ch = events_changelog(ev)
+    payload = ch.schema["after"].dataType
+    wire = encode_redo_sql(ch, pk=["user_id"])
+    decoded = decode_redo_sql(wire, payload)
+    root = tempfile.mkdtemp(prefix="cj_entry_redo_")
+    table = LakeTable.create(
+        spark, root, T.StructType(payload.fields), pk=["user_id"], n_buckets=8
+    )
+    replay(decoded, table, batch_id="entry-redo", mode="cow")
+    return _lake_projection(table.refresh().read())
+
+
 def _q_cdc_replay_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay_lake(spark, sf_dir, "cow")
 
@@ -4696,6 +4718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_cat_filtered": _q_cdc_cat_filtered,
         "cdc_replay_lake": _q_cdc_replay_lake,
         "cdc_time_partitioned_scan": _q_cdc_time_partitioned_scan,
+        "cdc_redo_sql_roundtrip": _q_cdc_redo_sql_roundtrip,
         "cdc_replay_lake_mor": _q_cdc_replay_lake_mor,
         "kafka_roundtrip_final_state": _q_kafka_roundtrip_final_state,
         "cdc_replay_lake_patch": _q_cdc_replay_lake_patch,
@@ -4815,6 +4838,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_cat_filtered": _CAT_FILTERED_SQL,
         "cdc_replay_lake": _REPLAY_LAKE_SQL,
         "cdc_time_partitioned_scan": _TP_SCAN_SQL,
+        "cdc_redo_sql_roundtrip": _REPLAY_LAKE_SQL,
         "cdc_replay_lake_mor": _REPLAY_LAKE_SQL,
         "kafka_roundtrip_final_state": _REPLAY_LAKE_SQL,
         "cdc_replay_lake_patch": _REPLAY_PATCH_SQL,

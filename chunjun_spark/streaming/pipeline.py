@@ -242,6 +242,12 @@ def start_replay_stream(
     mid-stream flows through without restarting the query or
     pre-declaring a widest schema.
 
+    ``wire_format='redo_sql'``: each row arrives as Oracle-LogMiner
+    redo SQL text plus envelope (sources/redo_sql.py — the
+    flinkx-oraclelogminer LogParser.java wire form); a codegen regex
+    parser rebuilds op/before/after at micro-batch entry, before
+    admission.
+
     ``update_mode='patch'`` (cow only) streams the reference's UPDATE
     write mode: sparse change images coalesce against the stored row
     per column instead of replacing it (LakeTable.merge patch path);
@@ -271,7 +277,7 @@ def start_replay_stream(
     """
     if update_mode == "patch" and mode != "cow":
         raise ValueError("update_mode='patch' requires mode='cow'")
-    if wire_format not in ("nested", "json"):
+    if wire_format not in ("nested", "json", "redo_sql"):
         raise ValueError(f"unknown wire_format {wire_format!r}")
     spark = events.sparkSession
     if restore_from_lineage:
@@ -397,6 +403,16 @@ def start_replay_stream(
         from chunjun_spark.sources.changelog import decode_json_events
 
         table = LakeTable.load(spark, table_root)
+        if wire_format == "redo_sql":
+            # LogMiner wire form: each row is redo SQL TEXT + envelope;
+            # the codegen regex parser rebuilds op/before/after BEFORE
+            # admission (the op column itself lives in the statement
+            # verb). DDL/poison do not travel as redo statements —
+            # sources/redo_sql.py module doc — so decoding against the
+            # current schema is complete.
+            from chunjun_spark.sources.redo_sql import decode_redo_sql
+
+            batch_df = decode_redo_sql(batch_df, table.schema.to_struct())
         bid = f"{job_id}:{batch_id}"
         if bid in table.committed_batches():
             # replayed micro-batch after restart — already applied; the

@@ -1,0 +1,153 @@
+"""Redo-SQL wire format (sources/redo_sql.py): LogMiner-style
+INSERT/UPDATE/DELETE statement text encode/decode parity with the
+nested changelog. Reference: flinkx-oraclelogminer/src/main/java/com/
+dtstack/flinkx/oraclelogminer/format/LogParser.java."""
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from chunjun_spark.sources.changelog import to_changelog
+from chunjun_spark.sources.redo_sql import decode_redo_sql, encode_redo_sql
+
+NASTY = [
+    "plain",
+    "o'reilly ''double''",
+    "commas, and, more, commas",
+    "parens ) values ( deep",
+    "NULL",
+    "line1\nline2\nline3",
+    'quotes " and "cols" = ',
+    "a where b = 'c' and d",
+    "trailing space ",
+    "",
+]
+
+
+def _changelog(spark):
+    rows = []
+    for i, s in enumerate(NASTY):
+        rows.append((i, s, float(i) * 1.5 + 0.000001, "UPDATE" if i % 3 else "INSERT"))
+    rows.append((100, None, None, "UPDATE"))   # null payload columns
+    rows.append((3, NASTY[3], 1.0, "DELETE"))  # delete with nasty before
+    rows.append((4, None, 2.0, "DELETE"))      # delete with a NULL column
+    df = spark.createDataFrame(
+        rows, "k long, content string, v double, o string"
+    )
+    return to_changelog(
+        df,
+        op=F.col("o"),
+        op_ts=F.lit("2024-01-01 00:00:00").cast("timestamp"),
+        seq=F.monotonically_increasing_id(),
+        payload={"k": F.col("k"), "content": F.col("content"), "v": F.col("v")},
+        pk=["k"],
+    )
+
+
+def test_roundtrip_exact_on_adversarial_strings(spark):
+    ch = _changelog(spark).localCheckpoint(eager=True)
+    payload = ch.schema["after"].dataType
+    dec = decode_redo_sql(encode_redo_sql(ch, pk=["k"]), payload)
+    want = sorted(
+        (r["op"], r["seq"], tuple(r["after"]) if r["after"] else None,
+         tuple(r["before"]) if r["op"] == "DELETE" and r["before"] else None)
+        for r in ch.collect()
+    )
+    got = sorted(
+        (r["op"], r["seq"], tuple(r["after"]) if r["after"] else None,
+         tuple(r["before"]) if r["op"] == "DELETE" and r["before"] else None)
+        for r in dec.collect()
+    )
+    assert got == want
+
+
+def test_decode_projects_to_evolved_schema(spark):
+    """Schema-registry property (same as the JSON wire): statement
+    columns not in the target schema are ignored, schema columns missing
+    from the statement read NULL."""
+    ch = _changelog(spark)
+    wire = encode_redo_sql(ch, pk=["k"])
+    evolved = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("content", T.StringType()),
+            # v dropped, stars added
+            T.StructField("stars", T.IntegerType()),
+        ]
+    )
+    dec = decode_redo_sql(wire, evolved)
+    rows = [r for r in dec.collect() if r["op"] != "DELETE"]
+    assert rows
+    assert all(r["after"]["stars"] is None for r in rows)
+    assert {r["after"]["k"] for r in rows} == {
+        r["after"]["k"] for r in ch.collect() if r["op"] != "DELETE"
+    }
+
+
+def test_numeric_and_timestamp_values_roundtrip_via_cast(spark):
+    payload = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    df = spark.range(0, 50).select(
+        F.col("id").alias("k"),
+        F.expr(
+            "timestamp_ntz'2024-01-01' + make_interval(0,0,0,0,0,0,id)"
+            " + make_interval(0,0,0,0,0,0,0.123456)"
+        ).alias("ts"),
+        (F.col("id") / 7.0).alias("v"),
+    )
+    ch = to_changelog(
+        df, op=F.lit("INSERT"),
+        op_ts=F.lit("2024-01-01 00:00:00").cast("timestamp"),
+        seq=F.col("k"),
+        payload={"k": F.col("k"), "ts": F.col("ts"), "v": F.col("v")},
+        pk=["k"],
+    )
+    dec = decode_redo_sql(encode_redo_sql(ch, pk=["k"]), payload)
+    want = {(r["after"]["k"], r["after"]["ts"], r["after"]["v"])
+            for r in ch.collect()}
+    got = {(r["after"]["k"], r["after"]["ts"], r["after"]["v"])
+           for r in dec.collect()}
+    assert got == want
+
+
+def test_streaming_replay_redo_wire(spark, tmp_path):
+    """start_replay_stream(wire_format='redo_sql'): the redo wire feeds
+    the full micro-batch apply loop and lands the same final state as
+    the nested feed."""
+    from chunjun_spark.operators.merge import replay
+    from chunjun_spark.plans.lake import LakeTable
+    from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA, generate_binlog
+    from chunjun_spark.sources.redo_sql import encode_redo_sql
+    from chunjun_spark.streaming.pipeline import start_replay_stream
+
+    ev = generate_binlog(spark, 5_000, n_keys=800, seed=13)
+    wire = encode_redo_sql(ev, pk=["repo", "path"])
+    src = str(tmp_path / "wire")
+    wire.repartition(2).write.parquet(src)
+
+    root = str(tmp_path / "lake")
+    LakeTable.create(spark, root, PAYLOAD_SCHEMA, pk=["repo", "path"],
+                     n_buckets=8)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = start_replay_stream(
+        stream, root, checkpoint_dir=str(tmp_path / "ckpt"),
+        job_id="redo-stream", wire_format="redo_sql",
+    )
+    assert q.awaitTermination(180)
+
+    ref_root = str(tmp_path / "ref")
+    ref = LakeTable.create(spark, ref_root, PAYLOAD_SCHEMA,
+                           pk=["repo", "path"], n_buckets=8)
+    replay(ev, ref, batch_id="ref")
+    cols = ["repo", "path", "commit", "lang", "content"]
+    got = sorted(map(tuple, LakeTable.load(spark, root).read()
+                     .select(*cols).collect()))
+    want = sorted(map(tuple, ref.refresh().read().select(*cols).collect()))
+    assert got == want and got
