@@ -216,6 +216,103 @@ def _events_lake_2w(spark: SparkSession, sf_dir: str) -> dict:
 _VALUE_MICRO_SQL = f"CAST(round(value * {_GRID}) AS BIGINT)"
 
 
+# ---------------------------------------------- shared two-window code lake
+#
+# One code lake serves every view-family entry (postings / doc-pairs /
+# repo-rank / symbol-diff) the way _events_lake_2w serves the IVM
+# family (VERDICT r3 #5): the 2-merge fixture build is paid once per
+# session × sf_dir instead of once per entry. Window 2 applies ONE
+# combined modification to every %9 file — docstring rewrite (doc-pair
+# update), appended def (symbol add), appended import (rank edge) — so
+# each entry sees the change its operator must track and every oracle
+# reconstructs the same final text.
+_CODE_LAKE_2W: dict = {}
+
+# the combined %9 modification, as a Spark column and as the identical
+# DuckDB expression (replace is plain non-regex, all-occurrence on both)
+def _code_2w_mod(did: F.Column) -> F.Column:
+    return F.concat(
+        F.replace(
+            F.col("content"),
+            F.lit(" and return the result."),
+            F.lit(" and return the cached result."),
+        ),
+        F.lit("def extra_"), (did % 100).cast("string"), F.lit("_x(q):\n"),
+        F.lit("import m"), ((did + 3) % 7).cast("string"), F.lit(".extra\n"),
+    )
+
+
+_CODE_2W_MOD_SQL = (
+    "replace(content, ' and return the result.',"
+    " ' and return the cached result.')"
+    " || 'def extra_' || (doc_id % 100) || '_x(q):' || chr(10)"
+    " || 'import m' || ((doc_id + 3) % 7) || '.extra' || chr(10)"
+)
+
+# final file state after both windows: deletes beat updates beat arrivals
+# (strictly increasing version stamps in window 2)
+_CODE_2W_FINAL_CTE = f""",
+final AS (
+  SELECT repo, path, doc_id,
+         CASE WHEN doc_id % 9 = 0 THEN {_CODE_2W_MOD_SQL}
+              ELSE content END AS content
+  FROM code_files
+  WHERE doc_id % 7 <> 0
+)"""
+
+
+def _code_lake_2w(spark: SparkSession, sf_dir: str) -> dict:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _CODE_LAKE_2W.get(key)
+    if got is not None:
+        return got
+    from chunjun_spark.functions import code as CODE
+    from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL
+
+    files = CODE.synth_code_files(_t(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    root = tempfile.mkdtemp(prefix="cj_entry_code2w_")
+    ct = LakeTable.create(
+        spark, os.path.join(root, "code"),
+        T.StructType([
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.StringType()),
+        ]),
+        pk=["repo", "path"], n_buckets=8,
+    )
+    base = files.select(
+        "repo", "path", "doc_id", "content",
+        F.lit("UPSERT").alias(OP_COL),
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias(VTS_COL),
+        did.alias(VSEQ_COL),
+    )
+    ct.merge(base.filter(did % 5 != 0), batch_id="w1",
+             assume_unique_keys=True)
+    ct = ct.refresh()
+    v1 = ct.manifest["version"]
+    w2 = (
+        base.filter(did % 5 == 0)
+        .withColumn(VSEQ_COL, did + F.lit(1_000_000))
+        .unionByName(
+            base.filter(did % 9 == 0)
+            .withColumn("content", _code_2w_mod(did))
+            .withColumn(VSEQ_COL, did + F.lit(2_000_000))
+        )
+        .unionByName(
+            base.filter(did % 7 == 0)
+            .withColumn(OP_COL, F.lit("DELETE"))
+            .withColumn(VSEQ_COL, did + F.lit(3_000_000))
+        )
+    )
+    ct.merge(w2, batch_id="w2")
+    ct = ct.refresh()
+    got = {"root": ct.root, "v1": v1, "v2": ct.manifest["version"]}
+    _CODE_LAKE_2W[key] = got
+    return got
+
+
 _TP_FIXTURE: dict = {}
 
 
@@ -3344,6 +3441,23 @@ def _q_doc_tfidf_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("sim", 4).alias("sim"))
 
 
+def _q_doc_tfidf_near_dups_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The benched SCALE path of the tf-idf dedup family (VERDICT r3
+    #6): hashed tf-idf → RP-LSH buckets → per-bucket gemm — candidate
+    volume bucket-bounded, never quadratic within a cell. Rows-only
+    (xxhash64 features); recall vs the exact twin pinned in
+    tests/test_vectorize.py."""
+    from chunjun_spark.functions.vectorize import text_near_dups_bucketed
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = text_near_dups_bucketed(
+        docs, threshold=0.9, dim=128, n_planes=6, multiprobe=1
+    )
+    return pairs.select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+
+
 def _q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: the 100 TB approximate path (RP-LSH buckets + per-bucket
     # gemm); precision/recall cross-checked in tests/test_curation.py
@@ -3688,73 +3802,38 @@ WHERE rn = 1 AND event_type <> 'error'
 """
 
 
-_TOKENIZE_EXPR = "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_TOKENIZE_CONTENT_EXPR = (
+    "filter(split(lower(content), '[^a-z0-9]+'), x -> x <> '')"
+)
 
 
 def _q_cdc_postings_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintained EXPLODED (flatMap) view over the CDF
     (operators/ivm.py sync_exploded_view): a token-postings index
-    (doc_id, token) kept in sync as the docs lake commits — changed
-    parents re-explode, children a parent no longer emits retract via a
-    bucket-pruned narrow anti-join against the view itself. Window 2
-    inserts the held-out 20%, rewrites every %9 doc's text (its old
-    tokens must retract), and deletes every %7 doc (all its postings
-    drop). Output = per-token document frequency over the final view,
-    hash-checked against DuckDB recomputing the postings from the final
-    document state."""
+    (repo, path, token) kept in sync as the shared two-window code lake
+    commits — changed parents re-explode, children a parent no longer
+    emits retract via a bucket-pruned narrow anti-join against the view
+    itself. Window 2 inserts the held-out %5 slice, rewrites every %9
+    file (its old tokens must retract), and deletes every %7 file (all
+    its postings drop). Output = per-token file frequency over the
+    final view, hash-checked against DuckDB recomputing the postings
+    from the final file state."""
     from chunjun_spark.operators.ivm import (
         create_exploded_view,
         sync_exploded_view,
     )
-    from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    root = tempfile.mkdtemp(prefix="cj_entry_post_")
-    dt = LakeTable.create(
-        spark, os.path.join(root, "docs"),
-        T.StructType([T.StructField("doc_id", T.LongType()),
-                      T.StructField("text", T.StringType())]),
-        pk=["doc_id"], n_buckets=8,
-    )
-    base = docs.select(
-        "doc_id", "text", F.lit("UPSERT").alias(OP_COL),
-        F.lit("1970-01-01 00:00:00").cast("timestamp").alias(VTS_COL),
-        F.col("doc_id").alias(VSEQ_COL),
-    )
-    dt.merge(base.filter(F.col("doc_id") % 5 != 0), batch_id="w1",
-             assume_unique_keys=True)
-    dt = dt.refresh()
+    fx = _code_lake_2w(spark, sf_dir)
     view = create_exploded_view(
-        spark, os.path.join(root, "view"),
-        [("doc_id", "bigint"), ("token", "string")],
-        pk=["doc_id", "token"], n_buckets=8,
+        spark, tempfile.mkdtemp(prefix="cj_entry_post_"),
+        [("repo", "string"), ("path", "string"), ("token", "string")],
+        pk=["repo", "path", "token"], n_buckets=8,
     )
-    sync_exploded_view(
-        dt, view, _TOKENIZE_EXPR,
-        [("doc_id", "doc_id"), ("token", "child")],
-    )
-    w2 = (
-        base.filter(F.col("doc_id") % 5 == 0)
-        .withColumn(VSEQ_COL, F.col(VSEQ_COL) + F.lit(1_000_000))
-        .unionByName(
-            base.filter(F.col("doc_id") % 9 == 0)
-            .withColumn("text", F.concat(
-                F.col("text"), F.lit(" zz"), F.col("doc_id").cast("string")
-            ))
-            .withColumn(VSEQ_COL, F.col(VSEQ_COL) + F.lit(2_000_000))
-        )
-        .unionByName(
-            base.filter(F.col("doc_id") % 7 == 0)
-            .withColumn(OP_COL, F.lit("DELETE"))
-            .withColumn(VSEQ_COL, F.col(VSEQ_COL) + F.lit(3_000_000))
-        )
-    )
-    dt.merge(w2, batch_id="w2")
-    dt = dt.refresh()
-    sync_exploded_view(
-        dt, view.refresh(), _TOKENIZE_EXPR,
-        [("doc_id", "doc_id"), ("token", "child")],
-    )
+    sel = [("repo", "repo"), ("path", "path"), ("token", "child")]
+    t1 = LakeTable.load(spark, fx["root"], version=fx["v1"])
+    sync_exploded_view(t1, view, _TOKENIZE_CONTENT_EXPR, sel)
+    t2 = LakeTable.load(spark, fx["root"], version=fx["v2"])
+    sync_exploded_view(t2, view.refresh(), _TOKENIZE_CONTENT_EXPR, sel)
     return (
         view.refresh().read().groupBy("token")
         .agg(F.count("*").alias("n_docs"))
@@ -3762,26 +3841,6 @@ def _q_cdc_postings_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# final document state reconstructed in SQL: deletes beat updates beat
-# arrivals (strictly increasing version stamps in window 2)
-_POSTINGS_VIEW_SQL = r"""
-WITH final AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 9 = 0
-              THEN text || ' zz' || CAST(doc_id AS VARCHAR)
-              ELSE text END AS text
-  FROM documents
-  WHERE doc_id % 7 <> 0
-),
-postings AS (
-  SELECT DISTINCT doc_id, token
-  FROM final,
-       unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(token)
-  WHERE token <> ''
-)
-SELECT token, count(*) AS n_docs
-FROM postings GROUP BY token HAVING count(*) >= 10
-"""
 
 
 def _q_cdc_txn_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3958,6 +4017,20 @@ code_flags AS (
   FROM code_lang
 )
 """
+
+
+_POSTINGS_VIEW_SQL = (
+    "WITH " + _CODE_FIXTURE + _CODE_2W_FINAL_CTE + r""",
+postings AS (
+  SELECT DISTINCT repo, path, token
+  FROM final,
+       unnest(string_split_regex(lower(content), '[^a-z0-9]+')) AS u(token)
+  WHERE token <> ''
+)
+SELECT token, count(*) AS n_docs
+FROM postings GROUP BY token HAVING count(*) >= 10
+""")
+
 
 _CODE_KEEP_SQL = (
     "license IN ('mit', 'apache-2.0', 'bsd') AND NOT generated "
@@ -4259,78 +4332,30 @@ def _q_cdc_doc_pairs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         create_exploded_view,
         sync_exploded_view,
     )
-    from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL
 
-    files = CODE.synth_code_files(_t(spark, sf_dir, "documents"))
-    did = F.col("doc_id")
-    root = tempfile.mkdtemp(prefix="cj_entry_dpview_")
-    ct = LakeTable.create(
-        spark, os.path.join(root, "code"),
-        T.StructType([
-            T.StructField("repo", T.StringType()),
-            T.StructField("path", T.StringType()),
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("content", T.StringType()),
-        ]),
-        pk=["repo", "path"], n_buckets=8,
-    )
-    base = files.select(
-        "repo", "path", "doc_id", "content",
-        F.lit("UPSERT").alias(OP_COL),
-        F.lit("1970-01-01 00:00:00").cast("timestamp").alias(VTS_COL),
-        did.alias(VSEQ_COL),
-    )
-    ct.merge(base.filter(did % 5 != 0), batch_id="w1",
-             assume_unique_keys=True)
-    ct = ct.refresh()
+    fx = _code_lake_2w(spark, sf_dir)
     # view pk = the FULL pair (parent pk first): payload trivially
     # pk-determined, identical duplicates collapse, distinct same-name
     # defs survive — the view holds the SET of pairs per file
     view = create_exploded_view(
-        spark, os.path.join(root, "pairs"),
+        spark, tempfile.mkdtemp(prefix="cj_entry_dpview_"),
         [("repo", "string"), ("path", "string"), ("fn_name", "string"),
          ("params", "string"), ("doc", "string")],
         pk=["repo", "path", "fn_name", "params", "doc"], n_buckets=8,
     )
     explode_expr, sel = CODE.doc_pairs_view_exprs()
     sel = [("repo", "repo"), ("path", "path"), *sel]
-    sync_exploded_view(ct, view, explode_expr, sel)
-    w2 = (
-        base.filter(did % 5 == 0)
-        .withColumn(VSEQ_COL, did + F.lit(1_000_000))
-        .unionByName(
-            base.filter(did % 9 == 0)
-            .withColumn("content", F.replace(
-                F.col("content"), F.lit(" and return the result."),
-                F.lit(" and return the cached result."),
-            ))
-            .withColumn(VSEQ_COL, did + F.lit(2_000_000))
-        )
-        .unionByName(
-            base.filter(did % 7 == 0)
-            .withColumn(OP_COL, F.lit("DELETE"))
-            .withColumn(VSEQ_COL, did + F.lit(3_000_000))
-        )
-    )
-    ct.merge(w2, batch_id="w2")
-    ct = ct.refresh()
-    sync_exploded_view(ct, view.refresh(), explode_expr, sel)
+    t1 = LakeTable.load(spark, fx["root"], version=fx["v1"])
+    sync_exploded_view(t1, view, explode_expr, sel)
+    t2 = LakeTable.load(spark, fx["root"], version=fx["v2"])
+    sync_exploded_view(t2, view.refresh(), explode_expr, sel)
     return view.refresh().read().select(
         "repo", "path", "fn_name", "params", "doc"
     )
 
 
 _DOC_PAIRS_VIEW_SQL = (
-    "WITH " + _CODE_FIXTURE + """,
-final AS (
-  SELECT repo, path,
-         CASE WHEN doc_id % 9 = 0
-              THEN replace(content, ' and return the result.',
-                           ' and return the cached result.')
-              ELSE content END AS content
-  FROM code_files
-  WHERE doc_id % 7 <> 0
-),
+    "WITH " + _CODE_FIXTURE + _CODE_2W_FINAL_CTE + """,
 m AS (
   SELECT repo, path,
          unnest(regexp_extract_all(content, """ + _DOC_PAIR_SQL_PAT + """)) AS mt
@@ -4362,57 +4387,18 @@ def _q_cdc_repo_rank_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         create_exploded_view,
         sync_exploded_view,
     )
-    from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL
 
-    files = CODE.synth_code_files(_t(spark, sf_dir, "documents"))
-    did = F.col("doc_id")
-    root = tempfile.mkdtemp(prefix="cj_entry_rankview_")
-    ct = LakeTable.create(
-        spark, os.path.join(root, "code"),
-        T.StructType([
-            T.StructField("repo", T.StringType()),
-            T.StructField("path", T.StringType()),
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("content", T.StringType()),
-        ]),
-        pk=["repo", "path"], n_buckets=8,
-    )
-    base = files.select(
-        "repo", "path", "doc_id", "content",
-        F.lit("UPSERT").alias(OP_COL),
-        F.lit("1970-01-01 00:00:00").cast("timestamp").alias(VTS_COL),
-        did.alias(VSEQ_COL),
-    )
-    ct.merge(base.filter(did % 5 != 0), batch_id="w1",
-             assume_unique_keys=True)
-    ct = ct.refresh()
+    fx = _code_lake_2w(spark, sf_dir)
     view = create_exploded_view(
-        spark, os.path.join(root, "imports"),
+        spark, tempfile.mkdtemp(prefix="cj_entry_rankview_"),
         [("repo", "string"), ("path", "string"), ("module", "string")],
         pk=["repo", "path", "module"], n_buckets=8,
     )
     explode_expr, sel = CODE.import_view_exprs()
     sel = [("repo", "repo"), ("path", "path"), *sel]
-    sync_exploded_view(ct, view, explode_expr, sel)
-    w2 = (
-        base.filter(did % 5 == 0)
-        .withColumn(VSEQ_COL, did + F.lit(1_000_000))
-        .unionByName(
-            base.filter(did % 9 == 0)
-            .withColumn("content", F.concat(
-                F.col("content"), F.lit("import m"),
-                ((did + 3) % 7).cast("string"), F.lit(".extra\n"),
-            ))
-            .withColumn(VSEQ_COL, did + F.lit(2_000_000))
-        )
-        .unionByName(
-            base.filter(did % 7 == 0)
-            .withColumn(OP_COL, F.lit("DELETE"))
-            .withColumn(VSEQ_COL, did + F.lit(3_000_000))
-        )
-    )
-    ct.merge(w2, batch_id="w2")
-    ct = ct.refresh()
+    t1 = LakeTable.load(spark, fx["root"], version=fx["v1"])
+    sync_exploded_view(t1, view, explode_expr, sel)
+    ct = LakeTable.load(spark, fx["root"], version=fx["v2"])
     sync_exploded_view(ct, view.refresh(), explode_expr, sel)
 
     imports = view.refresh().read().withColumn(
@@ -4453,51 +4439,10 @@ def _q_cdc_symbol_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     'removed'). Hash-checked against DuckDB recomputing both symbol
     sets from the fixture's window states."""
     from chunjun_spark.functions import code as CODE
-    from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL
 
-    files = CODE.synth_code_files(_t(spark, sf_dir, "documents"))
-    did = F.col("doc_id")
-    root = tempfile.mkdtemp(prefix="cj_entry_symdiff_")
-    ct = LakeTable.create(
-        spark, os.path.join(root, "code"),
-        T.StructType([
-            T.StructField("repo", T.StringType()),
-            T.StructField("path", T.StringType()),
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("content", T.StringType()),
-        ]),
-        pk=["repo", "path"], n_buckets=8,
-    )
-    base = files.select(
-        "repo", "path", "doc_id", "content",
-        F.lit("UPSERT").alias(OP_COL),
-        F.lit("1970-01-01 00:00:00").cast("timestamp").alias(VTS_COL),
-        did.alias(VSEQ_COL),
-    )
-    ct.merge(base.filter(did % 5 != 0), batch_id="w1",
-             assume_unique_keys=True)
-    ct = ct.refresh()
-    v1 = ct.manifest["version"]
-    w2 = (
-        base.filter(did % 5 == 0)
-        .withColumn(VSEQ_COL, did + F.lit(1_000_000))
-        .unionByName(
-            base.filter(did % 9 == 0)
-            .withColumn("content", F.concat(
-                F.col("content"), F.lit("def extra_"),
-                (did % 100).cast("string"), F.lit("_x(q):\n"),
-            ))
-            .withColumn(VSEQ_COL, did + F.lit(2_000_000))
-        )
-        .unionByName(
-            base.filter(did % 7 == 0)
-            .withColumn(OP_COL, F.lit("DELETE"))
-            .withColumn(VSEQ_COL, did + F.lit(3_000_000))
-        )
-    )
-    ct.merge(w2, batch_id="w2")
-    ct = ct.refresh()
-    ch = ct.read_changes(v1, with_preimages=True)
+    fx = _code_lake_2w(spark, sf_dir)
+    ct = LakeTable.load(spark, fx["root"], version=fx["v2"])
+    ch = ct.read_changes(fx["v1"], with_preimages=True)
 
     def _syms(df):
         return (
@@ -4551,9 +4496,7 @@ before_files AS (
 ),
 after_files AS (
   SELECT repo, path,
-         CASE WHEN doc_id % 9 = 0
-              THEN content || 'def extra_' || (doc_id % 100)
-                   || '_x(q):' || chr(10)
+         CASE WHEN doc_id % 9 = 0 THEN """ + _CODE_2W_MOD_SQL + """
               ELSE content END AS content
   FROM code_files
   WHERE doc_id % 7 <> 0
@@ -4594,17 +4537,20 @@ def _import_edges_ctes(src: str = "code_files") -> str:
     CTEs over file-set CTE ``src`` (reused by the batch graph entry and
     the maintained-view entry's final-state oracle)."""
     return f""",
-imp AS (
-  SELECT repo,
+imp0 AS (
+  SELECT repo, path,
          unnest(regexp_extract_all(content,
            '(?m)^import ([A-Za-z_][A-Za-z0-9_.]*)', 1)) AS module
   FROM {src}
   UNION ALL
-  SELECT repo,
+  SELECT repo, path,
          unnest(regexp_extract_all(content,
            '(?m)^from ([A-Za-z_][A-Za-z0-9_.]*) import ', 1))
   FROM {src}
 ),
+-- set semantics: one edge contribution per DISTINCT (file, module),
+-- matching the maintained imports view's (repo, path, module) pk
+imp AS (SELECT DISTINCT repo, path, module FROM imp0),
 imp2 AS (SELECT repo, string_split(module, '.')[1] AS pkg FROM imp),
 owners AS (
   SELECT DISTINCT regexp_extract(path, '^[^/]+/([^/]+)/', 1) AS pkg,
@@ -4690,16 +4636,8 @@ _CODE_REPO_RANK_SQL = (
 # cdc_repo_rank_view oracle: same edges + rank recurrence, recomputed
 # from the FINAL file state of the two-window fixture
 _REPO_RANK_VIEW_SQL = (
-    "WITH " + _CODE_FIXTURE + """,
-final AS (
-  SELECT repo, path,
-         CASE WHEN doc_id % 9 = 0
-              THEN content || 'import m' || ((doc_id + 3) % 7)
-                   || '.extra' || chr(10)
-              ELSE content END AS content
-  FROM code_files
-  WHERE doc_id % 7 <> 0
-)""" + _import_edges_ctes("final") + _PAGERANK_TAIL)
+    "WITH " + _CODE_FIXTURE + _CODE_2W_FINAL_CTE
+    + _import_edges_ctes("final") + _PAGERANK_TAIL)
 
 
 # ----------------------------------------------------------------- entry
@@ -4811,6 +4749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "embedding_semantic_dedup": _q_embedding_semantic_dedup,
         "doc_tfidf_near_dups": _q_doc_tfidf_near_dups,
+        "doc_tfidf_near_dups_bucketed": _q_doc_tfidf_near_dups_bucketed,
         "code_lang_license": _q_code_lang_license,
         "code_file_stats": _q_code_file_stats,
         "code_symbols": _q_code_symbols,

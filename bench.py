@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "doc_winnow_fingerprints",
     "para_dedup_groups",
     "doc_tfidf_near_dups",
+    "doc_tfidf_near_dups_bucketed",
     "binary_meta",
     "content_sha256",
     "embedding_norms",
@@ -161,6 +162,10 @@ BENCH_QUERIES = [
     "cdc_doc_pairs_view",
     "cdc_symbol_diff",
     "cdc_repo_rank_view",
+    # round-4: hidden time-partitioned lake (directory pruning) and the
+    # LogMiner redo-SQL wire-format roundtrip
+    "cdc_time_partitioned_scan",
+    "cdc_redo_sql_roundtrip",
 ]
 
 

@@ -92,8 +92,15 @@ def _stats(argv: list[str]) -> None:
     try:
         out = table.fast_stats(cols)
         out["exact"] = True
-    except ValueError as e:
-        out = {"exact": False, "reason": str(e)}
+    except Exception as e:  # noqa: BLE001 — the command's contract is
+        # one JSON line, always: a corrupt/unreadable footer (pyarrow
+        # ArrowInvalid / OSError) must degrade to exact=false with the
+        # reason, not a raw traceback (ADVICE r3)
+        out = {
+            "exact": False,
+            "reason": f"{type(e).__name__}: {e}"
+            if not isinstance(e, ValueError) else str(e),
+        }
     out["version"] = table.manifest["version"]
     print(json.dumps(out))
 

@@ -132,3 +132,28 @@ def text_near_dups(
     return pairwise_above_clustered(
         vecs, threshold, cents, vec_col="vector", id_col=id_col
     )
+
+
+def text_near_dups_bucketed(
+    df: DataFrame,
+    threshold: float = 0.8,
+    dim: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_planes: int = 6,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """The SCALE path of :func:`text_near_dups` (VERDICT r3 #6): hashed
+    tf-idf → RP-LSH buckets → per-bucket cosine gemm. Candidate volume
+    is bucket-bounded instead of quadratic-within-IVF-cell, so this is
+    the form to run at corpus scale; the clustered variant stays as the
+    exact-within-cell parity check. Approximate by contract: pairs are
+    a subset of the exact output (every emitted sim is exact; recall is
+    pinned against the exact twin in tests/test_vectorize.py)."""
+    from chunjun_spark.functions.ann import pairwise_above_bucketed
+
+    vecs = hashed_tfidf(df, dim=dim, text_col=text_col, id_col=id_col)
+    return pairwise_above_bucketed(
+        vecs, threshold, dim=dim, vec_col="vector", id_col=id_col,
+        n_planes=n_planes, multiprobe=multiprobe,
+    )

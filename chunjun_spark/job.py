@@ -896,8 +896,23 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
             common = {"driver": conn["driver"], "user": conn["user"],
                       "password": conn["password"]}
             if wp.get("preSql"):
-                execute_sql(spark, conn["url"], list(wp["preSql"]),
-                            **common)
+                # run-once-per-JOB, not per-attempt: a crash-restart
+                # resumes committed progress, and re-running a
+                # non-idempotent preSql (TRUNCATE/DELETE) would destroy
+                # the rows already applied. The relay's own audit table
+                # is the restart detector — any batch marker for this
+                # job_id means the first attempt got past preSql
+                # (markers commit atomically with each batch's rows).
+                from chunjun_spark.sources.jdbc_live import (
+                    any_batch_applied,
+                    ensure_audit_table,
+                )
+
+                ensure_audit_table(spark, conn["url"], **common)
+                if not any_batch_applied(spark, conn["url"], cfg.job_id,
+                                         **common):
+                    execute_sql(spark, conn["url"], list(wp["preSql"]),
+                                **common)
             events = read_binlog_stream(spark, p["path"])
             if p.get("cat") or p.get("table") or p.get("filter"):
                 from chunjun_spark.sources.binlog import filter_events

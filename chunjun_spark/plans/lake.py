@@ -956,23 +956,53 @@ class LakeTable:
         for b in buckets:
             bdir = os.path.join(out_dir, f"{_BUCKET_COL}={b}")
             agg: dict[str, list] = {}
+            # a column is POISONED for the bucket (no stats stored at
+            # all — absent stats are never pruned, always sound) when
+            # any row group holding values for it lacks trustworthy
+            # bounds. Skipping just that row group instead would leave
+            # an under-covering [min,max] and pruning would silently
+            # drop matching rows (ADVICE r3 follow-through):
+            # - statistics absent with non-null values present (this
+            #   writer drops stats for ≥~2KB values — measured);
+            # - pyarrow ≥18 exactness flags reporting TRUNCATED bounds
+            #   (this writer is measured exact-or-absent; the flags
+            #   guard other writers/versions);
+            # - non-JSON-able bounds (binary/nested).
+            poisoned: set[str] = set()
             for path in self._parquet_files_in(bdir):
                 md = pq.ParquetFile(path).metadata
                 idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
                 for c in self.stats_cols:
-                    if c not in idx:
+                    if c not in idx or c in poisoned:
                         continue
                     for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(idx[c]).statistics
-                        if st is None or not st.has_min_max:
-                            continue
+                        col = md.row_group(rg).column(idx[c])
+                        st = col.statistics
+                        if st is None:
+                            poisoned.add(c)
+                            break
+                        if not st.has_min_max:
+                            if (st.null_count is not None
+                                    and st.null_count == col.num_values):
+                                continue  # all-null: nothing to cover
+                            poisoned.add(c)
+                            break
+                        if not (getattr(st, "is_min_value_exact", True)
+                                and getattr(st, "is_max_value_exact",
+                                            True)):
+                            poisoned.add(c)
+                            break
                         mn, mx = st.min, st.max
-                        if not all(isinstance(x, (int, float, str)) for x in (mn, mx)):
-                            continue
+                        if not all(isinstance(x, (int, float, str))
+                                   for x in (mn, mx)):
+                            poisoned.add(c)
+                            break
                         if c in agg:
                             agg[c] = [min(agg[c][0], mn), max(agg[c][1], mx)]
                         else:
                             agg[c] = [mn, mx]
+            for c in poisoned:
+                agg.pop(c, None)
             out[b] = agg
         return out
 

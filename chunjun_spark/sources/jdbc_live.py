@@ -490,6 +490,26 @@ def batch_applied(
     return bool(n)
 
 
+def any_batch_applied(
+    spark: SparkSession, url: str, job_id: str,
+    driver: str | None = None, user: str | None = None,
+    password: str | None = None,
+) -> bool:
+    """Has THIS job applied any batch to this target yet? The restart
+    detector for run-once side-effect SQL: a streaming relay's preSql
+    must execute on the first attempt only — a crash-restart resuming
+    committed progress must not re-run a TRUNCATE over applied rows
+    (VERDICT r3 #8; the batch path's replayed-batch skip is the same
+    contract per batch, job.py)."""
+    n = query_scalar(
+        spark, url,
+        f"SELECT COUNT(*) FROM {AUDIT_TABLE} "
+        f"WHERE JOB_ID = {_qlit(job_id)}",
+        driver, user, password,
+    )
+    return bool(n)
+
+
 def write_jdbc_exactly_once(
     df: DataFrame,
     url: str,

@@ -530,3 +530,53 @@ def test_chained_binlog_to_lake_to_jdbc_mart(spark, tmp_root):
     # replayed delta sync: audited no-op
     m2 = run_job(spark, sync_job(v1, v2, "s2"))
     assert m2["jdbcBatchSkipped"] and mart_state() == lake_state()
+
+
+def test_streaming_relay_presql_runs_once_across_restarts(spark, tmp_root):
+    """Run-once side-effect SQL (VERDICT r3 #8): the relay's preSql
+    executes on the FIRST attempt only — a restart that resumes a job
+    with committed progress must not re-run it (a TRUNCATE would wipe
+    applied rows). Detector = any audit marker for the job_id."""
+    import shutil
+
+    from chunjun_spark.sources.binlog import write_binlog_files
+
+    url = _db("relay_presql")
+    _mk_target(spark, url)
+    execute_sql(spark, url, ["CREATE TABLE PRE_LOG (N INT)"],
+                driver=DERBY_DRIVER)
+    ev = generate_binlog(spark, 2000, n_keys=300, seed=8, dup_rate=0.2)
+    staging = os.path.join(tmp_root, "pbinlog_all")
+    write_binlog_files(ev, staging, n_files=4)
+    parts = sorted(p for p in os.listdir(staging) if p.startswith("part-"))
+    binlog = os.path.join(tmp_root, "pbinlog")
+    os.makedirs(binlog)
+    for p in parts[:2]:  # window 1: first half, mtime order preserved
+        shutil.copy2(os.path.join(staging, p), os.path.join(binlog, p))
+
+    cfg = {"job": {"jobId": "jpresql", "content": [{
+        "reader": {"name": "binlogreader", "parameter": {"path": binlog}},
+        "writer": {"name": "jdbcwriter", "parameter": {
+            "url": url, "table": "tgt", "driver": DERBY_DRIVER,
+            "writeMode": "cdc", "updateKey": ["repo", "path"],
+            # NON-idempotent on purpose: re-execution is detectable
+            "preSql": ["INSERT INTO PRE_LOG VALUES (1)"],
+        }},
+    }], "setting": {"restore": {
+        "isStream": True, "isRestore": True,
+        "checkpointDir": os.path.join(tmp_root, "pckpt"),
+    }}}}
+    run_job(spark, cfg)
+    n_pre = query_scalar(spark, url, "SELECT COUNT(*) FROM PRE_LOG",
+                         driver=DERBY_DRIVER)
+    assert n_pre == 1  # fresh job: preSql DID run
+
+    # continuation restart: more binlog arrives, same job + checkpoint
+    for p in parts[2:]:
+        shutil.copy2(os.path.join(staging, p), os.path.join(binlog, p))
+    m2 = run_job(spark, cfg)
+    assert m2["numRead"] > 0  # window 2 really applied
+    n_pre = query_scalar(spark, url, "SELECT COUNT(*) FROM PRE_LOG",
+                         driver=DERBY_DRIVER)
+    assert n_pre == 1  # restart with progress: preSql skipped
+    assert _target_state(spark, url) == _expected_final(spark, ev)

@@ -79,3 +79,33 @@ def test_text_near_dups_catches_reworded_doc(spark):
              text_near_dups(df, threshold=0.9, n_lists=2).collect()}
     assert (1, 2) in pairs
     assert all({a, b} == {1, 2} or (a >= 10 and b >= 10) for a, b in pairs)
+
+
+def test_bucketed_text_near_dups_subset_and_recall(spark):
+    """The RP-LSH bucketed scale path emits a SUBSET of the exact
+    per-cell pairs (every sim it reports is the exact cosine) with
+    usable recall on the fixture corpus."""
+    from chunjun_spark.functions.vectorize import (
+        text_near_dups,
+        text_near_dups_bucketed,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["sim"], 6)
+        for r in text_near_dups(
+            docs, threshold=0.9, dim=128, n_lists=1
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): round(r["sim"], 6)
+        for r in text_near_dups_bucketed(
+            docs, threshold=0.9, dim=128, n_planes=4, multiprobe=1
+        ).collect()
+    }
+    assert exact, "fixture produced no near-dup pairs at 0.9"
+    assert set(got) <= set(exact)
+    for k, v in got.items():
+        assert v == exact[k], k
+    recall = len(got) / len(exact)
+    assert recall >= 0.5, recall
