@@ -403,8 +403,17 @@ def _lake_layout_kwargs(p: dict) -> dict:
     """Writer-parameter pass-through for create-on-demand lake tables:
     statsCols (footer min/max pruning), clusterCols (sort-on-write),
     bucketCols (bucket-hash key), bloomCols/bloomBits/bloomK (bloom
-    file-skipping index). Absent keys keep LakeTable.create defaults."""
+    file-skipping index), partitionExprs (hidden derived partitioning —
+    the TimePartitionFormat DAY/HOUR/MINUTE routing as
+    ``[{"name": "day", "expr": "date_trunc('day', ts)", "source":
+    "ts"}]`` or ``[[name, expr, source?], ...]``). Absent keys keep
+    LakeTable.create defaults."""
     kw: dict = {}
+    if p.get("partitionExprs"):
+        kw["partition_exprs"] = [
+            e if isinstance(e, dict) else tuple(e)
+            for e in p["partitionExprs"]
+        ]
     if p.get("statsCols"):
         kw["stats_cols"] = list(p["statsCols"])
     if p.get("clusterCols"):
@@ -1155,6 +1164,9 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
             dirty=stream_dirty,
             scd2_tables=scd2_tables,
             curation_indexes=curation_indexes,
+            # writer.parameter.wireFormat: 'nested' (default) | 'json' |
+            # 'redo_sql' (LogMiner statement-text wire, sources/redo_sql)
+            wire_format=wp.get("wireFormat", "nested"),
         )
         table = LakeTable.load(spark, wp["path"])
         totals = table.lineage_totals()  # exact even past lineage eviction

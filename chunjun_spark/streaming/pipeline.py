@@ -1291,8 +1291,20 @@ def run_stream_to_completion(
     dirty: dict | None = None,
     scd2_tables: list[dict] | None = None,
     curation_indexes: list[dict] | None = None,
+    wire_format: str = "nested",
 ) -> None:
-    events = read_binlog_stream(spark, binlog_dir, max_files_per_trigger)
+    if wire_format != "nested":
+        # a non-nested wire (json envelope / redo_sql statement text)
+        # carries its own schema — take it from the segments on disk
+        # rather than EVENT_SCHEMA
+        events = (
+            spark.readStream
+            .schema(spark.read.parquet(binlog_dir).schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(binlog_dir)
+        )
+    else:
+        events = read_binlog_stream(spark, binlog_dir, max_files_per_trigger)
     if subscription:
         # binlogreader cat/table/filter apply on the STREAM too — they
         # are row-local predicates, so they push into the file-source
@@ -1307,6 +1319,7 @@ def run_stream_to_completion(
         agg_views=agg_views, restore_from_lineage=restore_from_lineage,
         audits=audits, mirrors=mirrors, dirty=dirty,
         scd2_tables=scd2_tables, curation_indexes=curation_indexes,
+        wire_format=wire_format,
     )
     if not q.awaitTermination(timeout_sec):
         q.stop()
