@@ -202,3 +202,27 @@ def test_multi_table_router_partitioned_create(spark, tmp_path):
     langs = [r["lang"] for r in t.read().select("lang").distinct().collect()]
     one = t.scan(eq={"lang": langs[0]})
     assert one.count() == t.read().filter(F.col("lang") == langs[0]).count()
+
+
+def test_cdf_and_rollback_on_partitioned_table(spark, tmp_path):
+    """The CDF (with preimages) and rollback work unchanged over the
+    partitioned layout — snapshot diff reads go through the same
+    basePath-grouped base reader."""
+    t = _table(spark, tmp_path)
+    t.merge(_mk(spark, 0, 100, 0), batch_id="a")
+    t = t.refresh()
+    v1 = t.manifest["version"]
+    t.merge(_mk(spark, 50, 100, 10_000_000), batch_id="b")
+    t = t.refresh()
+    ch = t.read_changes(since_version=v1, with_preimages=True)
+    counts = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").agg(
+            F.count("*").alias("n")).collect()
+    }
+    assert counts.get("insert") == 50
+    assert counts.get("update_postimage") == 50
+    assert counts.get("update_preimage") == 50
+    t.rollback(v1)
+    t = LakeTable.load(spark, str(tmp_path / "lake"))
+    assert t.read().count() == 100
