@@ -19,6 +19,8 @@ Dialect (deliberately the subset LogParser handles):
 - UPDATE: ``set`` carries the full after image, ``where`` the key
   assignments (LogMiner's before image); DELETE: ``where`` carries the
   full before image with ``IS NULL`` for null columns
+- DDL rides as ``alter table`` statement text (LogMiner OPERATION=DDL;
+  add/modify/rename column/drop map to the canonical ddl JSON actions)
 
 Quoted literals make the text safely re-parsable by a left-to-right
 regex scan: ``'(?:[^']|'')*'`` consumes each literal atomically, so
@@ -102,17 +104,46 @@ def encode_redo_sql(ch: DataFrame, pk: list[str] | None = None) -> DataFrame:
         F.lit("delete from "), tbl, F.lit(" where "),
         _assigns("before", " and ", True, fields),
     )
+    # DDL events ride as ALTER TABLE statement text, like LogMiner's
+    # OPERATION='DDL' rows (LogParser handles the DDL redo too). Type
+    # tokens are the engine's own DDL types (int/bigint/string/...) —
+    # the parity is structural, not an Oracle type-system emulation.
+    has_ddl = "ddl" in ch.columns
+    if has_ddl:
+        act = F.get_json_object(F.col("ddl"), "$.action")
+        jname = F.get_json_object(F.col("ddl"), "$.name")
+        jtype = F.get_json_object(F.col("ddl"), "$.type")
+        jold = F.get_json_object(F.col("ddl"), "$.old")
+        jnew = F.get_json_object(F.col("ddl"), "$.new")
+        q = lambda c: F.concat(F.lit('"'), c, F.lit('"'))  # noqa: E731
+        ddl_sql = (
+            F.when(act == "add_column", F.concat(
+                F.lit("alter table "), tbl, F.lit(" add ("),
+                q(jname), F.lit(" "), jtype, F.lit(")")))
+            .when(act == "widen_type", F.concat(
+                F.lit("alter table "), tbl, F.lit(" modify ("),
+                q(jname), F.lit(" "), jtype, F.lit(")")))
+            .when(act == "rename_column", F.concat(
+                F.lit("alter table "), tbl, F.lit(" rename column "),
+                q(jold), F.lit(" to "), q(jnew)))
+            .when(act == "drop_column", F.concat(
+                F.lit("alter table "), tbl, F.lit(" drop ("),
+                q(jname), F.lit(")")))
+        )
     sql = (
         F.when(F.col("op") == "INSERT", insert_sql)
         .when(F.col("op") == "UPDATE", update_sql)
         .when(F.col("op") == "DELETE", delete_sql)
     )
+    ops = ["INSERT", "UPDATE", "DELETE"]
+    if has_ddl:
+        sql = sql.when(F.col("op") == "DDL", ddl_sql)
+        ops.append("DDL")
     keep = [c for c in ("schema_name", "table_name", "op_ts", "seq",
                         "snowflake_ts", "partition_id", "offset")
             if c in ch.columns]
-    return ch.filter(
-        F.col("op").isin("INSERT", "UPDATE", "DELETE")
-    ).select(*keep, sql.alias("sql_redo"))
+    return ch.filter(F.col("op").isin(ops)).select(
+        *keep, sql.alias("sql_redo"))
 
 
 def _unescape(lit: Column) -> Column:
@@ -148,6 +179,34 @@ def decode_redo_sql(df: DataFrame, payload: T.StructType) -> DataFrame:
     same evolution property as the JSON wire format)."""
     sql = F.col("sql_redo")
     op = F.upper(F.regexp_extract(sql, r"^(insert|update|delete)", 1))
+    op = F.when(sql.startswith("alter table "), F.lit("DDL")).otherwise(op)
+
+    # ALTER TABLE redo → the canonical ddl JSON spec (operators/ddl.py)
+    def _jxt(pat: str, grp: int) -> Column:
+        return F.regexp_extract(sql, pat, grp)
+
+    ddl_json = (
+        F.when(sql.rlike(r'^alter table [^(]+ add \('), F.concat(
+            F.lit('{"action": "add_column", "name": "'),
+            _jxt(r' add \("([^"]+)" ([^)]+)\)$', 1),
+            F.lit('", "type": "'),
+            _jxt(r' add \("([^"]+)" ([^)]+)\)$', 2), F.lit('"}')))
+        .when(sql.rlike(r'^alter table [^(]+ modify \('), F.concat(
+            F.lit('{"action": "widen_type", "name": "'),
+            _jxt(r' modify \("([^"]+)" ([^)]+)\)$', 1),
+            F.lit('", "type": "'),
+            _jxt(r' modify \("([^"]+)" ([^)]+)\)$', 2), F.lit('"}')))
+        .when(sql.rlike(r' rename column '), F.concat(
+            F.lit('{"action": "rename_column", "old": "'),
+            _jxt(r' rename column "([^"]+)" to "([^"]+)"$', 1),
+            F.lit('", "new": "'),
+            _jxt(r' rename column "([^"]+)" to "([^"]+)"$', 2),
+            F.lit('"}')))
+        .when(sql.rlike(r' drop \('), F.concat(
+            F.lit('{"action": "drop_column", "name": "'),
+            _jxt(r' drop \("([^"]+)"\)$', 1), F.lit('"}')))
+    )
+    ddl_json = F.when(op == "DDL", ddl_json)
     ins_cols = F.regexp_extract(
         sql, r'(?s)^insert into "[^"]+"\."[^"]+"\(([^)]*)\) values \((.*)\)$', 1
     )
@@ -194,12 +253,10 @@ def decode_redo_sql(df: DataFrame, payload: T.StructType) -> DataFrame:
         )
 
     keep = [c for c in df.columns if c != "sql_redo"]
-    out = df.select(
+    return df.select(
         op.alias("op"),
         *keep,
         _img(after_map).alias("after"),
         _img(before_map).alias("before"),
+        ddl_json.alias("ddl"),
     )
-    if "ddl" not in out.columns:
-        out = out.withColumn("ddl", F.lit(None).cast("string"))
-    return out

@@ -405,11 +405,10 @@ def start_replay_stream(
         table = LakeTable.load(spark, table_root)
         if wire_format == "redo_sql":
             # LogMiner wire form: each row is redo SQL TEXT + envelope;
-            # the codegen regex parser rebuilds op/before/after BEFORE
-            # admission (the op column itself lives in the statement
-            # verb). DDL/poison do not travel as redo statements —
-            # sources/redo_sql.py module doc — so decoding against the
-            # current schema is complete.
+            # the codegen regex parser rebuilds op/before/after/ddl
+            # BEFORE admission (op lives in the statement verb; ALTER
+            # TABLE rows decode to op='DDL' + the canonical ddl JSON,
+            # which admission then forwards like any nested-wire DDL).
             from chunjun_spark.sources.redo_sql import decode_redo_sql
 
             batch_df = decode_redo_sql(batch_df, table.schema.to_struct())

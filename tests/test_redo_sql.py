@@ -199,3 +199,75 @@ def test_job_json_redo_wire_with_partitioned_sink(spark, tmp_path):
     got = sorted(map(tuple, t.read().select(*cols).collect()))
     want = sorted(map(tuple, ref.refresh().read().select(*cols).collect()))
     assert got == want and got
+
+
+def test_ddl_rides_as_alter_table_statements(spark, tmp_path):
+    """LogMiner OPERATION=DDL parity: DDL events render as ALTER TABLE
+    statement text and decode back to the canonical ddl JSON; a redo
+    stream carrying a mid-stream add_column evolves the sink schema
+    exactly like the nested wire."""
+    import datetime
+    import json
+
+    from chunjun_spark.operators.ddl import ddl_event
+    from chunjun_spark.plans.lake import LakeTable
+    from chunjun_spark.sources.binlog import (
+        EVENT_SCHEMA,
+        PAYLOAD_SCHEMA,
+        generate_binlog,
+    )
+    from chunjun_spark.sources.redo_sql import decode_redo_sql, encode_redo_sql
+    from chunjun_spark.streaming.pipeline import start_replay_stream
+
+    ts = datetime.datetime(2024, 1, 1)
+    ddl_rows = [
+        ddl_event(90_000_001, ts, "add_column", name="stars", type="int"),
+        ddl_event(90_000_002, ts, "rename_column", old="stars", new="rating"),
+        ddl_event(90_000_003, ts, "widen_type", name="rating", type="bigint"),
+        ddl_event(90_000_004, ts, "drop_column", name="rating"),
+    ]
+    ddl_df = spark.createDataFrame(ddl_rows, EVENT_SCHEMA)
+    wire = encode_redo_sql(ddl_df, pk=["repo", "path"])
+    stmts = [r["sql_redo"] for r in wire.orderBy("seq").collect()]
+    assert stmts[0] == 'alter table "lake"."repo_files" add ("stars" int)'
+    assert stmts[1] == ('alter table "lake"."repo_files" rename column '
+                        '"stars" to "rating"')
+    assert stmts[2] == ('alter table "lake"."repo_files" modify '
+                        '("rating" bigint)')
+    assert stmts[3] == 'alter table "lake"."repo_files" drop ("rating")'
+    dec = decode_redo_sql(wire, PAYLOAD_SCHEMA).orderBy("seq").collect()
+    assert [r["op"] for r in dec] == ["DDL"] * 4
+    assert [json.loads(r["ddl"]) for r in dec] == [
+        {"action": "add_column", "name": "stars", "type": "int"},
+        {"action": "rename_column", "old": "stars", "new": "rating"},
+        {"action": "widen_type", "name": "rating", "type": "bigint"},
+        {"action": "drop_column", "name": "rating"},
+    ]
+
+    # e2e: redo stream with a mid-stream add_column evolves the sink
+    ev = generate_binlog(spark, 2_000, n_keys=300, seed=5)
+    one_ddl = spark.createDataFrame(
+        [ddl_event(90_000_010, ts, "add_column", name="stars", type="int")],
+        EVENT_SCHEMA,
+    )
+    full = ev.unionByName(one_ddl)
+    src = str(tmp_path / "wire")
+    encode_redo_sql(full, pk=["repo", "path"]).repartition(2) \
+        .write.parquet(src)
+    root = str(tmp_path / "lake")
+    LakeTable.create(spark, root, PAYLOAD_SCHEMA, pk=["repo", "path"],
+                     n_buckets=4)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = start_replay_stream(
+        stream, root, checkpoint_dir=str(tmp_path / "ckpt"),
+        job_id="redo-ddl", wire_format="redo_sql",
+    )
+    assert q.awaitTermination(180)
+    t = LakeTable.load(spark, root)
+    assert "stars" in t.schema.names()  # DDL landed through the wire
+    rows = t.read()
+    assert rows.count() > 0
+    assert rows.filter(F.col("stars").isNotNull()).count() == 0
