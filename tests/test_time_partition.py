@@ -226,3 +226,55 @@ def test_cdf_and_rollback_on_partitioned_table(spark, tmp_path):
     t.rollback(v1)
     t = LakeTable.load(spark, str(tmp_path / "lake"))
     assert t.read().count() == 100
+
+
+def test_hour_and_minute_granularities_and_multi_spec(spark, tmp_path):
+    """DAY/HOUR/MINUTE — the reference's three TimePartitionFormat
+    granularities — all prune; a multi-spec table (day + hour) stacks
+    directory levels and both filters reach PartitionFilters."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "lake"), SCHEMA, pk=["k"], n_buckets=2,
+        partition_exprs=[
+            ("day", "date_trunc('day', ts)", "ts"),
+            ("hour", "date_trunc('hour', ts)", "ts"),
+        ],
+    )
+    # 2 days × hourly events (id*30min over 4 days)
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        F.expr("timestamp_ntz'2024-01-01' + make_interval(0,0,0,0,0,id*30,0)")
+        .alias("ts"),
+        (F.col("id") * 1.0).alias("v"),
+        F.lit("UPSERT").alias("_op"),
+        F.expr("timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id)")
+        .alias("_vts"),
+        F.col("id").alias("_vseq"),
+    )
+    t.merge(df, batch_id="b1")
+    t = t.refresh()
+    b0 = os.path.join(t.root, t.manifest["buckets"]["0"]["path"])
+    days = [d for d in os.listdir(b0) if d.startswith("_p_day=")]
+    assert days
+    hours = os.listdir(os.path.join(b0, days[0]))
+    assert all(h.startswith("_p_hour=") for h in hours) and hours
+
+    rng = ("2024-01-01 05:00:00", "2024-01-01 06:59:59")
+    out = t.scan(between={"ts": rng})
+    want = {r["k"] for r in t.read().filter(F.col("ts").between(*rng)).collect()}
+    assert {r["k"] for r in out.collect()} == want and want
+    plan = _fmt_plan(out)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("_p_day" in ln and "_p_hour" in ln for ln in pf), pf
+
+    # minute granularity on its own table
+    tm = LakeTable.create(
+        spark, str(tmp_path / "lake_m"), SCHEMA, pk=["k"], n_buckets=2,
+        partition_exprs=[("minute", "date_trunc('minute', ts)", "ts")],
+    )
+    tm.merge(df.limit(60), batch_id="b1")
+    tm = tm.refresh()
+    rng_m = ("2024-01-01 01:00:00", "2024-01-01 02:00:00")
+    got = {r["k"] for r in tm.scan(between={"ts": rng_m}).collect()}
+    want_m = {r["k"] for r in tm.read()
+              .filter(F.col("ts").between(*rng_m)).collect()}
+    assert got == want_m and got
