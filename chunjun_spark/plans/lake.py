@@ -203,6 +203,31 @@ def _parse_type(ddl: str) -> T.DataType:
     return T.StructType.fromDDL(f"x {ddl}")[0].dataType
 
 
+def _parse_partition_specs(partition_exprs, field_names) -> list[dict]:
+    """Normalize/validate hidden-partition specs ((name, expr[, source])
+    tuples or dicts) against a schema — shared by create() and the
+    compact-time spec evolution."""
+    pspecs = []
+    for p in partition_exprs or []:
+        if isinstance(p, dict):
+            spec = {k: p[k] for k in ("name", "expr")}
+            if p.get("source"):
+                spec["source"] = p["source"]
+        else:
+            spec = {"name": p[0], "expr": p[1]}
+            if len(p) > 2 and p[2]:
+                spec["source"] = p[2]
+        if not spec["name"].isidentifier():
+            raise ValueError(
+                f"partition name not an identifier: {spec['name']!r}"
+            )
+        src = spec.get("source")
+        if src and src not in field_names:
+            raise ValueError(f"partition source column not in schema: {src}")
+        pspecs.append(spec)
+    return pspecs
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, root: str, manifest: dict):
         self.spark = spark
@@ -248,22 +273,7 @@ class LakeTable:
         # the row; source (optional) names the column the expr is a
         # MONOTONIC transform of, enabling automatic directory pruning
         # for range scans on that column (LakeTable.scan)
-        pspecs = []
-        for p in partition_exprs or []:
-            if isinstance(p, dict):
-                spec = {k: p[k] for k in ("name", "expr") }
-                if p.get("source"):
-                    spec["source"] = p["source"]
-            else:
-                spec = {"name": p[0], "expr": p[1]}
-                if len(p) > 2 and p[2]:
-                    spec["source"] = p[2]
-            if not spec["name"].isidentifier():
-                raise ValueError(f"partition name not an identifier: {spec['name']!r}")
-            src = spec.get("source")
-            if src and src not in schema.fieldNames():
-                raise ValueError(f"partition source column not in schema: {src}")
-            pspecs.append(spec)
+        pspecs = _parse_partition_specs(partition_exprs, schema.fieldNames())
         # bucket cols must be pk columns: a key's bucket must be derivable
         # from the key alone (merge routes DELETE rows by key)
         bad_bucket = [c for c in (bucket_cols or []) if c not in pk]
@@ -501,8 +511,9 @@ class LakeTable:
         """Hidden partition specs ({name, expr[, source]}); see create()."""
         return self.manifest.get("partition_exprs", [])
 
-    def _part_col_names(self) -> list[str]:
-        return [f"_p_{p['name']}" for p in self.partition_specs]
+    def _part_col_names(self, manifest: dict | None = None) -> list[str]:
+        m = manifest if manifest is not None else self.manifest
+        return [f"_p_{p['name']}" for p in m.get("partition_exprs", [])]
 
     def _partition_ref_cols(self) -> set[str]:
         """Schema columns a partition spec references (source plus any
@@ -517,8 +528,11 @@ class LakeTable:
                 refs.add(p["source"])
         return refs & set(self.schema.names())
 
-    def _with_partition_cols(self, df: DataFrame) -> DataFrame:
-        for p in self.partition_specs:
+    def _with_partition_cols(
+        self, df: DataFrame, manifest: dict | None = None
+    ) -> DataFrame:
+        m = manifest if manifest is not None else self.manifest
+        for p in m.get("partition_exprs", []):
             df = df.withColumn(f"_p_{p['name']}", F.expr(p["expr"]))
         return df
 
@@ -533,7 +547,7 @@ class LakeTable:
         writer streams one open file at a time instead of multiplexing
         |partitions| writers (the same measured 5× cliff the
         bucket-repartition already avoids)."""
-        pcols = self._part_col_names()
+        pcols = self._part_col_names(manifest)
         if not pcols:
             out = self._clustered(df, manifest=manifest)
         else:
@@ -545,7 +559,7 @@ class LakeTable:
                 sort_keys = [zorder_key(m["zorder_bounds"])]
             else:
                 sort_keys = [F.col(c) for c in ccols]
-            out = self._with_partition_cols(df).sortWithinPartitions(
+            out = self._with_partition_cols(df, manifest).sortWithinPartitions(
                 _BUCKET_COL, *pcols, *sort_keys
             )
         out.write.mode("overwrite").partitionBy(_BUCKET_COL, *pcols).parquet(
@@ -1552,6 +1566,7 @@ class LakeTable:
         new_bucket_cols: list[str] | None = None,
         buckets: list[int] | None = None,
         zorder_cols: list[str] | None = None,
+        new_partition_exprs: list | None = None,
     ) -> dict:
         """Fold all deltas into the base; afterwards read() is a pure scan.
 
@@ -1592,11 +1607,12 @@ class LakeTable:
         """
         if buckets is not None:
             if (new_n_buckets is not None or new_bucket_cols is not None
-                    or zorder_cols is not None):
+                    or zorder_cols is not None
+                    or new_partition_exprs is not None):
                 raise ValueError(
                     "partial compaction cannot reshard, evolve bucket "
-                    "cols, or change the z-order spec (it keeps the "
-                    "stored layout)"
+                    "cols, or change the z-order / partition spec (it "
+                    "keeps the stored layout)"
                 )
             return self._compact_partial(sorted({int(b) for b in buckets}),
                                          purge_tombstones)
@@ -1615,6 +1631,18 @@ class LakeTable:
                 raise ValueError(f"bucket columns must be pk columns: {bad}")
             bcols = list(new_bucket_cols)
             m["bucket_cols"] = bcols
+        if new_partition_exprs is not None:
+            # hidden-partition-spec EVOLUTION (Iceberg partition
+            # evolution): adopt / change / drop ([]) the derived
+            # partition layout in the same single resolve-and-rewrite
+            # pass, atomic with the manifest commit. Older snapshots
+            # keep their stored layout — reads discover each version
+            # dir's own directory structure, so mixed layouts coexist
+            # across time travel; directory pruning simply applies
+            # wherever the filtered column exists.
+            m["partition_exprs"] = _parse_partition_specs(
+                new_partition_exprs, self.schema.names()
+            )
         rebucket = F.pmod(
             F.xxhash64(*[F.col(c) for c in bcols]), F.lit(n_out)
         ).cast("int")

@@ -278,3 +278,53 @@ def test_hour_and_minute_granularities_and_multi_spec(spark, tmp_path):
     want_m = {r["k"] for r in tm.read()
               .filter(F.col("ts").between(*rng_m)).collect()}
     assert got == want_m and got
+
+
+def test_partition_spec_evolution_via_compact(spark, tmp_path):
+    """Iceberg-style partition-spec evolution: adopt day(ts)
+    partitioning on an UNPARTITIONED table in one compact rewrite,
+    prune afterwards, time-travel back to the flat layout, then drop
+    the spec again (new_partition_exprs=[]) and keep reading."""
+    t = LakeTable.create(spark, str(tmp_path / "lake"), SCHEMA,
+                         pk=["k"], n_buckets=4)
+    t.merge(_mk(spark, 0, 300, 0), batch_id="b1")
+    t = t.refresh()
+    v_flat = t.manifest["version"]
+    assert not t.partition_specs
+
+    t.compact(new_partition_exprs=[("day", "date_trunc('day', ts)", "ts")])
+    t = t.refresh()
+    assert t.partition_specs[0]["name"] == "day"
+    b0 = os.path.join(t.root, t.manifest["buckets"]["0"]["path"])
+    assert any(s.startswith("_p_day=") for s in os.listdir(b0))
+    out = t.scan(between={"ts": RANGE})
+    want = {r["k"] for r in t.read().filter(
+        F.col("ts").between(*RANGE)).collect()}
+    assert {r["k"] for r in out.collect()} == want and want
+    plan = _fmt_plan(out)
+    assert any("_p_day" in ln for ln in plan.splitlines()
+               if "PartitionFilters" in ln)
+
+    # time travel to the pre-evolution snapshot still reads flat
+    old = LakeTable.load(spark, t.root, version=v_flat)
+    assert old.read().count() == 300
+
+    # a merge AFTER evolution writes the new layout for touched buckets
+    t.merge(_mk(spark, 300, 50, 5_000_000), batch_id="b2")
+    t = t.refresh()
+    assert t.read().count() == 350
+    assert t.scan(between={"ts": RANGE}).count() >= len(want)
+
+    # drop the spec again: back to flat dirs, reads stay correct
+    t.compact(new_partition_exprs=[])
+    t = t.refresh()
+    assert not t.partition_specs
+    b0 = os.path.join(t.root, t.manifest["buckets"]["0"]["path"])
+    assert not any(s.startswith("_p_") for s in os.listdir(b0))
+    assert t.read().count() == 350
+
+    # partial compaction refuses spec evolution (keeps stored layout)
+    t.append_delta(_mk(spark, 400, 10, 9_000_000), batch_id="b3")
+    t = t.refresh()
+    with pytest.raises(ValueError, match="partition spec"):
+        t.compact(buckets=[0], new_partition_exprs=[("day", "ts", "ts")])
