@@ -178,8 +178,17 @@ def decode_redo_sql(df: DataFrame, payload: T.StructType) -> DataFrame:
     statement read NULL, unknown statement columns are ignored: the
     same evolution property as the JSON wire format)."""
     sql = F.col("sql_redo")
-    op = F.upper(F.regexp_extract(sql, r"^(insert|update|delete)", 1))
-    op = F.when(sql.startswith("alter table "), F.lit("DDL")).otherwise(op)
+    verb = F.upper(F.regexp_extract(sql, r"^(insert|update|delete)", 1))
+    # anything that parses as no statement form (corrupt/truncated redo,
+    # NULL text) decodes to the in-band ERROR op — admission then treats
+    # it as poison / routes it to the dirty plane instead of silently
+    # dropping a row the source DID deliver (LogParser's unparsable-SQL
+    # failure surface)
+    op = (
+        F.when(sql.startswith("alter table "), F.lit("DDL"))
+        .when(verb != "", verb)
+        .otherwise(F.lit("ERROR"))
+    )
 
     # ALTER TABLE redo → the canonical ddl JSON spec (operators/ddl.py)
     def _jxt(pat: str, grp: int) -> Column:

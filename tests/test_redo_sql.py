@@ -271,3 +271,19 @@ def test_ddl_rides_as_alter_table_statements(spark, tmp_path):
     rows = t.read()
     assert rows.count() > 0
     assert rows.filter(F.col("stars").isNotNull()).count() == 0
+
+
+def test_corrupt_statement_decodes_to_error_poison(spark):
+    """A redo row that parses as no statement form must surface as the
+    in-band ERROR op (poison / dirty plane), never silently vanish —
+    the source DID deliver it."""
+    from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA
+
+    df = spark.createDataFrame(
+        [("truncated garb",), ("",), (None,),
+         ('insert into "lake"."repo_files"("repo") values (\'r1\')',)],
+        "sql_redo string",
+    )
+    dec = decode_redo_sql(df, PAYLOAD_SCHEMA)
+    ops = sorted(r["op"] for r in dec.collect())
+    assert ops == ["ERROR", "ERROR", "ERROR", "INSERT"]
