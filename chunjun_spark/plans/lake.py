@@ -896,6 +896,8 @@ class LakeTable:
         eq, between = eq or {}, between or {}
         types = {f["name"]: f["type"] for f in self.schema.fields}
         bounds: dict = {}
+        import re as _re
+
         for p in specs:
             s = p["source"]
             if s in between:
@@ -905,16 +907,31 @@ class LakeTable:
                 lo, hi = min(vs), max(vs)
             else:
                 continue
+            # the expr is only derivable from the source bounds when the
+            # source is the ONLY schema column it references — a
+            # multi-column expr (concat(lang, day(ts))) cannot be
+            # evaluated from a ts range; skip pruning conservatively
+            # instead of crashing the probe with UNRESOLVED_COLUMN
+            # (review r4). The residual predicate keeps scans exact.
+            refs = set(
+                _re.findall(r"[A-Za-z_][A-Za-z0-9_]*", p["expr"])
+            ) & set(types)
+            if refs - {s}:
+                continue
             src_t = _parse_type(types[s])
             probe = self.spark.range(1).select(
                 F.explode(
                     F.array(F.lit(lo).cast(src_t), F.lit(hi).cast(src_t))
                 ).alias(s)
             )
-            vals = [
-                r["v"]
-                for r in probe.select(F.expr(p["expr"]).alias("v")).collect()
-            ]
+            try:
+                vals = [
+                    r["v"]
+                    for r in probe.select(
+                        F.expr(p["expr"]).alias("v")).collect()
+                ]
+            except Exception:
+                continue  # underivable expr: no pruning, residual holds
             if any(v is None for v in vals):
                 continue
             bounds[f"_p_{p['name']}"] = (min(vals), max(vals))
@@ -1269,6 +1286,16 @@ class LakeTable:
         m["version"] += 1
         return m
 
+    def _validate_changes_frame(self, changes: DataFrame) -> None:
+        """Schema-shape validation BEFORE any idempotence short-circuit
+        (CLAUDE.md rule, review r4): a malformed call arriving with an
+        already-committed batch_id must raise, not silently 'succeed' as
+        a replayed no-op — the upstream regression would otherwise stay
+        hidden until the next fresh batch id. Metadata-only: no job."""
+        missing = [c for c in self.pk if c not in changes.columns]
+        if missing:
+            raise ValueError(f"changes missing pk columns {missing}")
+
     def _prep_changes(self, changes: DataFrame) -> DataFrame:
         """Normalize a change DataFrame: ensure _op + version pair
         (_vts, _vseq), align columns to current schema, add bucket."""
@@ -1336,6 +1363,7 @@ class LakeTable:
         """
         if update_mode not in ("replace", "patch"):
             raise ValueError(f"unknown update_mode {update_mode!r}")
+        self._validate_changes_frame(changes)
         if batch_id is not None and batch_id in self.committed_batches():
             return {"skipped": True, "batch_id": batch_id}
 
@@ -1514,6 +1542,7 @@ class LakeTable:
     ) -> dict:
         """Merge-on-read ingest: append change files, defer resolution.
         O(batch) io per call regardless of table size."""
+        self._validate_changes_frame(changes)
         if batch_id is not None and batch_id in self.committed_batches():
             return {"skipped": True, "batch_id": batch_id}
         ch = self._prep_changes(changes)
@@ -2316,8 +2345,15 @@ class LakeTable:
             m[k] = json.loads(json.dumps(target[k]))
         # the bloom index must match the restored bucket state — a
         # post-rollback index would claim coverage of base files that
-        # no longer exist in this snapshot
-        for k in ("bloom_cols", "bloom_bits", "bloom_k", "bloom_index"):
+        # no longer exist in this snapshot. Same for the LAYOUT specs:
+        # partition_exprs / cluster_kind / zorder_bounds describe how
+        # the restored snapshot's data dirs are physically arranged —
+        # rolling back across a compact(new_partition_exprs=...) with
+        # the CURRENT spec carried over left the manifest claiming a
+        # layout the restored dirs don't have (reads then take the
+        # wrong basePath path — KD009; review r4)
+        for k in ("bloom_cols", "bloom_bits", "bloom_k", "bloom_index",
+                  "partition_exprs", "cluster_kind", "zorder_bounds"):
             if k in target:
                 m[k] = json.loads(json.dumps(target[k]))
             else:

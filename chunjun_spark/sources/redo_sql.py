@@ -134,8 +134,13 @@ def encode_redo_sql(ch: DataFrame, pk: list[str] | None = None) -> DataFrame:
         F.when(F.col("op") == "INSERT", insert_sql)
         .when(F.col("op") == "UPDATE", update_sql)
         .when(F.col("op") == "DELETE", delete_sql)
+        # in-band ERROR events must SURVIVE the wire (a dropped failure
+        # signal lets the sink apply the rest as if the source were
+        # healthy): encode as comment text that parses as no statement
+        # form, which the decoder maps back to op='ERROR'
+        .when(F.col("op") == "ERROR", F.lit("-- in-band error event"))
     )
-    ops = ["INSERT", "UPDATE", "DELETE"]
+    ops = ["INSERT", "UPDATE", "DELETE", "ERROR"]
     if has_ddl:
         sql = sql.when(F.col("op") == "DDL", ddl_sql)
         ops.append("DDL")
@@ -172,82 +177,96 @@ def _pairs_to_map(section: Column) -> Column:
     return F.map_from_arrays(names, vals)
 
 
-def decode_redo_sql(df: DataFrame, payload: T.StructType) -> DataFrame:
-    """Redo-SQL wire rows → canonical nested changelog projected to
-    ``payload`` (the table's CURRENT schema — columns missing from the
-    statement read NULL, unknown statement columns are ignored: the
-    same evolution property as the JSON wire format)."""
-    sql = F.col("sql_redo")
-    verb = F.upper(F.regexp_extract(sql, r"^(insert|update|delete)", 1))
-    # anything that parses as no statement form (corrupt/truncated redo,
-    # NULL text) decodes to the in-band ERROR op — admission then treats
-    # it as poison / routes it to the dirty plane instead of silently
-    # dropping a row the source DID deliver (LogParser's unparsable-SQL
-    # failure surface)
-    op = (
-        F.when(sql.startswith("alter table "), F.lit("DDL"))
-        .when(verb != "", verb)
-        .otherwise(F.lit("ERROR"))
-    )
+# full statement-shape patterns: op classification requires the WHOLE
+# shape to match, not just the verb — a truncated "update ... set x"
+# with no where-clause must decode to ERROR, never to a data op with an
+# all-NULL image (the NULL-pk-winner trap)
+_INS_RE = r'(?s)^insert into "[^"]+"\."[^"]+"\(([^)]*)\) values \((.*)\)$'
+_UPD_RE = r'(?s)^update "[^"]+"\."[^"]+" set (.*) where (.*)$'
+_DEL_RE = r'(?s)^delete from "[^"]+"\."[^"]+" where (.*)$'
 
-    # ALTER TABLE redo → the canonical ddl JSON spec (operators/ddl.py)
+
+def decode_redo_header(df: DataFrame) -> DataFrame:
+    """Phase 1 of the decode — op classification + DDL spec, with
+    ``sql_redo`` carried through for :func:`decode_redo_payload`. Split
+    so a streaming micro-batch can run admission and apply this batch's
+    OWN DDL before the payload decodes against the post-DDL schema
+    (the same contract the JSON wire keeps).
+
+    Anything that parses as no statement form — truncated/garbled text,
+    NULL, an ALTER the DDL grammar doesn't know — decodes to the
+    in-band ERROR op: admission treats it as poison / routes it to the
+    dirty plane instead of silently dropping or half-applying a row the
+    source DID deliver (LogParser's unparsable-SQL failure surface)."""
+    sql = F.col("sql_redo")
+    is_alter = sql.startswith("alter table ")
+
     def _jxt(pat: str, grp: int) -> Column:
         return F.regexp_extract(sql, pat, grp)
 
-    ddl_json = (
-        F.when(sql.rlike(r'^alter table [^(]+ add \('), F.concat(
+    # type tokens may carry parens (decimal(10,2)) — the greedy (.+) up
+    # to the final ")" keeps them whole
+    add_re = r'^alter table [^(]+ add \("([^"]+)" (.+)\)$'
+    mod_re = r'^alter table [^(]+ modify \("([^"]+)" (.+)\)$'
+    ren_re = r'^alter table .+ rename column "([^"]+)" to "([^"]+)"$'
+    drop_re = r'^alter table [^(]+ drop \("([^"]+)"\)$'
+    ddl_json = F.when(is_alter, (
+        F.when(sql.rlike(add_re), F.concat(
             F.lit('{"action": "add_column", "name": "'),
-            _jxt(r' add \("([^"]+)" ([^)]+)\)$', 1),
-            F.lit('", "type": "'),
-            _jxt(r' add \("([^"]+)" ([^)]+)\)$', 2), F.lit('"}')))
-        .when(sql.rlike(r'^alter table [^(]+ modify \('), F.concat(
+            _jxt(add_re, 1), F.lit('", "type": "'),
+            _jxt(add_re, 2), F.lit('"}')))
+        .when(sql.rlike(mod_re), F.concat(
             F.lit('{"action": "widen_type", "name": "'),
-            _jxt(r' modify \("([^"]+)" ([^)]+)\)$', 1),
-            F.lit('", "type": "'),
-            _jxt(r' modify \("([^"]+)" ([^)]+)\)$', 2), F.lit('"}')))
-        .when(sql.rlike(r' rename column '), F.concat(
+            _jxt(mod_re, 1), F.lit('", "type": "'),
+            _jxt(mod_re, 2), F.lit('"}')))
+        .when(sql.rlike(ren_re), F.concat(
             F.lit('{"action": "rename_column", "old": "'),
-            _jxt(r' rename column "([^"]+)" to "([^"]+)"$', 1),
-            F.lit('", "new": "'),
-            _jxt(r' rename column "([^"]+)" to "([^"]+)"$', 2),
-            F.lit('"}')))
-        .when(sql.rlike(r' drop \('), F.concat(
+            _jxt(ren_re, 1), F.lit('", "new": "'),
+            _jxt(ren_re, 2), F.lit('"}')))
+        .when(sql.rlike(drop_re), F.concat(
             F.lit('{"action": "drop_column", "name": "'),
-            _jxt(r' drop \("([^"]+)"\)$', 1), F.lit('"}')))
+            _jxt(drop_re, 1), F.lit('"}')))
+    ))
+    op = (
+        F.when(is_alter & ddl_json.isNotNull(), F.lit("DDL"))
+        .when(sql.rlike(_INS_RE), F.lit("INSERT"))
+        .when(sql.rlike(_UPD_RE), F.lit("UPDATE"))
+        .when(sql.rlike(_DEL_RE), F.lit("DELETE"))
+        .otherwise(F.lit("ERROR"))
     )
-    ddl_json = F.when(op == "DDL", ddl_json)
-    ins_cols = F.regexp_extract(
-        sql, r'(?s)^insert into "[^"]+"\."[^"]+"\(([^)]*)\) values \((.*)\)$', 1
-    )
-    ins_vals = F.regexp_extract(
-        sql, r'(?s)^insert into "[^"]+"\."[^"]+"\(([^)]*)\) values \((.*)\)$', 2
-    )
+    keep = [c for c in df.columns if c != "sql_redo"]
+    return df.select(op.alias("op"), *keep, ddl_json.alias("ddl"),
+                     F.col("sql_redo"))
+
+
+def decode_redo_payload(df: DataFrame, payload: T.StructType) -> DataFrame:
+    """Phase 2: parse the before/after images out of header-decoded rows
+    against ``payload`` (the table's CURRENT schema — columns missing
+    from the statement read NULL, unknown statement columns are
+    ignored: the same evolution property as the JSON wire format)."""
+    sql = F.col("sql_redo")
+    op = F.col("op")
     ins_map = F.map_from_arrays(
-        F.regexp_extract_all(ins_cols, F.lit('"([^"]+)"'), 1),
+        F.regexp_extract_all(
+            F.regexp_extract(sql, _INS_RE, 1), F.lit('"([^"]+)"'), 1
+        ),
         F.transform(
-            F.regexp_extract_all(ins_vals, F.lit(f"(?s)({_VAL})"), 1),
+            F.regexp_extract_all(
+                F.regexp_extract(sql, _INS_RE, 2), F.lit(f"(?s)({_VAL})"), 1
+            ),
             _unescape,
         ),
     )
     # greedy (.*) takes the LAST " where ": the set section precedes the
     # where section, so a stored value containing " where " inside SET
     # can never win — only key values could (documented limitation)
-    upd_set = F.regexp_extract(
-        sql, r'(?s)^update "[^"]+"\."[^"]+" set (.*) where (.*)$', 1
-    )
-    upd_where = F.regexp_extract(
-        sql, r'(?s)^update "[^"]+"\."[^"]+" set (.*) where (.*)$', 2
-    )
-    del_where = F.regexp_extract(
-        sql, r'(?s)^delete from "[^"]+"\."[^"]+" where (.*)$', 1
-    )
     after_map = (
         F.when(op == "INSERT", ins_map)
-        .when(op == "UPDATE", _pairs_to_map(upd_set))
+        .when(op == "UPDATE", _pairs_to_map(F.regexp_extract(sql, _UPD_RE, 1)))
     )
     before_map = (
-        F.when(op == "DELETE", _pairs_to_map(del_where))
-        .when(op == "UPDATE", _pairs_to_map(upd_where))
+        F.when(op == "DELETE", _pairs_to_map(F.regexp_extract(sql, _DEL_RE, 1)))
+        .when(op == "UPDATE", _pairs_to_map(F.regexp_extract(sql, _UPD_RE, 2)))
     )
 
     def _img(m: Column) -> Column:
@@ -263,9 +282,15 @@ def decode_redo_sql(df: DataFrame, payload: T.StructType) -> DataFrame:
 
     keep = [c for c in df.columns if c != "sql_redo"]
     return df.select(
-        op.alias("op"),
         *keep,
         _img(after_map).alias("after"),
         _img(before_map).alias("before"),
-        ddl_json.alias("ddl"),
     )
+
+
+def decode_redo_sql(df: DataFrame, payload: T.StructType) -> DataFrame:
+    """Redo-SQL wire rows → canonical nested changelog projected to
+    ``payload``: :func:`decode_redo_header` then
+    :func:`decode_redo_payload` (batch convenience; streaming splits
+    the phases around DDL application)."""
+    return decode_redo_payload(decode_redo_header(df), payload)

@@ -404,14 +404,15 @@ def start_replay_stream(
 
         table = LakeTable.load(spark, table_root)
         if wire_format == "redo_sql":
-            # LogMiner wire form: each row is redo SQL TEXT + envelope;
-            # the codegen regex parser rebuilds op/before/after/ddl
-            # BEFORE admission (op lives in the statement verb; ALTER
-            # TABLE rows decode to op='DDL' + the canonical ddl JSON,
-            # which admission then forwards like any nested-wire DDL).
-            from chunjun_spark.sources.redo_sql import decode_redo_sql
+            # LogMiner wire form: each row is redo SQL TEXT + envelope.
+            # Phase 1 (header) rebuilds op + the canonical ddl JSON
+            # BEFORE admission; the PAYLOAD decode waits until after
+            # this batch's own DDL has been applied, so a row written
+            # under the batch's add_column keeps the new column's value
+            # — the same post-DDL contract the JSON wire keeps.
+            from chunjun_spark.sources.redo_sql import decode_redo_header
 
-            batch_df = decode_redo_sql(batch_df, table.schema.to_struct())
+            batch_df = decode_redo_header(batch_df)
         bid = f"{job_id}:{batch_id}"
         if bid in table.committed_batches():
             # replayed micro-batch after restart — already applied; the
@@ -428,6 +429,15 @@ def start_replay_stream(
                 df = batch_df
                 if wire_format == "json":
                     df = decode_json_events(df, table.schema.to_struct())
+                elif wire_format == "redo_sql":
+                    from chunjun_spark.sources.redo_sql import (
+                        decode_redo_payload,
+                    )
+
+                    # header decode already ran at apply_batch entry;
+                    # the replayed batch's DDL is long committed, so
+                    # the current schema IS the post-DDL schema here
+                    df = decode_redo_payload(df, table.schema.to_struct())
                 _sync_scd2(df, bid, table)
             _sync_views()
             return
@@ -452,6 +462,11 @@ def start_replay_stream(
             # decode against the post-DDL schema: this batch's own
             # add_column is already visible to its data rows
             batch_df = decode_json_events(batch_df, table.schema.to_struct())
+        elif wire_format == "redo_sql":
+            # phase 2: payload images against the post-DDL schema
+            from chunjun_spark.sources.redo_sql import decode_redo_payload
+
+            batch_df = decode_redo_payload(batch_df, table.schema.to_struct())
         keyed = events_with_pk(batch_df, table.pk)
         if update_mode == "patch":
             changes = to_changes(keyed)  # fold happens inside the merge

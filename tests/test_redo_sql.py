@@ -287,3 +287,104 @@ def test_corrupt_statement_decodes_to_error_poison(spark):
     dec = decode_redo_sql(df, PAYLOAD_SCHEMA)
     ops = sorted(r["op"] for r in dec.collect())
     assert ops == ["ERROR", "ERROR", "ERROR", "INSERT"]
+
+
+def test_review_r4_decode_hardening(spark, tmp_path):
+    """Review-found decode traps: paren-typed DDL must round-trip, a
+    truncated statement whose VERB still matches must be ERROR (not a
+    data op with an all-NULL image), an unknown ALTER must be ERROR
+    (not op=DDL with ddl=NULL), and in-band ERROR events must survive
+    the wire."""
+    import datetime
+    import json
+
+    from chunjun_spark.operators.ddl import ddl_event
+    from chunjun_spark.sources.binlog import EVENT_SCHEMA, PAYLOAD_SCHEMA
+    from chunjun_spark.sources.redo_sql import decode_redo_header
+
+    ts = datetime.datetime(2024, 1, 1)
+    # paren-carrying type round-trips whole
+    ddl_df = spark.createDataFrame(
+        [ddl_event(1, ts, "add_column", name="score", type="decimal(10,2)")],
+        EVENT_SCHEMA,
+    )
+    wire = encode_redo_sql(ddl_df, pk=["repo", "path"])
+    [row] = decode_redo_sql(wire, PAYLOAD_SCHEMA).collect()
+    assert row["op"] == "DDL"
+    assert json.loads(row["ddl"]) == {
+        "action": "add_column", "name": "score", "type": "decimal(10,2)"}
+
+    bad = spark.createDataFrame(
+        [('update "lake"."repo_files" set "lang" = \'py\'',),   # no where
+         ('insert into "lake"."repo_files"("repo") values (',),  # truncated
+         ('delete from "lake"."repo_files" where',),             # truncated
+         ('alter table "lake"."repo_files" garbage statement',)],
+        "sql_redo string",
+    )
+    rows = decode_redo_sql(bad, PAYLOAD_SCHEMA).collect()
+    assert [r["op"] for r in rows] == ["ERROR"] * 4
+    assert all(r["ddl"] is None for r in rows)
+
+    # in-band ERROR events survive the wire and decode back to ERROR
+    err = spark.createDataFrame(
+        [{**ddl_event(2, ts, "add_column", name="x", type="int"),
+          "op": "ERROR", "ddl": None}], EVENT_SCHEMA)
+    ewire = encode_redo_sql(err, pk=["repo", "path"])
+    assert ewire.count() == 1
+    [erow] = decode_redo_header(ewire).collect()
+    assert erow["op"] == "ERROR"
+
+
+def test_same_batch_ddl_and_data_through_redo_stream(spark, tmp_path):
+    """A micro-batch carrying its OWN add_column plus data rows written
+    under the new schema must land the new column's VALUES — the
+    payload decode runs post-DDL (review r4; the JSON wire's contract)."""
+    import datetime
+
+    from chunjun_spark.operators.ddl import ddl_event
+    from chunjun_spark.plans.lake import LakeTable
+    from chunjun_spark.sources.binlog import (
+        EVENT_SCHEMA,
+        PAYLOAD_SCHEMA,
+        generate_binlog,
+    )
+    from chunjun_spark.sources.redo_sql import encode_redo_sql
+    from chunjun_spark.streaming.pipeline import start_replay_stream
+
+    ts = datetime.datetime(2024, 1, 1)
+    ev = generate_binlog(spark, 1_000, n_keys=200, seed=31)
+    ddl = spark.createDataFrame(
+        [ddl_event(90_000_001, ts, "add_column", name="stars", type="int")],
+        EVENT_SCHEMA,
+    )
+    wire_base = encode_redo_sql(ev.unionByName(ddl), pk=["repo", "path"])
+    # hand-append data rows that CARRY the new column, same batch as the DDL
+    extra = spark.createDataFrame(
+        [("lake", "repo_files", ts, 90_000_000 + 10 + i, None, 3, 90_000_000 + 10 + i,
+          'insert into "lake"."repo_files"("repo","path","commit","lang",'
+          f'"content","stars") values (\'rX\',\'pX{i}\',\'c1\',\'py\','
+          "'body','7')")
+         for i in range(5)],
+        "schema_name string, table_name string, op_ts timestamp, seq long, "
+        "snowflake_ts long, partition_id int, offset long, sql_redo string",
+    )
+    src = str(tmp_path / "wire")
+    wire_base.unionByName(extra).coalesce(1).write.parquet(src)
+
+    root = str(tmp_path / "lake")
+    LakeTable.create(spark, root, PAYLOAD_SCHEMA, pk=["repo", "path"],
+                     n_buckets=4)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)  # ONE micro-batch: DDL + new-schema rows together
+    )
+    q = start_replay_stream(
+        stream, root, checkpoint_dir=str(tmp_path / "ckpt"),
+        job_id="redo-sameddl", wire_format="redo_sql",
+    )
+    assert q.awaitTermination(180)
+    t = LakeTable.load(spark, root)
+    assert "stars" in t.schema.names()
+    got = t.read().filter(F.col("repo") == "rX")
+    assert got.count() == 5
+    assert got.filter(F.col("stars") == 7).count() == 5  # values KEPT

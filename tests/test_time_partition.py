@@ -328,3 +328,64 @@ def test_partition_spec_evolution_via_compact(spark, tmp_path):
     t = t.refresh()
     with pytest.raises(ValueError, match="partition spec"):
         t.compact(buckets=[0], new_partition_exprs=[("day", "ts", "ts")])
+
+
+def test_rollback_across_partition_evolution_restores_layout_spec(
+        spark, tmp_path):
+    """Review r4: rollback must restore partition_exprs with the rest of
+    the snapshot state — buckets pointing at partitioned dirs with a
+    flat spec (or vice versa) made the restored snapshot unreadable
+    (KD009) or silently mixed layouts on later merges."""
+    t = _table(spark, tmp_path)  # partitioned by day(ts)
+    t.merge(_mk(spark, 0, 120, 0), batch_id="b1")
+    t = t.refresh()
+    v_part = t.manifest["version"]
+    t.compact(new_partition_exprs=[])  # drop the spec (flat rewrite)
+    t = t.refresh()
+    assert not t.partition_specs
+    t.rollback(v_part)
+    t = LakeTable.load(spark, str(tmp_path / "lake"))
+    assert t.partition_specs and t.partition_specs[0]["name"] == "day"
+    assert t.read().count() == 120  # readable again
+    out = t.scan(between={"ts": RANGE})
+    assert out.count() == t.read().filter(
+        F.col("ts").between(*RANGE)).count()
+
+
+def test_merge_validates_before_idempotence_skip(spark, tmp_path):
+    """CLAUDE.md rule, review r4: a malformed changes frame arriving
+    with an ALREADY-COMMITTED batch_id must raise, not silently skip."""
+    t = _table(spark, tmp_path)
+    t.merge(_mk(spark, 0, 50, 0), batch_id="b1")
+    t = t.refresh()
+    broken = _mk(spark, 0, 5, 0).drop("k")  # pk column gone
+    with pytest.raises(ValueError, match="pk"):
+        t.merge(broken, batch_id="b1")  # committed id — used to skip
+    with pytest.raises(ValueError, match="pk"):
+        t.append_delta(broken, batch_id="b1")
+
+
+def test_multi_column_partition_expr_scans_without_pruning(spark, tmp_path):
+    """Review r4: a spec expr referencing more than its source column
+    cannot be derived from a source range — scan must skip pruning
+    conservatively (residual keeps it exact), never crash the probe."""
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    t = LakeTable.create(
+        spark, str(tmp_path / "lake"), schema, pk=["k"], n_buckets=2,
+        partition_exprs=[
+            ("bucket2", "concat(lang, '/', date_format(ts, 'yyyy-MM-dd'))",
+             "ts"),
+        ],
+    )
+    df = _mk(spark, 0, 100, 0).withColumn("lang", F.lit("py"))
+    t.merge(df.select("k", "ts", "lang", "v", "_op", "_vts", "_vseq"),
+            batch_id="b1")
+    t = t.refresh()
+    out = t.scan(between={"ts": RANGE})
+    want = t.read().filter(F.col("ts").between(*RANGE)).count()
+    assert out.count() == want and want > 0
