@@ -132,7 +132,13 @@ def paragraph_dedup(
         .select(
             F.col("_fp"),
             F.floor(F.col("_w") / _PACK).cast("long").alias(id_col),
-            (F.col("_w") % _PACK).cast("int").alias("para_idx"),
+            # floor-consistent remainder, NOT `%`: Spark's remainder
+            # follows the dividend's sign, so a negative id's packed
+            # value recovered a negative garbage para_idx and the
+            # semi-join silently dropped the paragraph (review r4;
+            # the full-bigint-range contract includes negative ids)
+            (F.col("_w") - F.floor(F.col("_w") / _PACK) * _PACK)
+            .cast("int").alias("para_idx"),
         )
     )
     kept = paras.join(winners, on=["_fp", id_col, "para_idx"], how="left_semi")
@@ -502,7 +508,13 @@ def minhash_dedup(
     chain-middle docs' non-adjacent kin.
     """
     rows_per_band = k // bands
-    sigs = minhash_signatures(df, text_col, id_col, n=n, k=k, seed=seed).cache()
+    # narrow (id, k-long signature) frame consumed by both the banding
+    # and the estimate join: localCheckpoint is the repo's plan cut
+    # (never .cache() — and cache here additionally leaked storage
+    # across jobs, no unpersist; review r4)
+    sigs = minhash_signatures(
+        df, text_col, id_col, n=n, k=k, seed=seed
+    ).localCheckpoint(eager=True)
     cand = lsh_candidates(sigs, id_col=id_col, bands=bands, rows_per_band=rows_per_band)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("_sa"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("_sb"))
@@ -607,7 +619,10 @@ def simhash_table(
     # pack 4 bit-counters per bigint (16-bit lanes): lane i of group g
     # accumulates popcount of bit (4g+i); 16 agg buffers instead of 64,
     # which keeps the generated HashAggregate small (fast janino compile,
-    # less per-group state). Safe below 65535 tokens/doc.
+    # less per-group state). Safe below 32768 DISTINCT tokens/doc: the
+    # top lane's term (count<<48) must not carry into the bigint sign
+    # bit, which bounds the per-lane count at 2^15-1, not 2^16-1
+    # (review r4; under ANSI an overflow would throw, not wrap).
     packs = []
     for g in range(16):
         lanes = [

@@ -25,7 +25,7 @@ from pyspark.sql import types as T
 from chunjun_spark.config import JobConfig
 from chunjun_spark.operators.dirty import (
     check_error_limit,
-    null_pk_rule,
+    null_pk_rule_for,
     split_dirty,
 )
 from chunjun_spark.operators.merge import replay
@@ -1197,11 +1197,16 @@ def run_job(spark: SparkSession, config: JobConfig | dict | str) -> dict:
 
     metrics: dict = {}
     n_dirty = 0
-    pk = cfg.writer.parameter.get("pk")
+    # jdbc writers spell the key "updateKey" (review r4: the dirty rule
+    # previously ignored it and fell back to the first column)
+    pk = (cfg.writer.parameter.get("pk")
+          or cfg.writer.parameter.get("updateKey"))
     if cfg.dirty.path or cfg.error_limit.record is not None or (
         cfg.error_limit.percentage is not None
     ):
-        rules = [null_pk_rule(pk or df.columns[:1])]
+        # shape-aware: changelog frames carry the key nested in
+        # before/after; the flat rule raised UNRESOLVED_COLUMN there
+        rules = [null_pk_rule_for(df, pk or df.columns[:1])]
         df, dirty = split_dirty(df, rules)
         if cfg.dirty.path:
             # count THIS run's dirty rows via an observation on the append

@@ -48,6 +48,35 @@ def null_pk_rule(pk: list[str]) -> tuple[Column, str]:
     return (pred, ERR_NULL)
 
 
+def null_pk_rule_for(df: DataFrame, pk: list[str]) -> tuple[Column, str]:
+    """Frame-shape-aware NULL-key rule (review r4): a CHANGELOG frame
+    carries the key nested in before/after — the flat rule raised
+    UNRESOLVED_COLUMN there — so build the predicate over the effective
+    image (before for DELETE, after otherwise; control rows are never
+    dirty). Flat frames keep the plain rule; frames where the key is
+    not even checkable (e.g. before/after still JSON strings) get a
+    never-matching rule rather than a crash."""
+    import pyspark.sql.types as T
+
+    cols = set(df.columns)
+    if {"before", "after", "op"} <= cols and isinstance(
+        df.schema["after"].dataType, T.StructType
+    ):
+        is_del = F.col("op") == "DELETE"
+        pred = F.lit(False)
+        after_fields = set(df.schema["after"].dataType.fieldNames())
+        for c in pk:
+            if c not in after_fields:
+                continue
+            eff = F.when(is_del, F.col(f"before.{c}")).otherwise(
+                F.col(f"after.{c}"))
+            pred = pred | eff.isNull()
+        return (pred & ~F.col("op").isin("ERROR", "DDL"), ERR_NULL)
+    if all(c in cols for c in pk):
+        return null_pk_rule(pk)
+    return (F.lit(False), ERR_NULL)
+
+
 def split_dirty(
     df: DataFrame, rules: list[tuple[Column, str]]
 ) -> tuple[DataFrame, DataFrame]:

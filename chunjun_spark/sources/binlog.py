@@ -267,12 +267,23 @@ def filter_events(
       (the canal AviaterRegexFilter subscription,
       BinlogInputFormat.java:110-118), e.g. ``"canal\\..*"``.
     """
+    has_op = "op" in df.columns
     if cat:
         cats = [
             c.strip().upper()
             for c in (cat.split(",") if isinstance(cat, str) else cat)
             if c.strip()
         ]
+        if cats and not has_op:
+            # statement-text wires (redo_sql) synthesize op at decode
+            # time, inside the micro-batch — a pre-decode category
+            # filter cannot be honored; refuse loudly rather than
+            # resolve a nonexistent column (review r4)
+            raise ValueError(
+                "cat subscription needs a decoded changelog (no 'op' "
+                "column on this wire) — filter by category downstream "
+                "of the decode, or drop the cat option"
+            )
         if cats:
             df = df.filter(
                 F.col("op").isin(cats) | ~F.col("op").isin(list(DATA_OPS))
@@ -280,8 +291,13 @@ def filter_events(
     qual = F.concat_ws(".", F.col("schema_name"), F.col("table_name"))
     # poison rows always pass the table subscription: an in-band failure
     # event is source-global (table_name may be NULL) and dropping it
-    # turns fail-loudly into silent partial success
-    poison = F.col("op") == "ERROR"
+    # turns fail-loudly into silent partial success. Pre-decode wires
+    # have no op yet — a NULL table_name is the source-global marker
+    # there (the redo encoder keeps the envelope, so real data rows
+    # always carry their table)
+    poison = (
+        (F.col("op") == "ERROR") if has_op else F.col("table_name").isNull()
+    )
     if table:
         names = [table] if isinstance(table, str) else list(table)
         df = df.filter(

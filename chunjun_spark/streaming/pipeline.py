@@ -126,7 +126,12 @@ class ByteRateLimiter:
         rate is back under budget. Row width is sampled from the first
         batch (bounded 256-row sample), then reused."""
         if self.bytes_per_row is None and batch_df is not None:
-            self.bytes_per_row = estimate_row_bytes(batch_df)
+            est = estimate_row_bytes(batch_df)
+            # an empty / control-only first batch samples 0.0 — caching
+            # that would disable the throttle for the query's lifetime
+            # (review r4); keep sampling until a data batch arrives
+            if est > 0.0:
+                self.bytes_per_row = est
         self.throttle(int(n_rows * (self.bytes_per_row or 0.0)))
 
     def throttle(self, n_bytes: int) -> None:
@@ -443,9 +448,15 @@ def start_replay_stream(
             return
         # one fused narrow pre-pass (poison + DDL + FormatState offsets +
         # the dirty-row count); the write below is the one wide
-        # evaluation of the batch
+        # evaluation of the batch. On a non-nested wire the key is not a
+        # struct field yet (JSON strings / statement text) — the fused
+        # dirty probe would raise INVALID_EXTRACT_BASE_FIELD_TYPE
+        # (review r4) — so the dirty check moves to after the payload
+        # decode, costing one extra narrow pass only when dirty is
+        # configured on such a wire.
+        fused_dirty = bool(dirty) and wire_format == "nested"
         batch_df, ddl_rows, offsets, n_dirty = admit_batch_with_offsets(
-            batch_df, dirty_pk=table.pk if dirty else None
+            batch_df, dirty_pk=table.pk if fused_dirty else None
         )
         if dirty:
             # the error RATIO is over the query's lifetime reads, so the
@@ -467,6 +478,11 @@ def start_replay_stream(
             from chunjun_spark.sources.redo_sql import decode_redo_payload
 
             batch_df = decode_redo_payload(batch_df, table.schema.to_struct())
+        if dirty and not fused_dirty:
+            n_dirty_post = batch_df.filter(_null_pk_pred(table.pk)).count()
+            if n_dirty_post:
+                _capture_dirty(batch_df, table.pk, n_dirty_post)
+                batch_df = batch_df.filter(~_null_pk_pred(table.pk))
         keyed = events_with_pk(batch_df, table.pk)
         if update_mode == "patch":
             changes = to_changes(keyed)  # fold happens inside the merge
@@ -813,10 +829,24 @@ def start_fanout_stream(
                 if bid not in t.committed_batches():
                     pending.append(i)
             elif s["type"] == "kafka":
-                from chunjun_spark.sources.kafka_sim import topic_meta
+                from chunjun_spark.sources.kafka_sim import (
+                    create_topic,
+                    topic_meta,
+                )
 
+                try:
+                    meta = topic_meta(s["topic_dir"])
+                except FileNotFoundError:
+                    # create-on-demand, like the lake sinks: a fresh
+                    # machine must be able to run the shipped fan-out
+                    # examples without a pre-provisioning step
+                    # (review r4)
+                    meta = create_topic(
+                        s["topic_dir"],
+                        n_partitions=int(s.get("n_partitions", 4)),
+                    )
                 txns = (
-                    topic_meta(s["topic_dir"]).get("producers", {})
+                    meta.get("producers", {})
                     .get(s.get("producer_id") or job_id, {}).get("txns", {})
                 )
                 if txns.get(bid, {}).get("state") != "committed":

@@ -678,3 +678,21 @@ def test_weighted_pagerank_micro_exact_values(spark):
     rz = {row["node"]: row["rank"]
           for row in weighted_pagerank_micro(ez, iters=1).collect()}
     assert rz == r
+
+
+def test_paragraph_dedup_negative_doc_ids(spark):
+    """Review r4: Spark's % follows the dividend's sign, so negative ids
+    recovered garbage para_idx and silently lost paragraphs — the
+    floor-consistent remainder keeps the full-bigint-range contract."""
+    from chunjun_spark.functions.dedup_docs import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(-5, "dup para\n\nunique A"), (3, "dup para\n\nunique B")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text_deduped"]
+           for r in paragraph_dedup(df).collect()}
+    joined = "|".join(out.values())
+    assert "unique A" in out[-5]
+    assert "unique B" in out[3]
+    assert joined.count("dup para") == 1  # the census still dedups

@@ -156,3 +156,23 @@ def test_changelog_integrity_total_order_tie_cols(spark):
     assert a == b
     totals = [sum(r[i] for r in a) for i in (4, 5, 6)]
     assert all(t > 0 for t in totals), totals
+
+
+def test_filter_events_on_pre_decode_wire(spark):
+    """Review r4: statement-text wires have no op column pre-decode —
+    table subscriptions work (NULL table_name passes as the
+    source-global marker), category subscriptions refuse loudly."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from chunjun_spark.sources.binlog import filter_events
+
+    df = spark.createDataFrame(
+        [("lake", "a", "stmt1"), ("lake", "b", "stmt2"), (None, None, "--")],
+        "schema_name string, table_name string, sql_redo string",
+    )
+    out = filter_events(df, table="a")
+    rows = out.collect()
+    assert {r["sql_redo"] for r in rows} == {"stmt1", "--"}
+    with pytest.raises(ValueError, match="cat subscription"):
+        filter_events(df, cat="insert")

@@ -887,3 +887,40 @@ def test_lake_layout_options_through_job_json(spark, tmp_root):
             == t.read().filter(F.col("commit") == probe).count())
     pruned = t._prune_buckets(eq={"commit": "no-such-commit"})
     assert pruned is not None and len(pruned) < t.n_buckets
+
+
+def test_batch_dirty_plane_on_changelog_frame(spark, tmp_root):
+    """Review r4: the batch dirty rule raised UNRESOLVED_COLUMN on
+    changelog frames (pk lives nested in before/after) — the shape-aware
+    rule flags NULL effective keys and the job completes."""
+    import pyspark.sql.functions as F
+
+    from chunjun_spark.sources.binlog import generate_binlog
+
+    binlog_dir = os.path.join(tmp_root, "bd_segments")
+    lake = os.path.join(tmp_root, "bd_lake")
+    ev = generate_binlog(spark, 1_000, n_keys=150, seed=7)
+    ev = ev.withColumn(
+        "after",
+        F.when(
+            (F.col("seq") % 89 == 0) & F.col("op").isin("INSERT", "UPDATE"),
+            F.col("after").withField("path", F.lit(None).cast("string")),
+        ).otherwise(F.col("after")),
+    )
+    ev.write.parquet(binlog_dir)
+    n_bad = ev.filter(
+        (F.col("seq") % 89 == 0) & F.col("op").isin("INSERT", "UPDATE")
+    ).count()
+    assert n_bad > 0
+    dirty_dir = os.path.join(tmp_root, "bd_dlq")
+    cfg = {"job": {"content": [{
+        "reader": {"name": "binlogreader", "parameter": {"path": binlog_dir}},
+        "writer": {"name": "lakewriter", "parameter": {
+            "path": lake, "pk": ["repo", "path"], "nBuckets": 4}},
+    }], "setting": {"dirty": {"path": dirty_dir}}}}
+    m = run_job(spark, cfg)
+    assert m["nErrors"] >= n_bad or m.get("numRead", 0) > 0
+    captured = spark.read.parquet(dirty_dir)
+    assert captured.count() >= n_bad
+    t = LakeTable.load(spark, lake)
+    assert t.read().filter(F.col("path").isNull()).count() == 0

@@ -127,3 +127,54 @@ def test_job_json_stream_dirty_plane(spark, tmp_root):
     assert spark.read.parquet(dlq).count() > 0
     t = LakeTable.load(spark, lake)
     assert t.read().filter(F.col("repo").isNull()).count() == 0
+
+
+def test_dirty_plane_on_json_and_redo_wires(spark, tmp_root):
+    """Review r4: the fused admission dirty probe extracted struct pk
+    fields, which non-nested wires don't have yet at admission — the
+    dirty check now runs post-decode and still captures NULL-key rows."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from chunjun_spark.plans.lake import LakeTable
+    from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA, generate_binlog
+    from chunjun_spark.sources.redo_sql import encode_redo_sql
+    from chunjun_spark.streaming.pipeline import start_replay_stream
+
+    ev = generate_binlog(spark, 1_000, n_keys=200, seed=23)
+    # poison three rows' keys AFTER encode would break the statement
+    # shape; instead null the path BEFORE encode (the after image
+    # carries "path" = NULL into the where/values as NULL)
+    ev = ev.withColumn(
+        "after",
+        F.when(
+            F.col("seq") % 97 == 0,
+            F.col("after").withField("path", F.lit(None).cast("string")),
+        ).otherwise(F.col("after")),
+    )
+    n_bad = ev.filter(
+        (F.col("seq") % 97 == 0) & F.col("op").isin("INSERT", "UPDATE")
+    ).count()
+    assert n_bad > 0
+    src = os.path.join(tmp_root, "redo_dirty_wire")
+    encode_redo_sql(ev, pk=["repo", "path"]).coalesce(1).write.parquet(src)
+
+    root = os.path.join(tmp_root, "redo_dirty_lake")
+    LakeTable.create(spark, root, PAYLOAD_SCHEMA, pk=["repo", "path"],
+                     n_buckets=4)
+    dirty_dir = os.path.join(tmp_root, "redo_dirty_dlq")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    )
+    q = start_replay_stream(
+        stream, root, checkpoint_dir=os.path.join(tmp_root, "redo_dirty_ck"),
+        job_id="redo-dirty", wire_format="redo_sql",
+        dirty={"path": dirty_dir},
+    )
+    assert q.awaitTermination(180)
+    t = LakeTable.load(spark, root)
+    live = t.read()
+    assert live.filter(F.col("path").isNull()).count() == 0
+    captured = spark.read.parquet(dirty_dir)
+    assert captured.count() >= n_bad
