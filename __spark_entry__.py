@@ -786,7 +786,10 @@ def _minhash_index_fixture(spark: SparkSession, sf_dir: str) -> dict:
     dt.merge(as_upsert.filter(F.col("doc_id") % 5 != 0), batch_id="v1",
              assume_unique_keys=True)
     index = create_minhash_index(spark, f"{root}/idx", n_buckets=8)
-    out1 = sync_minhash_index(dt.refresh(), index, since_version=0)
+    # md5_affine parity family end-to-end so the synced index (and the
+    # entry's candidate probe) is recomputable by the DuckDB oracle
+    out1 = sync_minhash_index(dt.refresh(), index, since_version=0,
+                              fingerprint="md5_affine")
     got = {"root": root, "synced": out1["version"]}
     _IDX_FIXTURE[key] = got
     return got
@@ -797,8 +800,12 @@ def _q_minhash_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/incremental.py): from the shared bootstrap (80% of
     documents indexed), apply an update/delete/insert delta window and
     sync the band index from that change window only; the sync's
-    near-dup candidates are returned. Rows-only (xxhash64 banding has no
-    DuckDB analog); the index==batch-rebuild invariant is pinned in
+    near-dup candidates are returned. Hash-checked: the sync runs the
+    md5_affine parity family (md5-affine lanes + Horner band hash, both
+    engine-exact bigint math), so the oracle recomputes the band index
+    from FINAL document state — a correctly synced index equals the
+    batch rebuild (the _POSTINGS_VIEW_SQL pattern). The incremental ==
+    rebuild invariant for the xxhash64 default stays pinned in
     tests/test_incremental_index.py."""
     import shutil
 
@@ -826,24 +833,34 @@ def _q_minhash_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt.merge(delta, batch_id="v2")
     dt = dt.refresh()
     index = LakeTable.load(spark, f"{root}/idx")
-    out2 = sync_minhash_index(dt, index, since_version=fx["synced"])
+    out2 = sync_minhash_index(dt, index, since_version=fx["synced"],
+                              fingerprint="md5_affine")
     return out2["candidates"].select("id_a", "id_b")
 
 
 _IVF_FIXTURE: dict = {}
 
 
+_IVF_GRID_SCALE = 1024
+_IVF_N_LISTS = 16
+_IVF_DIM = 64
+
+
 def _ivf_index_fixture(spark: SparkSession, sf_dir: str) -> dict:
     """IVF-index bootstrap shared per (session, sf_dir): 80% of the
-    embeddings table merged into a vector lake, centroids trained once
-    (deterministic hash-ordered sample), the index synced once. Entries
-    copy it and apply THEIR window — same rationale as
-    _minhash_index_fixture."""
+    embeddings table merged into a vector lake, the index synced once.
+    Entries copy it and apply THEIR window — same rationale as
+    _minhash_index_fixture. The index runs the INTEGER-grid parity mode
+    (ann.grid_centroids + floor(x*1024) quantization): every assignment
+    and score is exact bigint math, so the DuckDB oracle recomputes the
+    final index from final embedding state. The k-means float path
+    (train_ivf_centroids/assign_ivf_list) stays the library default,
+    exercised in tests/test_ivf_index.py."""
     key = (spark.sparkContext.applicationId, sf_dir)
     got = _IVF_FIXTURE.get(key)
     if got is not None:
         return got
-    from chunjun_spark.functions.ann import train_ivf_centroids
+    from chunjun_spark.functions.ann import grid_centroids
     from chunjun_spark.functions.incremental import (
         create_ivf_index,
         sync_ivf_index,
@@ -868,8 +885,9 @@ def _ivf_index_fixture(spark: SparkSession, sf_dir: str) -> dict:
     et.merge(as_upsert.filter(F.col("vec_id") % 5 != 0), batch_id="v1",
              assume_unique_keys=True)
     et = et.refresh()
-    cents = train_ivf_centroids(et.read(), n_lists=16)
-    index = create_ivf_index(spark, f"{root}/idx", cents)
+    cents = grid_centroids(_IVF_N_LISTS, _IVF_DIM, scale=_IVF_GRID_SCALE)
+    index = create_ivf_index(spark, f"{root}/idx", cents,
+                             grid_scale=_IVF_GRID_SCALE)
     out1 = sync_ivf_index(et, index, since_version=0)
     got = {"root": root, "synced": out1["version"], "centroids": cents}
     _IVF_FIXTURE[key] = got
@@ -884,13 +902,16 @@ def _q_ann_ivf_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-dependent-assignment case a fixed-band index never hits (the
     old (cell, id) row tombstones from a column-pruned narrow read) —
     then sync and probe top-10 around the first centroid through the
-    bucket-pruned read path. Rows-only (k-means cells have no DuckDB
-    analog); the incremental == batch-rebuild invariant is pinned in
-    tests/test_ivf_index.py."""
+    bucket-pruned read path. Hash-checked: the index runs the
+    integer-grid parity mode, so cell assignment, nprobe ranking, and
+    scores are exact bigint math the DuckDB oracle recomputes from final
+    embedding state (`a div b` == `a // b`, floor(float·2^10) exact —
+    the weighted_pagerank_micro technique); the incremental ==
+    batch-rebuild invariant stays pinned in tests/test_ivf_index.py."""
     import shutil
 
     from chunjun_spark.functions.incremental import (
-        ivf_index_topk,
+        ivf_index_topk_grid,
         sync_ivf_index,
     )
     from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL
@@ -927,9 +948,59 @@ def _q_ann_ivf_index_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     et = et.refresh()
     index = LakeTable.load(spark, f"{root}/idx")
     sync_ivf_index(et, index, since_version=fx["synced"])
-    return ivf_index_topk(index, fx["centroids"][0], k=10, nprobe=4).select(
-        "vec_id", F.round("sim", 6).alias("sim")
+    return ivf_index_topk_grid(
+        index, fx["centroids"][0], k=10, nprobe=4
+    ).select("vec_id", "score")
+
+
+def _ivf_index_oracle_sql() -> str:
+    """DuckDB twin of the incremental IVF index sync: recompute the
+    index from FINAL embedding state (synced index == batch rebuild).
+    Final live set after the entry's windows: vec_id % 7 != 0, with
+    % 9 == 0 vectors sign-flipped. Everything is exact math both engines
+    share: float→double cast, sign flip, power-of-two multiply, floor,
+    bigint dot products. Centroids and the nprobe cell list come from
+    the same pure-Python generators the Spark fixture uses
+    (ann.grid_centroids / incremental.grid_probe_lists)."""
+    from chunjun_spark.functions.ann import grid_centroids
+    from chunjun_spark.functions.incremental import grid_probe_lists
+
+    cents = grid_centroids(_IVF_N_LISTS, _IVF_DIM, scale=_IVF_GRID_SCALE)
+    query = cents[0]
+    probe = grid_probe_lists(cents, query, 4)
+    cell_rows = ",\n    ".join(
+        f"({i}, [{', '.join(str(c) for c in cent)}])"
+        for i, cent in enumerate(cents)
     )
+    qdot = " + ".join(
+        f"qe[{j + 1}] * ({q})" for j, q in enumerate(query) if q != 0
+    )
+    return f"""
+WITH fe AS (
+  SELECT vec_id,
+         [CAST(floor(CAST(embedding[i] AS DOUBLE)
+                     * (CASE WHEN vec_id % 9 = 0 THEN -1.0 ELSE 1.0 END)
+                     * {_IVF_GRID_SCALE}) AS BIGINT)
+          for i in generate_series(1, {_IVF_DIM})] AS qe
+  FROM embeddings WHERE vec_id % 7 <> 0
+), cells(cell, c) AS (
+  VALUES
+    {cell_rows}
+), assigned AS (
+  SELECT vec_id, qe, cell
+  FROM fe CROSS JOIN cells
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id
+    ORDER BY list_sum([qe[i] * c[i]
+                       for i in generate_series(1, {_IVF_DIM})]) DESC,
+             cell ASC) = 1
+)
+SELECT vec_id, CAST({qdot} AS BIGINT) AS score
+FROM assigned
+WHERE cell IN ({', '.join(str(p) for p in probe)})
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
 
 
 _LOOKUP_IDS = [3, 17, 42, 99, 148]
@@ -1887,6 +1958,63 @@ WITH t AS (
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
 WHERE a.doc_id < b.doc_id
+"""
+
+
+def _mh_index_oracle_sql() -> str:
+    """DuckDB twin of the incremental MinHash index sync: recompute the
+    band index from FINAL document state (a correctly synced index
+    equals the batch rebuild — the _POSTINGS_VIEW_SQL pattern) and probe
+    it with the window's live changes. Final live set after the entry's
+    two windows is doc_id % 7 != 0; the window's live changes (the probe
+    side) are the arriving doc_id % 5 == 0 rows. Band key = Horner fold
+    over the md5-affine lanes (incremental._BAND_K), engine-exact."""
+    from chunjun_spark.functions.dedup_docs import _MH_P, _mh_affine
+    from chunjun_spark.functions.incremental import _BAND_K
+
+    sent = 2**63 - 1
+    lanes = ",\n         ".join(
+        f"min(({a} * base + {b}) % {_MH_P}) AS m{i}"
+        for i, (a, b) in ((i, _mh_affine(i)) for i in range(64))
+    )
+    cols = ", ".join(f"coalesce(m{i}, {sent}) AS m{i}" for i in range(64))
+
+    def _horner(b: int) -> str:
+        acc = "0"
+        for r in range(4):
+            acc = f"(({acc}) * {_BAND_K} + m{4 * b + r} % {_MH_P}) % {_MH_P}"
+        return acc
+
+    bkeys = ",\n                 ".join(_horner(b) for b in range(16))
+    return rf"""
+WITH fd AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+), t AS (
+  SELECT doc_id, string_split({_NORM_SQL}, ' ') AS toks FROM fd
+), s AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        for i in generate_series(1, len(toks) - 2)]) AS sh
+  FROM t
+), bs AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS base
+  FROM (SELECT doc_id, unnest(sh) AS tok FROM s)
+), sig0 AS (
+  SELECT doc_id,
+         {lanes}
+  FROM bs GROUP BY doc_id
+), sig AS (
+  SELECT d.doc_id, {cols}
+  FROM (SELECT doc_id FROM fd) d LEFT JOIN sig0 USING (doc_id)
+), bands AS (
+  SELECT doc_id, unnest(generate_series(0, 15)) AS band,
+         unnest([{bkeys}]) AS bhash
+  FROM sig
+)
+SELECT DISTINCT least(p.doc_id, i.doc_id) AS id_a,
+                greatest(p.doc_id, i.doc_id) AS id_b
+FROM bands p JOIN bands i ON p.band = i.band AND p.bhash = i.bhash
+WHERE p.doc_id % 5 = 0 AND p.doc_id <> i.doc_id
 """
 
 
@@ -4881,5 +5009,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_scd2_asof": _SCD2_ASOF_SQL,
         "cdc_postings_view": _POSTINGS_VIEW_SQL,
         "cdc_txn_catalog": _TXN_CATALOG_SQL,
-        # minhash_lsh_dups / simhash_near_dups / ann_topk_lsh: rows-only
+        # index-sync oracles (r5): recompute-from-final-state twins —
+        # the synced index equals the batch rebuild, so the oracle
+        # rebuilds it from the entry's known final live set
+        "minhash_index_sync": _mh_index_oracle_sql(),
+        "ann_ivf_index_sync": _ivf_index_oracle_sql(),
     }

@@ -383,6 +383,94 @@ def assign_ivf_list(
     return best["idx"].cast("int")
 
 
+def grid_centroids(
+    n_lists: int, dim: int, seed: int = 11, scale: int = 1024
+) -> list[list[int]]:
+    """Deterministic INTEGER coarse-quantizer centroids on the scaled
+    lattice — the oracle-parity counterpart of ``train_ivf_centroids``.
+
+    Pure Python, no data dependence: a Weyl-style multiplicative hash per
+    (cell, component) mapped into [-scale, scale]. Both the Spark entry
+    fixture and a DuckDB oracle generator can call this and inline the
+    SAME constants, so IVF cell assignment becomes engine-recomputable
+    (the ``weighted_pagerank_micro`` exact-integer-grid technique applied
+    to the ANN plane). Quality of the partition is irrelevant for the
+    parity contract — assignment is still data-dependent (vectors move
+    cells on update), which is the semantics under test."""
+    out = []
+    for i in range(n_lists):
+        row = []
+        for j in range(dim):
+            h = (2654435761 * (i * dim + j + 1) + 97 + seed) % 2_147_483_647
+            row.append(h % (2 * scale + 1) - scale)
+        out.append(row)
+    return out
+
+
+def quantize_embedding(vec_col, scale: int = 1024) -> Column:
+    """bigint array ``floor(x * scale)`` per component. float→double is
+    exact, a power-of-two multiply is exact in double, floor is exact —
+    so Spark and DuckDB compute identical lattice points from the same
+    parquet floats (keep ``scale`` a power of two)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        v, lambda x: F.floor(x.cast("double") * F.lit(scale)).cast("long")
+    )
+
+
+def assign_ivf_list_grid(
+    centroids_int: list[list[int]], qvec_col: str
+) -> Column:
+    """``ivf_list`` assignment on the integer lattice: argmax of exact
+    bigint dot products against the integer centroid literals, ties to
+    the lowest list id. ``qvec_col`` must be the ALREADY-QUANTIZED bigint
+    array staged as its own column (HOF lambdas re-evaluate captured
+    expressions per element — never inline the quantization here).
+    |q| ≤ scale·max|x|, |c| ≤ scale ⇒ 64-term dots stay far below 2^63:
+    overflow-free, engine-exact."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(qvec_col),
+                        F.array(*[F.lit(int(c)).cast("long") for c in cent]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).alias("score"),
+                F.lit(i).alias("idx"),
+            )
+            for i, cent in enumerate(centroids_int)
+        ]
+    )
+    best = F.aggregate(
+        pairs,
+        F.struct(
+            F.lit(-(2**62)).cast("long").alias("score"),
+            F.lit(0).alias("idx"),
+        ),
+        lambda acc, x: F.when(x["score"] > acc["score"], x).otherwise(acc),
+    )
+    return best["idx"].cast("int")
+
+
+def grid_dot(qvec_col, query_int: list[int]) -> Column:
+    """Exact bigint dot of a quantized vector column with an integer
+    query — the grid-mode scoring expression."""
+    v = F.col(qvec_col) if isinstance(qvec_col, str) else qvec_col
+    return F.aggregate(
+        F.zip_with(
+            v,
+            F.array(*[F.lit(int(c)).cast("long") for c in query_int]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def write_ivf_embeddings(
     df: DataFrame,
     path: str,

@@ -29,8 +29,16 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from chunjun_spark.functions.dedup_docs import minhash_signatures
+from chunjun_spark.functions.dedup_docs import _MH_P, minhash_signatures
 from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL, LakeTable
+
+# Horner band-hash multiplier for the md5_affine oracle-parity mode:
+# bhash = fold over the band's lanes of acc = (acc*K + lane % P) % P with
+# P = _MH_P (< 2^31). acc*K < 2^51 and the sum < 2^63, so the arithmetic
+# is overflow-free non-negative bigint math that Spark and DuckDB
+# evaluate bit-identically — a band hash a DuckDB oracle can recompute
+# (xxhash64 band keys stay the library default).
+_BAND_K = 1_000_003
 
 INDEX_SCHEMA = T.StructType(
     [
@@ -51,12 +59,31 @@ def band_rows(
     k: int = 64,
     seed: int = 7,
     bands: int = 16,
+    fingerprint: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, band, bhash): the LSH banding of each document's MinHash
-    signature — the row shape stored in the index table."""
+    signature — the row shape stored in the index table.
+
+    ``fingerprint="md5_affine"`` switches BOTH the signature family and
+    the band key to the oracle-parity forms (md5-affine lanes + Horner
+    band hash, see ``_BAND_K``) so a DuckDB oracle can recompute the
+    index from final document state."""
     rows_per_band = k // bands
     sigs = minhash_signatures(docs, text_col=text_col, id_col=id_col,
-                              n=n, k=k, seed=seed)
+                              n=n, k=k, seed=seed, fingerprint=fingerprint)
+
+    def _bhash(b: int):
+        lanes = [
+            F.col("signature")[b * rows_per_band + r]
+            for r in range(rows_per_band)
+        ]
+        if fingerprint == "md5_affine":
+            acc = F.lit(0).cast("long")
+            for m in lanes:
+                acc = (acc * F.lit(_BAND_K) + m % F.lit(_MH_P)) % F.lit(_MH_P)
+            return acc
+        return F.xxhash64(*lanes)
+
     return sigs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -64,12 +91,7 @@ def band_rows(
                 *[
                     F.struct(
                         F.lit(b).cast("int").alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("signature")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bhash"),
+                        _bhash(b).alias("bhash"),
                     )
                     for b in range(bands)
                 ]
@@ -265,11 +287,17 @@ def create_ivf_index(
     root: str,
     centroids: list[list[float]],
     n_buckets: int | None = None,
+    grid_scale: int | None = None,
 ) -> LakeTable:
     """Create the IVF index table and persist its model (the trained
     centroids) beside it as ``_ivf_model.json`` — an underscore path:
     invisible to data reads, outside the vacuumed ``data/`` tree. One
-    bucket per cell by default, so cell-equality pruning is file-exact."""
+    bucket per cell by default, so cell-equality pruning is file-exact.
+
+    ``grid_scale`` switches the index to the oracle-parity INTEGER
+    lattice: ``centroids`` are integer rows (``ann.grid_centroids``) and
+    all assignment/scoring runs as exact bigint math both engines
+    evaluate identically (``ann.assign_ivf_list_grid``)."""
     import json as _json
     import os as _os
 
@@ -278,17 +306,24 @@ def create_ivf_index(
         spark, root, IVF_INDEX_SCHEMA, pk=["ivf_list", "vec_id"],
         n_buckets=n_buckets or n_lists,
     )
+    model: dict = {"centroids": centroids}
+    if grid_scale is not None:
+        model["grid_scale"] = int(grid_scale)
     with open(_os.path.join(root, "_ivf_model.json"), "w") as f:
-        _json.dump({"centroids": centroids}, f)
+        _json.dump(model, f)
     return t
 
 
-def load_ivf_centroids(root: str) -> list[list[float]]:
+def load_ivf_model(root: str) -> dict:
     import json as _json
     import os as _os
 
     with open(_os.path.join(root, "_ivf_model.json")) as f:
-        return _json.load(f)["centroids"]
+        return _json.load(f)
+
+
+def load_ivf_centroids(root: str) -> list[list[float]]:
+    return load_ivf_model(root)["centroids"]
 
 
 def sync_ivf_index(
@@ -305,9 +340,15 @@ def sync_ivf_index(
     (batch_id) and stale-guarded (vseq = end version), exactly like
     ``sync_minhash_index``; ``since_version=None`` resumes from the
     index's own lineage, ``id_col``/``vec_col`` accept SQL expressions."""
-    from chunjun_spark.functions.ann import assign_ivf_list
+    from chunjun_spark.functions.ann import (
+        assign_ivf_list,
+        assign_ivf_list_grid,
+        quantize_embedding,
+    )
 
-    centroids = load_ivf_centroids(index.root)
+    model = load_ivf_model(index.root)
+    centroids = model["centroids"]
+    grid_scale = model.get("grid_scale")
     if since_version is None:
         since_version = index_synced_version(index) or 0
     end = emb_table.manifest["version"]
@@ -316,14 +357,23 @@ def sync_ivf_index(
     changes = emb_table.read_changes(since_version, end).localCheckpoint(
         eager=True
     )
-    new = (
-        changes.filter(F.col("_change_type") != "delete")
-        .select(
-            F.expr(id_col).alias("vec_id"),
-            F.expr(vec_col).cast("array<float>").alias("embedding"),
-        )
-        .withColumn("ivf_list", assign_ivf_list(centroids, "embedding"))
+    live = changes.filter(F.col("_change_type") != "delete").select(
+        F.expr(id_col).alias("vec_id"),
+        F.expr(vec_col).cast("array<float>").alias("embedding"),
     )
+    if grid_scale is not None:
+        # stage the quantized array as its own column before the argmax
+        # HOF (captured expressions re-evaluate per element; attribute
+        # references don't)
+        new = (
+            live.withColumn("_q", quantize_embedding("embedding", grid_scale))
+            .withColumn("ivf_list", assign_ivf_list_grid(centroids, "_q"))
+            .drop("_q")
+        )
+    else:
+        new = live.withColumn(
+            "ivf_list", assign_ivf_list(centroids, "embedding")
+        )
     changed_ids = changes.select(F.expr(id_col).alias("vec_id")).distinct()
     # narrow old-assignment read: only (vec_id, ivf_list) columns leave
     # the parquet scan; the embedding payload is never materialized
@@ -388,3 +438,42 @@ def ivf_index_topk(
     cand = index.refresh().scan(eq={"ivf_list": lists})
     return brute_force_topk(cand, query_vec, k=k, vec_col="embedding",
                             id_col="vec_id")
+
+
+def grid_probe_lists(
+    centroids_int: list[list[int]], query_int: list[int], nprobe: int
+) -> list[int]:
+    """nprobe cell ids by exact integer dot against the query — pure
+    Python (n_lists-sized), so a DuckDB oracle generator computes the
+    identical list without Spark. Ties resolve to the lowest cell id."""
+    scored = sorted(
+        (
+            (-sum(c * q for c, q in zip(cent, query_int)), i)
+            for i, cent in enumerate(centroids_int)
+        ),
+    )
+    return [i for _, i in scored[: max(1, nprobe)]]
+
+
+def ivf_index_topk_grid(
+    index: LakeTable,
+    query_int: list[int],
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Grid-mode top-k over a grid IVF index: rank cells by exact integer
+    dot (driver math), scan only the nprobe cells' buckets (same
+    equality pruning as ``ivf_index_topk``), score rows with the exact
+    bigint dot of the quantized embedding vs the integer query, order by
+    (score DESC, vec_id). Every number is engine-exact, so a DuckDB
+    oracle recomputes the identical result set."""
+    from chunjun_spark.functions.ann import grid_dot, quantize_embedding
+
+    model = load_ivf_model(index.root)
+    scale = model["grid_scale"]
+    lists = grid_probe_lists(model["centroids"], query_int, nprobe)
+    cand = index.refresh().scan(eq={"ivf_list": lists})
+    scored = cand.withColumn(
+        "_q", quantize_embedding("embedding", scale)
+    ).select("vec_id", grid_dot("_q", query_int).alias("score"))
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id")).limit(k)
