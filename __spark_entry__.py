@@ -394,14 +394,23 @@ def _q_cdc_redo_sql_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the codegen regex decoder (sources/redo_sql.py — flinkx-
     oraclelogminer LogParser.java parity) and replayed into a lake.
     Final state must equal the structured nested feed's — the oracle is
-    the same keep-last fold the replay-lake entries use."""
+    the same keep-last fold the replay-lake entries use.
+
+    The wire is MATERIALIZED between encode and decode (localCheckpoint
+    — the plan cut, never .cache() on wide payloads): a real statement
+    wire arrives from storage, and without the cut each of replay's
+    three source passes (admission narrow pass, keep_last winner side,
+    the wide write) re-evaluated the full encode+decode expression
+    chain — measured 16.3 → ~7 s at sf0.1 (r5)."""
     from chunjun_spark.sources.redo_sql import decode_redo_sql, encode_redo_sql
 
     ev = _t(spark, sf_dir, "events")
     ch = events_changelog(ev)
     payload = ch.schema["after"].dataType
-    wire = encode_redo_sql(ch, pk=["user_id"])
-    decoded = decode_redo_sql(wire, payload)
+    wire = encode_redo_sql(ch, pk=["user_id"]).localCheckpoint(eager=True)
+    # decode ONCE: replay's three passes (admission, winner side, wide
+    # write) would otherwise each re-run the full statement parse
+    decoded = decode_redo_sql(wire, payload).localCheckpoint(eager=True)
     root = tempfile.mkdtemp(prefix="cj_entry_redo_")
     table = LakeTable.create(
         spark, root, T.StructType(payload.fields), pk=["user_id"], n_buckets=8
@@ -3574,25 +3583,28 @@ def _q_doc_tfidf_near_dups_bucketed(
 ) -> DataFrame:
     """The benched SCALE path of the tf-idf dedup family (VERDICT r3
     #6): hashed tf-idf → RP-LSH buckets → per-bucket gemm — candidate
-    volume bucket-bounded, never quadratic within a cell. Rows-only
+    volume bucket-bounded, never quadratic within a cell. Plane count
+    scales with corpus size (ann.rp_planes_for, r5 — constant expected
+    occupancy so per-bucket gemm work stays flat at 10×). Rows-only
     (xxhash64 features); recall vs the exact twin pinned in
     tests/test_vectorize.py."""
     from chunjun_spark.functions.vectorize import text_near_dups_bucketed
 
     docs = _t(spark, sf_dir, "documents")
     pairs = text_near_dups_bucketed(
-        docs, threshold=0.9, dim=128, n_planes=6, multiprobe=1
+        docs, threshold=0.9, dim=128, multiprobe=1
     )
     return pairs.select("id_a", "id_b", F.round("sim", 4).alias("sim"))
 
 
 def _q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: the 100 TB approximate path (RP-LSH buckets + per-bucket
-    # gemm); precision/recall cross-checked in tests/test_curation.py
+    # gemm, plane count scaled to corpus size — ann.rp_planes_for, r5);
+    # precision/recall cross-checked in tests/test_curation.py
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").head()[0])
     pairs = ANN.pairwise_above_bucketed(
-        emb, threshold=0.30, dim=dim, n_planes=6, multiprobe=1
+        emb, threshold=0.30, dim=dim, n_planes=None, multiprobe=1
     )
     return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
 

@@ -203,6 +203,40 @@ def _parse_type(ddl: str) -> T.DataType:
     return T.StructType.fromDDL(f"x {ddl}")[0].dataType
 
 
+# derived-partition exprs whose [lo, hi] over the source bounds provably
+# covers every intermediate value — the Iceberg transform-whitelist idea
+# (day/hour/bucket/truncate) applied to free-form SQL: identity,
+# date_trunc (any unit), to_date, year, cast-to-date, floor-division,
+# and date_format ONLY with a lexicographically ordered
+# most-significant-first pattern (yyyy[-MM[-dd[-HH[-mm[-ss]]]]]). A
+# non-monotonic expr mis-declared with a source (hour(ts),
+# date_format(ts, 'dd-MM')) would yield an under-covering range and
+# silently DROP matching rows — pruning skips it instead (review r5);
+# the residual predicate keeps such scans exact.
+_ORDERED_FMT = (
+    r"yyyy(?:[^a-zA-Z']*MM(?:[^a-zA-Z']*dd"
+    r"(?:[^a-zA-Z']*HH(?:[^a-zA-Z']*mm(?:[^a-zA-Z']*ss)?)?)?)?)?"
+)
+
+
+def _monotonic_partition_expr(expr: str, source: str) -> bool:
+    import re as _re
+
+    e = " ".join(expr.strip().split())
+    s = _re.escape(source)
+    pats = [
+        rf"^{s}$",
+        rf"^date_trunc\( ?'[a-zA-Z]+' ?, ?{s} ?\)$",
+        rf"^to_date\( ?{s} ?\)$",
+        rf"^year\( ?{s} ?\)$",
+        rf"^cast\( ?{s} as date ?\)$",
+        rf"^floor\( ?{s} ?/ ?\d+(?:\.\d+)? ?\)$",
+        rf"^{s} div \d+$",
+        rf"^date_format\( ?{s} ?, ?'{_ORDERED_FMT}' ?\)$",
+    ]
+    return any(_re.match(p, e, _re.IGNORECASE) for p in pats)
+
+
 def _parse_partition_specs(partition_exprs, field_names) -> list[dict]:
     """Normalize/validate hidden-partition specs ((name, expr[, source])
     tuples or dicts) against a schema — shared by create() and the
@@ -917,6 +951,12 @@ class LakeTable:
                 _re.findall(r"[A-Za-z_][A-Za-z0-9_]*", p["expr"])
             ) & set(types)
             if refs - {s}:
+                continue
+            # endpoint evaluation only covers intermediates for provably
+            # monotonic transforms — anything else (hour(ts),
+            # date_format 'dd-MM') would under-cover and silently drop
+            # matching rows; skip pruning, the residual keeps it exact
+            if not _monotonic_partition_expr(p["expr"], s):
                 continue
             src_t = _parse_type(types[s])
             probe = self.spark.range(1).select(

@@ -41,6 +41,10 @@ from pyspark.sql import Column, DataFrame
 _VAL = r"(?:NULL|'(?:[^']|'')*')"
 # one assignment inside set/where: "col" = <val>  |  "col" IS NULL
 _PAIR = r'"[^"]+" (?:= ' + _VAL + r"|IS NULL)"
+# the wire form of a genuine in-band source-failure event — distinct
+# from statements that merely fail to parse (op='DECODE_ERROR'), which
+# the dirty/DLQ plane may absorb under the configured error limits
+_ERR_SENTINEL = "-- in-band error event"
 
 
 def _quote(col: Column) -> Column:
@@ -55,14 +59,25 @@ def _quote(col: Column) -> Column:
     )
 
 
-def encode_redo_sql(ch: DataFrame, pk: list[str] | None = None) -> DataFrame:
+def encode_redo_sql(ch: DataFrame, pk: list[str]) -> DataFrame:
     """Canonical nested changelog → redo-SQL wire rows.
 
     Keeps the transport envelope (op_ts, seq, partition_id, offset,
     schema_name, table_name) beside ``sql_redo`` — exactly what a
     LogMiner query returns (SCN/TIMESTAMP/SEG_OWNER/TABLE_NAME columns
     next to SQL_REDO); the op is NOT carried separately, the decoder
-    parses it from the statement verb like LogParser does."""
+    parses it from the statement verb like LogParser does.
+
+    ``pk`` is REQUIRED: it keys UPDATE's where-clause (LogMiner's
+    before image). Defaulting to an arbitrary payload column would put
+    a silently wrong before-image on the wire (review r5). ERROR events
+    ship with a NULLed table envelope — the failure is source-global,
+    and a pre-decode table subscription must never drop it."""
+    if not pk:
+        raise ValueError(
+            "encode_redo_sql requires the table pk (keys the UPDATE "
+            "where-clause / LogMiner before image)"
+        )
     after_t = ch.schema["after"].dataType
     fields = [f.name for f in after_t.fields]
     tbl = F.concat(
@@ -97,8 +112,7 @@ def encode_redo_sql(ch: DataFrame, pk: list[str] | None = None) -> DataFrame:
         F.lit("update "), tbl, F.lit(" set "),
         _assigns("after", ", ", False, fields),
         F.lit(" where "),
-        _assigns("after", " and ", False,
-                 list(pk) if pk else [fields[0]]),
+        _assigns("after", " and ", False, list(pk)),
     )
     delete_sql = F.concat(
         F.lit("delete from "), tbl, F.lit(" where "),
@@ -136,9 +150,9 @@ def encode_redo_sql(ch: DataFrame, pk: list[str] | None = None) -> DataFrame:
         .when(F.col("op") == "DELETE", delete_sql)
         # in-band ERROR events must SURVIVE the wire (a dropped failure
         # signal lets the sink apply the rest as if the source were
-        # healthy): encode as comment text that parses as no statement
-        # form, which the decoder maps back to op='ERROR'
-        .when(F.col("op") == "ERROR", F.lit("-- in-band error event"))
+        # healthy): encode as the error-comment sentinel, which the
+        # decoder maps back to op='ERROR'
+        .when(F.col("op") == "ERROR", F.lit(_ERR_SENTINEL))
     )
     ops = ["INSERT", "UPDATE", "DELETE", "ERROR"]
     if has_ddl:
@@ -147,8 +161,18 @@ def encode_redo_sql(ch: DataFrame, pk: list[str] | None = None) -> DataFrame:
     keep = [c for c in ("schema_name", "table_name", "op_ts", "seq",
                         "snowflake_ts", "partition_id", "offset")
             if c in ch.columns]
-    return ch.filter(F.col("op").isin(ops)).select(
-        *keep, sql.alias("sql_redo"))
+    out = ch.filter(F.col("op").isin(ops)).select(
+        *keep, F.col("op").alias("_op"), sql.alias("sql_redo"))
+    # the failure event is source-global: null its table envelope so a
+    # pre-decode table subscription (whose poison marker on this wire is
+    # table_name IS NULL) always passes it through (review r5)
+    for c in ("schema_name", "table_name"):
+        if c in keep:
+            out = out.withColumn(
+                c, F.when(F.col("_op") == "ERROR",
+                          F.lit(None).cast("string")).otherwise(F.col(c))
+            )
+    return out.drop("_op")
 
 
 def _unescape(lit: Column) -> Column:
@@ -193,11 +217,24 @@ def decode_redo_header(df: DataFrame) -> DataFrame:
     OWN DDL before the payload decodes against the post-DDL schema
     (the same contract the JSON wire keeps).
 
+    Classification is ONE pass per row: the cheap leading-verb prefix
+    picks the single candidate statement shape, then exactly one
+    anchored full-shape probe confirms it (the pre-r5 chain ran up to
+    three full-text rlikes per row — LogParser.java classifies on the
+    prefix once). A truncated statement whose verb still matches is
+    still rejected by its full-shape probe, so the NULL-image trap
+    stays closed.
+
     Anything that parses as no statement form — truncated/garbled text,
-    NULL, an ALTER the DDL grammar doesn't know — decodes to the
-    in-band ERROR op: admission treats it as poison / routes it to the
-    dirty plane instead of silently dropping or half-applying a row the
-    source DID deliver (LogParser's unparsable-SQL failure surface)."""
+    NULL, an ALTER the DDL grammar doesn't know — decodes to
+    ``op='DECODE_ERROR'``: admission treats it as poison UNLESS a
+    dirty/DLQ plane is configured, in which case it is captured as a
+    conversionErrors row under the error limits and the stream makes
+    progress (one garbled statement from a real feed must not be an
+    unskippable poison pill — review r5). The error-comment sentinel
+    decodes to ``op='ERROR'``: a GENUINE in-band source failure, always
+    poison (LogParser's unparsable-SQL failure surface stays separate
+    from the source's own failure signal)."""
     sql = F.col("sql_redo")
     is_alter = sql.startswith("alter table ")
 
@@ -227,16 +264,36 @@ def decode_redo_header(df: DataFrame) -> DataFrame:
             F.lit('{"action": "drop_column", "name": "'),
             _jxt(drop_re, 1), F.lit('"}')))
     ))
+    # verb-gated: each row pays its cheap prefix checks plus exactly ONE
+    # anchored full-shape rlike; every branch has an explicit
+    # DECODE_ERROR fallback (the when-chain/otherwise rule)
+    dec_err = F.lit("DECODE_ERROR")
     op = (
-        F.when(is_alter & ddl_json.isNotNull(), F.lit("DDL"))
-        .when(sql.rlike(_INS_RE), F.lit("INSERT"))
-        .when(sql.rlike(_UPD_RE), F.lit("UPDATE"))
-        .when(sql.rlike(_DEL_RE), F.lit("DELETE"))
-        .otherwise(F.lit("ERROR"))
+        F.when(sql.startswith("insert into "),
+               F.when(sql.rlike(_INS_RE), F.lit("INSERT")).otherwise(dec_err))
+        .when(sql.startswith("update "),
+              F.when(sql.rlike(_UPD_RE), F.lit("UPDATE")).otherwise(dec_err))
+        .when(sql.startswith("delete from "),
+              F.when(sql.rlike(_DEL_RE), F.lit("DELETE")).otherwise(dec_err))
+        .when(is_alter,
+              F.when(ddl_json.isNotNull(), F.lit("DDL")).otherwise(dec_err))
+        .when(sql == _ERR_SENTINEL, F.lit("ERROR"))
+        .otherwise(dec_err)
     )
     keep = [c for c in df.columns if c != "sql_redo"]
-    return df.select(op.alias("op"), *keep, ddl_json.alias("ddl"),
-                     F.col("sql_redo"))
+    out = df.select(op.alias("op"), *keep, ddl_json.alias("ddl"),
+                    F.col("sql_redo"))
+    # decode errors carry the offending statement text in the control
+    # detail column: the DLQ capture (and the no-dirty-plane poison
+    # message) keeps the raw evidence even after the payload decode
+    # drops sql_redo. Referencing the op ATTRIBUTE of the projection
+    # (not the op expression) keeps classification single-pass —
+    # CollapseProject leaves non-cheap multi-ref aliases alone.
+    return out.withColumn(
+        "ddl",
+        F.when(F.col("op") == "DECODE_ERROR", F.col("sql_redo"))
+        .otherwise(F.col("ddl")),
+    )
 
 
 def decode_redo_payload(df: DataFrame, payload: T.StructType) -> DataFrame:

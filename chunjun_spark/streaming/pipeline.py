@@ -28,6 +28,7 @@ from __future__ import annotations
 import os
 
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
@@ -310,12 +311,19 @@ def start_replay_stream(
     def _capture_dirty(batch_df: DataFrame, pk: list[str],
                        n_dirty: int) -> None:
         from chunjun_spark.operators.dirty import (
+            ERR_CONVERSION,
             ERR_NULL,
             check_error_limit,
         )
 
+        # decode failures are the FORMAT_TRANSFORM class, not NULL-key
+        cls = (
+            F.when(F.col("op") == "DECODE_ERROR", F.lit(ERR_CONVERSION))
+            .otherwise(F.lit(ERR_NULL))
+            if "op" in batch_df.columns else F.lit(ERR_NULL)
+        )
         rows = batch_df.filter(_null_pk_pred(pk)).select(
-            F.lit(ERR_NULL).alias("error_class"),
+            cls.alias("error_class"),
             F.to_json(F.struct(*[F.col(c) for c in batch_df.columns]))
             .alias("content"),
             F.current_timestamp().alias("captured_at"),
@@ -455,8 +463,15 @@ def start_replay_stream(
         # decode, costing one extra narrow pass only when dirty is
         # configured on such a wire.
         fused_dirty = bool(dirty) and wire_format == "nested"
+        # with a dirty plane configured, undecodable redo statements are
+        # NOT poison: they pass admission as data rows (NULL images),
+        # get captured to the DLQ as conversionErrors by the post-decode
+        # dirty pass below, and count against the error limits (ADVICE
+        # r5: one garbled statement must not wedge the stream forever)
+        allow_dec = bool(dirty) and wire_format == "redo_sql"
         batch_df, ddl_rows, offsets, n_dirty = admit_batch_with_offsets(
-            batch_df, dirty_pk=table.pk if fused_dirty else None
+            batch_df, dirty_pk=table.pk if fused_dirty else None,
+            poison_ops=("ERROR",) if allow_dec else POISON_OPS,
         )
         if dirty:
             # the error RATIO is over the query's lifetime reads, so the
@@ -1031,13 +1046,29 @@ class InBandFailure(RuntimeError):
     51-61, BinlogEventSink.java:162-166)."""
 
 
-def raise_on_poison(batch_df: DataFrame) -> None:
+# ops that fail the stream at admission. DECODE_ERROR (a wire row the
+# decoder could not parse — redo_sql wire) is poison BY DEFAULT, but a
+# caller with a dirty/DLQ plane configured passes ("ERROR",) so those
+# rows route to the DLQ under the error limits instead of wedging the
+# stream on an unskippable restart loop (review r5); op='ERROR' — the
+# source's own in-band failure signal — is always poison.
+POISON_OPS = ("ERROR", "DECODE_ERROR")
+
+
+def raise_on_poison(
+    batch_df: DataFrame, poison_ops: tuple = POISON_OPS
+) -> None:
     if "op" not in batch_df.columns:
         return
-    poison = batch_df.filter(F.col("op") == "ERROR").limit(1).collect()
+    poison = (
+        batch_df.filter(F.col("op").isin(list(poison_ops)))
+        .limit(1).collect()
+    )
     if poison:
         r = poison[0]
         msg = r["ddl"] if "ddl" in batch_df.columns and r["ddl"] else "source error"
+        if r["op"] == "DECODE_ERROR":
+            msg = "undecodable wire statement (no dirty plane configured)"
         raise InBandFailure(f"in-band source failure event: {msg}")
 
 
@@ -1058,6 +1089,7 @@ def _null_pk_pred(pk: list[str]):
 def admit_batch_with_offsets(
     batch_df: DataFrame,
     dirty_pk: list[str] | None = None,
+    poison_ops: tuple = POISON_OPS,
 ) -> tuple[DataFrame, list[dict], dict, int]:
     """Fused micro-batch admission + FormatState offsets: ONE narrow
     aggregation job yields the per-partition (max offset, count), the
@@ -1084,7 +1116,7 @@ def admit_batch_with_offsets(
     if "op" not in cols or not {"partition_id", "offset"} <= cols:
         from chunjun_spark.operators.merge import partition_offsets
 
-        df, ddl_rows = admit_batch(batch_df)
+        df, ddl_rows = admit_batch(batch_df, poison_ops=poison_ops)
         n_dirty = (
             df.filter(_null_pk_pred(dirty_pk)).count() if dirty_pk else 0
         )
@@ -1096,6 +1128,9 @@ def admit_batch_with_offsets(
         F.max("offset").alias("max_offset"),
         F.count(F.lit(1)).alias("n"),
         F.count(F.when(is_ctrl, 1)).alias("n_ctrl"),
+        # existence ONLY for decode errors: they can be arbitrarily many
+        # (a whole garbled segment), so never collect them to the driver
+        F.count(F.when(F.col("op") == "DECODE_ERROR", 1)).alias("n_dec"),
         F.collect_list(
             F.when(is_ctrl, F.struct(*[F.col(c) for c in narrow]))
         ).alias("ctrl"),
@@ -1121,12 +1156,20 @@ def admit_batch_with_offsets(
             raise InBandFailure(
                 f"in-band source failure event: {c['ddl'] or 'source error'}"
             )
+    if "DECODE_ERROR" in poison_ops and any(r["n_dec"] for r in rows):
+        raise InBandFailure(
+            "in-band source failure event: "
+            f"{sum(r['n_dec'] for r in rows)} undecodable wire statement"
+            " row(s) (no dirty plane configured)"
+        )
     ddl_rows = [c for c in ctrl if c["op"] == "DDL"]
     data = batch_df.filter(F.col("op") != "DDL") if ddl_rows else batch_df
     return data, ddl_rows, offsets, n_dirty
 
 
-def admit_batch(batch_df: DataFrame) -> tuple[DataFrame, list[dict]]:
+def admit_batch(
+    batch_df: DataFrame, poison_ops: tuple = POISON_OPS
+) -> tuple[DataFrame, list[dict]]:
     """Single-pass micro-batch admission: poison detection + DDL
     extraction in ONE narrow job.
 
@@ -1149,21 +1192,24 @@ def admit_batch(batch_df: DataFrame) -> tuple[DataFrame, list[dict]]:
         return batch_df, []
     has_ddl = "ddl" in batch_df.columns
     if not has_ddl:
-        # ERROR is the only control op to look for
-        raise_on_poison(batch_df)
+        # poison is the only control class to look for
+        raise_on_poison(batch_df, poison_ops=poison_ops)
         return batch_df, []
     narrow = [c for c in ("op", "table_name", "op_ts", "seq", "ddl")
               if c in batch_df.columns]
+    ctrl_ops = sorted({"DDL", *poison_ops})
     ctrl = (
-        batch_df.filter(F.col("op").isin("ERROR", "DDL"))
+        batch_df.filter(F.col("op").isin(ctrl_ops))
         .select(*narrow)
         .collect()
     )
     for r in ctrl:
-        if r["op"] == "ERROR":
-            raise InBandFailure(
-                f"in-band source failure event: {r['ddl'] or 'source error'}"
+        if r["op"] in poison_ops:
+            msg = r["ddl"] or (
+                "undecodable wire statement (no dirty plane configured)"
+                if r["op"] == "DECODE_ERROR" else "source error"
             )
+            raise InBandFailure(f"in-band source failure event: {msg}")
     ddl_rows = [r.asDict() for r in ctrl if r["op"] == "DDL"]
     return batch_df.filter(F.col("op") != "DDL"), ddl_rows
 
@@ -1192,8 +1238,10 @@ def admit_multi_batch(
     is_data = ~F.col("op").isin("DDL", "ERROR")
     group = ["table_name", "partition_id"] if has_off else ["table_name"]
     aggs = [
+        # DECODE_ERROR is always poison on the multi-table path (no
+        # per-table DLQ integration there — fail loud, review r5)
         F.max(
-            F.when(F.col("op") == "ERROR",
+            F.when(F.col("op").isin("ERROR", "DECODE_ERROR"),
                    F.coalesce(F.col("ddl"), F.lit("source error")))
         ).alias("poison"),
         # has_data gates MERGE + offset recording; tables seeing only
@@ -1339,11 +1387,31 @@ def run_stream_to_completion(
 ) -> None:
     if wire_format != "nested":
         # a non-nested wire (json envelope / redo_sql statement text)
-        # carries its own schema — take it from the segments on disk
-        # rather than EVENT_SCHEMA
+        # carries its own schema — take it from the segments on disk.
+        # If the writer hasn't produced a segment yet (launch race), the
+        # probe throws UNABLE_TO_INFER_SCHEMA: fall back to the wire's
+        # canonical fixed schema, exactly like the nested path starts on
+        # an empty dir with EVENT_SCHEMA (review r5)
+        from pyspark.errors import AnalysisException
+
+        try:
+            wire_schema = spark.read.parquet(binlog_dir).schema
+        except AnalysisException:
+            if wire_format == "json":
+                wire_schema = T.StructType([
+                    T.StructField(f.name, T.StringType())
+                    if f.name in ("before", "after") else f
+                    for f in EVENT_SCHEMA.fields
+                ])
+            else:  # redo_sql: envelope + statement text
+                wire_schema = T.StructType(
+                    [f for f in EVENT_SCHEMA.fields
+                     if f.name not in ("op", "before", "after", "ddl")]
+                    + [T.StructField("sql_redo", T.StringType())]
+                )
         events = (
             spark.readStream
-            .schema(spark.read.parquet(binlog_dir).schema)
+            .schema(wire_schema)
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(binlog_dir)
         )

@@ -275,8 +275,9 @@ def test_ddl_rides_as_alter_table_statements(spark, tmp_path):
 
 def test_corrupt_statement_decodes_to_error_poison(spark):
     """A redo row that parses as no statement form must surface as the
-    in-band ERROR op (poison / dirty plane), never silently vanish —
-    the source DID deliver it."""
+    DECODE_ERROR op (poison without a dirty plane, DLQ-routed with one),
+    never silently vanish — the source DID deliver it. The raw statement
+    text rides the control-detail column as evidence."""
     from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA
 
     df = spark.createDataFrame(
@@ -285,8 +286,11 @@ def test_corrupt_statement_decodes_to_error_poison(spark):
         "sql_redo string",
     )
     dec = decode_redo_sql(df, PAYLOAD_SCHEMA)
-    ops = sorted(r["op"] for r in dec.collect())
-    assert ops == ["ERROR", "ERROR", "ERROR", "INSERT"]
+    rows = dec.collect()
+    ops = sorted(r["op"] for r in rows)
+    assert ops == ["DECODE_ERROR", "DECODE_ERROR", "DECODE_ERROR", "INSERT"]
+    assert {r["ddl"] for r in rows if r["op"] == "DECODE_ERROR"} == {
+        "truncated garb", "", None}
 
 
 def test_review_r4_decode_hardening(spark, tmp_path):
@@ -322,17 +326,30 @@ def test_review_r4_decode_hardening(spark, tmp_path):
         "sql_redo string",
     )
     rows = decode_redo_sql(bad, PAYLOAD_SCHEMA).collect()
-    assert [r["op"] for r in rows] == ["ERROR"] * 4
-    assert all(r["ddl"] is None for r in rows)
+    assert [r["op"] for r in rows] == ["DECODE_ERROR"] * 4
+    # the offending statement text is preserved as the control detail
+    assert all(r["ddl"] is not None for r in rows)
 
     # in-band ERROR events survive the wire and decode back to ERROR
+    # (NOT decode-error: a genuine source failure is always poison),
+    # and ship with a NULLed table envelope so a pre-decode table
+    # subscription can never drop them (review r5)
     err = spark.createDataFrame(
         [{**ddl_event(2, ts, "add_column", name="x", type="int"),
-          "op": "ERROR", "ddl": None}], EVENT_SCHEMA)
+          "op": "ERROR", "ddl": None,
+          "schema_name": "lake", "table_name": "repo_files"}], EVENT_SCHEMA)
     ewire = encode_redo_sql(err, pk=["repo", "path"])
     assert ewire.count() == 1
+    [wrow] = ewire.collect()
+    assert wrow["table_name"] is None and wrow["schema_name"] is None
     [erow] = decode_redo_header(ewire).collect()
     assert erow["op"] == "ERROR"
+
+    # the pk argument is required (review r5: an arbitrary first payload
+    # column as the UPDATE key is a silently wrong before-image)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="pk"):
+        encode_redo_sql(err, pk=[])
 
 
 def test_same_batch_ddl_and_data_through_redo_stream(spark, tmp_path):
@@ -388,3 +405,28 @@ def test_same_batch_ddl_and_data_through_redo_stream(spark, tmp_path):
     got = t.read().filter(F.col("repo") == "rX")
     assert got.count() == 5
     assert got.filter(F.col("stars") == 7).count() == 5  # values KEPT
+
+
+def test_stream_launch_on_empty_wire_dir(spark, tmp_path):
+    """Review r5 (ADVICE): run_stream_to_completion on a non-nested wire
+    used to probe the segment dir for a schema at startup and threw
+    UNABLE_TO_INFER_SCHEMA when the writer hadn't produced a file yet;
+    it now falls back to the wire's canonical fixed schema and drains
+    cleanly (zero batches), like the nested path always did."""
+    import os
+
+    from chunjun_spark.plans.lake import LakeTable
+    from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA
+    from chunjun_spark.streaming.pipeline import run_stream_to_completion
+
+    for wire in ("redo_sql", "json"):
+        src = str(tmp_path / f"empty_wire_{wire}")
+        os.makedirs(src, exist_ok=True)
+        root = str(tmp_path / f"lake_{wire}")
+        LakeTable.create(spark, root, PAYLOAD_SCHEMA,
+                         pk=["repo", "path"], n_buckets=2)
+        run_stream_to_completion(
+            spark, src, root, str(tmp_path / f"ck_{wire}"),
+            job_id=f"empty-{wire}", wire_format=wire, timeout_sec=120,
+        )
+        assert LakeTable.load(spark, root).read().count() == 0

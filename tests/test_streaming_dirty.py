@@ -178,3 +178,80 @@ def test_dirty_plane_on_json_and_redo_wires(spark, tmp_root):
     assert live.filter(F.col("path").isNull()).count() == 0
     captured = spark.read.parquet(dirty_dir)
     assert captured.count() >= n_bad
+
+
+def test_redo_decode_errors_route_to_dlq_not_poison(spark, tmp_root):
+    """Review r5 (ADVICE medium): a garbled/unsupported statement on the
+    redo wire must NOT be an unskippable poison pill when a dirty plane
+    is configured — it routes to the DLQ as conversionErrors (with the
+    offending statement text) under the error limits and the stream
+    completes; without a dirty plane it stays poison (fail loud)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from chunjun_spark.plans.lake import LakeTable
+    from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA, generate_binlog
+    from chunjun_spark.sources.redo_sql import encode_redo_sql
+    from chunjun_spark.streaming.pipeline import (
+        InBandFailure,
+        start_replay_stream,
+    )
+
+    ev = generate_binlog(spark, 800, n_keys=150, seed=31)
+    wire = encode_redo_sql(ev, pk=["repo", "path"])
+    # garble a deterministic subset of statements (simulates an
+    # unsupported dialect form, e.g. a MERGE from a real LogMiner feed)
+    wire = wire.withColumn(
+        "sql_redo",
+        F.when(F.col("seq") % 101 == 0,
+               F.concat(F.lit("merge into t using ("), F.col("sql_redo")))
+        .otherwise(F.col("sql_redo")),
+    )
+    n_garbled = wire.filter(F.col("seq") % 101 == 0).count()
+    assert n_garbled > 0
+    src = os.path.join(tmp_root, "redo_garbled_wire")
+    wire.coalesce(1).write.parquet(src)
+
+    # with a dirty plane: DLQ absorbs, stream completes, no junk rows
+    root = os.path.join(tmp_root, "redo_garbled_lake")
+    LakeTable.create(spark, root, PAYLOAD_SCHEMA, pk=["repo", "path"],
+                     n_buckets=4)
+    dlq = os.path.join(tmp_root, "redo_garbled_dlq")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    )
+    q = start_replay_stream(
+        stream, root, checkpoint_dir=os.path.join(tmp_root, "redo_g_ck"),
+        job_id="redo-garbled", wire_format="redo_sql",
+        dirty={"path": dlq},
+    )
+    assert q.awaitTermination(180)
+    t = LakeTable.load(spark, root)
+    assert t.read().filter(F.col("repo").isNull()).count() == 0
+    captured = spark.read.parquet(dlq)
+    conv = captured.filter(F.col("error_class") == "conversionErrors")
+    assert conv.count() == n_garbled
+    # the raw statement text survives into the capture content
+    assert conv.filter(F.col("content").contains("merge into t")).count() \
+        == n_garbled
+
+    # without a dirty plane: poison (the pre-r5 contract preserved)
+    root2 = os.path.join(tmp_root, "redo_garbled_lake2")
+    LakeTable.create(spark, root2, PAYLOAD_SCHEMA, pk=["repo", "path"],
+                     n_buckets=4)
+    stream2 = (
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    )
+    q2 = start_replay_stream(
+        stream2, root2,
+        checkpoint_dir=os.path.join(tmp_root, "redo_g_ck2"),
+        job_id="redo-garbled-2", wire_format="redo_sql",
+    )
+    try:
+        q2.awaitTermination(180)
+        raised = None
+    except Exception as e:  # StreamingQueryException wraps the cause
+        raised = e
+    assert raised is not None
+    assert "undecodable" in str(raised) or isinstance(raised, InBandFailure)

@@ -389,3 +389,35 @@ def test_multi_column_partition_expr_scans_without_pruning(spark, tmp_path):
     out = t.scan(between={"ts": RANGE})
     want = t.read().filter(F.col("ts").between(*RANGE)).count()
     assert out.count() == want and want > 0
+
+
+def test_non_monotonic_partition_expr_skips_pruning(spark, tmp_path):
+    """Review r5 (ADVICE): a NON-monotonic expr mis-declared with a
+    source (hour(ts) wraps daily; date_format 'dd-MM' sorts wrong)
+    must not silently drop matching rows — endpoint-derived bounds
+    would under-cover, so pruning is skipped (monotonic whitelist) and
+    the residual keeps the scan exact."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "lake"), SCHEMA, pk=["k"], n_buckets=2,
+        partition_exprs=[("h", "hour(ts)", "ts")],
+    )
+    # 4 days of hourly rows: an [lo,hi] on hour() from the endpoints of
+    # a multi-day ts range is a narrow hour window that would wrongly
+    # exclude most matching rows
+    t.merge(_mk(spark, 0, 96, 0), batch_id="b1")
+    t = t.refresh()
+    # range spanning full days but with endpoint HOURS 03:00 → 05:59
+    rng = ("2024-01-01 03:00:00", "2024-01-03 05:59:59")
+    out = t.scan(between={"ts": rng})
+    want = t.read().filter(F.col("ts").between(*rng)).count()
+    assert out.count() == want and want > 10  # not just hours 3..5
+
+    # whitelist members still prune and stay exact
+    from chunjun_spark.plans.lake import _monotonic_partition_expr
+
+    assert _monotonic_partition_expr("date_trunc('day', ts)", "ts")
+    assert _monotonic_partition_expr("date_format(ts, 'yyyy-MM-dd')", "ts")
+    assert _monotonic_partition_expr("ts div 3600", "ts")
+    assert not _monotonic_partition_expr("hour(ts)", "ts")
+    assert not _monotonic_partition_expr("date_format(ts, 'dd-MM')", "ts")
+    assert not _monotonic_partition_expr("month(ts)", "ts")
