@@ -319,6 +319,7 @@ def sync_agg_view(
     value_col: str,
     since_version: int | None = None,
     group_exprs: list[tuple[str, str]] | None = None,
+    changes: DataFrame | None = None,
 ) -> dict:
     """Catch the view up to the source table's current snapshot —
     exactly once.
@@ -338,6 +339,13 @@ def sync_agg_view(
 
     Group key values must be non-null (they are the view table's pk;
     LakeTable's merge joins on pk equality) — coalesce upstream.
+
+    ``changes``: a PRECOMPUTED preimage-complete CDF of exactly the
+    resolved [since -> end] window — the multi-view fan-out path: N
+    views maintained from one source commit share ONE CDF evaluation
+    (ideally localCheckpointed by the caller) instead of each paying the
+    snapshot diff. Window anchoring is still validated per view; the
+    frame matching the window is the caller's responsibility.
     """
     from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL
 
@@ -346,10 +354,16 @@ def sync_agg_view(
     if skip:
         return {"merge": {"skipped": True}, "version": end}
 
-    changes = derive_group_keys(
-        source.read_changes(since_version, end, with_preimages=True),
-        group_exprs,
-    ).localCheckpoint(eager=True)
+    precomputed = changes is not None
+    if not precomputed:
+        changes = source.read_changes(since_version, end,
+                                      with_preimages=True)
+    changes = derive_group_keys(changes, group_exprs)
+    if not precomputed or group_exprs:
+        # one materialization: the fold consumes the CDF twice (touched
+        # census + the fold itself); a caller-checkpointed plain frame
+        # needs no second cut
+        changes = changes.localCheckpoint(eager=True)
     touched = changes.select(*group_cols).distinct()
     prev = view.read().join(touched, on=group_cols, how="left_semi")
     merged = apply_changes_to_agg(
@@ -397,6 +411,7 @@ def sync_filter_view(
     predicate: str,
     select_exprs: list[tuple[str, str]] | None = None,
     since_version: int | None = None,
+    changes: DataFrame | None = None,
 ) -> dict:
     """Catch a maintained FILTER/PROJECTION view up to the source's
     current snapshot — exactly once. The curated-corpus pattern: the
@@ -424,6 +439,11 @@ def sync_filter_view(
     time per job (QuerySqlBuilder.java:40-41); here the gate is
     MAINTAINED on the sink's committed snapshots so every downstream
     consumer reads it pre-applied.
+
+    ``changes``: precomputed CDF of exactly the resolved window (the
+    multi-view fan-out path, see sync_agg_view). A preimage-complete
+    frame is accepted — the retraction rows a filter view doesn't need
+    are stripped — so one shared CDF can feed agg AND filter views.
     """
     from chunjun_spark.plans.lake import OP_COL, VSEQ_COL, VTS_COL
 
@@ -438,7 +458,12 @@ def sync_filter_view(
     if skip:
         return {"merge": {"skipped": True}, "version": end}
 
-    ch = source.read_changes(since_version, end)
+    ch = (changes if changes is not None
+          else source.read_changes(since_version, end))
+    # harmless on a plain CDF; required when a shared preimage-complete
+    # frame is passed (update_preimage / delete_preimage rows are
+    # retraction bookkeeping, not row state)
+    ch = ch.filter(~F.col("_change_type").endswith("_preimage"))
     batch = filter_view_batch(ch, predicate, select_exprs, pk, end)
     info = view.merge(
         batch,

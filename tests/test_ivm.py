@@ -860,3 +860,68 @@ def test_filter_view_random_interleavings_match_model(spark, tmp_root):
         assert full == model, f"recompute {full} != model {model}"
 
     run()
+
+
+def test_multi_view_fanout_shared_cdf(spark, tmp_root):
+    """r5: N views maintained from ONE source window may share ONE
+    precomputed CDF evaluation (sync_*_view changes=): results must be
+    identical to per-view CDF reads — including the filter view, which
+    must strip the preimage retraction rows a shared preimage-complete
+    frame carries (update_preimage AND delete_preimage)."""
+    from chunjun_spark.operators.ivm import (
+        create_agg_view,
+        create_filter_view,
+        sync_agg_view,
+        sync_filter_view,
+    )
+
+    def build(tag):
+        t = _table(spark, tmp_root, f"fan_{tag}")
+        t.merge(_mk(spark, [
+            (1, "a", 10.0, "UPSERT", 1, 1),
+            (2, "a", 20.0, "UPSERT", 2, 2),
+            (3, "b", 30.0, "UPSERT", 3, 3),
+            (5, "b", 5.0, "UPSERT", 4, 4),
+        ]), batch_id="b1")
+        t = t.refresh()
+        v1 = t.manifest["version"]
+        agg = create_agg_view(
+            spark, os.path.join(tmp_root, f"fan_{tag}_agg"),
+            [("grp", "string")], n_buckets=2)
+        flt = create_filter_view(
+            spark, os.path.join(tmp_root, f"fan_{tag}_flt"),
+            [("user_id", "bigint"), ("grp", "string"), ("v", "double")],
+            pk=["user_id"], n_buckets=2)
+        sync_agg_view(t, agg, ["grp"], "v")
+        sync_filter_view(t, flt, "v >= 10.0")
+        t.merge(_mk(spark, [
+            (2, "b", 21.0, "UPSERT", 10, 10),   # group move
+            (3, None, None, "DELETE", 11, 11),  # delete (preimage row!)
+            (4, "a", 40.0, "UPSERT", 12, 12),   # insert
+            (5, "b", 6.0, "UPSERT", 13, 13),    # update staying < gate? no: 6<10 leaves view
+        ]), batch_id="b2")
+        return t.refresh(), v1, agg, flt
+
+    # independent per-view CDF reads
+    t, v1, agg_a, flt_a = build("solo")
+    sync_agg_view(t, agg_a.refresh(), ["grp"], "v")
+    sync_filter_view(t, flt_a.refresh(), "v >= 10.0")
+
+    # one shared preimage-complete CDF for both views
+    t2, v1b, agg_b, flt_b = build("shared")
+    cdf = t2.read_changes(
+        since_version=v1b, with_preimages=True
+    ).localCheckpoint(eager=True)
+    sync_agg_view(t2, agg_b.refresh(), ["grp"], "v", changes=cdf)
+    sync_filter_view(t2, flt_b.refresh(), "v >= 10.0", changes=cdf)
+
+    def snap(view, cols):
+        return sorted(map(tuple, view.refresh().read().select(*cols).collect()))
+
+    assert snap(agg_a, ["grp", "n_live", "sum_value"]) == \
+        snap(agg_b, ["grp", "n_live", "sum_value"])
+    assert snap(flt_a, ["user_id", "grp", "v"]) == \
+        snap(flt_b, ["user_id", "grp", "v"])
+    # the deleted key and the below-gate update are OUT of the filter view
+    ids = {r[0] for r in snap(flt_b, ["user_id"])}
+    assert 3 not in ids and 5 not in ids and 4 in ids
