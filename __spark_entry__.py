@@ -507,6 +507,32 @@ def _q_cdc_replay_lake_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _replay_lake(spark, sf_dir, "mor")
 
 
+def _q_cdc_replay_lake_eqdel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-heavy churn replay into an EQUALITY-DELETE-mode lake
+    (plans/lake.py equality_deletes=True, r5 — the Iceberg v2
+    equality-delete capability; the reference gets the equivalent from
+    Hudi, HudiOutputFormat.java:131-160): COW merges write deletes as
+    narrow (pk, version) delete files instead of tombstone rows, so
+    base files hold only live rows between compactions. Final state
+    must equal the same keep-last fold as the row-tombstone replay —
+    same oracle as cdc_replay_lake; the tombstone-free-base contract is
+    asserted per commit in tests/test_equality_deletes.py."""
+    ev = _t(spark, sf_dir, "events")
+    ch = events_changelog(ev)
+    root = tempfile.mkdtemp(prefix="cj_entry_eqdel_")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    table = LakeTable.create(spark, root, schema, pk=["user_id"],
+                             n_buckets=8, equality_deletes=True)
+    replay(ch, table, batch_id="entry-eqdel", mode="cow")
+    return _lake_projection(table.refresh().read())
+
+
 _REPLAY_LAKE_SQL = """
 WITH r AS (
   SELECT *, row_number() OVER (PARTITION BY user_id
@@ -4961,6 +4987,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_scd2_asof": _q_cdc_scd2_asof,
         "cdc_postings_view": _q_cdc_postings_view,
         "cdc_txn_catalog": _q_cdc_txn_catalog,
+        # r5 additions (appended: the driver samples the first 50 keys)
+        "cdc_replay_lake_eqdel": _q_cdc_replay_lake_eqdel,
     }
 
 
@@ -5081,4 +5109,5 @@ def oracle_sql() -> dict[str, str]:
         # rebuilds it from the entry's known final live set
         "minhash_index_sync": _mh_index_oracle_sql(),
         "ann_ivf_index_sync": _ivf_index_oracle_sql(),
+        "cdc_replay_lake_eqdel": _REPLAY_LAKE_SQL,
     }

@@ -1,0 +1,249 @@
+"""Equality-delete (deletion-vector) file form for deletes
+(plans/lake.py, VERDICT r4 next-round #4): COW merges on an
+``equality_deletes=True`` table write deletes as NARROW (pk, version,
+bucket) delete files instead of tombstone ROWS in base files — the
+Iceberg v2 equality-delete capability class (the reference gets the
+equivalent from Hudi, HudiOutputFormat.java:131-160). Resolve unions
+the entries into the keep-last fold; compact consolidates/purges them;
+base files stay dead-row-free between compactions."""
+
+import os
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+import pytest
+
+from chunjun_spark.plans.lake import (
+    DELETED_COL,
+    OP_COL,
+    VSEQ_COL,
+    VTS_COL,
+    LakeTable,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.LongType()),
+    T.StructField("grp", T.StringType()),
+    T.StructField("v", T.DoubleType()),
+])
+
+
+def _mk(spark, rows):
+    """rows: (k, grp, v, op, seq)"""
+    return spark.createDataFrame(
+        [(k, g, v, op, q) for (k, g, v, op, q) in rows],
+        f"k long, grp string, v double, {OP_COL} string, {VSEQ_COL} long",
+    ).withColumn(VTS_COL, F.lit("1970-01-01").cast("timestamp"))
+
+
+def _pair(spark, tmp_path, **kw):
+    """Twin tables: equality-delete mode and classic row-tombstone mode.
+    Every test drives both identically and asserts identical state."""
+    eq = LakeTable.create(spark, str(tmp_path / "eq"), SCHEMA, pk=["k"],
+                          n_buckets=4, equality_deletes=True, **kw)
+    row = LakeTable.create(spark, str(tmp_path / "row"), SCHEMA, pk=["k"],
+                           n_buckets=4, **kw)
+    return eq, row
+
+
+def _state(t):
+    return sorted(map(tuple, t.refresh().read().collect()))
+
+
+def test_churn_replay_matches_row_mode(spark, tmp_path):
+    """Delete-heavy churn through both modes lands identical state;
+    the files-mode base holds ZERO tombstone rows at every commit."""
+    eq, row = _pair(spark, tmp_path)
+    # each batch is key-disjoint between its upsert and delete halves
+    # (assume_unique_keys contract: one row per pk per batch)
+    batches = [
+        [(k, "a", float(k), "UPSERT", k) for k in range(40)],
+        [(k, "b", k * 2.0, "UPSERT", 100 + k) for k in range(0, 40, 2)]
+        + [(k, None, None, "DELETE", 100 + k) for k in range(1, 40, 6)],
+        [(k, "c", k * 3.0, "UPSERT", 200 + k) for k in range(1, 40, 6)]
+        + [(k, None, None, "DELETE", 200 + k) for k in range(0, 40, 10)],
+    ]
+    for i, b in enumerate(batches):
+        df = _mk(spark, b)
+        eq.refresh().merge(df, batch_id=f"b{i}", assume_unique_keys=True)
+        row.refresh().merge(df, batch_id=f"b{i}", assume_unique_keys=True)
+        eq = eq.refresh()
+        # the mode's contract: no dead rows in base files, ever
+        base_tombs = eq._read_base().filter(
+            F.coalesce(F.col(DELETED_COL), F.lit(False))).count()
+        assert base_tombs == 0
+    assert _state(eq) == _state(row)
+    assert len(eq.delete_files) == 2  # batches 2 and 3 carried deletes
+    for d in eq.delete_files:
+        got = spark.read.parquet(os.path.join(eq.root, d["path"]))
+        assert set(got.columns) == {"k", VTS_COL, VSEQ_COL, "_bucket"}
+
+
+def test_stale_redelivery_shadowed_by_delete_file(spark, tmp_path):
+    """The delete entry carries the version guard: a STALE re-delivered
+    upsert (older than the delete) must not resurrect the key, while a
+    genuinely newer upsert revives it — both modes agree."""
+    eq, row = _pair(spark, tmp_path)
+    for t in (eq, row):
+        t.merge(_mk(spark, [(1, "a", 1.0, "UPSERT", 10),
+                            (2, "a", 2.0, "UPSERT", 10)]), batch_id="b1",
+                assume_unique_keys=True)
+        t.refresh().merge(_mk(spark, [(1, None, None, "DELETE", 20)]),
+                          batch_id="b2", assume_unique_keys=True)
+        # stale re-delivery (seq 15 < 20) — must stay deleted
+        t.refresh().merge(_mk(spark, [(1, "a", 1.5, "UPSERT", 15)]),
+                          batch_id="b3", assume_unique_keys=True)
+    assert _state(eq) == _state(row)
+    assert {r[0] for r in _state(eq)} == {2}
+    # genuine revival (seq 30 > 20)
+    for t in (eq, row):
+        t.refresh().merge(_mk(spark, [(1, "b", 9.0, "UPSERT", 30)]),
+                          batch_id="b4", assume_unique_keys=True)
+    assert _state(eq) == _state(row)
+    assert (1, "b", 9.0) in _state(eq)
+
+
+def test_compact_consolidates_and_purges(spark, tmp_path):
+    """compact() folds superseded entries away and keeps surviving
+    tombstone winners as ONE consolidated narrow file (the stale-guard
+    contract); compact(purge_tombstones=True) clears them. fast_stats
+    refuses while delete files are outstanding and is exact after the
+    purge — provable from clean footers, the mode's whole point."""
+    eq, row = _pair(spark, tmp_path, stats_cols=["v"])
+    for t in (eq, row):
+        t.merge(_mk(spark, [(k, "a", float(k), "UPSERT", k)
+                            for k in range(20)]), batch_id="b1",
+                assume_unique_keys=True)
+        t.refresh().merge(
+            _mk(spark, [(k, None, None, "DELETE", 100 + k)
+                        for k in range(0, 20, 2)]),
+            batch_id="b2", assume_unique_keys=True)
+        # key 4 revived AFTER its delete — its entry is superseded
+        t.refresh().merge(_mk(spark, [(4, "z", 44.0, "UPSERT", 200)]),
+                          batch_id="b3", assume_unique_keys=True)
+    eq = eq.refresh()
+    assert len(eq.delete_files) == 1
+    with pytest.raises(ValueError, match="equality-delete"):
+        eq.fast_stats()
+    eq.compact()
+    eq = eq.refresh()
+    # consolidated: one file, and key 4's superseded entry is gone
+    assert len(eq.delete_files) == 1
+    kept = spark.read.parquet(
+        os.path.join(eq.root, eq.delete_files[0]["path"]))
+    assert 4 not in {r["k"] for r in kept.collect()}
+    assert _state(eq) == _state(row)
+    # base files are tombstone-free even WITHOUT purge
+    assert eq._read_base().filter(
+        F.coalesce(F.col(DELETED_COL), F.lit(False))).count() == 0
+    eq.compact(purge_tombstones=True)
+    eq = eq.refresh()
+    assert eq.delete_files == []
+    fs = eq.fast_stats(["v"])
+    live = eq.read()
+    assert fs["n_rows"] == live.count()
+    assert _state(eq) == _state(row)
+
+
+def test_partial_compact_keeps_delete_files_authoritative(spark, tmp_path):
+    """A partial compaction folds delta rows for the selected buckets
+    but leaves delete files untouched — the rewritten buckets stay
+    shadowed by them at read time (no duplication, no loss)."""
+    eq, row = _pair(spark, tmp_path)
+    for t in (eq, row):
+        t.merge(_mk(spark, [(k, "a", float(k), "UPSERT", k)
+                            for k in range(24)]), batch_id="b1",
+                assume_unique_keys=True)
+        t.refresh().merge(
+            _mk(spark, [(k, None, None, "DELETE", 100 + k)
+                        for k in range(0, 24, 3)]),
+            batch_id="b2", assume_unique_keys=True)
+        # MOR delta on top
+        t.refresh().append_delta(
+            _mk(spark, [(k, "d", k * 10.0, "UPSERT", 300 + k)
+                        for k in range(0, 24, 4)]),
+            batch_id="b3")
+    eq, row = eq.refresh(), row.refresh()
+    n_del_files = len(eq.delete_files)
+    eq._compact_partial([0, 1], purge_tombstones=False)
+    eq = eq.refresh()
+    assert len(eq.delete_files) == n_del_files  # untouched
+    assert _state(eq) == _state(row)
+
+
+def test_vacuum_keeps_delete_files(spark, tmp_path):
+    eq, _ = _pair(spark, tmp_path)
+    eq.merge(_mk(spark, [(k, "a", float(k), "UPSERT", k)
+                         for k in range(10)]), batch_id="b1",
+             assume_unique_keys=True)
+    for i in range(6):
+        eq.refresh().merge(
+            _mk(spark, [(i, None, None, "DELETE", 100 + i)]),
+            batch_id=f"d{i}", assume_unique_keys=True)
+    eq = eq.refresh()
+    want = _state(eq)
+    eq.vacuum(keep_last=2)
+    eq = LakeTable.load(spark, eq.root)
+    assert _state(eq) == want  # delete files survived the GC
+
+
+def test_rollback_restores_delete_file_state(spark, tmp_path):
+    eq, _ = _pair(spark, tmp_path)
+    eq.merge(_mk(spark, [(k, "a", float(k), "UPSERT", k)
+                         for k in range(6)]), batch_id="b1",
+             assume_unique_keys=True)
+    eq = eq.refresh()
+    v1 = eq.manifest["version"]
+    eq.merge(_mk(spark, [(2, None, None, "DELETE", 100)]),
+             batch_id="b2", assume_unique_keys=True)
+    eq = eq.refresh()
+    assert len(eq.delete_files) == 1
+    eq.rollback(v1)
+    eq = eq.refresh()
+    assert eq.delete_files == []
+    assert {r[0] for r in _state(eq)} == set(range(6))
+
+
+def test_cdf_sees_file_mode_deletes(spark, tmp_path):
+    """read_changes across an equality-delete commit reports the delete
+    (the MOR fast path is invalidated by the delete_files change, the
+    snapshot diff sees the shadowed key disappear)."""
+    eq, _ = _pair(spark, tmp_path)
+    eq.merge(_mk(spark, [(k, "a", float(k), "UPSERT", k)
+                         for k in range(6)]), batch_id="b1",
+             assume_unique_keys=True)
+    eq = eq.refresh()
+    v1 = eq.manifest["version"]
+    eq.merge(_mk(spark, [(3, None, None, "DELETE", 100),
+                         (7, "n", 7.0, "UPSERT", 101)]),
+             batch_id="b2", assume_unique_keys=True)
+    eq = eq.refresh()
+    ch = {(r["_change_type"], r["k"])
+          for r in eq.read_changes(since_version=v1).collect()}
+    assert ("delete", 3) in ch
+    assert ("insert", 7) in ch
+
+
+def test_delete_file_applies_across_pk_rename(spark, tmp_path):
+    """Schema evolution: a delete file written before rename_column on
+    the pk still deletes — entries are mapped by field id, like data
+    files."""
+    eq, _ = _pair(spark, tmp_path)
+    eq.merge(_mk(spark, [(k, "a", float(k), "UPSERT", k)
+                         for k in range(6)]), batch_id="b1",
+             assume_unique_keys=True)
+    eq.refresh().merge(_mk(spark, [(2, None, None, "DELETE", 100)]),
+                       batch_id="b2", assume_unique_keys=True)
+    eq = eq.refresh()
+    eq.apply_ddl("rename_column", old="k", new="key_id")
+    eq = eq.refresh()
+    assert eq.pk == ["key_id"]
+    ids = {r["key_id"] for r in eq.read().collect()}
+    assert ids == {0, 1, 3, 4, 5}
+    # and a NEW delete addressed by the new name works too
+    ch = spark.createDataFrame(
+        [(0, "DELETE", 200)], f"key_id long, {OP_COL} string, {VSEQ_COL} long"
+    ).withColumn(VTS_COL, F.lit("1970-01-01").cast("timestamp"))
+    eq.merge(ch, batch_id="b3", assume_unique_keys=True)
+    eq = eq.refresh()
+    assert {r["key_id"] for r in eq.read().collect()} == {1, 3, 4, 5}

@@ -59,6 +59,22 @@ def gen_binlog(n_events: int, binlog_dir: str) -> None:
     spark.stop()
 
 
+def heap_for(cores: int) -> str:
+    """Heap scaled WITH width for the wide probes: a real 4N cluster
+    multiplies executor memory with executors, so the single-box model
+    must add heap where it adds threads — the fixed shared 8 g heap made
+    the local[32] probe abort with exit 52 (32 concurrent sort tasks in
+    2 g-per-8-threads of headroom; r4 ladder 7). The NARROW widths keep
+    8 g so the settled N/4N pair stays comparable across rounds; the
+    columnar-cache-bloat trap that once made big heaps slow is gone
+    (merge materializes via localCheckpoint, never .cache())."""
+    if cores <= 8:
+        return "8g"
+    if cores <= 16:
+        return "16g"
+    return "24g"
+
+
 def run_submit(master: str, zpath: str, binlog_dir: str, out_json: str, mode: str = "cow") -> dict:
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(os.path.dirname(shutil.which("python") or "")), "bin", "spark-submit"
@@ -73,14 +89,10 @@ def run_submit(master: str, zpath: str, binlog_dir: str, out_json: str, mode: st
         # cluster fixes partitioning by dataset, not by executor count)
         "--conf", "spark.sql.shuffle.partitions=64",
         "--conf", "spark.sql.files.maxPartitionBytes=16777216",
-        # identical modest heap at every width: ONLY the core count varies.
-        # (A large heap lets Spark's columnar cache / storage pool absorb
-        # the multi-KB payload rows and its build cost dominates; measured
-        # 5x slower at 16g than 8g before the merge switched to
-        # localCheckpoint, and still noisier after. 8g is also per-executor
-        # realistic: a 4N cluster scales memory WITH executors, which a
-        # single shared heap cannot model.)
-        "--conf", "spark.driver.memory=8g",
+        # heap scales with width (heap_for): 8g at the settled N/4N
+        # widths, more where a real cluster would add per-executor
+        # memory — the fixed 8g heap aborted the local[32] probe (r4)
+        "--conf", f"spark.driver.memory={heap_for(int(master.split('[')[1].rstrip(']')))}",
         "--py-files", zpath,
         os.path.join(REPO, "tools", "replay_job.py"),
         "--binlog-dir", binlog_dir,
@@ -183,15 +195,18 @@ def main() -> None:
 
     small = best_of("local[2]", "N")
     big = best_of("local[8]", "4N")
-    # the 16N probe documents the shared-box ceiling; at the fixed 8g
-    # heap 32 concurrent sort tasks can OOM (the single-box model breaks
-    # down exactly where a real cluster adds per-executor memory) — a
+    # wide probes document the shared-box bandwidth ceiling with a heap
+    # a real cluster would actually give those widths (heap_for); a
     # failed probe must not lose the N/4N evidence above
-    try:
-        extra = best_of("local[32]", "16N", repeats=1)
-    except subprocess.CalledProcessError as e:
-        print(f"16N probe failed (shared-heap ceiling): {e}", flush=True)
-        extra = None
+    extra = None
+    for master, tag in (("local[16]", "8N"), ("local[32]", "16N")):
+        try:
+            r = best_of(master, tag, repeats=1)
+            assert r["state_checksum"] == small["state_checksum"], \
+                f"state mismatch at {tag}"
+            extra = r  # report the widest successful probe
+        except subprocess.CalledProcessError as e:
+            print(f"{tag} probe failed: {e}", flush=True)
 
     eff = (big["events_per_sec"] / small["events_per_sec"]) / 4.0
     print(f"scaling_efficiency = {eff:.3f}", flush=True)
