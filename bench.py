@@ -294,6 +294,7 @@ def scaling_summary() -> dict:
             per_ladder.append(
                 {"source": name, "n_events": n_events,
                  "at_2": best[2], "at_8": best[8],
+                 "wide": {c: v for c, v in best.items() if c > 8},
                  "eff": best[8] / (4 * best[2])}
             )
     if not per_ladder:
@@ -320,6 +321,15 @@ def scaling_summary() -> dict:
             ],
             "efficiency_latest": round(latest["eff"], 3),
             "latest_source": latest["source"],
+            # widest-width evidence across all ladders (r5: heap scaled
+            # with probe width — ladder 8 measured 418k ev/s at
+            # local[16]/16g, breaking the ~330k figure that the fixed
+            # shared 8g heap had made look like a pure bandwidth ceiling)
+            "events_per_sec_wide": {
+                str(c): round(max(d["wide"].get(c, 0.0)
+                                  for d in per_ladder), 1)
+                for c in sorted({c for d in per_ladder for c in d["wide"]})
+            },
         }
     }
 

@@ -232,9 +232,18 @@ def _monotonic_partition_expr(expr: str, source: str) -> bool:
         rf"^cast\( ?{s} as date ?\)$",
         rf"^floor\( ?{s} ?/ ?\d+(?:\.\d+)? ?\)$",
         rf"^{s} div \d+$",
-        rf"^date_format\( ?{s} ?, ?'{_ORDERED_FMT}' ?\)$",
     ]
-    return any(_re.match(p, e, _re.IGNORECASE) for p in pats)
+    if any(_re.match(p, e, _re.IGNORECASE) for p in pats):
+        return True
+    # date_format: the FUNCTION name is case-insensitive but the format
+    # pattern is NOT — 'mm' is minute-of-hour, 'hh' a 12-hour clock, so
+    # an IGNORECASE match on the whole pattern would re-open the silent
+    # row-drop hole (review r5). Extract the pattern case-insensitively,
+    # then verify it against the ordered chain case-SENSITIVELY.
+    m = _re.match(
+        rf"^date_format\( ?{s} ?, ?'([^']*)' ?\)$", e, _re.IGNORECASE
+    )
+    return bool(m) and bool(_re.fullmatch(_ORDERED_FMT, m.group(1)))
 
 
 def _parse_partition_specs(partition_exprs, field_names) -> list[dict]:
@@ -1882,7 +1891,11 @@ class LakeTable:
             # guard) → ONE narrow delete file replacing the whole list.
             # Entries superseded by newer upserts lost the fold above
             # and drop out here naturally. Base files stay dead-row-free
-            # — the mode's contract.
+            # — the mode's contract. ONE materialization feeds both the
+            # tombstone write and the base write below (localCheckpoint,
+            # never .cache() — the wide-payload rule); without the cut
+            # each write re-ran the full resolve fold (review r5).
+            with_bucket = with_bucket.localCheckpoint(eager=True)
             tomb = with_bucket.filter(
                 F.coalesce(F.col(DELETED_COL), F.lit(False))
             ).select(*self.pk, VTS_COL, VSEQ_COL, _BUCKET_COL)
@@ -1948,6 +1961,36 @@ class LakeTable:
         with_bucket = resolved.select(
             *self.schema.names(), *_HIDDEN, _BUCKET_COL
         )
+        if self.equality_deletes and not purge_tombstones:
+            # delta DELETE winners folded by this pass go to a delete
+            # FILE, not tombstone rows — the mode's dead-row-free-base
+            # contract holds on the partial path too (review r5). One
+            # materialization feeds both writes.
+            with_bucket = with_bucket.localCheckpoint(eager=True)
+            tomb = with_bucket.filter(
+                F.coalesce(F.col(DELETED_COL), F.lit(False))
+            ).select(*self.pk, VTS_COL, VSEQ_COL, _BUCKET_COL)
+            with_bucket = with_bucket.filter(
+                ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+            )
+            drel = os.path.join(
+                "data", f"v{m['version']}-del-{uuid.uuid4().hex[:8]}"
+            )
+            dobs = Observation()
+            tomb.observe(
+                dobs,
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set(F.col(_BUCKET_COL)).alias("touched"),
+            ).write.mode("overwrite").parquet(os.path.join(self.root, drel))
+            if int(dobs.get["n"]):
+                m.setdefault("delete_files", []).append({
+                    "path": drel,
+                    "schema_version": m["schema_version"],
+                    "buckets": sorted(int(b) for b in dobs.get["touched"]),
+                })
+            else:
+                shutil.rmtree(os.path.join(self.root, drel),
+                              ignore_errors=True)
         self._write_base_files(
             with_bucket.repartition(len(sel), F.col(_BUCKET_COL)), out_dir,
         )

@@ -772,9 +772,13 @@ def apply_changelog_jdbc_exactly_once(
     else:
         if "op" in events.columns:
             # control rows are not data: an un-admitted frame (batch job
-            # path) folding a DDL/ERROR row would upsert a NULL-pk winner
-            # — callers that ran admit_batch already stripped these
-            events = events.filter(~F.col("op").isin("DDL", "ERROR"))
+            # path) folding a DDL/ERROR/DECODE_ERROR row would upsert a
+            # NULL-pk winner — callers that ran admit_batch already
+            # stripped these (DECODE_ERROR added r5 with the redo-wire
+            # decode-failure class)
+            events = events.filter(
+                ~F.col("op").isin("DDL", "ERROR", "DECODE_ERROR")
+            )
         keyed = events_with_pk(events, pk)
         winners = keep_last(keyed, pk=pk, order=("op_ts", "seq"))
         # two consumers (upsert side, delete side) — cut the plan so the

@@ -1197,20 +1197,36 @@ def admit_batch(
         return batch_df, []
     narrow = [c for c in ("op", "table_name", "op_ts", "seq", "ddl")
               if c in batch_df.columns]
-    ctrl_ops = sorted({"DDL", *poison_ops})
-    ctrl = (
-        batch_df.filter(F.col("op").isin(ctrl_ops))
-        .select(*narrow)
-        .collect()
-    )
-    for r in ctrl:
+    # ONE narrow job, bounded collect: ERROR/DDL rows are genuinely rare
+    # control rows; DECODE_ERROR rows can be arbitrarily many (a whole
+    # garbled segment, each carrying statement text) so they ride an
+    # existence count + one sample, never an unbounded collect (review
+    # r5 — same rule as the fused admission path)
+    is_rare_ctrl = F.col("op").isin("ERROR", "DDL")
+    [agg] = batch_df.groupBy().agg(
+        F.collect_list(
+            F.when(is_rare_ctrl, F.struct(*[F.col(c) for c in narrow]))
+        ).alias("ctrl"),
+        F.count(F.when(F.col("op") == "DECODE_ERROR", 1)).alias("n_dec"),
+        F.max(
+            F.when(F.col("op") == "DECODE_ERROR", F.col("ddl"))
+        ).alias("dec_sample"),
+    ).collect()
+    for r in agg["ctrl"]:
         if r["op"] in poison_ops:
-            msg = r["ddl"] or (
-                "undecodable wire statement (no dirty plane configured)"
-                if r["op"] == "DECODE_ERROR" else "source error"
+            raise InBandFailure(
+                f"in-band source failure event: {r['ddl'] or 'source error'}"
             )
-            raise InBandFailure(f"in-band source failure event: {msg}")
-    ddl_rows = [r.asDict() for r in ctrl if r["op"] == "DDL"]
+    if "DECODE_ERROR" in poison_ops and agg["n_dec"]:
+        raise InBandFailure(
+            "in-band source failure event: "
+            f"{agg['n_dec']} undecodable wire statement row(s) (no dirty "
+            f"plane configured); e.g. {str(agg['dec_sample'])[:200]!r}"
+        )
+    ddl_rows = sorted(
+        (r.asDict() for r in agg["ctrl"] if r["op"] == "DDL"),
+        key=lambda d: d.get("seq") if d.get("seq") is not None else -1,
+    )
     return batch_df.filter(F.col("op") != "DDL"), ddl_rows
 
 
@@ -1398,11 +1414,11 @@ def run_stream_to_completion(
             wire_schema = spark.read.parquet(binlog_dir).schema
         except AnalysisException:
             if wire_format == "json":
-                wire_schema = T.StructType([
-                    T.StructField(f.name, T.StringType())
-                    if f.name in ("before", "after") else f
-                    for f in EVENT_SCHEMA.fields
-                ])
+                from chunjun_spark.sources.changelog import (
+                    json_event_schema,
+                )
+
+                wire_schema = json_event_schema()
             else:  # redo_sql: envelope + statement text
                 wire_schema = T.StructType(
                     [f for f in EVENT_SCHEMA.fields

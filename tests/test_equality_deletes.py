@@ -247,3 +247,33 @@ def test_delete_file_applies_across_pk_rename(spark, tmp_path):
     eq.merge(ch, batch_id="b3", assume_unique_keys=True)
     eq = eq.refresh()
     assert {r["key_id"] for r in eq.read().collect()} == {1, 3, 4, 5}
+
+
+def test_partial_compact_routes_delta_deletes_to_file(spark, tmp_path):
+    """Review r5: a partial compaction folding MOR delta DELETE winners
+    must route them to a delete FILE, not tombstone rows — the
+    dead-row-free-base contract holds on the partial path too."""
+    eq, row = _pair(spark, tmp_path)
+    for t in (eq, row):
+        t.merge(_mk(spark, [(k, "a", float(k), "UPSERT", k)
+                            for k in range(24)]), batch_id="b1",
+                assume_unique_keys=True)
+        t.refresh().append_delta(
+            _mk(spark, [(k, None, None, "DELETE", 100 + k)
+                        for k in range(0, 24, 2)]),
+            batch_id="b2")
+    eq, row = eq.refresh(), row.refresh()
+    n_before = len(eq.delete_files)
+    eq._compact_partial(sorted({
+        int(b) for b in eq.manifest["buckets"]}), purge_tombstones=False)
+    eq = eq.refresh()
+    assert len(eq.delete_files) == n_before + 1
+    assert eq._read_base().filter(
+        F.coalesce(F.col(DELETED_COL), F.lit(False))).count() == 0
+    assert _state(eq) == _state(row)
+    # stale re-delivery is still shadowed by the routed entries
+    for t in (eq, row):
+        t.refresh().merge(_mk(spark, [(0, "a", 0.5, "UPSERT", 50)]),
+                          batch_id="b3", assume_unique_keys=True)
+    assert _state(eq) == _state(row)
+    assert 0 not in {r[0] for r in _state(eq)}

@@ -421,3 +421,19 @@ def test_non_monotonic_partition_expr_skips_pruning(spark, tmp_path):
     assert not _monotonic_partition_expr("hour(ts)", "ts")
     assert not _monotonic_partition_expr("date_format(ts, 'dd-MM')", "ts")
     assert not _monotonic_partition_expr("month(ts)", "ts")
+
+
+def test_date_format_pattern_case_sensitivity(spark, tmp_path):
+    """Review r5: 'mm' is minute-of-hour and 'hh' a 12-hour clock in
+    Spark datetime patterns — a case-insensitive whitelist match would
+    re-open the under-covering prune hole. Function name stays
+    case-insensitive; the format pattern must match exactly."""
+    from chunjun_spark.plans.lake import _monotonic_partition_expr
+
+    assert _monotonic_partition_expr("DATE_FORMAT(ts, 'yyyy-MM-dd')", "ts")
+    assert not _monotonic_partition_expr(
+        "date_format(ts, 'yyyy-mm-dd')", "ts")
+    assert not _monotonic_partition_expr(
+        "date_format(ts, 'yyyy-MM-dd hh')", "ts")
+    assert _monotonic_partition_expr(
+        "date_format(ts, 'yyyy-MM-dd HH')", "ts")

@@ -202,10 +202,16 @@ def main() -> None:
     for master, tag in (("local[16]", "8N"), ("local[32]", "16N")):
         try:
             r = best_of(master, tag, repeats=1)
-            assert r["state_checksum"] == small["state_checksum"], \
-                f"state mismatch at {tag}"
+            if r.get("state_checksum") != small["state_checksum"]:
+                # a wide-probe mismatch is itself evidence — log it and
+                # keep the N/4N result (a failed probe must never lose
+                # the settled pair; review r5: the assert used to escape
+                # this except and abort the whole run)
+                print(f"{tag} STATE MISMATCH vs N — probe discarded",
+                      flush=True)
+                continue
             extra = r  # report the widest successful probe
-        except subprocess.CalledProcessError as e:
+        except (subprocess.CalledProcessError, KeyError, OSError) as e:
             print(f"{tag} probe failed: {e}", flush=True)
 
     eff = (big["events_per_sec"] / small["events_per_sec"]) / 4.0
