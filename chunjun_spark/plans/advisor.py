@@ -42,12 +42,19 @@ def maintenance_report(table, keep_last: int = 10, hot_min_deltas: int = 4) -> d
         if m.get("bloom_cols") and not d.get("bloom"):
             frag_missing += 1
     hot = sorted(b for b, n in depth.items() if n >= hot_min_deltas)
+    # equality-delete pressure (r5): every outstanding delete file adds
+    # one narrow scan to resolve AND blocks fast_stats exactness — a
+    # full compact consolidates the list to ≤1 file
+    n_delete_files = len(m.get("delete_files", []))
     compaction = {
         "n_delta_files": len(m["deltas"]),
+        "n_delete_files": n_delete_files,
         "hot_buckets": hot,
         "max_bucket_delta_depth": max(depth.values(), default=0),
         "suggest_partial_compact": bool(hot),
-        "suggest_full_compact": len(m["deltas"]) > 0 and not hot,
+        "suggest_full_compact": (
+            (len(m["deltas"]) > 0 and not hot) or n_delete_files > 1
+        ),
     }
 
     bloom = None

@@ -2193,6 +2193,13 @@ class LakeTable:
                          "exclude_buckets": d.get("exclude_buckets"),
                      }))
                 )
+        for d in m.get("delete_files", []):
+            for relp, size, nrows in _files(d["path"]):
+                rows.append(
+                    ("delete", -1, d["schema_version"], None,
+                     relp, size, nrows,
+                     json.dumps({"touched_buckets": d.get("buckets")}))
+                )
         return self.spark.createDataFrame(
             rows,
             "kind string, bucket int, schema_version int, "

@@ -277,3 +277,34 @@ def test_partial_compact_routes_delta_deletes_to_file(spark, tmp_path):
                           batch_id="b3", assume_unique_keys=True)
     assert _state(eq) == _state(row)
     assert 0 not in {r[0] for r in _state(eq)}
+
+
+def test_streaming_replay_into_equality_delete_table(spark, tmp_path):
+    """The streaming replay path composes with the mode unchanged: a
+    file-stream replay into an equality_deletes table lands the same
+    final state as the row-mode stream, with a dead-row-free base."""
+    from chunjun_spark.sources.binlog import PAYLOAD_SCHEMA, generate_binlog
+    from chunjun_spark.streaming.pipeline import run_stream_to_completion
+
+    ev = generate_binlog(spark, 4_000, n_keys=600, seed=17,
+                         delete_rate=0.3)
+    src = str(tmp_path / "binlog")
+    ev.write.parquet(src)
+    roots = {}
+    for tag, kw in (("eq", {"equality_deletes": True}), ("row", {})):
+        root = str(tmp_path / f"lake_{tag}")
+        roots[tag] = root
+        LakeTable.create(spark, root, PAYLOAD_SCHEMA, pk=["repo", "path"],
+                         n_buckets=4, **kw)
+        run_stream_to_completion(
+            spark, src, root, str(tmp_path / f"ck_{tag}"),
+            job_id=f"eqstream-{tag}", timeout_sec=300)
+    eq = LakeTable.load(spark, roots["eq"])
+    row = LakeTable.load(spark, roots["row"])
+    cols = ["repo", "path", "commit", "lang", "content"]
+    got = sorted(map(tuple, eq.read().select(*cols).collect()))
+    want = sorted(map(tuple, row.read().select(*cols).collect()))
+    assert got == want and got
+    assert eq._read_base().filter(
+        F.coalesce(F.col(DELETED_COL), F.lit(False))).count() == 0
+    assert eq.delete_files  # the churny stream produced delete entries
