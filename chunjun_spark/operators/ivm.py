@@ -359,10 +359,13 @@ def sync_agg_view(
         changes = source.read_changes(since_version, end,
                                       with_preimages=True)
     changes = derive_group_keys(changes, group_exprs)
-    if not precomputed or group_exprs:
+    if not precomputed:
         # one materialization: the fold consumes the CDF twice (touched
-        # census + the fold itself); a caller-checkpointed plain frame
-        # needs no second cut
+        # census + the fold itself). A caller-checkpointed frame needs
+        # no second cut even WITH group_exprs — the derived keys are a
+        # row-local projection over already-materialized blocks, far
+        # cheaper to re-evaluate than to re-write the wide payload per
+        # view (review r5 pass 2)
         changes = changes.localCheckpoint(eager=True)
     touched = changes.select(*group_cols).distinct()
     prev = view.read().join(touched, on=group_cols, how="left_semi")

@@ -706,6 +706,34 @@ class LakeTable:
             ]
         )
 
+    def _write_delete_file(self, dels: DataFrame, m: dict) -> dict | None:
+        """Write one narrow (pk, version, bucket) equality-delete file
+        for manifest ``m``'s version — the single writer all three
+        producers (merge, full compact, partial compact) share. Count +
+        touched-bucket set ride the write action (Observation); an empty
+        frame leaves NO dir behind (a rowless parquet dir throws
+        UNABLE_TO_INFER_SCHEMA on read) and returns None."""
+        drel = os.path.join(
+            "data", f"v{m['version']}-del-{uuid.uuid4().hex[:8]}"
+        )
+        dobs = Observation()
+        dels.select(
+            *self.pk, VTS_COL, VSEQ_COL, _BUCKET_COL
+        ).observe(
+            dobs,
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set(F.col(_BUCKET_COL)).alias("touched"),
+        ).write.mode("overwrite").parquet(os.path.join(self.root, drel))
+        if not int(dobs.get["n"]):
+            shutil.rmtree(os.path.join(self.root, drel),
+                          ignore_errors=True)
+            return None
+        return {
+            "path": drel,
+            "schema_version": m["schema_version"],
+            "buckets": sorted(int(b) for b in dobs.get["touched"]),
+        }
+
     @property
     def equality_deletes(self) -> bool:
         return bool(self.manifest.get("equality_deletes"))
@@ -1560,13 +1588,19 @@ class LakeTable:
                 on=self.pk,
                 how="left_anti",
             )
+            eq_del = self.equality_deletes and bool(del_buckets)
+            if eq_del:
+                # TWO actions consume eff in this mode (base write +
+                # delete-file write) and eff embeds the stale-guard join
+                # against a base scan — cut it once (localCheckpoint,
+                # review r5 pass 2; same rule as the compact paths)
+                eff = eff.localCheckpoint(eager=True)
             keys = eff.select(*self.pk)
             kept = base.join(F.broadcast(keys) if small else keys,
                              on=self.pk, how="left_anti")
             data_cols = [*self.schema.names(), *_HIDDEN, _BUCKET_COL]
             if update_mode == "patch":
                 eff = self._apply_patches(base, eff, small)
-            eq_del = self.equality_deletes and bool(del_buckets)
             if eq_del:
                 # equality-delete mode: the rewritten base holds ONLY
                 # live rows; effective deletes go to a narrow
@@ -1609,36 +1643,12 @@ class LakeTable:
                     m["buckets"].pop(key, None)  # bucket emptied by deletes
             if eq_del:
                 # effective deletes only (stale deletes were dropped by
-                # the version guard above); count rides the write action
-                drel = os.path.join(
-                    "data", f"v{m['version']}-del-{uuid.uuid4().hex[:8]}"
+                # the version guard above)
+                entry = self._write_delete_file(
+                    eff.filter(F.col(DELETED_COL)), m
                 )
-                dobs = Observation()
-                dels = eff.filter(F.col(DELETED_COL)).select(
-                    *self.pk, VTS_COL, VSEQ_COL, _BUCKET_COL
-                ).observe(
-                    dobs,
-                    F.count(F.lit(1)).alias("n"),
-                    F.collect_set(F.col(_BUCKET_COL)).alias("touched"),
-                )
-                dels.write.mode("overwrite").parquet(
-                    os.path.join(self.root, drel)
-                )
-                n_del = int(dobs.get["n"])
-                if n_del:
-                    m.setdefault("delete_files", []).append({
-                        "path": drel,
-                        "schema_version": m["schema_version"],
-                        "buckets": sorted(
-                            int(b) for b in dobs.get["touched"]
-                        ),
-                    })
-                else:
-                    # every delete in the batch was stale — drop the
-                    # rowless dir (reading it would throw
-                    # UNABLE_TO_INFER_SCHEMA)
-                    shutil.rmtree(os.path.join(self.root, drel),
-                                  ignore_errors=True)
+                if entry is not None:
+                    m.setdefault("delete_files", []).append(entry)
             self._refresh_bloom(m, out_dir, rewritten=written & set(touched),
                                 removed=set(touched) - written)
             self._record_lineage(m, batch_id, offsets, n_changes, extra_metrics)
@@ -1898,29 +1908,12 @@ class LakeTable:
             with_bucket = with_bucket.localCheckpoint(eager=True)
             tomb = with_bucket.filter(
                 F.coalesce(F.col(DELETED_COL), F.lit(False))
-            ).select(*self.pk, VTS_COL, VSEQ_COL, _BUCKET_COL)
+            )
             with_bucket = with_bucket.filter(
                 ~F.coalesce(F.col(DELETED_COL), F.lit(False))
             )
-            drel = os.path.join(
-                "data", f"v{m['version']}-del-{uuid.uuid4().hex[:8]}"
-            )
-            dobs = Observation()
-            tomb.observe(
-                dobs,
-                F.count(F.lit(1)).alias("n"),
-                F.collect_set(F.col(_BUCKET_COL)).alias("touched"),
-            ).write.mode("overwrite").parquet(os.path.join(self.root, drel))
-            if int(dobs.get["n"]):
-                m["delete_files"] = [{
-                    "path": drel,
-                    "schema_version": m["schema_version"],
-                    "buckets": sorted(int(b) for b in dobs.get["touched"]),
-                }]
-            else:
-                m["delete_files"] = []
-                shutil.rmtree(os.path.join(self.root, drel),
-                              ignore_errors=True)
+            entry = self._write_delete_file(tomb, m)
+            m["delete_files"] = [entry] if entry is not None else []
         elif purge_tombstones:
             m["delete_files"] = []
         self._write_base_files(
@@ -1969,28 +1962,13 @@ class LakeTable:
             with_bucket = with_bucket.localCheckpoint(eager=True)
             tomb = with_bucket.filter(
                 F.coalesce(F.col(DELETED_COL), F.lit(False))
-            ).select(*self.pk, VTS_COL, VSEQ_COL, _BUCKET_COL)
+            )
             with_bucket = with_bucket.filter(
                 ~F.coalesce(F.col(DELETED_COL), F.lit(False))
             )
-            drel = os.path.join(
-                "data", f"v{m['version']}-del-{uuid.uuid4().hex[:8]}"
-            )
-            dobs = Observation()
-            tomb.observe(
-                dobs,
-                F.count(F.lit(1)).alias("n"),
-                F.collect_set(F.col(_BUCKET_COL)).alias("touched"),
-            ).write.mode("overwrite").parquet(os.path.join(self.root, drel))
-            if int(dobs.get["n"]):
-                m.setdefault("delete_files", []).append({
-                    "path": drel,
-                    "schema_version": m["schema_version"],
-                    "buckets": sorted(int(b) for b in dobs.get["touched"]),
-                })
-            else:
-                shutil.rmtree(os.path.join(self.root, drel),
-                              ignore_errors=True)
+            entry = self._write_delete_file(tomb, m)
+            if entry is not None:
+                m.setdefault("delete_files", []).append(entry)
         self._write_base_files(
             with_bucket.repartition(len(sel), F.col(_BUCKET_COL)), out_dir,
         )

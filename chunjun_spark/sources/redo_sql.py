@@ -275,8 +275,14 @@ def decode_redo_header(df: DataFrame) -> DataFrame:
               F.when(sql.rlike(_UPD_RE), F.lit("UPDATE")).otherwise(dec_err))
         .when(sql.startswith("delete from "),
               F.when(sql.rlike(_DEL_RE), F.lit("DELETE")).otherwise(dec_err))
+        # an ALTER the grammar can't parse is NOT row-scoped dirty data:
+        # skipping a schema change silently corrupts every subsequent
+        # row's decode (missed rename → NULL column forever), so it
+        # stays op='ERROR' — always poison, dirty plane or not (review
+        # r5 pass 2)
         .when(is_alter,
-              F.when(ddl_json.isNotNull(), F.lit("DDL")).otherwise(dec_err))
+              F.when(ddl_json.isNotNull(), F.lit("DDL"))
+              .otherwise(F.lit("ERROR")))
         .when(sql == _ERR_SENTINEL, F.lit("ERROR"))
         .otherwise(dec_err)
     )
@@ -292,6 +298,13 @@ def decode_redo_header(df: DataFrame) -> DataFrame:
     return out.withColumn(
         "ddl",
         F.when(F.col("op") == "DECODE_ERROR", F.col("sql_redo"))
+        # unparsable-ALTER poison carries its statement as the failure
+        # message too; genuine in-band ERROR events (the sentinel) keep
+        # ddl NULL → admission reports 'source error'
+        .when(
+            (F.col("op") == "ERROR") & (F.col("sql_redo") != _ERR_SENTINEL),
+            F.col("sql_redo"),
+        )
         .otherwise(F.col("ddl")),
     )
 

@@ -326,7 +326,13 @@ def test_review_r4_decode_hardening(spark, tmp_path):
         "sql_redo string",
     )
     rows = decode_redo_sql(bad, PAYLOAD_SCHEMA).collect()
-    assert [r["op"] for r in rows] == ["DECODE_ERROR"] * 4
+    # data-statement failures are row-scoped DECODE_ERROR (DLQ-able);
+    # an unparsable ALTER is a MISSED SCHEMA CHANGE — every later row
+    # would silently decode against a stale schema — so it stays the
+    # always-poison ERROR op even when a dirty plane is configured
+    # (review r5 pass 2)
+    assert [r["op"] for r in rows] == \
+        ["DECODE_ERROR", "DECODE_ERROR", "DECODE_ERROR", "ERROR"]
     # the offending statement text is preserved as the control detail
     assert all(r["ddl"] is not None for r in rows)
 

@@ -75,7 +75,18 @@ def heap_for(cores: int) -> str:
     return "24g"
 
 
-def run_submit(master: str, zpath: str, binlog_dir: str, out_json: str, mode: str = "cow") -> dict:
+def heap_per_thread(cores: int) -> str:
+    """Constant 2 g per thread at every width — the truest single-box
+    model of 'N vs 4N executors': a real cluster adds memory WITH
+    executors, so per-thread memory is invariant across cluster sizes.
+    (``heap_for`` keeps the settled cross-round protocol: fixed 8 g at
+    the N/4N pair; this mode is the additional evidence the north rule's
+    scaling criterion asks for.)"""
+    return f"{2 * cores}g"
+
+
+def run_submit(master: str, zpath: str, binlog_dir: str, out_json: str,
+               mode: str = "cow", heap_mode: str = "width") -> dict:
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(os.path.dirname(shutil.which("python") or "")), "bin", "spark-submit"
     )
@@ -89,10 +100,12 @@ def run_submit(master: str, zpath: str, binlog_dir: str, out_json: str, mode: st
         # cluster fixes partitioning by dataset, not by executor count)
         "--conf", "spark.sql.shuffle.partitions=64",
         "--conf", "spark.sql.files.maxPartitionBytes=16777216",
-        # heap scales with width (heap_for): 8g at the settled N/4N
-        # widths, more where a real cluster would add per-executor
-        # memory — the fixed 8g heap aborted the local[32] probe (r4)
-        "--conf", f"spark.driver.memory={heap_for(int(master.split('[')[1].rstrip(']')))}",
+        # heap policy: 'width' = heap_for (settled protocol), 'perthread'
+        # = constant 2g/thread (the executor-memory-scales-with-cluster
+        # model) — the fixed 8g heap aborted the local[32] probe (r4)
+        "--conf", "spark.driver.memory=" + (
+            heap_per_thread if heap_mode == "perthread" else heap_for
+        )(int(master.split('[')[1].rstrip(']'))),
         "--py-files", zpath,
         os.path.join(REPO, "tools", "replay_job.py"),
         "--binlog-dir", binlog_dir,
@@ -163,6 +176,12 @@ def main() -> None:
     ap.add_argument("--out-runs", default=None,
                     help="repo-relative JSON path for the raw run table "
                          "(e.g. BENCH/scaling_r3_runs.json)")
+    ap.add_argument("--heap-mode", default="width",
+                    choices=["width", "perthread"],
+                    help="width: settled heap_for protocol; perthread: "
+                         "constant 2g/thread at every width")
+    ap.add_argument("--skip-wide", action="store_true",
+                    help="run only the N/4N pair (no 8N/16N probes)")
     args = ap.parse_args()
 
     binlog_dir = args.binlog_dir or tempfile.mkdtemp(prefix="cj_scaling_binlog_")
@@ -187,7 +206,7 @@ def main() -> None:
             print(f"run {tag} ({master}) attempt {i + 1}/{repeats} ...", flush=True)
             r = run_submit(master, zpath, binlog_dir,
                            os.path.join(workdir, f"{tag}-{i}.json"),
-                           mode=args.mode)
+                           mode=args.mode, heap_mode=args.heap_mode)
             print(f"  {r}", flush=True)
             runs.append(r)
         all_runs.extend(runs)
@@ -199,7 +218,9 @@ def main() -> None:
     # a real cluster would actually give those widths (heap_for); a
     # failed probe must not lose the N/4N evidence above
     extra = None
-    for master, tag in (("local[16]", "8N"), ("local[32]", "16N")):
+    wide = () if args.skip_wide else (
+        ("local[16]", "8N"), ("local[32]", "16N"))
+    for master, tag in wide:
         try:
             r = best_of(master, tag, repeats=1)
             if r.get("state_checksum") != small["state_checksum"]:
@@ -222,7 +243,8 @@ def main() -> None:
         with open(os.path.join(REPO, args.out_runs), "w") as f:
             json.dump({
                 "protocol": "spark-submit --py-files, identical config "
-                            "(64 shuffle partitions, 16MB splits, 8g heap), "
+                            "(64 shuffle partitions, 16MB splits, "
+                            f"heap_mode={args.heap_mode}), "
                             f"best-of-2 per width, {cooldown}s cooldowns, "
                             f"same {args.events:,}-event binlog, mode={args.mode}",
                 "runs": all_runs,
