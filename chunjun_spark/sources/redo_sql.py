@@ -143,6 +143,15 @@ def encode_redo_sql(ch: DataFrame, pk: list[str]) -> DataFrame:
             .when(act == "drop_column", F.concat(
                 F.lit("alter table "), tbl, F.lit(" drop ("),
                 q(jname), F.lit(")")))
+            # a DDL action outside the grammar must still SURVIVE the
+            # wire as a loud failure: encode as ALTER text the decoder's
+            # grammar rejects → op='ERROR' (always poison) — never NULL
+            # statement text, which would decode to a DLQ-able
+            # DECODE_ERROR and silently lose a schema change (r5)
+            .otherwise(F.concat(
+                F.lit("alter table "), tbl,
+                F.lit(" unsupported "),
+                F.coalesce(F.col("ddl"), F.lit("null"))))
         )
     sql = (
         F.when(F.col("op") == "INSERT", insert_sql)

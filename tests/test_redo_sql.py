@@ -436,3 +436,28 @@ def test_stream_launch_on_empty_wire_dir(spark, tmp_path):
             job_id=f"empty-{wire}", wire_format=wire, timeout_sec=120,
         )
         assert LakeTable.load(spark, root).read().count() == 0
+
+
+def test_unknown_ddl_action_survives_wire_as_poison(spark):
+    """r5 pass 2: a DDL event whose action is outside the encoder's
+    grammar must not encode to NULL statement text (which would decode
+    to a DLQ-able DECODE_ERROR and silently lose a schema change) — it
+    encodes as ALTER text the decoder rejects, i.e. op='ERROR', always
+    poison."""
+    import datetime
+
+    from chunjun_spark.operators.ddl import ddl_event
+    from chunjun_spark.sources.binlog import EVENT_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1)
+    row = ddl_event(5, ts, "add_column", name="x", type="int")
+    row["ddl"] = '{"action": "set_comment", "name": "x", "value": "hi"}'
+    df = spark.createDataFrame([row], EVENT_SCHEMA)
+    wire = encode_redo_sql(df, pk=["repo", "path"])
+    [w] = wire.collect()
+    assert w["sql_redo"] is not None
+    assert w["sql_redo"].startswith("alter table ")
+    from chunjun_spark.sources.redo_sql import decode_redo_header
+    [d] = decode_redo_header(wire).collect()
+    assert d["op"] == "ERROR"
+    assert "set_comment" in d["ddl"]  # the failure message carries it
