@@ -743,18 +743,22 @@ class LakeTable:
         return self.manifest.get("delete_files", [])
 
     def _delete_file_parts(
-        self, buckets: list[int] | None
+        self, buckets: list[int] | None, widen: bool = True
     ) -> list[DataFrame]:
-        """Equality-delete files expanded to resolve width: pk columns
+        """Equality-delete files projected for resolve: pk columns
         mapped by field id to the current schema (a renamed pk column
-        keeps deleting), every payload column NULL, ``_deleted=True`` —
-        exactly the shape a tombstone ROW has, so the keep-last fold
-        needs no special casing. Narrow IO: each file holds only
-        (pk, _vts, _vseq, _bucket). Bucket pruning by the recorded
-        per-file bucket set is sound (bucket is a pure key hash)."""
+        keeps deleting). ``widen=True`` expands to full resolve width
+        (every payload column NULL, ``_deleted=True`` — exactly the
+        shape a tombstone ROW has, so the keep-last fold needs no
+        special casing); ``widen=False`` keeps the narrow
+        (pk, _vts, _vseq, _bucket) shape the anti-join path consumes.
+        Narrow IO either way: each file holds only the narrow columns.
+        Bucket pruning by the recorded per-file bucket set is sound
+        (bucket is a pure key hash)."""
         want = {int(b) for b in buckets} if buckets is not None else None
         out = []
         cur_fields = self.schema.fields
+        pk = set(self.pk)
         for d in self.delete_files:
             tb = d.get("buckets")
             if want is not None and tb is not None \
@@ -771,22 +775,24 @@ class LakeTable:
             cols = []
             for f in cur_fields:
                 o = old.get(f["id"])
-                if o is not None and o["name"] in in_file:
+                mapped = o is not None and o["name"] in in_file
+                if not widen and f["name"] not in pk:
+                    continue
+                if mapped:
                     cols.append(
                         F.col(o["name"]).cast(_parse_type(f["type"]))
                         .alias(f["name"])
                     )
-                else:
+                elif widen:
                     cols.append(
                         F.lit(None).cast(_parse_type(f["type"]))
                         .alias(f["name"])
                     )
-            out.append(df.select(
-                *cols,
-                F.col(VTS_COL), F.col(VSEQ_COL),
-                F.lit(True).alias(DELETED_COL),
-                F.col(_BUCKET_COL),
-            ))
+            sel = [*cols, F.col(VTS_COL), F.col(VSEQ_COL)]
+            if widen:
+                sel.append(F.lit(True).alias(DELETED_COL))
+            sel.append(F.col(_BUCKET_COL))
+            out.append(df.select(*sel))
         return out
 
     @staticmethod
@@ -822,10 +828,26 @@ class LakeTable:
         it: the rewritten buckets stay shadowed by the untouched delete
         files at read time, instead of duplicating entries into rows)."""
         deltas = self.manifest["deltas"]
+        has_dfiles = bool(with_delete_files and self.delete_files)
+        if not deltas and not has_dfiles:
+            return self._read_base(buckets, part_bounds)
+        if not deltas and has_dfiles:
+            # base + delete files only: the anti-join plan — the wide
+            # base payload stays MAP-ONLY (the narrow entry winners
+            # broadcast) instead of shuffling through keep_last. The
+            # common steady-state read between compactions under COW
+            # churn, and the plan shape Iceberg v2 readers use for
+            # equality deletes.
+            out = self._resolve_base_anti_deletes(buckets, part_bounds)
+            if out is not None:
+                return out
+            # entry count above the broadcast cap — fall through to the
+            # single-shuffle fold below
         dparts = (
             self._delete_file_parts(buckets) if with_delete_files else []
         )
         if not deltas and not dparts:
+            # every delete file bucket-pruned away for this probe
             return self._read_base(buckets, part_bounds)
         delta_parts = []
         want = {int(b) for b in buckets} if buckets is not None else None
@@ -863,6 +885,93 @@ class LakeTable:
         return keep_last(
             base.unionByName(delta), pk=self.pk, order=(VTS_COL, VSEQ_COL)
         )
+
+    # above this many delete-entry winners the broadcast build risks the
+    # same OOM the keep_last winner-broadcast hit at 25M rows on an 8g
+    # heap (measured cap 8M; entries here carry pk + 2 version cols, a
+    # similar narrow shape)
+    _DELETE_BROADCAST_CAP = 8_000_000
+
+    def _resolve_base_anti_deletes(
+        self,
+        buckets: list[int] | None,
+        part_bounds: dict | None,
+    ) -> DataFrame | None:
+        """Deltas-free resolve with equality-delete files applied as a
+        BROADCAST ANTI-JOIN over the base instead of a keep-last
+        shuffle. Returns None when the entry count exceeds the
+        broadcast cap (caller falls back to the fold).
+
+        Semantics (== the keep-last fold): a base row is dropped iff
+        some entry for its pk has version >= the row's; an entry
+        survives as the pk's tombstone winner iff no base row is
+        strictly newer. Ties go to the delete entry — deterministic,
+        and reachable only on contract-violating duplicate versions.
+        ``part_bounds`` stays SOUND here, unlike the delta fold: the
+        base holds at most one row per pk (COW invariant), so no stale
+        in-range version can shadow an out-of-range winner; entries
+        only remove rows."""
+        ents = self._delete_file_parts(buckets, widen=False)
+        if not ents:
+            # every delete file bucket-pruned away for this probe
+            return self._read_base(buckets, part_bounds)
+        ent = ents[0]
+        for p in ents[1:]:
+            ent = ent.unionByName(p)
+        # one narrow scan bounds the build side BEFORE any broadcast
+        if ent.count() > self._DELETE_BROADCAST_CAP:
+            return None
+        # one winner per pk among the entries (consolidation may be
+        # pending; narrow frame — the one small shuffle of this plan)
+        ew = keep_last(ent, pk=self.pk, order=(VTS_COL, VSEQ_COL))
+        ew = ew.select(
+            *self.pk,
+            F.col(VTS_COL).alias("_d_vts"),
+            F.col(VSEQ_COL).alias("_d_vseq"),
+            F.col(_BUCKET_COL).alias("_d_bucket"),
+        ).localCheckpoint(eager=True)  # two consumers below
+        base = self._read_base(buckets, part_bounds)
+        shadowed = F.col("_d_vseq").isNotNull() & (
+            F.struct(F.col("_d_vts"), F.col("_d_vseq"))
+            >= F.struct(F.col(VTS_COL), F.col(VSEQ_COL))
+        )
+        kept = (
+            base.join(F.broadcast(ew.drop("_d_bucket")), on=self.pk,
+                      how="left")
+            .filter(~shadowed)
+            .drop("_d_vts", "_d_vseq")
+        )
+        # surviving tombstone winners: no strictly-newer base row —
+        # the base side is a COLUMN-PRUNED (pk, version) scan
+        base_narrow = self._read_base(buckets).select(
+            *self.pk,
+            F.col(VTS_COL).alias("_b_vts"),
+            F.col(VSEQ_COL).alias("_b_vseq"),
+        )
+        surv = (
+            ew.join(base_narrow, on=self.pk, how="left")
+            .filter(
+                F.col("_b_vseq").isNull()
+                | (
+                    F.struct(F.col("_b_vts"), F.col("_b_vseq"))
+                    <= F.struct(F.col("_d_vts"), F.col("_d_vseq"))
+                )
+            )
+        )
+        pk_set = set(self.pk)
+        surv_wide = surv.select(
+            *[
+                F.col(f["name"]) if f["name"] in pk_set
+                else F.lit(None).cast(_parse_type(f["type"]))
+                .alias(f["name"])
+                for f in self.schema.fields
+            ],
+            F.col("_d_vts").alias(VTS_COL),
+            F.col("_d_vseq").alias(VSEQ_COL),
+            F.lit(True).alias(DELETED_COL),
+            F.col("_d_bucket").alias(_BUCKET_COL),
+        )
+        return kept.unionByName(surv_wide)
 
     def read(
         self,
